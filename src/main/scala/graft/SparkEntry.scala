@@ -1,13 +1,354 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.logs.{LogQuery, LogQueryParams}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — the complete operator inventory (SURVEY.md §2 + the
+  * north-star extension surface), each entry paired with equivalent DuckDB
+  * SQL in [[oracleSql]] where SQL-expressible.
+  *
+  * Oracle-parity conventions used throughout:
+  *  - events.ts is nanosecond parquet; Spark reads it ms-truncated
+  *    ([[Tables.events]]), oracles wrap it in
+  *    `date_trunc('milliseconds', ts)` (the `EV` CTE).
+  *  - double aggregates go through [[Cols.dsum]]/[[Cols.davg]]
+  *    (decimal-exact, order-independent) on both sides.
+  *  - ROW_NUMBER ranks are cast to BIGINT on both sides.
+  *  - every query has a deterministic total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_logs_flagship")(spark, "/root/testdata/sf0.001")
+
+  /** Oracle-side events view with ms-truncated ts (see [[Tables.events]]). */
+  private val EV =
+    "SELECT event_id, date_trunc('milliseconds', ts) AS ts, user_id, event_type, value, props FROM events"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────────────────────── reference parity: the logs read path ──
+    "q_logs_flagship" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .filter(col("ts") >= ts("2024-01-05 00:00:00") && col("ts") < ts("2024-01-20 00:00:00"))
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")),
+
+    "q_logs_flagship_user" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .filter(col("ts") >= ts("2024-01-01 00:00:00") && col("ts") < ts("2024-02-01 00:00:00"))
+        .filter(get_json_object(col("props"), "$.k") === "42")
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(50)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")),
+
+    "q_logs_count" -> ((s, dir) =>
+      Tables.events(s, dir).agg(count(lit(1)).as("n"))),
+
+    "q_logs_by_level" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    "q_logs_retention" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= ts("2024-01-15 00:00:00"))
+        .groupBy(date_format(col("ts"), "yyyyMM").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("month"))),
+
+    // ───────────────────────── relational analytics ──
+    "q1_pricing" -> ((s, dir) =>
+      Analytics.pricingSummary(Tables.lineitem(s, dir), "1998-09-01 00:00:00")),
+
+    "q3_shipping" -> ((s, dir) =>
+      Analytics.shippingPriority(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "BUILDING", "1996-06-30 00:00:00")),
+
+    "q5_local_supplier" -> ((s, dir) =>
+      Analytics.localSupplierVolume(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "ASIA", "1996-01-01 00:00:00", "1997-01-01 00:00:00")),
+
+    "q_daily_counts" -> ((s, dir) =>
+      Analytics.dailyCounts(Tables.events(s, dir))),
+
+    "q_top_events_per_user" -> ((s, dir) =>
+      Analytics.topEventsPerUser(Tables.events(s, dir), 3)),
+
+    "q_sessionize" -> ((s, dir) =>
+      Analytics.sessionize(Tables.events(s, dir), 30)),
+
+    "q_distinct_users" -> ((s, dir) =>
+      Analytics.distinctUsers(Tables.events(s, dir))),
+
+    "q_approx_distinct_users" -> ((s, dir) =>
+      Analytics.approxDistinctUsers(Tables.events(s, dir))),
+
+    "q_purchase_no_signup" -> ((s, dir) =>
+      Analytics.purchasedNeverSignedUp(Tables.events(s, dir))),
+
+    "q_rollup_revenue" -> ((s, dir) =>
+      Analytics.revenueRollup(Tables.lineitem(s, dir))),
+
+    "q_asof_join" -> ((s, dir) =>
+      Analytics.lastOrderBeforeEvent(Tables.events(s, dir), Tables.orders(s, dir))),
+
+    // ───────────────────────── dedup ──
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))),
+
+    "q_dedup_drop" -> ((s, dir) =>
+      Dedup.exactDropList(Tables.documents(s, dir))),
+
+    "q_dedup_char_jaccard" -> ((s, dir) =>
+      Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashPairs(Tables.documents(s, dir), n = 3, k = 64, bands = 16, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 12)),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+
+    // ───────────────────────── similarity search ──
+    "q_knn_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+
+    "q_knn_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+
+    // ───────────────────────── text analysis ──
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(Tables.documents(s, dir))),
+
+    "q_lang_stats" -> ((s, dir) =>
+      TextAnalysis.langStats(Tables.documents(s, dir))),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir))),
+
+    // ───────────────────────── multimodal plumbing ──
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.payloadMeta(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF())
+        .orderBy(col("media_id"))))
+
+  private val DSUM = Cols.dsumSql _
+  private val DAVG = Cols.davgSql _
+  private val REV = Cols.decSumSql(Cols.decRevenueSql("l_extendedprice", "l_discount"))
+  private val CHARGE = Cols.decSumSql(Cols.decChargeSql("l_extendedprice", "l_discount", "l_tax"))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_logs_flagship" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_id, ts, user_id, event_type, value, props FROM ev
+         |WHERE event_type = 'error'
+         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_logs_flagship_user" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_id, ts, user_id, event_type, value, props FROM ev
+         |WHERE event_type = 'purchase'
+         |  AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+         |  AND json_extract_string(props, '$$.k') = '42'
+         |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin,
+
+    "q_logs_count" -> "SELECT COUNT(*) AS n FROM events",
+
+    "q_logs_by_level" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+
+    "q_logs_retention" ->
+      s"""WITH ev AS ($EV)
+         |SELECT strftime(ts, '%Y%m') AS month, COUNT(*) AS n FROM ev
+         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${DSUM("l_quantity")} AS sum_qty,
+         |  ${DSUM("l_extendedprice")} AS sum_base_price,
+         |  $REV AS sum_disc_price,
+         |  $CHARGE AS sum_charge,
+         |  ${DAVG("l_quantity")} AS avg_qty,
+         |  ${DAVG("l_extendedprice")} AS avg_price,
+         |  ${DAVG("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  $REV AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  $REV AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_daily_counts" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
+         |  ${DSUM("value")} AS total_value
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_top_events_per_user" ->
+      s"""WITH ranked AS (
+         |  SELECT user_id, event_id, event_type, value,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rank
+         |  FROM events)
+         |SELECT user_id, event_id, event_type, value, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH ev AS ($EV),
+         |s1 AS (SELECT user_id, event_id, ts,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+         |s2 AS (SELECT user_id, event_id, ts,
+         |         CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+         |              THEN 1 ELSE 0 END AS new_session FROM s1),
+         |s3 AS (SELECT user_id, event_id, ts,
+         |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s2)
+         |SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  COUNT(*) AS n_events
+         |FROM s3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_distinct_users" ->
+      "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_purchase_no_signup" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_rollup_revenue" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $REV AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH ev AS ($EV),
+         |o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+         |        arg_max(o_totalprice, o_orderkey) AS o_totalprice
+         |      FROM orders GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+         |FROM ev e ASOF JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+         |ORDER BY e.event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_drop" ->
+      """WITH c AS (SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id
+        |           FROM documents GROUP BY 1)
+        |SELECT d.doc_id, c.keep_id FROM documents d
+        |JOIN c ON md5(d.text) = c.text_hash
+        |WHERE d.doc_id <> c.keep_id ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_char_jaccard" ->
+      """SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  jaccard(a.text, b.text) AS jaccard
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE jaccard(a.text, b.text) >= 0.9
+        |ORDER BY source, id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        |FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_knn_bruteforce" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id < 10),
+        |sims AS (SELECT p.probe_id, b.vec_id,
+        |    list_dot_product(b.e, p.pe) /
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) AS cosine
+        |  FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id),
+        |ranked AS (SELECT probe_id, vec_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        |  FROM sims)
+        |SELECT probe_id, vec_id, cosine, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  CAST(len(list_intersect(list_transform(string_split_regex(trim(text), '\s+'), t -> lower(t)),
+        |       ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'])) AS DOUBLE)
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                    ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  ${DSUM("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)")} AS total_tokens,
+         |  ${DAVG("CAST(length(text) AS DOUBLE)")} AS avg_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

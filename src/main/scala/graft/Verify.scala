@@ -11,14 +11,30 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs-typed parquet timestamps (not INT96) so the driver's pandas/
+      // duckdb readers see the same datetime64[us] type the oracle yields.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Dump ts columns as TIMESTAMP_NTZ (session TZ is UTC, so values are
+        // unchanged): parquet then carries isAdjustedToUTC=false, matching
+        // the naive TIMESTAMP type DuckDB's oracle output has — otherwise
+        // the driver compares tz-aware vs naive schemas.
+        val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+                .cast(org.apache.spark.sql.types.TimestampNTZType))
+            case _ => d
+          }
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

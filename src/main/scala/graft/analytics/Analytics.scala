@@ -1,0 +1,190 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols.{davg, decCharge, decRevenue, decSum, dsum}
+
+/** Relational analytics surface: grouped aggregation, multi-way joins,
+  * window functions, set ops, rollup. The reference itself issues none of
+  * these (SURVEY.md §2.8 — single-table system), but the north-star
+  * extension operators need them; they are expressed purely with the
+  * DataFrame API so Catalyst owns pushdown, join strategy, and AQE.
+  *
+  * Double-typed aggregates go through [[graft.Cols.dsum]]/[[graft.Cols.davg]]
+  * (decimal-exact, order-independent) so results hash-match the DuckDB
+  * oracle bit-for-bit.
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary over lineitem. One shuffle on the
+    * low-cardinality (returnflag, linestatus) keys; partial aggregation
+    * (map-side combine) does nearly all the work before the exchange. */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(shipBefore)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        decSum(decCharge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped shipping priority: customer ⋈ orders ⋈ lineitem,
+    * revenue per order, top 10. customer is small at every SF → broadcast;
+    * orders⋈lineitem is the one real shuffle, on the join key. Top-10 via
+    * orderBy.limit plans as TakeOrderedAndProject (no global sort). */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String, date: String): DataFrame = {
+    val d = to_timestamp(lit(date))
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders.filter(col("o_orderdate") < d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(decSum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: 6-way join down the
+    * region→nation→customer/supplier→orders→lineitem star, grouped by
+    * nation. All dimension sides (region/nation/customer/supplier) are
+    * broadcast-sized; the fact-side shuffle is on orderkey only. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      regionName: String, from: String, until: String): DataFrame = {
+    val lo = to_timestamp(lit(from))
+    val hi = to_timestamp(lit(until))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Events per type per day — grouped agg with a time bucket. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** Top-k events by value per user — ranking window. The window shuffles
+    * once on user_id; ties broken by event_id for determinism. */
+  def topEventsPerUser(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * longer than `gapMinutes`. Classic lag + conditional cumulative sum —
+    * two window passes over one user_id shuffle. Returns per-session
+    * bounds and event counts. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Exact + approximate distinct users per event type. The exact count is
+    * the oracle-checked value; approx_count_distinct (HLL++) is the one
+    * that survives 100 TB and is exposed alongside. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** HLL-sketch variant of [[distinctUsers]] — no oracle (approximate). */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** Set difference: users who purchased but never signed up. EXCEPT has
+    * distinct-set semantics in both Spark and the oracle. */
+  def purchasedNeverSignedUp(events: DataFrame): DataFrame = {
+    val purchased = events.filter(col("event_type") === "purchase").select(col("user_id"))
+    val signedUp = events.filter(col("event_type") === "signup").select(col("user_id"))
+    purchased.except(signedUp).orderBy(col("user_id"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus) — grouping-set aggregation. */
+  def revenueRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(decSum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** As-of join: for each event, that user's latest order at-or-before the
+    * event ts. Spark has no ASOF JOIN operator; the scalable expression is
+    * the union-marker technique — tag both sides, union, one shuffle+sort
+    * on (key, ts), and carry the last order forward with
+    * last(ignoreNulls) — instead of the naive range join + per-key max,
+    * whose intermediate pair count is quadratic in rows-per-user.
+    *
+    * Orders are first reduced to one row per (custkey, orderdate) (max
+    * orderkey wins) so tie behavior at equal ts is well-defined on both
+    * engines.
+    */
+  def lastOrderBeforeEvent(events: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("okey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("oprice"))
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(0).as("side"), col("okey"), col("oprice"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("timestamp").as("ts"))
+    val e = events
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        lit(1).as("side"), lit(null).cast("long").as("okey"),
+        lit(null).cast("double").as("oprice"),
+        col("event_id"), col("ts"))
+    // Orders sort before events at equal t (side 0 < 1), so an order placed
+    // exactly at the event ts is visible to it — matching `o.date <= e.ts`.
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("o_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("o_totalprice", last(col("oprice"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("ts"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+}

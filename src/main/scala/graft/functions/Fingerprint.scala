@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Order-sensitive 64-bit document fingerprint — a polynomial rolling hash
+  * of the token stream: h ← h·31 + fnv1a64(token), wrapping mod 2^64.
+  *
+  * A native Catalyst expression rather than composed built-ins because the
+  * wraparound multiply is exactly what ANSI-mode long arithmetic forbids in
+  * SQL expressions (overflow → error); inside the JVM the wrap is the
+  * intended semantics, as in every rolling-hash implementation.
+  */
+case class TokenFingerprint64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_fingerprint64 expects array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenFingerprint64.hashTokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenFingerprint64.hashTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFingerprint64 =
+    copy(child = newChild)
+}
+
+object TokenFingerprint64 {
+
+  /** Rolling hash over an ArrayData of UTF8Strings; null tokens skipped. */
+  def hashTokens(arr: ArrayData): Long = {
+    var h = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        h = h * 31L + SimHash64.fnv1a64(arr.getUTF8String(i).getBytes)
+      }
+      i += 1
+    }
+    h
+  }
+
+  /** Column wrapper: `token_fingerprint64(tokens)` */
+  def tokenFingerprint64(tokens: Column): Column =
+    GraftGlue.toColumn(TokenFingerprint64(GraftGlue.toExpression(tokens)))
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64.simhash64
+
+/** Deduplication surface over the `documents` table (doc_id, text, lang,
+  * source, n_chars) — the training-data-pipeline operators layered on top
+  * of the reference's single-table model.
+  *
+  * Tiers:
+  *  - [[exact]]            — hash-groupBy; one shuffle on the text hash.
+  *  - [[minHashPairs]]     — MinHash + LSH banding: shingle → k minhashes →
+  *                           band buckets → equi-join on bucket → exact
+  *                           jaccard re-rank. Candidate generation is a
+  *                           shuffle on band keys, never a cross join.
+  *  - [[simHashPairs]]     — 64-bit SimHash (native Catalyst expression)
+  *                           + hamming-ball match via band partitioning.
+  *  - [[ngramJaccardPairs]]— exact n-gram jaccard on LSH candidates.
+  *  - [[charJaccardPairs]] — character-set jaccard (the cheap fingerprint
+  *                           DuckDB also implements, giving an exact SQL
+  *                           oracle for the pair-generation plumbing).
+  *
+  * Everything is `functions._` / native expressions — codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Whitespace tokenization shared by the fuzzy tiers. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles of the token array; distinct set. Built from
+    * slice() over an index sequence — pure Catalyst, no UDF. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id as the
+    * canonical row. The groupBy key is the md5 of the text (not the full
+    * text) so the shuffle carries 16 bytes per row instead of the document
+    * body — the difference between shuffling 100 TB and shuffling 2 TB. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** The duplicate rows [[exact]] would drop (doc_id != canonical). */
+  def exactDropList(documents: DataFrame): DataFrame = {
+    val canon = exact(documents).select(col("text_hash"), col("keep_id"))
+    documents
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(canon, "text_hash")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signature column: array of `k` minhashes of the shingle set.
+    * minhash_i = min over shingles of xxhash64(i, shingle) — deterministic,
+    * codegen'd, no ml.Vector boxing. */
+  def minHashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleSet, s => xxhash64(lit(i), s)))): _*)
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact jaccard re-rank.
+    *
+    * `k` minhashes split into `bands` bands of k/bands rows each; docs
+    * colliding on any band's hash become candidates (standard banding: with
+    * k=64, bands=16 → r=4, the S-curve threshold is ≈ (1/16)^(1/4) ≈ 0.5).
+    * Exact jaccard over shingle sets then filters to `threshold`.
+    */
+  def minHashPairs(documents: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val withSig = documents
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), k))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val left = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, candidates = docs
+    * agreeing on at least one of 4 16-bit bands (catches all pairs within
+    * hamming distance 3), verified with bit_count(a^b) <= maxHamming. */
+  def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = documents.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("sh"))
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val left = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram jaccard over LSH candidates — [[minHashPairs]] with the
+    * banding tuned loose so the exact jaccard filter dominates. */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame =
+    minHashPairs(documents, n = n, k = 64, bands = 32, threshold = threshold)
+
+  /** Character-set jaccard pairs within each source group — exact pairwise
+    * inside small groups (source is a natural blocking key). Matches
+    * DuckDB's `jaccard()` text-similarity function (distinct characters of
+    * each string), so the whole pipeline is SQL-oracle-checkable. */
+  def charJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+    def charSet(c: Column): Column = array_distinct(split(c, ""))
+    val d = documents.select(col("source"), col("doc_id"), charSet(col("text")).as("cs"))
+    val a = d.select(col("source"), col("doc_id").as("id_a"), col("cs").as("cs_a"))
+    val b = d.select(col("source"), col("doc_id").as("id_b"), col("cs").as("cs_b"))
+    a.join(b, Seq("source"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("cs_a"), col("cs_b"))).cast("double") /
+          size(array_union(col("cs_a"), col("cs_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("source"), col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor surface over an `array<float>` embedding
+  * column (the `embeddings` fixture: vec_id, embedding[64], label).
+  *
+  * Two tiers, mirroring how an ANN index degrades gracefully at scale:
+  *  - [[bruteForceTopK]] — exact baseline; probes broadcast, one pass over
+  *    the corpus, per-probe top-k. Correctness oracle for everything else.
+  *  - [[lshTopK]] — random-hyperplane (SimHash) bucketing: corpus and
+  *    probes hashed into signature buckets, candidate pairs come only from
+  *    bucket collisions (a shuffle on the bucket key, not a cross join),
+  *    exact cosine re-ranks the candidates. The 100 TB path: candidate
+  *    generation is linear in corpus size × tables, never quadratic.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe (excluding self-matches).
+    *
+    * The probe side is collected to a broadcast join (probes are a handful
+    * of vectors by construction), so the corpus is scanned once with no
+    * shuffle of corpus rows; the only exchange is the per-probe top-k
+    * ranking, whose input is already cut to |probes| × |corpus| similarity
+    * rows. Norms are computed once per side before the join.
+    */
+  def bruteForceTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+    val probes = corpus
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nsq").as("p_nsq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("embedding"), col("p_emb")), col("nsq"), col("p_nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign-bits of dot products with
+    * deterministic pseudo-random hyperplanes, packed into a long. Vectors
+    * close in cosine agree on most bits. Hyperplane components are derived
+    * from xxhash64(bit, dim) — deterministic across executors, no
+    * driver-side randomness to ship. */
+  private def signature(emb: org.apache.spark.sql.Column, table: Int, bits: Int): org.apache.spark.sql.Column = {
+    val planes = (0 until bits).map { b =>
+      // pseudo-random unit-ish hyperplane component for (table, bit, dim):
+      // xxhash64 → [-1, 1) via modular reduction. Seeding with the table
+      // index keeps the `tables` hash tables independent.
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") *
+            ((pmod(xxhash64(lit(table), lit(b), i), lit(2000001L)) - 1000000L) / 1000000.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Approximate top-k: LSH-bucketed candidate generation + exact re-rank.
+    *
+    * Each vector gets `tables` independent signatures of `bits` bits; a
+    * corpus vector is a candidate for a probe iff they collide in at least
+    * one table. The join is an equi-join on (table, signature) — shuffle,
+    * not cross product — then exact cosine ranks candidates. Recall is
+    * tunable via (bits, tables); misses are possible (approximate by
+    * design), so this query is benchmarked against [[bruteForceTopK]]
+    * rather than a SQL oracle.
+    */
+  def lshTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      bits: Int = 12, tables: Int = 6): DataFrame = {
+    val sigd = embeddings.select(
+      col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"),
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signature(col("embedding"), t, bits).as("sig"))): _*).as("sigs"))
+    val exploded = sigd.select(col("vec_id"), col("embedding"), col("nsq"),
+      explode(col("sigs")).as("ts"))
+      .select(col("vec_id"), col("embedding"), col("nsq"),
+        col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val probes = exploded
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"), col("t"), col("sig"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exploded
+      .join(broadcast(probes), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("embedding"), col("nsq"),
+        col("p_emb"), col("p_nsq"))
+      .distinct()
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("embedding"), col("p_emb")), col("nsq"), col("p_nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ threshold,
+    * a < b. Exact version — pairwise over the corpus; kept oracle-checkable
+    * at test SF. The scale path reuses the LSH bucketing above for
+    * candidate generation. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      normSq(col("embedding")).as("nsq_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      normSq(col("embedding")).as("nsq_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

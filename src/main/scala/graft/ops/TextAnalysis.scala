@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (doc_id, text, lang, source,
+  * n_chars): token counting, quality scoring, language ID, fingerprinting.
+  * All pure `functions._` column expressions — codegen'd, scale-oblivious
+  * (per-row map work, no shuffle except final aggregations).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword proxy: word chunks, digits, and punctuation runs
+    * counted separately (a cheap deterministic stand-in for a real BPE
+    * vocab — the regex mirrors the GPT-2 pre-tokenizer's coarse classes). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).cast("long")
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  /** Per-document quality metrics: length, token stats, punctuation ratio,
+    * stopword ratio, mean token length — the standard cheap filters a
+    * pretraining pipeline applies before anything expensive. */
+  def qualityMetrics(documents: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      tokenCount(col("text")).as("n_tokens"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "[\\.,;:!\\?]", "")))
+        .cast("double") / greatest(length(col("text")), lit(1))).as("punct_ratio"),
+      (size(array_intersect(transform(toks, t => lower(t)), lit(stopwords.toArray)))
+        .cast("double") / greatest(size(toks), lit(1))).as("stopword_ratio"),
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+        greatest(tokenCount(col("text")), lit(1))).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language corpus statistics (oracle-checked aggregation). */
+  def langStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        graft.Cols.dsum(tokenCount(col("text")).cast("double")).as("total_tokens"),
+        graft.Cols.davg(length(col("text")).cast("double")).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Language-ID heuristic: score each candidate language by stopword hits
+    * and pick the argmax. Deterministic, vocabulary-driven — the shape a
+    * real n-gram identifier (e.g. CLD) takes, with a toy vocab sized to the
+    * fixture's five languages. Not oracle-checkable (heuristic), verified
+    * against the `lang` label column in tests instead. */
+  def langId(documents: DataFrame): DataFrame = {
+    val vocab: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los", "con"),
+      "fr" -> Seq("le", "la", "les", "des", "et", "que", "pour"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von"),
+      "zh" -> Seq("的", "是", "在", "了", "和", "有", "不"))
+    val toks = transform(split(trim(col("text")), "\\s+"), t => lower(t))
+    val scores = vocab.toSeq.sortBy(_._1).map { case (l, ws) =>
+      struct(size(array_intersect(toks, lit(ws.toArray))).as("score"), lit(l).as("lang"))
+    }
+    documents.select(
+      col("doc_id"),
+      col("lang").as("label_lang"),
+      greatest(scores: _*).getField("lang").as("pred_lang"),
+      greatest(scores: _*).getField("score").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the token stream:
+    * h = Σ token_hash(t_i) · 31^(n−1−i) (mod 2^64) — order-sensitive, so
+    * permuted documents get different fingerprints (unlike a bag-of-words
+    * hash). A native expression ([[graft.functions.TokenFingerprint64]])
+    * because the wrapping multiply is an error under ANSI SQL arithmetic. */
+  def fingerprint(text: Column): Column =
+    graft.functions.TokenFingerprint64.tokenFingerprint64(split(trim(text), "\\s+"))
+
+  /** Per-document fingerprint table. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

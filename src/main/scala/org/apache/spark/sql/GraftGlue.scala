@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4's unified `Column` wraps a ColumnNode rather than an Expression,
+  * and the conversion helpers (`classic.ExpressionUtils`) are
+  * `private[sql]`; extension libraries conventionally expose them through a
+  * small shim in the `org.apache.spark.sql` package. This is the only file
+  * outside the `graft` namespace.
+  */
+object GraftGlue {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}
