@@ -33,9 +33,13 @@ object LogTable {
       .partitionBy("month")
       .parquet(path)
 
-  /** Read the table back with the 7 canonical columns (+ month). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read the table back with the 7 canonical columns (+ month). The hive
+    * partition value is re-cast to string — Spark's partition-column type
+    * inference would otherwise surface `month=202311` as an int. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("month", col("month").cast("string"))
+  }
 
   /** Small-file compaction — the MergeTree-merge analogue. Streaming
     * micro-batches (100 ms trigger, §2.6) leave many tiny parquet files;

@@ -75,9 +75,16 @@ object Similarity {
     * tunable via (bits, tables); misses are possible (approximate by
     * design), so this query is benchmarked against [[bruteForceTopK]]
     * rather than a SQL oracle.
+    *
+    * Default (bits=6, tables=12) targets the top-k regime where the true
+    * neighbors sit at moderate cosine (~0.3-0.5): per-bit agreement
+    * probability is 1−θ/π ≈ 0.6, so 6-bit buckets collide with ~5% per
+    * table and 12 tables lift recall to ~50%. Near-dup detection (cosine
+    * ≥ 0.9) wants longer signatures (e.g. bits=16, tables=4) — collision
+    * probability concentrates much harder there.
     */
   def lshTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
-      bits: Int = 12, tables: Int = 6): DataFrame = {
+      bits: Int = 6, tables: Int = 12): DataFrame = {
     val sigd = embeddings.select(
       col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"),
       array((0 until tables).map(t =>

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Synthetic corpus with one exact dup pair (0,1), one near-dup pair
+    * (2,3: one word changed out of 12), and unrelated docs. */
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river", "en", "s0"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river", "en", "s0"),
+      (2L, "pack my box with five dozen liquor jugs for the long trip", "en", "s0"),
+      (3L, "pack my box with five dozen liquor jugs for the short trip", "en", "s0"),
+      (4L, "sphinx of black quartz judge my vow tonight under bright stars", "en", "s1"),
+      (5L, "completely different words appear here without any overlap at all", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("exact: identical texts collapse to min doc_id") {
+    val res = Dedup.exact(docs).collect()
+    val dup = res.find(_.getAs[Long]("n_copies") == 2L)
+    assert(dup.isDefined && dup.get.getAs[Long]("keep_id") == 0L)
+    assert(res.length == 5) // 6 docs, one pair merged
+    val drop = Dedup.exactDropList(docs).collect()
+    assert(drop.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+  }
+
+  test("minhash LSH: finds exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minHashPairs(docs, n = 2, k = 64, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+  }
+
+  test("minhash jaccard matches brute-force shingle jaccard") {
+    val got = Dedup.minHashPairs(docs, n = 2, k = 64, bands = 16, threshold = 0.4)
+      .filter(col("id_a") === 2 && col("id_b") === 3)
+      .collect().head.getAs[Double]("jaccard")
+    // 12 tokens → 11 bigrams each; one word differs → 2 bigrams differ per
+    // side: |∩| = 9, |∪| = 13
+    assert(math.abs(got - 9.0 / 13.0) < 1e-12)
+  }
+
+  test("simhash: near-dups within small hamming distance, pairs found") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical → hamming 0
+    assert(pairs.contains((2L, 3L)))
+  }
+
+  test("char jaccard pairs respect the source blocking key") {
+    val res = Dedup.charJaccardPairs(docs, 0.0).collect()
+    assert(res.forall(r => r.getAs[String]("source") != null))
+    // cross-source pairs (e.g. 0-4) must not appear
+    assert(!res.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 4L))
+    // identical strings → jaccard exactly 1.0
+    val p01 = res.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L)
+    assert(p01.isDefined && p01.get.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("shingles: distinct n-grams; short docs degrade to whole-doc shingle") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+    val got = df.select(Dedup.shingles(col("text"), 3)).collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set("a b")) // fewer tokens than n
+    assert(got(2) == Set("x"))
+  }
+}

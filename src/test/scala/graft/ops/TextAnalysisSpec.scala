@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import TextAnalysis._
+
+  test("tokenCount: whitespace runs, blanks, empties") {
+    import spark.implicits._
+    val df = Seq("a b  c", "  ", "", "one", "tabs\tand\nnewlines here").toDF("text")
+    val got = df.select(tokenCount(col("text"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, 0L, 0L, 1L, 4L))
+  }
+
+  test("bpeish token count splits words, digits, punctuation runs") {
+    import spark.implicits._
+    val df = Seq("hello, world42!!").toDF("text")
+    // [hello][,][world][42][!!]
+    assert(df.select(bpeishTokenCount(col("text"))).collect().head.getLong(0) == 5L)
+  }
+
+  test("qualityMetrics: ratios on a known document") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat.")).toDF("doc_id", "text")
+    val r = qualityMetrics(df).collect().head
+    assert(r.getAs[Long]("n_chars_actual") == 12L)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 1.0 / 12) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-12)
+    // 10 non-space chars / 3 tokens
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 10.0 / 3) < 1e-12)
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog", "en"),
+      (2L, "el gato y la casa de los perros", "es"),
+      (3L, "le chat et les maisons pour des chiens", "fr"),
+      (4L, "der hund und die katze ist mit von", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = langId(df).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de"))
+  }
+
+  test("fingerprint: order-sensitive, deterministic") {
+    import spark.implicits._
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fps = df.select(fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+}
