@@ -29,16 +29,10 @@ object Dedup {
   /** Whitespace tokenization shared by the fuzzy tiers. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles of the token array; distinct set. Built from
-    * slice() over an index sequence — pure Catalyst, no UDF. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+  /** Word n-gram shingles of the text; distinct set
+    * ([[graft.functions.WordShingles]] — one fused native pass). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(text, n)
 
   /** Exact dedup: group identical texts, keep the smallest doc_id as the
     * canonical row. The groupBy key is the md5 of the text (not the full
@@ -61,12 +55,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signature column: array of `k` minhashes of the shingle set.
-    * minhash_i = min over shingles of xxhash64(i, shingle) — deterministic,
-    * codegen'd, no ml.Vector boxing. */
+  /** MinHash signature column: array of `k` minhashes of the shingle set —
+    * the [[graft.functions.MinHashSig]] native expression (one FNV hash
+    * per shingle, k affine permutations derived in-register; the composed
+    * transform+array_min version rehashed every shingle k times through
+    * interpreted HOFs). */
   def minHashSignature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleSet, s => xxhash64(lit(i), s)))): _*)
+    graft.functions.MinHashSig.minhashSig(shingleSet, k)
 
   /** MinHash+LSH near-duplicate candidate pairs with exact jaccard re-rank.
     *
@@ -78,21 +73,26 @@ object Dedup {
   def minHashPairs(documents: DataFrame, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val r = k / bands
-    val withSig = documents
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    val shingled = documents.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    // The band join carries only (band, bandhash, doc_id) — 24-byte rows —
+    // and the shingle sets are re-attached to the few surviving candidate
+    // pairs afterwards. Shuffling shingle arrays through the join/distinct
+    // (the naive layout) dominates runtime and network at scale.
+    val banded = shingled
       .withColumn("sig", minHashSignature(col("sh"), k))
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val left = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("band", "bh"))
+      .select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    candidates
+      .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -131,18 +131,18 @@ object Dedup {
 
   /** Character-set jaccard pairs within each source group — exact pairwise
     * inside small groups (source is a natural blocking key). Matches
-    * DuckDB's `jaccard()` text-similarity function (distinct characters of
-    * each string), so the whole pipeline is SQL-oracle-checkable. */
+    * DuckDB's `jaccard()` text-similarity function (distinct code points
+    * of each string, case-sensitive), so the whole pipeline is
+    * SQL-oracle-checkable; computed by the native
+    * [[graft.functions.CharSetJaccard]] expression. */
   def charJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
-    def charSet(c: Column): Column = array_distinct(split(c, ""))
-    val d = documents.select(col("source"), col("doc_id"), charSet(col("text")).as("cs"))
-    val a = d.select(col("source"), col("doc_id").as("id_a"), col("cs").as("cs_a"))
-    val b = d.select(col("source"), col("doc_id").as("id_b"), col("cs").as("cs_b"))
+    val d = documents.select(col("source"), col("doc_id"), col("text"))
+    val a = d.select(col("source"), col("doc_id").as("id_a"), col("text").as("t_a"))
+    val b = d.select(col("source"), col("doc_id").as("id_b"), col("text").as("t_b"))
     a.join(b, Seq("source"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("cs_a"), col("cs_b"))).cast("double") /
-          size(array_union(col("cs_a"), col("cs_b"))))
+        graft.functions.CharSetJaccard.charsetJaccard(col("t_a"), col("t_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("source"), col("id_a"), col("id_b"))

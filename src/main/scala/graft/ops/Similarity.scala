@@ -51,20 +51,8 @@ object Similarity {
     * close in cosine agree on most bits. Hyperplane components are derived
     * from xxhash64(bit, dim) — deterministic across executors, no
     * driver-side randomness to ship. */
-  private def signature(emb: org.apache.spark.sql.Column, table: Int, bits: Int): org.apache.spark.sql.Column = {
-    val planes = (0 until bits).map { b =>
-      // pseudo-random unit-ish hyperplane component for (table, bit, dim):
-      // xxhash64 → [-1, 1) via modular reduction. Seeding with the table
-      // index keeps the `tables` hash tables independent.
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") *
-            ((pmod(xxhash64(lit(table), lit(b), i), lit(2000001L)) - 1000000L) / 1000000.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
+  private def signature(emb: org.apache.spark.sql.Column, table: Int, bits: Int): org.apache.spark.sql.Column =
+    graft.functions.HyperplaneSig.hyperplaneSig(emb, table, bits)
 
   /** Approximate top-k: LSH-bucketed candidate generation + exact re-rank.
     *
