@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Analytics
+import graft.analytics.{Analytics, Analytics2}
 import graft.logs.{LogQuery, LogQueryParams}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -105,6 +105,40 @@ object SparkEntry {
 
     "q_asof_join" -> ((s, dir) =>
       Analytics.lastOrderBeforeEvent(Tables.events(s, dir), Tables.orders(s, dir))),
+
+    "q4_order_priority" -> ((s, dir) =>
+      Analytics2.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00")),
+
+    "q_customer_ltv" -> ((s, dir) =>
+      Analytics2.customerOrderStats(Tables.customer(s, dir), Tables.orders(s, dir))),
+
+    "q_running_revenue" -> ((s, dir) =>
+      Analytics2.runningRevenue(Tables.orders(s, dir))),
+
+    "q_event_deltas" -> ((s, dir) =>
+      Analytics2.eventDeltas(Tables.events(s, dir))),
+
+    "q_moving_avg" -> ((s, dir) =>
+      Analytics2.movingAvg(Tables.events(s, dir))),
+
+    "q_percentiles" -> ((s, dir) =>
+      Analytics2.quantityPercentiles(Tables.lineitem(s, dir))),
+
+    "q_string_funcs" -> ((s, dir) =>
+      Analytics2.partNameStrings(Tables.part(s, dir))),
+
+    "q_value_buckets" -> ((s, dir) =>
+      Analytics2.valueBuckets(Tables.events(s, dir))),
+
+    "q_union_activity" -> ((s, dir) =>
+      Analytics2.unionActivity(Tables.events(s, dir))),
+
+    "q_tumbling_windows" -> ((s, dir) =>
+      Analytics2.tumblingCounts(Tables.events(s, dir))),
+
+    "q_token_freq" -> ((s, dir) =>
+      Analytics2.tokenFrequency(Tables.documents(s, dir), 30)),
 
     // ───────────────────────── dedup ──
     "q_dedup_exact" -> ((s, dir) =>
@@ -281,6 +315,86 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
          |FROM ev e ASOF JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
          |ORDER BY e.event_id""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_customer_ltv" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS lifetime_value
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_event_deltas" ->
+      s"""WITH ev AS ($EV)
+         |SELECT user_id, event_id, ts, value,
+         |  lag(value) OVER w AS prev_value,
+         |  lead(value) OVER w AS next_value,
+         |  epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_moving_avg" ->
+      s"""WITH ev AS ($EV)
+         |SELECT user_id, event_id, ts,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg3
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS prefix5,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('/', p_brand, p_type) AS brand_type
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+
+    "q_value_buckets" ->
+      """SELECT CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+        |            ELSE 'high' END AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_union_activity" ->
+      s"""WITH both_legs AS (
+         |  SELECT user_id, value FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, value FROM events WHERE event_type = 'signup')
+         |SELECT user_id, COUNT(*) AS n, ${DSUM("value")} AS total_value
+         |FROM both_legs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_tumbling_windows" ->
+      s"""WITH ev AS ($EV)
+         |SELECT make_timestamp((epoch_ms(ts) // 21600000) * 21600000 * 1000) AS w_start,
+         |  event_type, COUNT(*) AS n, ${DSUM("value")} AS total_value
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

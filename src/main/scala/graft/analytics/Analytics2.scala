@@ -1,0 +1,150 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Cols.dsum
+
+/** Second analytics tranche: semi/anti/outer joins, window frames,
+  * percentiles, string/case expressions, set unions, tumbling windows.
+  * Same conventions as [[Analytics]]: pure DataFrame API, decimal-exact
+  * double aggregates, deterministic total ordering.
+  */
+object Analytics2 {
+
+  private val D18 = DecimalType(18, 2)
+
+  /** TPC-H Q4-shaped: order counts per priority for orders with at least
+    * one lineitem shipped 60+ days after the order date — a left-semi join
+    * (EXISTS), which shuffles only keys and never multiplies rows. */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame, from: String, until: String): DataFrame = {
+    val lo = to_timestamp(lit(from))
+    val hi = to_timestamp(lit(until))
+    orders
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Customers with their order counts and lifetime value — left outer
+    * join keeps zero-order customers (count 0, value 0). */
+  def customerOrderStats(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast(D18)).cast("double"), lit(0.0)).as("lifetime_value"))
+      .orderBy(col("c_custkey"))
+
+  /** Running revenue per customer over order dates — a cumulative window
+    * frame. The frame sum runs over decimals so Spark's sequential
+    * accumulation and DuckDB's segment-tree accumulation associate to the
+    * same exact value. */
+  def runningRevenue(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast(D18)).over(w).cast("double").as("running_revenue"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** Per-user event deltas: previous/next value and inter-event gap —
+    * lead/lag analytics windows. */
+  def eventDeltas(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))).as("ms_since_prev"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Centered-ish moving average of event values (2 preceding .. current)
+    * per user — a bounded window frame; decimal-exact mean. */
+  def movingAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      (sum(col("value").cast(D18)).over(w).cast("double") /
+        count(lit(1)).over(w)).as("avg3"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Exact interpolated percentiles of quantity per return flag. */
+  def quantityPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+
+  /** String-function surface: upper/substring/length/concat/LIKE. */
+  def partNameStrings(part: DataFrame): DataFrame =
+    part
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  /** CASE-based value bucketing + grouped counts. */
+  def valueBuckets(events: DataFrame): DataFrame =
+    events
+      .select(
+        when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** UNION ALL of two filtered legs, re-aggregated — bag semantics
+    * (contrast with [[Analytics.purchasedNeverSignedUp]]'s EXCEPT). */
+  def unionActivity(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("value"))
+    purchases.unionAll(signups)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Tumbling 6-hour event-time windows — the batch shape of the streaming
+    * windowed aggregation ([[graft.streaming.EventStream]]). Window starts
+    * are epoch-aligned in both engines. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Corpus token frequency: explode + lowercase + count — top 30. */
+  def tokenFrequency(documents: DataFrame, topN: Int): DataFrame =
+    documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .select(lower(col("raw")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+}
