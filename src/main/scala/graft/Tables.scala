@@ -29,6 +29,9 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts-range predicates on the derived column are rewritten to raw-nanos
+    // bounds so they push into the parquet scan (row-group pruning).
+    graft.plans.NanosTimestampPushdown.install(spark)
     spark.read.parquet(p(dir, "events"))
       .withColumn("ts", timestamp_millis(expr("ts div 1000000")))
   }
