@@ -169,6 +169,9 @@ object SparkEntry {
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
+    "q_knn_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+
     // ───────────────────────── text analysis ──
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(Tables.documents(s, dir))),

@@ -72,3 +72,112 @@ object CharSetJaccard {
   def charsetJaccard(a: Column, b: Column): Column =
     GraftGlue.toColumn(CharSetJaccard(GraftGlue.toExpression(a), GraftGlue.toExpression(b)))
 }
+
+/** Precomputed character-set representation: a 128-bit ASCII bitmask plus a
+  * sorted array of non-ASCII code points. Lets a blocked self-join compute
+  * each document's set once instead of re-scanning the text per pair —
+  * per-pair jaccard degrades to bitcounting + a merge walk, O(1) for ASCII
+  * corpora.
+  */
+case class CharSetMask(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = CharSetMask.maskType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"charset_mask expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharSetMask.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharSetMask.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharSetMask =
+    copy(child = newChild)
+}
+
+object CharSetMask {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+
+  val maskType: StructType = StructType(Seq(
+    StructField("lo", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("hi", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("rest", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  def compute(s: UTF8String): InternalRow = {
+    var lo = 0L
+    var hi = 0L
+    var rest: java.util.TreeSet[Integer] = null
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 64) lo |= (1L << cp)
+      else if (cp < 128) hi |= (1L << (cp - 64))
+      else {
+        if (rest == null) rest = new java.util.TreeSet[Integer]()
+        rest.add(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    val restArr: Array[Any] =
+      if (rest == null) Array.empty[Any]
+      else { val it = rest.iterator(); Array.fill[Any](rest.size())(it.next().intValue()) }
+    InternalRow(lo, hi, new GenericArrayData(restArr))
+  }
+
+  /** Jaccard over two precomputed masks. */
+  def jaccard(a: InternalRow, b: InternalRow): Double = {
+    val inter0 = java.lang.Long.bitCount(a.getLong(0) & b.getLong(0)) +
+      java.lang.Long.bitCount(a.getLong(1) & b.getLong(1))
+    val union0 = java.lang.Long.bitCount(a.getLong(0) | b.getLong(0)) +
+      java.lang.Long.bitCount(a.getLong(1) | b.getLong(1))
+    val ar = a.getArray(2)
+    val br = b.getArray(2)
+    // merge walk over the two sorted rare-codepoint arrays
+    var i = 0; var j = 0; var inter = inter0; var union = union0
+    while (i < ar.numElements() && j < br.numElements()) {
+      val x = ar.getInt(i); val y = br.getInt(j)
+      if (x == y) { inter += 1; union += 1; i += 1; j += 1 }
+      else if (x < y) { union += 1; i += 1 }
+      else { union += 1; j += 1 }
+    }
+    union += (ar.numElements() - i) + (br.numElements() - j)
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def charsetMask(text: Column): Column =
+    GraftGlue.toColumn(CharSetMask(GraftGlue.toExpression(text)))
+}
+
+/** Jaccard over two [[CharSetMask]] structs. */
+case class MaskJaccard(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == CharSetMask.maskType && right.dataType == CharSetMask.maskType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("mask_jaccard expects two charset_mask structs")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CharSetMask.jaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CharSetMask.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaskJaccard =
+    copy(left = l, right = r)
+}
+
+object MaskJaccard {
+  def maskJaccard(a: Column, b: Column): Column =
+    GraftGlue.toColumn(MaskJaccard(GraftGlue.toExpression(a), GraftGlue.toExpression(b)))
+}

@@ -136,13 +136,17 @@ object Dedup {
     * SQL-oracle-checkable; computed by the native
     * [[graft.functions.CharSetJaccard]] expression. */
   def charJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
-    val d = documents.select(col("source"), col("doc_id"), col("text"))
-    val a = d.select(col("source"), col("doc_id").as("id_a"), col("text").as("t_a"))
-    val b = d.select(col("source"), col("doc_id").as("id_b"), col("text").as("t_b"))
+    // Build each document's character set once (128-bit ASCII mask + rare
+    // code points), so the quadratic-within-block pair loop only bitcounts
+    // — re-scanning the text per pair is O(|text|) × |pairs| and dominated
+    // the whole pipeline.
+    val d = documents.select(col("source"), col("doc_id"),
+      graft.functions.CharSetMask.charsetMask(col("text")).as("m"))
+    val a = d.select(col("source"), col("doc_id").as("id_a"), col("m").as("m_a"))
+    val b = d.select(col("source"), col("doc_id").as("id_b"), col("m").as("m_b"))
     a.join(b, Seq("source"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        graft.functions.CharSetJaccard.charsetJaccard(col("t_a"), col("t_b")))
+      .withColumn("jaccard", graft.functions.MaskJaccard.maskJaccard(col("m_a"), col("m_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("source"), col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("source"), col("id_a"), col("id_b"))

@@ -101,6 +101,62 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF-flat approximate top-k: a coarse quantizer (deterministically
+    * sampled centroids) buckets the corpus by nearest centroid; each probe
+    * searches only its `nProbe` nearest buckets with exact cosine.
+    *
+    * This is the scale path complementary to [[lshTopK]]: the index is an
+    * equi-bucketed table (build = one pass + a k×dim broadcast), queries
+    * touch nProbe/nCentroids of the corpus, and the bucket assignment
+    * shuffles once on cluster id. Centroid selection is a hash-ranked
+    * sample — deterministic across runs and executors, no fitted state to
+    * ship around.
+    */
+  def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+    val centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nsq").as("c_nsq"))
+    // assign every vector to its nearest centroid (cosine): k dot products
+    // per row against a broadcast centroid table, argmin via max_by
+    val assigned = corpus
+      .join(broadcast(centroids))
+      .withColumn("c_sim",
+        cosinePrenormed(dot(col("embedding"), col("c_emb")), col("nsq"), col("c_nsq")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("c_sim"), -col("c_id"))).as("cluster"),
+        first(col("embedding")).as("embedding"),
+        first(col("nsq")).as("nsq"))
+    // each probe picks its nProbe nearest clusters
+    val probes = corpus
+      .filter(col("vec_id").isin(probeIds: _*))
+      .join(broadcast(centroids))
+      .withColumn("c_sim",
+        cosinePrenormed(dot(col("embedding"), col("c_emb")), col("nsq"), col("c_nsq")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))))
+      .filter(col("r") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"), col("c_id").as("cluster"))
+    // search only the probed buckets, exact cosine re-rank
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("embedding"), col("p_emb")), col("nsq"), col("p_nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ threshold,
     * a < b. Exact version — pairwise over the corpus; kept oracle-checkable
     * at test SF. The scale path reuses the LSH bucketing above for

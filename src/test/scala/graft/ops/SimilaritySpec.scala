@@ -32,6 +32,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("ivfTopK: substantial recall, exact cosines on returned rows") {
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(emb, probes, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val approx = Similarity.ivfTopK(emb, probes, 5, nCentroids = 16, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val approxSet = approx.map(t => (t._1, t._2)).toSet
+    val recall = exactSet.intersect(approxSet).size.toDouble / exactSet.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // cosines on overlapping results agree exactly with brute force
+    val exactCos = exact.map(t => (t._1, t._2) -> t._3).toMap
+    approx.foreach { case (p, v, c) =>
+      exactCos.get((p, v)).foreach(e => assert(e == c))
+    }
+  }
+
   test("embeddingNearDupPairs: ordered pairs above threshold only") {
     val res = Similarity.embeddingNearDupPairs(emb, 0.4).collect()
     assert(res.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
