@@ -33,13 +33,15 @@ object LogTable {
       .partitionBy("month")
       .parquet(path)
 
-  /** Read the table back with the 7 canonical columns (+ month). The hive
-    * partition value is re-cast to string — Spark's partition-column type
-    * inference would otherwise surface `month=202311` as an int. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
-    df.withColumn("month", col("month").cast("string"))
-  }
+  /** Read the table back with the 7 canonical columns (+ month). The
+    * explicit schema keeps the hive partition value a string (inference
+    * would surface `month=202311` as an int) and makes a fully-expired
+    * (empty) table read as zero rows instead of failing schema inference. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(LogSchema.schema.add(org.apache.spark.sql.types.StructField(
+        "month", org.apache.spark.sql.types.StringType)))
+      .parquet(path)
 
   /** Small-file compaction — the MergeTree-merge analogue. Streaming
     * micro-batches (100 ms trigger, §2.6) leave many tiny parquet files;
