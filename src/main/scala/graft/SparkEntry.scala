@@ -125,6 +125,9 @@ object SparkEntry {
     "q_percentiles" -> ((s, dir) =>
       Analytics2.quantityPercentiles(Tables.lineitem(s, dir))),
 
+    "q_approx_percentiles" -> ((s, dir) =>
+      Analytics2.approxQuantityPercentiles(Tables.lineitem(s, dir))),
+
     "q_string_funcs" -> ((s, dir) =>
       Analytics2.partNameStrings(Tables.part(s, dir))),
 

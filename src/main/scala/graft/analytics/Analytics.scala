@@ -54,8 +54,11 @@ object Analytics {
 
   /** TPC-H Q5-shaped local-supplier volume: 6-way join down the
     * region→nation→customer/supplier→orders→lineitem star, grouped by
-    * nation. All dimension sides (region/nation/customer/supplier) are
-    * broadcast-sized; the fact-side shuffle is on orderkey only. */
+    * nation. Broadcast hints only on the fixed-cardinality dimensions
+    * (region 5 rows, nation 25 rows) — customer and supplier grow with the
+    * scale factor, so their join strategy is left to AQE, which broadcasts
+    * them at test SF and shuffles them when they outgrow the threshold.
+    * The fact-side shuffle is on orderkey only. */
   def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
       supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
       regionName: String, from: String, until: String): DataFrame = {
@@ -64,8 +67,8 @@ object Analytics {
     lineitem
       .join(orders.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === regionName)),

@@ -93,6 +93,18 @@ object Analytics2 {
         max(col("l_quantity")).as("qmax"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch-based percentiles (KLL/GK-style approx_percentile) — the
+    * mergeable one-pass path that replaces [[quantityPercentiles]]' exact
+    * sort-based computation at 100 TB. No SQL oracle (approximate);
+    * accuracy is asserted against the exact values in tests. */
+  def approxQuantityPercentiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(l_quantity, 0.9, $accuracy)").as("p90"))
+      .orderBy(col("l_returnflag"))
+
   /** String-function surface: upper/substring/length/concat/LIKE. */
   def partNameStrings(part: DataFrame): DataFrame =
     part

@@ -43,19 +43,25 @@ object Multimodal {
 
   /** Image decode + feature extraction, batch-per-partition.
     *
-    * Real implementation would decode the payload with an image codec and
-    * emit true dimensions; the fake derives deterministic pseudo-dimensions
-    * from the content hash so tests have stable expectations.
+    * Rows are processed in fixed-size batches inside each partition — the
+    * shape a real vectorized codec call wants (and the Scala analogue of a
+    * Pandas-UDF `mapInPandas` stage, whose contract is also
+    * iterator-of-batches → iterator-of-batches). The decode itself is a
+    * deterministic stub; a real implementation would hand `batch.map(_
+    * .payload)` to the codec in one call.
     */
-  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+  def imageFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
-      rows.map { r =>
-        // STUB: replace with a real image decode (e.g. TwelveMonkeys/ImageIO).
-        val h = contentHash(r.payload)
-        val width = 64 + (math.floorMod(h, 1024L)).toInt
-        val height = 64 + (math.floorMod(h >>> 32, 1024L)).toInt
-        ImageFeatures(r.media_id, width, height, r.payload.length.toLong, h)
+      rows.grouped(batchSize).flatMap { batch =>
+        // STUB: replace with one vectorized decode call per batch
+        // (e.g. TwelveMonkeys/ImageIO, or JNI into libjpeg-turbo).
+        batch.map { r =>
+          val h = contentHash(r.payload)
+          val width = 64 + (math.floorMod(h, 1024L)).toInt
+          val height = 64 + (math.floorMod(h >>> 32, 1024L)).toInt
+          ImageFeatures(r.media_id, width, height, r.payload.length.toLong, h)
+        }
       }
     }
   }

@@ -59,6 +59,18 @@ class Analytics2Spec extends AnyFunSuite {
     assert(res.forall(r => r.getAs[String]("token") == r.getAs[String]("token").toLowerCase))
   }
 
+  test("approx percentiles track the exact ones closely") {
+    val li = Tables.lineitem(spark, dir)
+    val exact = Analytics2.quantityPercentiles(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Analytics2.approxQuantityPercentiles(li).collect()
+    approx.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) <= 2.0)
+      assert(math.abs(r.getDouble(2) - p90) <= 2.0)
+    }
+  }
+
   test("order priority semi-join never multiplies orders") {
     val res = Analytics2.orderPriority(Tables.orders(spark, dir), Tables.lineitem(spark, dir),
       "1996-01-01 00:00:00", "1997-01-01 00:00:00")

@@ -50,6 +50,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
   }
 
+  test("JsonExtractString: ClickHouse empty-string semantics") {
+    import spark.implicits._
+    val df = Seq("""{"user":"jane"}""", """{"other":1}""", "not json", "").toDF("j")
+    val got = df.select(JsonExtractString.jsonExtractString(col("j"), "user")).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == Seq("jane", "", "", ""))
+  }
+
   test("expressions survive codegen and SQL registration paths") {
     import spark.implicits._
     // wide plan to force whole-stage codegen around the expression
