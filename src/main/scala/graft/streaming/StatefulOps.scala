@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators over the event stream — custom per-key
+  * state via `flatMapGroupsWithState`, the tier below built-in windowed
+  * aggregation (SURVEY §2.6 extension surface).
+  */
+object StatefulOps {
+
+  final case class EventIn(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Per-user open-session state (public: the state encoder's generated
+    * code constructs it reflectively). */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Streaming gap-based sessionization: a user's session closes when no
+    * event arrives within `gapMinutes` of the previous one. Event-time
+    * timeouts — a session whose gap deadline falls behind the watermark is
+    * finalized and its state dropped, so emission is deterministic (driven
+    * by the data's own clock, not wall time) and the state store stays
+    * proportional to *active* users. Streaming counterpart of
+    * [[graft.analytics.Analytics.sessionize]].
+    *
+    * Callers must put a watermark on `ts` before calling (the test/driver
+    * path does); `flatMapGroupsWithState` requires it for
+    * EventTimeTimeout.
+    */
+  def sessionize(events: Dataset[EventIn], gapMinutes: Int,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // finalize when the watermark passes the gap deadline
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup: first occurrence of each (user_id, event_id)
+    * wins; duplicates arriving within the watermark horizon are dropped.
+    * Spark's built-in `dropDuplicates` + watermark — state expires with
+    * the watermark instead of growing forever. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_id")
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.streaming.StatefulOps.{EventIn, SessionOut}
+
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("stateful sessionize: gap closes a session, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val q = StatefulOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // batch 1: two events 10 min apart (one session so far, still open)
+    mem.addData(
+      EventIn(1, t("2024-01-01T00:00:00Z"), 7, "click", 1.0),
+      EventIn(2, t("2024-01-01T00:10:00Z"), 7, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event 3 h later → the open session closes, new one opens
+    mem.addData(EventIn(3, t("2024-01-01T03:00:00Z"), 7, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sess").as[SessionOut].collect()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 7L)
+    assert(closed.head.session_start == t("2024-01-01T00:00:00Z"))
+    assert(closed.head.session_end == t("2024-01-01T00:10:00Z"))
+    assert(closed.head.n_events == 2L)
+  }
+
+  test("streaming dedup drops repeated (user_id, event_id)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val q = StatefulOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData(
+      EventIn(1, t("2024-01-01T00:00:00Z"), 7, "click", 1.0),
+      EventIn(1, t("2024-01-01T00:00:00Z"), 7, "click", 1.0)) // dup in batch
+    q.processAllAvailable()
+    mem.addData(EventIn(1, t("2024-01-01T00:01:00Z"), 7, "click", 2.0)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 1)
+  }
+}
