@@ -106,6 +106,9 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       Analytics.lastOrderBeforeEvent(Tables.events(s, dir), Tables.orders(s, dir))),
 
+    "q_asof_join_exec" -> ((s, dir) =>
+      Analytics.lastOrderBeforeEventExec(s, Tables.events(s, dir), Tables.orders(s, dir))),
+
     "q4_order_priority" -> ((s, dir) =>
       Analytics2.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir),
         "1996-01-01 00:00:00", "1997-01-01 00:00:00")),
@@ -314,6 +317,16 @@ object SparkEntry {
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_asof_join" ->
+      s"""WITH ev AS ($EV),
+         |o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+         |        arg_max(o_totalprice, o_orderkey) AS o_totalprice
+         |      FROM orders GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+         |FROM ev e ASOF JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+         |ORDER BY e.event_id""".stripMargin,
+
+    // same semantics through the custom physical operator — same oracle
+    "q_asof_join_exec" ->
       s"""WITH ev AS ($EV),
          |o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
          |        arg_max(o_totalprice, o_orderkey) AS o_totalprice

@@ -163,6 +163,23 @@ object Analytics {
     * orderkey wins) so tie behavior at equal ts is well-defined on both
     * engines.
     */
+  /** [[lastOrderBeforeEvent]] via the dedicated physical operator
+    * ([[graft.plans.AsOfJoin]]): same semantics and oracle, executed as a
+    * co-partitioned sort-merge walk instead of a window over a union. */
+  def lastOrderBeforeEventExec(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    val e = events.select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin.asofJoin(spark, e, o,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   def lastOrderBeforeEvent(events: DataFrame, orders: DataFrame): DataFrame = {
     val o = orders
       .groupBy(col("o_custkey"), col("o_orderdate"))
