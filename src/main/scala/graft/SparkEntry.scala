@@ -191,6 +191,10 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
 
+    "q_pipeline_clean" -> ((s, dir) =>
+      ops.CleanPipeline.attrition(
+        ops.CleanPipeline.clean(Tables.documents(s, dir)))),
+
     // ───────────────────────── multimodal plumbing ──
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(
