@@ -191,6 +191,22 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
 
+    "q_pivot_daily" -> ((s, dir) =>
+      analytics.Analytics3.dailyTypePivot(Tables.events(s, dir),
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    "q_ntile_spend" -> ((s, dir) =>
+      analytics.Analytics3.spendQuartiles(Tables.events(s, dir))),
+
+    "q_hourly_profile" -> ((s, dir) =>
+      analytics.Analytics3.hourlyProfile(Tables.events(s, dir))),
+
+    "q_sliding_windows" -> ((s, dir) =>
+      analytics.Analytics3.slidingCounts(Tables.events(s, dir))),
+
+    "q_leading_words" -> ((s, dir) =>
+      analytics.Analytics3.leadingWords(Tables.documents(s, dir))),
+
     "q_pipeline_clean" -> ((s, dir) =>
       ops.CleanPipeline.attrition(
         ops.CleanPipeline.clean(Tables.documents(s, dir)))),
@@ -481,6 +497,45 @@ object SparkEntry {
          |  ${DSUM("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)")} AS total_tokens,
          |  ${DAVG("CAST(length(text) AS DOUBLE)")} AS avg_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_pivot_daily" ->
+      s"""WITH ev AS ($EV)
+         |SELECT date_trunc('day', ts) AS day,
+         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+         |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ntile_spend" ->
+      s"""WITH spend AS (
+         |  SELECT user_id, ${DSUM("value")} AS total_spend
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         |SELECT user_id, total_spend,
+         |  CAST(NTILE(4) OVER (ORDER BY total_spend DESC, user_id) AS BIGINT) AS quartile
+         |FROM spend ORDER BY quartile, user_id""".stripMargin,
+
+    "q_hourly_profile" ->
+      s"""WITH ev AS ($EV)
+         |SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
+         |  COUNT(*) AS n, ${DSUM("value")} AS total_value
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sliding_windows" ->
+      s"""WITH ev AS ($EV),
+         |w AS (
+         |  SELECT make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000) AS w_start,
+         |    event_type FROM ev
+         |  UNION ALL
+         |  SELECT make_timestamp(((epoch_ms(ts) // 1800000) - 1) * 1800000 * 1000) AS w_start,
+         |    event_type FROM ev)
+         |SELECT w_start, event_type, COUNT(*) AS n
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_leading_words" ->
+      """SELECT regexp_extract(text, '^\s*([a-z]+)', 1) AS first_word, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY n DESC, first_word LIMIT 20""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,

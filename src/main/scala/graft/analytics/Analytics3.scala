@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Cols.dsum
+
+/** Third analytics tranche: reshaping and time-profile operators —
+  * pivot, ntile, time-of-day profiles, sliding windows, regexp
+  * extraction. Same oracle conventions as [[Analytics]]. */
+object Analytics3 {
+
+  /** Daily counts pivoted to one column per event type. Explicit value
+    * list (required for deterministic output schema — and at scale a
+    * wildcard pivot would collect the distinct values to the driver). */
+  def dailyTypePivot(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("day"))
+
+  /** Quartile assignment of users by total spend — NTILE ranking. */
+  def spendQuartiles(events: DataFrame): DataFrame = {
+    val spend = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("total_spend"))
+    spend
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("total_spend").desc, col("user_id"))).cast("long"))
+      .orderBy(col("quartile"), col("user_id"))
+  }
+
+  /** Hour-of-day × type activity profile. */
+  def hourlyProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour_of_day"), col("event_type"))
+
+  /** Sliding event-time windows (1 h length, 30 min slide): every event
+    * lands in two overlapping windows. Built-in `window()` generates the
+    * window set per row — no self-join. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Leading-word extraction over documents — regexp surface. Empty string
+    * on no match (both engines). */
+  def leadingWords(documents: DataFrame): DataFrame =
+    documents
+      .select(regexp_extract(col("text"), "^\\s*([a-z]+)", 1).as("first_word"))
+      .groupBy(col("first_word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("first_word"))
+      .limit(20)
+}
