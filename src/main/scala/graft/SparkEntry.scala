@@ -191,6 +191,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
 
+    "q_session_window" -> ((s, dir) =>
+      analytics.Analytics3.sessionWindows(Tables.events(s, dir), 30)),
+
+    "q_top_events_agg" -> ((s, dir) =>
+      analytics.TopKAggregator.topEventsPerUser(Tables.events(s, dir), 3)),
+
     "q_pivot_daily" -> ((s, dir) =>
       analytics.Analytics3.dailyTypePivot(Tables.events(s, dir),
         Seq("click", "error", "purchase", "signup", "view"))),
@@ -222,7 +228,7 @@ object SparkEntry {
   private val REV = Cols.decSumSql(Cols.decRevenueSql("l_extendedprice", "l_discount"))
   private val CHARGE = Cols.decSumSql(Cols.decChargeSql("l_extendedprice", "l_discount", "l_tax"))
 
-  def oracleSql: Map[String, String] = Map(
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q_logs_flagship" ->
       s"""WITH ev AS ($EV)
          |SELECT event_id, ts, user_id, event_type, value, props FROM ev
@@ -543,4 +549,9 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin)
+
+  /** Oracles; the alternate-implementation queries share their twin's SQL. */
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q_session_window" -> baseOracleSql("q_sessionize"),
+    "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"))
 }

@@ -51,6 +51,26 @@ object Analytics3 {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Gap-based sessions via the built-in `session_window` function — the
+    * declarative alternative to [[Analytics.sessionize]]'s lag+cumsum.
+    * Boundary note: session_window starts a new session when the gap is
+    * *reached* (t − prev ≥ gap); the lag+cumsum version (and the oracle)
+    * only when *exceeded* (t − prev > gap). With ms-precision timestamps
+    * the two coincide under gap+1ms, so that is the window length used.
+    * Same output shape and oracle as q_sessionize. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes 1 millisecond").as("w"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Leading-word extraction over documents — regexp surface. Empty string
     * on no match (both engines). */
   def leadingWords(documents: DataFrame): DataFrame =

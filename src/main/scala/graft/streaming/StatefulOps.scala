@@ -83,4 +83,23 @@ object StatefulOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_id")
+
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * signups within the preceding `horizon`. Watermarks on both sides
+    * bound the join state — purchase state can expire once no matching
+    * signup can still arrive and vice versa, which is what keeps a
+    * stream-stream join runnable forever at scale. */
+  def purchasesAfterSignup(purchases: DataFrame, signups: DataFrame,
+      watermark: String = "1 hour", horizon: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+  }
 }

@@ -37,6 +37,27 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(closed.head.n_events == 2L)
   }
 
+  test("stream-stream interval join matches within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pur = MemoryStream[EventIn]
+    val sig = MemoryStream[EventIn]
+    val q = StatefulOps.purchasesAfterSignup(pur.toDF(), sig.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    sig.addData(
+      EventIn(1, t("2024-01-01T00:00:00Z"), 7, "signup", 0.0),
+      EventIn(2, t("2024-01-01T00:00:00Z"), 8, "signup", 0.0))
+    pur.addData(
+      EventIn(3, t("2024-01-01T01:00:00Z"), 7, "purchase", 9.0), // 1h after signup → match
+      EventIn(4, t("2024-01-01T05:00:00Z"), 8, "purchase", 5.0), // 5h after → outside horizon
+      EventIn(5, t("2024-01-01T01:00:00Z"), 9, "purchase", 1.0)) // no signup → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("p_event") == 3L)
+  }
+
   test("streaming dedup drops repeated (user_id, event_id)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
