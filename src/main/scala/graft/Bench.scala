@@ -18,6 +18,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // The bench fixtures are single ~1-10 MB parquet files; the default
+      // 128 MB split size would scan each table in ONE task and leave the
+      // other 31 cores idle. 2 MB splits restore scan parallelism at this
+      // data size (a real deployment at 100 TB keeps the default).
+      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${512 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
