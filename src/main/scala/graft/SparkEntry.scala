@@ -191,6 +191,11 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
 
+    "q7_nation_trade" -> ((s, dir) =>
+      analytics.Analytics3.nationTrade(
+        Tables.nation(s, dir), Tables.supplier(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), "NATION_1", "NATION_2")),
+
     "q_session_window" -> ((s, dir) =>
       analytics.Analytics3.sessionWindows(Tables.events(s, dir), 30)),
 
@@ -503,6 +508,20 @@ object SparkEntry {
          |  ${DSUM("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)")} AS total_tokens,
          |  ${DAVG("CAST(length(text) AS DOUBLE)")} AS avg_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q7_nation_trade" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${Cols.decSumSql(Cols.decRevenueSql("l_extendedprice", "l_discount"))} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_pivot_daily" ->
       s"""WITH ev AS ($EV)

@@ -51,6 +51,30 @@ object Analytics3 {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** TPC-H Q7-shaped bi-national trade volume: revenue shipped between two
+    * nations per year, in both directions. The nation dimension joins in
+    * twice under different roles (supplier's vs customer's nation) — a
+    * dimension self-alias pattern; both alias sides broadcast. */
+  def nationTrade(nation: DataFrame, supplier: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, nationA: String, nationB: String): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+          (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(graft.Cols.decSum(
+        graft.Cols.decRevenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** Gap-based sessions via the built-in `session_window` function — the
     * declarative alternative to [[Analytics.sessionize]]'s lag+cumsum.
     * Boundary note: session_window starts a new session when the gap is
