@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** k-permutation MinHash signature of a string set, one pass per element.
+/** k-permutation MinHash signature of a string set, one pass per element
+  * (Broder 1997, "On the resemblance and containment of documents").
   *
   * The composed-builtins version (`transform` + `array_min` per hash
   * function) rehashes every shingle k times through interpreted

@@ -46,7 +46,8 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign-bits of dot products with
+  /** Random-hyperplane LSH signature (Charikar 2002; locality-sensitive
+    * hashing family of Indyk-Motwani 1998): `bits` sign-bits of dot products with
     * deterministic pseudo-random hyperplanes, packed into a long. Vectors
     * close in cosine agree on most bits. Hyperplane components are derived
     * from xxhash64(bit, dim) — deterministic across executors, no
@@ -101,9 +102,12 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  /** IVF-flat approximate top-k: a coarse quantizer (deterministically
-    * sampled centroids) buckets the corpus by nearest centroid; each probe
-    * searches only its `nProbe` nearest buckets with exact cosine.
+  /** IVF-flat approximate top-k (the inverted-file structure of Jegou,
+    * Douze & Schmid 2011, "Product quantization for nearest neighbor
+    * search", without the PQ compression): a coarse quantizer
+    * (deterministically sampled centroids) buckets the corpus by nearest
+    * centroid; each probe searches only its `nProbe` nearest buckets with
+    * exact cosine.
     *
     * This is the scale path complementary to [[lshTopK]]: the index is an
     * equi-bucketed table (build = one pass + a k×dim broadcast), queries
