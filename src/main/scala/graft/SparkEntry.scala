@@ -191,6 +191,9 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
 
+    "q_latest_event" -> ((s, dir) =>
+      analytics.Analytics3.latestEventPerUser(Tables.events(s, dir))),
+
     "q7_nation_trade" -> ((s, dir) =>
       analytics.Analytics3.nationTrade(
         Tables.nation(s, dir), Tables.supplier(s, dir), Tables.customer(s, dir),
@@ -508,6 +511,14 @@ object SparkEntry {
          |  ${DSUM("CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)")} AS total_tokens,
          |  ${DAVG("CAST(length(text) AS DOUBLE)")} AS avg_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_latest_event" ->
+      s"""WITH ev AS ($EV),
+         |r AS (SELECT user_id, event_id, ts, event_type, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+         |SELECT user_id, event_id, ts, event_type, value FROM r
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q7_nation_trade" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -95,6 +95,22 @@ object Analytics3 {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Latest event per user via `max_by` with a struct ordering key —
+    * the aggregation-based "latest row" pattern. Unlike the equivalent
+    * ROW_NUMBER()=1 window (which shuffles every row), max_by reduces each
+    * key to one row in the map-side partial aggregate, so the exchange
+    * carries |users| rows regardless of history depth. Ties broken by
+    * event_id through the struct's lexicographic order. */
+  def latestEventPerUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"), col("m.ts").as("ts"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
+      .orderBy(col("user_id"))
+
   /** Leading-word extraction over documents — regexp surface. Empty string
     * on no match (both engines). */
   def leadingWords(documents: DataFrame): DataFrame =
