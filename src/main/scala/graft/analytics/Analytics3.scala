@@ -22,15 +22,16 @@ object Analytics3 {
       .na.fill(0L, types)
       .orderBy(col("day"))
 
-  /** Quartile assignment of users by total spend — NTILE ranking. */
+  /** Quartile assignment of users by total spend — NTILE ranking, computed
+    * by [[GlobalRank.withNtile]] (range-repartition + per-partition offsets)
+    * instead of `ntile().over(Window.orderBy(...))`, whose empty partition
+    * spec funnels every row through one task. */
   def spendQuartiles(events: DataFrame): DataFrame = {
     val spend = events
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("total_spend"))
-    spend
-      .withColumn("quartile",
-        ntile(4).over(Window.orderBy(col("total_spend").desc, col("user_id"))).cast("long"))
+    GlobalRank.withNtile(spend, 4, Seq(col("total_spend").desc, col("user_id").asc), "quartile")
       .orderBy(col("quartile"), col("user_id"))
   }
 

@@ -125,17 +125,26 @@ object Similarity {
       .limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nsq").as("c_nsq"))
-    // assign every vector to its nearest centroid (cosine): k dot products
-    // per row against a broadcast centroid table, argmin via max_by
+    // Assign every vector to its nearest centroid with a per-row argmax
+    // over the (small, bounded) centroid set embedded as literals: nCentroids
+    // codegen'd dot products per row, zero movement of corpus rows. The
+    // previous formulation (cross join with broadcast centroids, then
+    // groupBy(vec_id) max_by) re-shuffled the whole corpus INCLUDING the
+    // embedding vectors just to pick the argmax — at 100 TB that exchange
+    // is the build-phase bottleneck; this one has no exchange at all.
+    // Ties break toward the smaller c_id via the negated-id struct field,
+    // matching max_by(c_id, struct(c_sim, -c_id)).
+    val centroidRows = centroids.collect() // nCentroids rows by construction
+    val centroidSims = centroidRows.map { r =>
+      val cid = r.getLong(0)
+      val cEmb = r.getSeq[Float](1).toArray
+      val cNsq = r.getDouble(2)
+      struct(
+        cosinePrenormed(dot(col("embedding"), lit(cEmb)), col("nsq"), lit(cNsq)).as("sim"),
+        lit(-cid).as("negid"))
+    }
     val assigned = corpus
-      .join(broadcast(centroids))
-      .withColumn("c_sim",
-        cosinePrenormed(dot(col("embedding"), col("c_emb")), col("nsq"), col("c_nsq")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("c_id"), struct(col("c_sim"), -col("c_id"))).as("cluster"),
-        first(col("embedding")).as("embedding"),
-        first(col("nsq")).as("nsq"))
+      .withColumn("cluster", -greatest(centroidSims: _*).getField("negid"))
     // each probe picks its nProbe nearest clusters
     val probes = corpus
       .filter(col("vec_id").isin(probeIds: _*))
