@@ -14,18 +14,26 @@ import org.apache.spark.sql.functions._
   * range-partitioned rank:
   *
   *  1. `repartitionByRange` on the sort key — rows land in globally ordered
-  *     partition ranges (one shuffle, same cost as the window's shuffle).
-  *  2. per-partition `row_number` — parallel, partitioned by partition id.
+  *     partition ranges (ONE exchange of the data, total).
+  *  2. `sortWithinPartitions` + `monotonically_increasing_id()` — the id's
+  *     documented layout (partition index in the upper 31 bits, record
+  *     offset within the partition in the lower 33) yields the partition
+  *     ordinal and the local 1-based rank with zero additional exchange.
+  *     (The previous formulation ranked with
+  *     `Window.partitionBy(partition-id)`, which hash-exchanged the whole
+  *     dataset a second time — RangePartitioning does not satisfy a
+  *     HashPartitioning requirement.)
   *  3. per-partition row counts → prefix-sum offsets. This window IS
   *     single-partition, but over `numPartitions` rows (thousands at most),
   *     not the data.
   *  4. broadcast the offsets back; global rank = offset + local rank, and
   *     NTILE follows arithmetically from (rank, total).
   *
-  * Determinism note: `RangePartitioner`'s boundary sampling is seeded by
+  * Determinism notes: `RangePartitioner`'s boundary sampling is seeded by
   * partition index, so both evaluations of the repartitioned child (ranks
   * and counts) see identical boundaries even if the exchange is recomputed
-  * rather than reused.
+  * rather than reused; `sortCols` must be a total order (include a unique
+  * tie-break) so the within-partition order is unique.
   */
 object GlobalRank {
 
@@ -34,12 +42,20 @@ object GlobalRank {
     * order (include a unique tie-break). */
   private def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
       rankCol: String): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    require(!df.columns.exists(_.startsWith("_gr_")),
+      "input already has _gr_-prefixed working columns")
+    // shuffle.partitions may be non-numeric on some platforms ("auto");
+    // fall back rather than NumberFormatException at plan construction.
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption.filter(_ > 0)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val parted = df
       .repartitionByRange(parts, sortCols: _*)
-      .withColumn("_gr_pid", spark_partition_id())
-    val local = parted.withColumn("_gr_rn",
-      row_number().over(Window.partitionBy(col("_gr_pid")).orderBy(sortCols: _*)).cast("long"))
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_gr_id", monotonically_increasing_id())
+      .withColumn("_gr_pid", shiftrightunsigned(col("_gr_id"), 33))
+      .withColumn("_gr_rn", col("_gr_id").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .drop("_gr_id")
     // numPartitions rows — the only single-partition window, O(partitions)
     val w = Window.orderBy(col("_gr_pid"))
     val offsets = parted
@@ -51,17 +67,24 @@ object GlobalRank {
           lit(0L)).as("_gr_off"),
         sum(col("_gr_cnt")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("_gr_total"))
-    local
+    parted
       .join(broadcast(offsets), "_gr_pid")
       .withColumn(rankCol, col("_gr_off") + col("_gr_rn"))
       .drop("_gr_pid", "_gr_rn", "_gr_off")
   }
+
+  /** Append a global 1-based BIGINT ROW_NUMBER column ordered by
+    * `sortCols` — scalable alternative to
+    * `row_number().over(Window.orderBy(...))`. */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], rankCol: String): DataFrame =
+    withGlobalRowNumber(df, sortCols, rankCol).drop("_gr_total")
 
   /** Append a global BIGINT NTILE(`n`) column ordered by `sortCols`:
     * the first `total mod n` buckets get `ceil(total/n)` rows, the rest
     * `floor(total/n)` — SQL NTILE semantics, derived arithmetically from
     * the global row number. */
   def withNtile(df: DataFrame, n: Int, sortCols: Seq[Column], ntileCol: String): DataFrame = {
+    require(n >= 1, s"NTILE bucket count must be >= 1, got $n")
     val ranked = withGlobalRowNumber(df, sortCols, "_gr_rank")
     // integer DIV throughout — exact at any total, unlike double division
     ranked

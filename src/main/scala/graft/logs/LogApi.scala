@@ -59,12 +59,42 @@ object LogApi {
       level: Option[String], user: Option[String], limit: Int)
   final case class Envelope(logs: Seq[Row], count: Int, query: QueryEcho)
 
-  /** Run the flagship query and wrap results in the reference envelope. */
-  def query(logs: DataFrame, params: Map[String, String]): Either[String, Envelope] =
-    parseParams(params).map { p =>
-      val rows = LogQuery.flagship(logs, p).collect().toSeq
-      Envelope(rows, rows.length,
-        QueryEcho(p.service, p.from.toInstant.toString, p.to.toInstant.toString,
-          p.level, p.user, p.limit))
+  /** V6: the reference bounds every query with a 30 s context timeout
+    * (internal/api/api.go:95-96). */
+  val DefaultTimeoutMs: Long = 30000L
+
+  /** Run the flagship query and wrap results in the reference envelope,
+    * enforcing the V6 timeout: the collect runs under a dedicated job
+    * group; if it exceeds `timeoutMs` the group's Spark jobs are cancelled
+    * (tasks interrupted) and the API returns an error — the moral
+    * equivalent of Go's `context.WithTimeout` cancelling the ClickHouse
+    * query. */
+  def query(logs: DataFrame, params: Map[String, String],
+      timeoutMs: Long = DefaultTimeoutMs): Either[String, Envelope] =
+    parseParams(params) match {
+      case Left(e) => Left(e)
+      case Right(p) =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val sc = logs.sparkSession.sparkContext
+        val group = s"graft-logs-query-${java.util.UUID.randomUUID()}"
+        val fut = Future {
+          // job-group assignment is thread-local: set it on the thread that
+          // submits the collect so cancelJobGroup reaches exactly this query
+          sc.setJobGroup(group, "logs query (V6 timeout)", interruptOnCancel = true)
+          try LogQuery.flagship(logs, p).collect().toSeq
+          finally sc.clearJobGroup()
+        }
+        try {
+          val rows = Await.result(fut, timeoutMs.millis)
+          Right(Envelope(rows, rows.length,
+            QueryEcho(p.service, p.from.toInstant.toString, p.to.toInstant.toString,
+              p.level, p.user, p.limit)))
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            sc.cancelJobGroup(group)
+            Left(s"query timed out after ${timeoutMs} ms")
+        }
     }
 }

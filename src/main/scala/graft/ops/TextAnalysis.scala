@@ -69,11 +69,14 @@ object TextAnalysis {
     val scores = vocab.toSeq.sortBy(_._1).map { case (l, ws) =>
       struct(size(array_intersect(toks, lit(ws.toArray))).as("score"), lit(l).as("lang"))
     }
-    documents.select(
-      col("doc_id"),
-      col("lang").as("label_lang"),
-      greatest(scores: _*).getField("lang").as("pred_lang"),
-      greatest(scores: _*).getField("score").as("score"))
+    // hoist the argmax into one column so greatest() is evaluated once
+    documents
+      .withColumn("_best", greatest(scores: _*))
+      .select(
+        col("doc_id"),
+        col("lang").as("label_lang"),
+        col("_best").getField("lang").as("pred_lang"),
+        col("_best").getField("score").cast("long").as("score"))
       .orderBy(col("doc_id"))
   }
 

@@ -27,6 +27,26 @@ import graft.logs.{LogSchema, LogTable}
   */
 object LogStream {
 
+  /** S1 ack envelope: `BatchWriteResponse{written}` — the count of entries
+    * ACCEPTED into the stream, not the count persisted. The reference acks
+    * `written = len(entries)` the moment the batch clears the channel send
+    * (internal/service/service.go:45-46, proto/log.proto:16-21), before
+    * the async flush ever runs; durability is a later, unacknowledged
+    * event. */
+  final case class BatchWriteResponse(written: Long)
+
+  /** Admit a batch of wire rows into a streaming source and ack
+    * immediately with the accepted count — decoupled from any sink commit
+    * (the micro-batch that persists these rows runs later, on the stream's
+    * own trigger). The memory-backed source stands in for the gRPC
+    * endpoint; the ack contract is the part of S1 with analytic content. */
+  def batchWrite[A](
+      source: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+      entries: Seq[A]): BatchWriteResponse = {
+    if (entries.nonEmpty) source.addData(entries)
+    BatchWriteResponse(entries.length)
+  }
+
   /** Wire-shaped stream (ts string, attrs map — [[LogSchema.wireSchema]]) →
     * normalize → partitioned parquet append in the [[LogTable]] layout. */
   def ingest(

@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[GlobalRank]] vs the single-partition window builtin it replaces —
+  * NTILE arithmetic (cut boundary, GREATEST guard) across the shapes the
+  * builtin defines: total < n, total % n != 0, heavy ties, n = 1, empty. */
+class GlobalRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def df(values: Seq[(Double, Long)]) = {
+    import spark.implicits._
+    values.toDF("v", "id")
+  }
+
+  private def check(values: Seq[(Double, Long)], n: Int): Unit = {
+    val d = df(values)
+    val got = GlobalRank.withNtile(d, n, Seq(col("v").desc, col("id").asc), "bucket")
+      .orderBy(col("id")).select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = d
+      .withColumn("bucket", ntile(n).over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .orderBy(col("id")).select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq, s"ntile($n) over ${values.size} rows")
+  }
+
+  test("ntile matches builtin when total divides evenly") {
+    check((1 to 12).map(i => (i.toDouble, i.toLong)), 4)
+  }
+
+  test("ntile matches builtin when total % n != 0 (uneven buckets)") {
+    check((1 to 10).map(i => (i.toDouble, i.toLong)), 4)
+    check((1 to 11).map(i => (i.toDouble, i.toLong)), 3)
+  }
+
+  test("ntile with total < n gives each row its own bucket") {
+    check(Seq((5.0, 1L), (3.0, 2L)), 4)
+  }
+
+  test("ntile with heavy ties still assigns by row number (tie-break col)") {
+    check(Seq.fill(9)(7.0).zipWithIndex.map { case (v, i) => (v, i.toLong) }, 4)
+  }
+
+  test("ntile n=1 puts everything in bucket 1") {
+    check((1 to 5).map(i => (i.toDouble, i.toLong)), 1)
+  }
+
+  test("ntile on empty input returns empty") {
+    val d = df(Seq.empty)
+    assert(GlobalRank.withNtile(d, 4, Seq(col("v").desc, col("id")), "bucket").count() == 0)
+  }
+
+  test("ntile rejects n < 1") {
+    intercept[IllegalArgumentException] {
+      GlobalRank.withNtile(df(Seq((1.0, 1L))), 0, Seq(col("v")), "bucket")
+    }
+  }
+
+  test("input with _gr_ columns is rejected rather than silently clobbered") {
+    import spark.implicits._
+    val d = Seq((1.0, 1L)).toDF("v", "_gr_rank")
+    intercept[IllegalArgumentException] {
+      GlobalRank.withNtile(d, 2, Seq(col("v")), "bucket")
+    }
+  }
+
+  test("global row number matches builtin row_number over total order") {
+    val d = df((1 to 100).map(i => ((i % 7).toDouble, i.toLong)))
+    val got = GlobalRank.withRowNumber(d, Seq(col("v").asc, col("id").asc), "rn")
+      .orderBy(col("id")).select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = d
+      .withColumn("rn", row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .orderBy(col("id")).select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("ranking uses more than one partition (the point of the construction)") {
+    val d = df((1 to 1000).map(i => (i.toDouble, i.toLong)))
+    val parted = d.repartitionByRange(4, col("v")).withColumn("p", spark_partition_id())
+    assert(parted.select("p").distinct().count() > 1)
+  }
+}

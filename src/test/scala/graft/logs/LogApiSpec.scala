@@ -49,6 +49,26 @@ class LogApiSpec extends AnyFunSuite {
       "to" -> "2024-01-01T00:00:00Z")).isLeft)
   }
 
+  test("V6: a slow query is cancelled at the timeout") {
+    import org.apache.spark.sql.functions._
+    // a scan whose every row takes ~1s: 60 rows on 4 cores ≫ the 2s budget
+    val slowUdf = udf { (ts: Timestamp) => Thread.sleep(1000L); ts }
+    val slow = logs.sparkSession.range(60)
+      .select(
+        slowUdf(lit(t("2024-01-10T00:00:00Z"))).as("ts"),
+        lit("api").as("service"), lit("INFO").as("level"), lit("m").as("msg"),
+        lit("{}").as("attrs"), lit("").as("trace_id"), lit("").as("span_id"))
+    val t0 = System.nanoTime()
+    val res = LogApi.query(slow, Map(
+      "service" -> "api",
+      "from" -> "2024-01-01T00:00:00Z",
+      "to" -> "2024-02-01T00:00:00Z"), timeoutMs = 2000L)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(res == Left("query timed out after 2000 ms"))
+    // returned at the deadline, not after the query's natural ~15s runtime
+    assert(elapsedMs < 10000, s"timeout returned after $elapsedMs ms")
+  }
+
   test("V7: envelope carries post-limit count and echoed params") {
     val res = LogApi.query(logs, Map(
       "service" -> "api",

@@ -53,6 +53,25 @@ class LogSchemaSpec extends AnyFunSuite {
     assert(maps.forall(r => !r.isNullAt(0) && r.getMap[String, String](0).isEmpty))
   }
 
+  test("X7 DESCRIBE: schema introspection exposes the 7-column DDL shape") {
+    // the reference's `DESCRIBE logs` (README.md:98) — introspection over
+    // the code-defined schema and over a written table must agree
+    import org.apache.spark.sql.types._
+    val want = Seq(
+      ("ts", TimestampType), ("service", StringType), ("level", StringType),
+      ("msg", StringType), ("attrs", StringType), ("trace_id", StringType),
+      ("span_id", StringType))
+    assert(LogSchema.schema.fields.map(f => (f.name, f.dataType)).toSeq == want)
+    val table = java.nio.file.Files.createTempDirectory("describe_tbl").toString
+    val norm = LogSchema.normalize(wireDf(Seq(("2024-01-01T00:00:00Z", Map()))))
+    LogTable.append(norm, table)
+    val read = LogTable.read(spark, table)
+    // written table reads back with the DDL columns plus the month partition
+    assert(want.forall { case (n, t) => read.schema.fields.exists(f =>
+      f.name == n && f.dataType == t) })
+    assert(read.schema.fieldNames.contains("month"))
+  }
+
   test("attrString extracts top-level key; missing key filters out") {
     import spark.implicits._
     val df = Seq("""{"user":"jane"}""", """{"other":"x"}""", "bad").toDF("attrs")

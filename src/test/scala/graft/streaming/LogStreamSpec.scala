@@ -43,4 +43,28 @@ class LogStreamSpec extends AnyFunSuite {
     val jane = got.filter(get_json_object(col("attrs"), "$.user") === "jane").collect()
     assert(jane.length == 1 && jane.head.getAs[String]("msg") == "hello")
   }
+
+  test("batchWrite acks accepted count before any sink commit (S1 contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val table = Files.createTempDirectory("ack_table").toString
+    val ckpt = Files.createTempDirectory("ack_ckpt").toString
+
+    val mem = MemoryStream[Wire]
+    val q = LogStream.ingest(mem.toDF(), table, ckpt)
+    try {
+      val entries = (1 to 5).map(i =>
+        Wire(s"2024-01-0${i}T00:00:00Z", "api", "INFO", s"m$i", Map(), "", ""))
+      val ack = LogStream.batchWrite(mem, entries)
+      // ack = accepted count, issued before the micro-batch that persists
+      // the rows has run — written != persisted at ack time
+      assert(ack.written == 5)
+      assert(!new java.io.File(table).exists() ||
+        LogTable.read(spark, table).count() < 5)
+      q.processAllAvailable()
+      assert(LogTable.read(spark, table).count() == 5)
+      // empty batch acks zero and admits nothing
+      assert(LogStream.batchWrite(mem, Seq.empty[Wire]).written == 0)
+    } finally q.stop()
+  }
 }
