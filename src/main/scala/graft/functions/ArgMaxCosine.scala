@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Nearest-centroid assignment: the id of the centroid with the highest
+  * cosine similarity to `emb`, ties toward the smaller id.
+  *
+  * `cents` is an `array<struct<c_id, c_emb, c_nsq>>` column — ONE row of
+  * centroids attached to every corpus row via a broadcast join, so the
+  * centroid set is computed lazily inside the job (no driver collect at
+  * plan-construction time) and scales to thousands of centroids where an
+  * expression tree of per-centroid literals dies on codegen/constant-pool
+  * limits. The per-row argmax is a fused primitive loop (the VecDot
+  * pattern), not an interpreted higher-order-function fold.
+  *
+  * Comparison semantics match `greatest(struct(sim, -c_id))`: doubles
+  * ordered with NaN largest (java.lang.Double.compare), equal sims broken
+  * toward the smaller centroid id. Empty centroid array → -1 (never a
+  * valid id, so downstream equi-joins drop the row).
+  */
+case class ArgMaxCosine(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), DoubleType,
+            ArrayType(StructType(Array(
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(FloatType | DoubleType, _), _, _),
+              StructField(_, DoubleType, _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "argmax_cosine expects (array<float|double>, double, " +
+          s"array<struct<long, array<float|double>, double>>), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+
+  private def embFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def centFloat: Boolean =
+    third.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType].fields(1).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(emb: Any, nsq: Any, cents: Any): Any =
+    ArgMaxCosine.compute(emb.asInstanceOf[ArrayData], nsq.asInstanceOf[Double],
+      cents.asInstanceOf[ArrayData], embFloat, centFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, n, c) =>
+      s"graft.functions.ArgMaxCosine.compute($e, $n, $c, $embFloat, $centFloat)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ArgMaxCosine =
+    copy(first = f, second = s, third = t)
+}
+
+object ArgMaxCosine {
+
+  /** Centroids decoded to primitive arrays (dots run on flat doubles). */
+  final class Cents(val ids: Array[Long], val embs: Array[Array[Double]],
+      val norms: Array[Double])
+
+  /** Cheap revalidation key: every row of one query carries the same
+    * broadcast centroid set, but the ArrayData wrapper object differs per
+    * access — identity caching would miss every row and re-decode
+    * nCentroids×dim floats. (n, boundary ids, first norm bits) is stable
+    * across wrappers of the same set and distinguishes any two centroid
+    * sets that could realistically alternate on one thread. */
+  private final case class Key(n: Int, firstId: Long, lastId: Long, firstNormBits: Long)
+
+  private val cache = new ThreadLocal[(Key, Cents)]
+
+  private def key(cents: ArrayData): Key = {
+    val n = cents.numElements()
+    Key(n, cents.getStruct(0, 3).getLong(0), cents.getStruct(n - 1, 3).getLong(0),
+      java.lang.Double.doubleToLongBits(cents.getStruct(0, 3).getDouble(2)))
+  }
+
+  private def parse(cents: ArrayData, centFloat: Boolean): Cents = {
+    val n = cents.numElements()
+    val ids = new Array[Long](n)
+    val embs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      val arr = row.getArray(1)
+      val m = arr.numElements()
+      val e = new Array[Double](m)
+      var j = 0
+      while (j < m) {
+        e(j) = if (centFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        j += 1
+      }
+      embs(i) = e
+      norms(i) = row.getDouble(2)
+      i += 1
+    }
+    new Cents(ids, embs, norms)
+  }
+
+  /** Called from interpreted eval and generated code. */
+  def compute(emb: ArrayData, nsq: Double, cents: ArrayData,
+      embFloat: Boolean, centFloat: Boolean): Long = {
+    val n = cents.numElements()
+    if (n == 0) return -1L
+    val k = key(cents)
+    var cached = cache.get()
+    if (cached == null || cached._1 != k) {
+      cached = (k, parse(cents, centFloat))
+      cache.set(cached)
+    }
+    val c = cached._2
+    val dim = emb.numElements()
+    val sn = math.sqrt(nsq)
+    var bestId = Long.MaxValue
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val ce = c.embs(i)
+      val m = math.min(dim, ce.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) {
+        val x = if (embFloat) emb.getFloat(j).toDouble else emb.getDouble(j)
+        dot += x * ce(j)
+        j += 1
+      }
+      val sim = dot / (sn * math.sqrt(c.norms(i)))
+      val cmp = java.lang.Double.compare(sim, bestSim)
+      if (cmp > 0 || (cmp == 0 && c.ids(i) < bestId)) {
+        bestSim = sim
+        bestId = c.ids(i)
+      }
+      i += 1
+    }
+    bestId
+  }
+
+  /** Column wrapper: `argmax_cosine(emb, nsq, cents)` */
+  def argmaxCosine(emb: Column, nsq: Column, cents: Column): Column =
+    GraftGlue.toColumn(ArgMaxCosine(
+      GraftGlue.toExpression(emb), GraftGlue.toExpression(nsq), GraftGlue.toExpression(cents)))
+}

@@ -118,7 +118,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
@@ -135,16 +135,32 @@ object Dedup {
     * of each string, case-sensitive), so the whole pipeline is
     * SQL-oracle-checkable; computed by the native
     * [[graft.functions.CharSetJaccard]] expression. */
-  def charJaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+  def charJaccardPairs(documents: DataFrame, threshold: Double,
+      subBlocks: Int = 8): DataFrame = {
     // Build each document's character set once (128-bit ASCII mask + rare
     // code points), so the quadratic-within-block pair loop only bitcounts
     // — re-scanning the text per pair is O(|text|) × |pairs| and dominated
     // the whole pipeline.
+    //
+    // The pairwise comparison inside a `source` block is inherently
+    // quadratic; unguarded, one oversized block becomes one task doing
+    // |block|² work (the single-straggler scale-killer). `subBlocks` = g
+    // splits every block into a g×g grid of sub-block pairs keyed by
+    // (source, salt_a, salt_b) — each side replicated g times, every
+    // unordered pair matched exactly once, per-task work bounded by
+    // (|block|/g)². Output is identical for any g (exactness preserved;
+    // the guard parallelizes, it does not approximate).
     val d = documents.select(col("source"), col("doc_id"),
       graft.functions.CharSetMask.charsetMask(col("text")).as("m"))
-    val a = d.select(col("source"), col("doc_id").as("id_a"), col("m").as("m_a"))
-    val b = d.select(col("source"), col("doc_id").as("id_b"), col("m").as("m_b"))
-    a.join(b, Seq("source"))
+    val g = math.max(subBlocks, 1)
+    val grid = lit((0 until g).map(_.toLong).toArray)
+    val a = d.select(col("source"), col("doc_id").as("id_a"), col("m").as("m_a"),
+        pmod(xxhash64(col("doc_id")), lit(g.toLong)).as("ga"))
+      .withColumn("gb", explode(grid))
+    val b = d.select(col("source"), col("doc_id").as("id_b"), col("m").as("m_b"),
+        pmod(xxhash64(col("doc_id")), lit(g.toLong)).as("gb"))
+      .withColumn("ga", explode(grid))
+    a.join(b, Seq("source", "ga", "gb"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", graft.functions.MaskJaccard.maskJaccard(col("m_a"), col("m_b")))
       .filter(col("jaccard") >= threshold)

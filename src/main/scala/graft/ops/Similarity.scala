@@ -125,26 +125,25 @@ object Similarity {
       .limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nsq").as("c_nsq"))
-    // Assign every vector to its nearest centroid with a per-row argmax
-    // over the (small, bounded) centroid set embedded as literals: nCentroids
-    // codegen'd dot products per row, zero movement of corpus rows. The
-    // previous formulation (cross join with broadcast centroids, then
-    // groupBy(vec_id) max_by) re-shuffled the whole corpus INCLUDING the
-    // embedding vectors just to pick the argmax — at 100 TB that exchange
-    // is the build-phase bottleneck; this one has no exchange at all.
-    // Ties break toward the smaller c_id via the negated-id struct field,
-    // matching max_by(c_id, struct(c_sim, -c_id)).
-    val centroidRows = centroids.collect() // nCentroids rows by construction
-    val centroidSims = centroidRows.map { r =>
-      val cid = r.getLong(0)
-      val cEmb = r.getSeq[Float](1).toArray
-      val cNsq = r.getDouble(2)
-      struct(
-        cosinePrenormed(dot(col("embedding"), lit(cEmb)), col("nsq"), lit(cNsq)).as("sim"),
-        lit(-cid).as("negid"))
-    }
+    // Assign every vector to its nearest centroid with a per-row argmax:
+    // the whole centroid set is folded into ONE array-of-structs row and
+    // broadcast-joined onto the corpus, so (a) centroid computation stays
+    // lazy — it runs inside the job, not at query-construction time; (b) no
+    // corpus row ever moves (the earlier groupBy(vec_id)/max_by formulation
+    // re-shuffled the corpus including embeddings — the build-phase
+    // bottleneck at 100 TB); (c) nCentroids scales to the 10⁴-10⁵ a real
+    // IVF index wants, where the previous per-centroid-literal expression
+    // tree died on codegen/constant-pool limits. The argmax itself is the
+    // native [[graft.functions.ArgMaxCosine]] kernel, ties toward the
+    // smaller c_id (max_by(c_id, struct(c_sim, -c_id)) semantics), and
+    // handles nCentroids=1 and empty corpora (empty → no assignments).
+    val centArr = centroids
+      .agg(collect_list(struct(col("c_id"), col("c_emb"), col("c_nsq"))).as("cents"))
     val assigned = corpus
-      .withColumn("cluster", -greatest(centroidSims: _*).getField("negid"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("cluster",
+        graft.functions.ArgMaxCosine.argmaxCosine(col("embedding"), col("nsq"), col("cents")))
+      .drop("cents")
     // each probe picks its nProbe nearest clusters
     val probes = corpus
       .filter(col("vec_id").isin(probeIds: _*))
@@ -180,6 +179,42 @@ object Similarity {
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       normSq(col("embedding")).as("nsq_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-duplicate pairs via hyperplane-LSH candidate
+    * generation — the 100 TB twin of [[embeddingNearDupPairs]]: candidates
+    * come from an equi-join on (table, signature) bucket collisions (a
+    * key-only shuffle of 24-byte rows, linear in corpus × tables), then the
+    * few surviving candidate pairs re-attach their embeddings and verify
+    * with exact cosine, so every emitted pair is a true pair (precision 1
+    * by construction; recall is the tunable). At the near-dup regime
+    * (cosine ≥ 0.9, per-bit agreement ≈ 0.86) bits=8/tables=16 gives
+    * per-table collision ≈ 0.30 and overall miss ≈ 0.7¹⁶ ≈ 3·10⁻³ per
+    * pair. Never materializes the O(n²) pair space. */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      bits: Int = 8, tables: Int = 16): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nsq"))
+    // (table, signature, vec_id) — the only thing that shuffles
+    val sigs = base.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signature(col("embedding"), t, bits).as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val candidates = sigs.select(col("t"), col("sig"), col("vec_id").as("id_a"))
+      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("id_b")), Seq("t", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nsq").as("nsq_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nsq").as("nsq_b")), Seq("id_b"))
       .withColumn("cosine",
         cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
       .filter(col("cosine") >= threshold)

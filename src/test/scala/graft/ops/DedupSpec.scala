@@ -65,6 +65,21 @@ class DedupSpec extends AnyFunSuite {
     assert(p01.isDefined && p01.get.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("char jaccard sub-blocking guard preserves the exact pair set") {
+    import spark.implicits._
+    // one skewed block: 40 docs in a single source (the unguarded shape
+    // that becomes one quadratic task), plus a small second block
+    val skewed = ((0 until 40).map(i => (i.toLong, s"shared alphabet soup $i", "en", "big")) ++
+      Seq((100L, "tiny block one", "en", "small"), (101L, "tiny block two", "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    def pairs(g: Int) = Dedup.charJaccardPairs(skewed, 0.5, subBlocks = g).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val unguarded = pairs(1)
+    assert(unguarded.nonEmpty)
+    assert(pairs(4) == unguarded)
+    assert(pairs(9) == unguarded) // g larger than some sub-block sizes
+  }
+
   test("shingles: distinct n-grams; short docs degrade to whole-doc shingle") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")

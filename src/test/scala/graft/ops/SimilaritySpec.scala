@@ -54,4 +54,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
     assert(res.forall(_.getAs[Double]("cosine") >= 0.4))
   }
+
+  test("ivfTopK: nCentroids=1 degrades to brute force; empty corpus is empty") {
+    val probes = Seq(0L, 1L)
+    val one = Similarity.ivfTopK(emb, probes, 3, nCentroids = 1, nProbe = 1).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val exact = Similarity.bruteForceTopK(emb, probes, 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    // a single centroid = every vector in one probed bucket = exact search
+    assert(one.toSeq == exact.toSeq)
+    val empty = Similarity.ivfTopK(emb.filter("vec_id < 0"), probes, 3).collect()
+    assert(empty.isEmpty)
+  }
+
+  test("ivfTopK: query construction runs no Spark job (lazy centroids)") {
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val df = Similarity.ivfTopK(emb, Seq(0L), 5, nCentroids = 16)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "building the IVF query fired an eager Spark job")
+    assert(df.columns.contains("cosine"))
+  }
+
+  test("embeddingNearDupPairsLsh: exact-verified subset of the all-pairs result") {
+    val exact = Similarity.embeddingNearDupPairs(emb, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    val lsh = Similarity.embeddingNearDupPairsLsh(emb, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    val exactMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    // precision 1: every LSH pair is a true pair with the identical cosine
+    lsh.foreach { case (a, b, c) => assert(exactMap.get((a, b)).contains(c)) }
+    // recall: the bucketed path finds the overwhelming share of true pairs
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH near-dup recall too low: $recall")
+    }
+  }
 }
