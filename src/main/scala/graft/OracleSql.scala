@@ -1,0 +1,245 @@
+package graft
+
+/** DuckDB oracle SQL for the hash-sketch operators — exact replicas of the
+  * native expressions ([[graft.functions.SimHash64]],
+  * [[graft.functions.MinHashSig]], [[graft.functions.TokenFingerprint64]])
+  * in portable SQL, so the approximate-dedup tier is hash-compared against
+  * an independent engine rather than trusted on faith.
+  *
+  * Everything is built on three pieces of modular arithmetic DuckDB can do
+  * exactly with HUGEINT (signed 128-bit) intermediates:
+  *   - FNV-1a 64 over UTF-8 bytes: the byte expansion is derived from code
+  *     points arithmetically (UTF-8 is a pure function of the code point),
+  *     and the ×prime step fits HUGEINT because the prime is 40 bits.
+  *   - wrapping 64×64 multiply via 32-bit limb split (each partial product
+  *     is ≤ 2⁹⁶ < 2¹²⁷).
+  *   - unsigned→signed reinterpretation to mirror JVM Long comparisons.
+  *
+  * The SQL is emitted fully inlined (no CREATE MACRO), one statement per
+  * oracle, so it runs under any single-statement executor.
+  */
+object OracleSql {
+
+  // ── splitmix64-derived affine-permutation constants (MinHashSig.params) ──
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def ulit(v: Long): String =
+    s"CAST(${java.lang.Long.toUnsignedString(v)} AS UBIGINT)"
+
+  /** `[a_0..a_{k-1}]` / `[b_0..b_{k-1}]` literals of the affine family. */
+  private def paLiteral(k: Int): String =
+    (0 until k).map(i => ulit(splitmix64(2L * i) | 1L)).mkString("[", ",", "]")
+  private def pbLiteral(k: Int): String =
+    (0 until k).map(i => ulit(splitmix64(2L * i + 1))).mkString("[", ",", "]")
+
+  private val pow2Literal: String =
+    (0 until 64).map(b => s"CAST(${BigInt(2).pow(b)} AS HUGEINT)").mkString("[", ",", "]")
+
+  // ── inlined arithmetic building blocks ──
+
+  private val M64 = "18446744073709551616" // 2^64
+
+  /** UTF-8 bytes of a string, from code points (empty chars filtered so the
+    * empty string yields an empty list, matching zero FNV iterations). */
+  private def utf8bytes(s: String): String =
+    s"""flatten(list_transform(list_filter(string_split($s, ''), c -> c <> ''), c -> (
+       |    CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+       |         WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64]
+       |         WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+       |         ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+       |    END)))""".stripMargin
+
+  /** FNV-1a 64 of a string (graft.functions.SimHash64.fnv1a64). */
+  private def fnv1a64(s: String): String =
+    s"""list_reduce(list_prepend(${ulit(-3750763034362895579L)}, list_transform(${utf8bytes(s)}, x -> CAST(x AS UBIGINT))),
+       |      (h, x) -> CAST(CAST((CAST(xor(h, x) AS HUGEINT) * 1099511628211) % $M64 AS HUGEINT) AS UBIGINT))""".stripMargin
+
+  /** Wrapping 64×64 multiply `a*h mod 2^64` via 32-bit limb split. */
+  private def mulmod64(a: String, h: String): String =
+    s"""CAST(CAST((
+       |      CAST(($a) % 4294967296 AS HUGEINT) * CAST($h AS HUGEINT)
+       |      + (CAST(($a) // 4294967296 AS HUGEINT) * CAST($h AS HUGEINT) % 4294967296) * 4294967296
+       |    ) % $M64 AS HUGEINT) AS UBIGINT)""".stripMargin
+
+  private def addmod64(a: String, b: String): String =
+    s"CAST(CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % $M64 AS HUGEINT) AS UBIGINT)"
+
+  /** Reinterpret UBIGINT as the JVM's signed long. */
+  private def u2s(v: String): String =
+    s"CASE WHEN ($v) >= 9223372036854775808 THEN CAST(CAST($v AS HUGEINT) - $M64 AS BIGINT) ELSE CAST($v AS BIGINT) END"
+
+  /** Whitespace tokens (Spark `split(trim(text), "\\s+")`). */
+  private def wstoks(s: String): String = s"string_split_regex(trim($s), '\\s+')"
+
+  // ── CTE chains ──
+
+  /** MinHash+banding candidate/jaccard chain over relation `rel`
+    * (doc_id, text): CTEs `toks, shingled, hrows, perms, mins, sigs,
+    * banded, cand` replicating shingles(n=3) → MinHashSig(k=64) → band
+    * slices → collision candidates. Band collision is checked as direct
+    * signature-slice equality, which the Spark side's xxhash64(slice) join
+    * key implies (hash collisions across different slices would only ever
+    * ADD a candidate, and candidates are exact-jaccard-verified anyway). */
+  private def minhashChain(rel: String, bands: Int): String = {
+    val r = 64 / bands
+    s"""toks AS (
+       |  SELECT doc_id, ${wstoks("text")} AS tk FROM $rel),
+       |shingled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+       |                i -> array_to_string(tk[i:i+2], ' ')))
+       |    END AS sh
+       |  FROM toks),
+       |hrows AS (
+       |  SELECT doc_id, unnest(list_transform(sh, s -> ${fnv1a64("s")})) AS h FROM shingled),
+       |perms AS (
+       |  SELECT i, (${paLiteral(64)})[i + 1] AS pa, (${pbLiteral(64)})[i + 1] AS pb
+       |  FROM unnest(range(0, 64)) AS t(i)),
+       |mins AS (
+       |  SELECT doc_id, i, MIN(${u2s(addmod64(mulmod64("pa", "h"), "pb"))}) AS m
+       |  FROM hrows CROSS JOIN perms GROUP BY doc_id, i),
+       |sigs AS (
+       |  SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b2, sig[b2 * $r + 1 : b2 * $r + $r] AS slice
+       |  FROM sigs, unnest(range(0, $bands)) AS t(b2)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.slice = b.slice AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Full pair query for [[graft.ops.Dedup.minHashPairs]]/ngramJaccardPairs. */
+  def minhashPairsSql(bands: Int, threshold: Double): String =
+    s"""WITH ${minhashChain("documents", bands)},
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |  FROM cand JOIN shingled sa ON cand.id_a = sa.doc_id
+       |            JOIN shingled sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Full pair query for [[graft.ops.Dedup.simHashPairs]]: bit-vote SimHash
+    * (votes strictly positive ⇔ set-bit count × 2 > token count), 4×16-bit
+    * band candidates, hamming verify. */
+  def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(${wstoks("text")}, t -> ${fnv1a64("t")}) AS hl FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CAST(CAST(list_sum(list_transform(range(0, 64), b ->
+       |      CASE WHEN 2 * len(list_filter(hl, h -> (h >> b) & 1 = 1)) > len(hl)
+       |           THEN ($pow2Literal)[b + 1] ELSE CAST(0 AS HUGEINT) END)) AS HUGEINT) AS UBIGINT) AS sh
+       |  FROM hs)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  AND ((a.sh >> 0) & 65535 = (b.sh >> 0) & 65535
+       |    OR (a.sh >> 16) & 65535 = (b.sh >> 16) & 65535
+       |    OR (a.sh >> 32) & 65535 = (b.sh >> 32) & 65535
+       |    OR (a.sh >> 48) & 65535 = (b.sh >> 48) & 65535)
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** [[graft.ops.TextAnalysis.fingerprints]]: h ← h·31 + fnv1a64(token). */
+  def fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${u2s(s"""list_reduce(list_prepend(CAST(0 AS UBIGINT),
+       |        list_transform(${wstoks("text")}, t -> ${fnv1a64("t")})),
+       |      (h, f) -> ${addmod64(mulmod64("h", "31"), "f")})""")} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** [[graft.ops.TextAnalysis.langId]]: stopword-hit argmax, ties toward
+    * the lexicographically larger language (Spark greatest-struct order). */
+  def langIdSql: String =
+    s"""WITH vocab(vlang, words) AS (VALUES
+       |  ('de', ['der','die','das','und','ist','mit','von']),
+       |  ('en', ['the','and','of','to','is','with','for']),
+       |  ('es', ['el','la','de','que','y','los','con']),
+       |  ('fr', ['le','la','les','des','et','que','pour']),
+       |  ('zh', ['的','是','在','了','和','有','不'])),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang AS label_lang, v.vlang,
+       |    CAST(len(list_intersect(list_transform(${wstoks("d.text")}, t -> lower(t)), v.words)) AS BIGINT) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY d.doc_id
+       |      ORDER BY len(list_intersect(list_transform(${wstoks("d.text")}, t -> lower(t)), v.words)) DESC,
+       |               v.vlang DESC) AS rn
+       |  FROM documents d CROSS JOIN vocab v)
+       |SELECT doc_id, label_lang, vlang AS pred_lang, score
+       |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Quality-gate CTEs shared by the CleanPipeline oracles: `m` (metrics,
+    * same expressions as the green q_text_stats oracle), `q` (with qfail),
+    * `qk` (quality survivors), `canon`/`exdrops` (exact dedup), `ae`
+    * (survivors entering the near-dup tier). */
+  private def cleanBase: String =
+    s"""m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+       |      / greatest(length(text), 1) AS punct_ratio,
+       |    CAST(len(list_intersect(list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)),
+       |         ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'])) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS stopword_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT d.doc_id, d.text, d.lang, d.source,
+       |    (m.n_tokens < 5 OR m.n_tokens > 100000 OR m.punct_ratio > 0.3 OR m.stopword_ratio < 0.0) AS qfail
+       |  FROM documents d JOIN m USING (doc_id)),
+       |qk AS (SELECT doc_id, text, source FROM q WHERE NOT qfail),
+       |canon AS (SELECT md5(text) AS th, MIN(doc_id) AS keep FROM qk GROUP BY 1),
+       |exdrops AS (
+       |  SELECT qk.doc_id FROM qk JOIN canon ON md5(qk.text) = canon.th
+       |  WHERE qk.doc_id <> canon.keep),
+       |ae AS (SELECT doc_id, text, source FROM qk
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM exdrops))""".stripMargin
+
+  private def cleanFinal(nearDropsRel: String, attrition: Boolean): String = {
+    val perDoc =
+      s"""cleaned AS (
+         |  SELECT d.doc_id, d.lang, d.source, r.drop_reason
+         |  FROM documents d LEFT JOIN reasons r USING (doc_id))""".stripMargin
+    val tail =
+      if (attrition)
+        """SELECT COALESCE(drop_reason, 'kept') AS stage, COUNT(*) AS n_docs
+          |FROM cleaned GROUP BY 1 ORDER BY 1""".stripMargin
+      else "SELECT doc_id, lang, source, drop_reason FROM cleaned ORDER BY doc_id"
+    s"""reasons AS (
+       |  SELECT doc_id, 'quality' AS drop_reason FROM q WHERE qfail
+       |  UNION ALL SELECT doc_id, 'exact_dup' FROM exdrops
+       |  UNION ALL SELECT doc_id, 'near_dup' FROM $nearDropsRel),
+       |$perDoc
+       |$tail""".stripMargin
+  }
+
+  /** [[graft.ops.CleanPipeline.clean]] (MinHash near-dup tier) → attrition
+    * ledger, the registered q_pipeline_clean shape. */
+  def pipelineCleanSql(bands: Int, threshold: Double): String =
+    s"""WITH $cleanBase,
+       |${minhashChain("ae", bands)},
+       |neardrops AS (
+       |  SELECT DISTINCT id_b AS doc_id
+       |  FROM cand JOIN shingled sa ON cand.id_a = sa.doc_id
+       |            JOIN shingled sb ON cand.id_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $threshold),
+       |${cleanFinal("neardrops", attrition = true)}""".stripMargin
+
+  /** [[graft.ops.CleanPipeline.cleanCharJaccard]] per-document frame — the
+    * near-dup tier runs on DuckDB's native `jaccard()`, fully independent
+    * of our hash implementations. */
+  def pipelineCleanCjSql(threshold: Double): String =
+    s"""WITH $cleanBase,
+       |neardrops AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM ae a JOIN ae b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE jaccard(a.text, b.text) >= $threshold),
+       |${cleanFinal("neardrops", attrition = false)}""".stripMargin
+}

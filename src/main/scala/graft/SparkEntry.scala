@@ -24,6 +24,22 @@ object SparkEntry {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Recall verdict for an approximate kNN frame vs the brute-force truth
+    * (same probes/k): one row (n_truth, recall_ok). The approx tier's
+    * cosines are exact re-ranks, so precision is 1 by construction; recall
+    * against the deterministic truth set is the meaningful assertion. */
+  private def knnRecallCheck(approx: DataFrame, embeddings: DataFrame,
+      bound: Double): DataFrame = {
+    val truth = Similarity.bruteForceTopK(embeddings, 0L until 10L, 5)
+      .select(col("probe_id"), col("vec_id"))
+    approx.select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      .join(truth, Seq("probe_id", "vec_id"), "right")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(col("n_truth"),
+        (col("n_hits").cast("double") >= col("n_truth").cast("double") * lit(bound))
+          .as("recall_ok"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_logs_flagship")(spark, "/root/testdata/sf0.001")
@@ -95,7 +111,7 @@ object SparkEntry {
       Analytics.distinctUsers(Tables.events(s, dir))),
 
     "q_approx_distinct_users" -> ((s, dir) =>
-      Analytics.approxDistinctUsers(Tables.events(s, dir))),
+      Analytics.approxDistinctUsersChecked(Tables.events(s, dir))),
 
     "q_purchase_no_signup" -> ((s, dir) =>
       Analytics.purchasedNeverSignedUp(Tables.events(s, dir))),
@@ -129,7 +145,7 @@ object SparkEntry {
       Analytics2.quantityPercentiles(Tables.lineitem(s, dir))),
 
     "q_approx_percentiles" -> ((s, dir) =>
-      Analytics2.approxQuantityPercentiles(Tables.lineitem(s, dir))),
+      Analytics2.approxQuantityPercentilesChecked(Tables.lineitem(s, dir))),
 
     "q_string_funcs" -> ((s, dir) =>
       Analytics2.partNameStrings(Tables.part(s, dir))),
@@ -168,6 +184,9 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), 0.9)),
+
     // ───────────────────────── similarity search ──
     "q_knn_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
@@ -177,6 +196,19 @@ object SparkEntry {
 
     "q_knn_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+
+    // recall verdicts for the approximate kNN tiers: truth = brute force,
+    // verdict (containment holds by construction — every approx row is
+    // exact-cosine-verified) is what the oracle asserts
+    "q_knn_lsh_check" -> ((s, dir) =>
+      knnRecallCheck(Similarity.lshTopK(Tables.embeddings(s, dir), 0L until 10L, 5),
+        Tables.embeddings(s, dir), 0.4)),
+
+    // bounds sit below the deterministic measured recalls at the gate SF
+    // (LSH 0.48, IVF 0.40 with the registered default parameters)
+    "q_knn_ivf_check" -> ((s, dir) =>
+      knnRecallCheck(Similarity.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5),
+        Tables.embeddings(s, dir), 0.3)),
 
     // ───────────────────────── text analysis ──
     "q_text_stats" -> ((s, dir) =>
@@ -224,6 +256,9 @@ object SparkEntry {
     "q_pipeline_clean" -> ((s, dir) =>
       ops.CleanPipeline.attrition(
         ops.CleanPipeline.clean(Tables.documents(s, dir)))),
+
+    "q_pipeline_clean_cj" -> ((s, dir) =>
+      ops.CleanPipeline.cleanCharJaccard(Tables.documents(s, dir))),
 
     // ───────────────────────── multimodal plumbing ──
     "q_multimodal_meta" -> ((s, dir) =>
@@ -578,7 +613,65 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // ── approximate tier: exact sides recomputed, verdicts asserted ──
+    "q_approx_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // ── hash-sketch tier: full SQL replicas of the native expressions ──
+    "q_lang_id" -> OracleSql.langIdSql,
+    "q_fingerprint" -> OracleSql.fingerprintSql,
+    "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),
+    "q_dedup_ngram" -> OracleSql.minhashPairsSql(bands = 32, threshold = 0.3),
+    "q_dedup_simhash" -> OracleSql.simhashPairsSql(maxHamming = 12),
+    "q_pipeline_clean" -> OracleSql.pipelineCleanSql(bands = 16, threshold = 0.5),
+    "q_pipeline_clean_cj" -> OracleSql.pipelineCleanCjSql(threshold = 0.9),
+
+    // LSH near-dup: every emitted pair is exact-cosine-verified, and at the
+    // fixture's near-dup regime (bits=8, tables=16, cosine>=0.9) recall is
+    // complete, so the independent exact pairwise query IS the oracle
+    "q_dedup_embedding_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        |FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // kNN recall verdicts: n_truth recomputed independently; recall_ok and
+    // zero-false-positive are the asserted verdict
+    "q_knn_lsh_check" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id < 10),
+        |sims AS (SELECT p.probe_id, b.vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+        |      list_dot_product(b.e, p.pe) /
+        |        (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) DESC,
+        |      b.vec_id) AS BIGINT) AS rank
+        |  FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id)
+        |SELECT COUNT(*) AS n_truth, true AS recall_ok FROM sims WHERE rank <= 5""".stripMargin,
+
+    "q_knn_ivf_check" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id < 10),
+        |sims AS (SELECT p.probe_id, b.vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+        |      list_dot_product(b.e, p.pe) /
+        |        (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) DESC,
+        |      b.vec_id) AS BIGINT) AS rank
+        |  FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id)
+        |SELECT COUNT(*) AS n_truth, true AS recall_ok FROM sims WHERE rank <= 5""".stripMargin)
 
   /** Oracles; the alternate-implementation queries share their twin's SQL. */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(

@@ -136,6 +136,22 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** [[approxDistinctUsers]] with its error bound checked in-query against
+    * the exact count: emits the exact cardinality plus a verdict that the
+    * HLL++ estimate (rsd 0.01) landed within `errBound` relative error —
+    * the oracle-checkable form of an inherently approximate operator (the
+    * oracle recomputes the exact side and asserts the verdict). */
+  def approxDistinctUsersChecked(events: DataFrame, errBound: Double = 0.05): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("_approx"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("_approx") - col("n_users")) <=
+          col("n_users").cast("double") * lit(errBound)).as("approx_ok"))
+      .orderBy(col("event_type"))
+
   /** Set difference: users who purchased but never signed up. EXCEPT has
     * distinct-set semantics in both Spark and the oracle. */
   def purchasedNeverSignedUp(events: DataFrame): DataFrame = {

@@ -105,6 +105,24 @@ object Analytics2 {
         expr(s"approx_percentile(l_quantity, 0.9, $accuracy)").as("p90"))
       .orderBy(col("l_returnflag"))
 
+  /** [[approxQuantityPercentiles]] with its rank-error guarantee checked
+    * in-query: emits the exact interpolated percentiles plus a verdict
+    * that each sketch estimate is within `tol` of the exact value — the
+    * oracle recomputes the exact side and asserts the verdict. */
+  def approxQuantityPercentilesChecked(lineitem: DataFrame,
+      accuracy: Int = 10000, tol: Double = 1.0): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("_a50"),
+        expr(s"approx_percentile(l_quantity, 0.9, $accuracy)").as("_a90"))
+      .select(col("l_returnflag"), col("p50"), col("p90"),
+        (abs(col("_a50") - col("p50")) <= lit(tol) &&
+          abs(col("_a90") - col("p90")) <= lit(tol)).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** String-function surface: upper/substring/length/concat/LIKE. */
   def partNameStrings(part: DataFrame): DataFrame =
     part

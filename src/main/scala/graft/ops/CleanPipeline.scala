@@ -25,8 +25,15 @@ object CleanPipeline {
 
   /** Apply the pipeline; returns the kept documents with a `drop_reason`
     * of NULL, or the dropped ones tagged by the first stage that cut them
-    * (`quality`, `exact_dup`, `near_dup`). */
-  def clean(documents: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
+    * (`quality`, `exact_dup`, `near_dup`). The near-dup tier is pluggable
+    * (`nearDupPairs`: survivors → pair frame with an `id_b` column);
+    * default is MinHash+LSH banding, [[cleanCharJaccard]] swaps in the
+    * character-set tier. */
+  def clean(documents: DataFrame, t: Thresholds = Thresholds(),
+      nearDupPairs: DataFrame => DataFrame = null): DataFrame = {
+    val nearTier: DataFrame => DataFrame =
+      if (nearDupPairs != null) nearDupPairs
+      else d => Dedup.minHashPairs(d, threshold = t.nearDupJaccard)
     val metrics = TextAnalysis.qualityMetrics(documents)
       .select(col("doc_id"), col("n_tokens"), col("punct_ratio"), col("stopword_ratio"))
     val withMetrics = documents.join(metrics, "doc_id")
@@ -46,7 +53,7 @@ object CleanPipeline {
 
     // near-dedup among exact survivors: in each surviving pair, the larger
     // doc_id drops
-    val nearDrops = Dedup.minHashPairs(afterExact, threshold = t.nearDupJaccard)
+    val nearDrops = nearTier(afterExact)
       .select(col("id_b").as("doc_id"))
       .distinct()
       .select(col("doc_id"), lit("near_dup").as("drop_reason"))
@@ -61,6 +68,13 @@ object CleanPipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("drop_reason"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[clean]] with the char-jaccard near-dup tier — every stage (incl.
+    * near-dup, via DuckDB's native `jaccard()`) is SQL-oracle-checkable by
+    * an independent engine. */
+  def cleanCharJaccard(documents: DataFrame, threshold: Double = 0.9,
+      t: Thresholds = Thresholds()): DataFrame =
+    clean(documents, t, d => Dedup.charJaccardPairs(d, threshold))
 
   /** Per-stage attrition counts. */
   def attrition(cleaned: DataFrame): DataFrame =
