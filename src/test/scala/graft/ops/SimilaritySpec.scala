@@ -67,6 +67,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("ivfTopK: nCentroids=1024 plans and runs (no literal-tree ceiling)") {
+    // with more centroids than corpus rows every vector is its own
+    // centroid; probing its own bucket plus neighbors still returns k rows
+    val res = Similarity.ivfTopK(emb, Seq(0L, 1L), 3, nCentroids = 1024, nProbe = 64).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getAs[Double]("cosine") <= 1.0000001))
+  }
+
   test("ivfTopK: query construction runs no Spark job (lazy centroids)") {
     val sc = spark.sparkContext
     val before = sc.statusTracker.getJobIdsForGroup(null).length
