@@ -231,6 +231,18 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.supplier(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir), "NATION_1", "NATION_2")),
 
+    "q8_market_share" -> ((s, dir) =>
+      analytics.Analytics4.marketShare(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.part(s, dir), "ASIA", "ECONOMY", "NATION_2",
+        "1995-01-01 00:00:00", "1997-01-01 00:00:00")),
+
+    "q10_returned_items" -> ((s, dir) =>
+      analytics.Analytics4.returnedItems(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir), "1996-01-01 00:00:00", "1996-04-01 00:00:00")),
+
     "q_session_window" -> ((s, dir) =>
       analytics.Analytics3.sessionWindows(Tables.events(s, dir), 30)),
 
@@ -568,6 +580,41 @@ object SparkEntry {
          |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH pern AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n2.n_name AS supp_nation,
+         |    $REV AS volume
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY 1, 2)
+         |SELECT o_year,
+         |  ${DSUM("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0.0 END")}
+         |    / ${DSUM("volume")} AS mkt_share
+         |FROM pern GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         |  $REV AS revenue,
+         |  c_acctbal, n_name
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_pivot_daily" ->
       s"""WITH ev AS ($EV)

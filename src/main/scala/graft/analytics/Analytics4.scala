@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Cols.{decRevenue, decSum, dsum}
+
+/** Fourth analytics tranche: the remaining TPC-H shapes the fixtures have
+  * columns for — Q8 (national market share: two-level aggregate with a
+  * conditional share ratio) and Q10 (returned-items top-K: 4-way join,
+  * grouped revenue, TakeOrdered). Oracle conventions as [[Analytics]]:
+  * decimal-exact revenue sums, BIGINT years, deterministic total order.
+  */
+object Analytics4 {
+
+  /** TPC-H Q8-shaped national market share: of all `pType` parts sold to
+    * customers in region `rName` during the window, the revenue fraction
+    * supplied by `shareNation`, per order year.
+    *
+    * Two-level aggregation: level 1 reduces lineitems to at most
+    * years × nations rows with decimal-exact revenue (the proven q7
+    * pattern); level 2 computes the share ratio over that tiny frame with
+    * order-independent decimal sums, so the double division is bit-stable
+    * on both engines. Dimensions (part filter, nation×2, region, supplier)
+    * broadcast; the only data-sized exchange is level 1's group-by. */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame, part: DataFrame,
+      rName: String, pType: String, shareNation: String,
+      fromDate: String, toDate: String): DataFrame = {
+    val cnat = nation.select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val snat = nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val reg = region.filter(col("r_name") === rName).select(col("r_regionkey"))
+    val perNation = lineitem
+      .join(broadcast(part.filter(col("p_type") === pType).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit(fromDate)) &&
+          col("o_orderdate") < to_timestamp(lit(toDate)))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnat), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snat), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("supp_nation"))
+      .agg(decSum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("volume"))
+    perNation
+      .groupBy(col("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === shareNation, col("volume")).otherwise(lit(0.0)))
+          .as("_nat"),
+        dsum(col("volume")).as("_all"))
+      .select(col("o_year"), (col("_nat") / col("_all")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: top-`k` customers by revenue
+    * from lineitems flagged returned within the window. Fact tables join
+    * on their keys; the nation dim broadcasts; the top-K plans as
+    * TakeOrderedAndProject over the grouped frame. */
+  def returnedItems(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, fromDate: String, toDate: String, k: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= to_timestamp(lit(fromDate)) &&
+          col("o_orderdate") < to_timestamp(lit(toDate)))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(decSum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+}

@@ -1,0 +1,44 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestBase, Tables}
+
+class Analytics4Spec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val d = SparkTestBase.sfDir
+
+  test("marketShare: shares are valid fractions per year") {
+    val out = Analytics4.marketShare(
+      Tables.region(spark, d), Tables.nation(spark, d), Tables.customer(spark, d),
+      Tables.supplier(spark, d), Tables.orders(spark, d), Tables.lineitem(spark, d),
+      Tables.part(spark, d), "ASIA", "ECONOMY", "NATION_2",
+      "1995-01-01 00:00:00", "1997-01-01 00:00:00").collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("o_year")).distinct.length == out.length)
+    out.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0, s"share out of range: $s")
+    }
+  }
+
+  test("marketShare of an impossible nation is zero everywhere") {
+    val out = Analytics4.marketShare(
+      Tables.region(spark, d), Tables.nation(spark, d), Tables.customer(spark, d),
+      Tables.supplier(spark, d), Tables.orders(spark, d), Tables.lineitem(spark, d),
+      Tables.part(spark, d), "ASIA", "ECONOMY", "NO_SUCH_NATION",
+      "1995-01-01 00:00:00", "1997-01-01 00:00:00").collect()
+    assert(out.forall(_.getAs[Double]("mkt_share") == 0.0))
+  }
+
+  test("returnedItems: k rows max, revenue descending, only R-flag revenue") {
+    val out = Analytics4.returnedItems(
+      Tables.customer(spark, d), Tables.orders(spark, d), Tables.lineitem(spark, d),
+      Tables.nation(spark, d), "1996-01-01 00:00:00", "1996-04-01 00:00:00", k = 5)
+      .collect()
+    assert(out.length <= 5)
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(revs.forall(_ > 0.0))
+  }
+}
