@@ -232,6 +232,39 @@ object OracleSql {
        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= $threshold),
        |${cleanFinal("neardrops", attrition = true)}""".stripMargin
 
+  /** [[graft.ops.Multimodal.imageFeatures]] over the documents-derived
+    * media table: the decode STUB derives (width, height) from the payload
+    * FNV hash, so the whole mapPartitions path is oracle-checkable — the
+    * oracle recomputes the same FNV over the same UTF-8 payload bytes. */
+  def multimodalImageSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT media_id,
+       |  CAST(64 + h % 1024 AS INTEGER) AS width,
+       |  CAST(64 + (h >> 32) % 1024 AS INTEGER) AS height,
+       |  n_bytes,
+       |  ${u2s("h")} AS content_hash
+       |FROM media ORDER BY media_id""".stripMargin
+
+  /** [[graft.ops.Multimodal.sampleFrames]]: stub frame count from payload
+    * size, frame hash = payload FNV xor (idx · golden-ratio constant),
+    * wrapping — same modular machinery. */
+  def multimodalFramesSql(stride: Int, maxFrames: Int): String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,
+       |    octet_length(encode(text)) AS n_bytes
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |frames AS (
+       |  SELECT media_id, h, unnest(range(0, greatest(n_bytes // 4096, 1), $stride)) AS fi
+       |  FROM media)
+       |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+       |  ${u2s(s"xor(h, ${mulmod64(s"CAST(fi AS UBIGINT)", ulit(-7046029254386353131L))})")} AS frame_hash
+       |FROM frames
+       |WHERE fi / $stride < $maxFrames
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   /** [[graft.ops.CleanPipeline.cleanCharJaccard]] per-document frame — the
     * near-dup tier runs on DuckDB's native `jaccard()`, fully independent
     * of our hash implementations. */

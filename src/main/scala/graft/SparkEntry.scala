@@ -214,6 +214,9 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(Tables.documents(s, dir))),
 
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
     "q_lang_stats" -> ((s, dir) =>
       TextAnalysis.langStats(Tables.documents(s, dir))),
 
@@ -276,7 +279,22 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF())
-        .orderBy(col("media_id"))))
+        .orderBy(col("media_id"))),
+
+    "q_multimodal_image" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.imageFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"))
+    }),
+
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)),
+        stride = 1, maxFrames = 4)
+        .toDF().orderBy(col("media_id"), col("frame_idx"))
+    }))
 
   private val DSUM = Cols.dsumSql _
   private val DAVG = Cols.davgSql _
@@ -661,6 +679,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_image" -> OracleSql.multimodalImageSql,
+    "q_multimodal_frames" -> OracleSql.multimodalFramesSql(stride = 1, maxFrames = 4),
 
     // ── approximate tier: exact sides recomputed, verdicts asserted ──
     "q_approx_distinct_users" ->

@@ -43,6 +43,15 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token counts under both tokenizers — the sizing signal
+    * a training pipeline budgets with. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("ws_tokens"),
+      bpeishTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Per-language corpus statistics (oracle-checked aggregation). */
   def langStats(documents: DataFrame): DataFrame =
     documents
