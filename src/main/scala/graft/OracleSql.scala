@@ -147,13 +147,42 @@ object OracleSql {
        |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The signed token-fingerprint expression over a `text` column —
+    * h ← h·31 + fnv1a64(token), as a JVM Long. */
+  private def fpExpr: String =
+    u2s(s"""list_reduce(list_prepend(CAST(0 AS UBIGINT),
+       |        list_transform(${wstoks("text")}, t -> ${fnv1a64("t")})),
+       |      (h, f) -> ${addmod64(mulmod64("h", "31"), "f")})""".stripMargin)
+
   /** [[graft.ops.TextAnalysis.fingerprints]]: h ← h·31 + fnv1a64(token). */
   def fingerprintSql: String =
     s"""SELECT doc_id,
-       |  ${u2s(s"""list_reduce(list_prepend(CAST(0 AS UBIGINT),
-       |        list_transform(${wstoks("text")}, t -> ${fnv1a64("t")})),
-       |      (h, f) -> ${addmod64(mulmod64("h", "31"), "f")})""")} AS fp
+       |  $fpExpr AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** [[graft.ops.Sampling.splitCounts]]: fingerprint bucket (Spark `pmod`
+    * = ((x % m) + m) % m on the signed value) → train/val/test counts. */
+  def splitCountsSql(trainPct: Int, valPct: Int): String =
+    s"""WITH f AS (
+       |  SELECT lang, ((($fpExpr) % 100) + 100) % 100 AS b FROM documents)
+       |SELECT lang,
+       |  CASE WHEN b < $trainPct THEN 'train'
+       |       WHEN b < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs
+       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** [[graft.ops.Sampling.mixCounts]]: per-source keep counts under
+    * fingerprint-bucket sampling at the given ppm rates. */
+  def mixCountsSql(ratesPpm: Seq[(String, Long)]): String = {
+    val rateCase = ratesPpm.map { case (s, p) => s"WHEN '$s' THEN $p" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+    s"""WITH f AS (
+       |  SELECT source, ((($fpExpr) % 1000000) + 1000000) % 1000000 AS b FROM documents)
+       |SELECT source, COUNT(*) AS n_kept
+       |FROM f WHERE b < $rateCase
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** [[graft.ops.TextAnalysis.langId]]: stopword-hit argmax, ties toward
     * the lexicographically larger language (Spark greatest-struct order). */

@@ -44,6 +44,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_logs_flagship")(spark, "/root/testdata/sf0.001")
 
+  /** Source mixing rates (ppm) for q_data_mix: a skewed mixture — half
+    * rate for even sources, full for odd, a few dropped entirely. */
+  private val MixRates: Seq[(String, Long)] =
+    (0 until 18).map(i => s"src$i" -> (if (i % 2 == 0) 500000L else 1000000L))
+
   /** Oracle-side events view with ms-truncated ts (see [[Tables.events]]). */
   private val EV =
     "SELECT event_id, date_trunc('milliseconds', ts) AS ts, user_id, event_type, value, props FROM events"
@@ -216,6 +221,13 @@ object SparkEntry {
 
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    // ───────────────────────── sampling / splitting / mixing ──
+    "q_data_split" -> ((s, dir) =>
+      ops.Sampling.splitCounts(Tables.documents(s, dir))),
+
+    "q_data_mix" -> ((s, dir) =>
+      ops.Sampling.mixCounts(Tables.documents(s, dir), MixRates.toMap)),
 
     "q_lang_stats" -> ((s, dir) =>
       TextAnalysis.langStats(Tables.documents(s, dir))),
@@ -686,6 +698,9 @@ object SparkEntry {
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_data_split" -> OracleSql.splitCountsSql(trainPct = 90, valPct = 5),
+    "q_data_mix" -> OracleSql.mixCountsSql(MixRates),
 
     "q_multimodal_image" -> OracleSql.multimodalImageSql,
     "q_multimodal_frames" -> OracleSql.multimodalFramesSql(stride = 1, maxFrames = 4),

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting/mixing for training-data pipelines.
+  *
+  * Everything keys off a CONTENT hash (the order-sensitive token
+  * fingerprint, [[TextAnalysis.fingerprint]]), not off row ids or RNG:
+  *  - re-runs and retries assign identically (no seed plumbing, no
+  *    shuffle-order sensitivity) on any cluster layout;
+  *  - byte-identical duplicates land in the same split, so near-miss
+  *    train/test leakage from unnoticed dup pairs cannot happen through
+  *    the splitter;
+  *  - the assignment is a pure per-row projection — no shuffle, no state,
+  *    100 TB = one narrow pass.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) from the content fingerprint. */
+  private def bucket(text: Column, buckets: Int): Column =
+    pmod(TextAnalysis.fingerprint(text), lit(buckets.toLong))
+
+  /** Per-document split assignment: first `trainPct` fingerprint buckets →
+    * train, next `valPct` → val, rest → test. */
+  def assignSplit(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100, "bad split percentages")
+    val b = bucket(col("text"), 100)
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Split sizes per language — the sanity report a pipeline logs. */
+  def splitCounts(documents: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    assignSplit(documents, trainPct, valPct)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Weighted source mixing: keep each document with its source's sampling
+    * rate (in basis points out of 10⁶), decided by fingerprint bucket —
+    * the deterministic analogue of `sampleBy`, reproducible across runs
+    * and engines. Sources absent from `ratesPpm` are dropped. */
+  def mixSources(documents: DataFrame, ratesPpm: Map[String, Long]): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(0L)) { case (acc, (src, ppm)) =>
+      when(col("source") === src, lit(ppm)).otherwise(acc)
+    }
+    documents.filter(bucket(col("text"), 1000000) < rate)
+  }
+
+  /** Post-mix per-source counts (the mixture audit). */
+  def mixCounts(documents: DataFrame, ratesPpm: Map[String, Long]): DataFrame =
+    mixSources(documents, ratesPpm)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+}

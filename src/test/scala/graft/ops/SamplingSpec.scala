@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private lazy val docs = {
+    import spark.implicits._
+    (0 until 200).map(i => (i.toLong, s"document body number $i with words", "en", s"src${i % 4}"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("assignSplit is content-deterministic: identical under repartition/rerun") {
+    val a = Sampling.assignSplit(docs).orderBy("doc_id").collect().map(_.getString(2))
+    val b = Sampling.assignSplit(docs.repartition(7)).orderBy("doc_id").collect().map(_.getString(2))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("byte-identical duplicates land in the same split (no leakage)") {
+    import spark.implicits._
+    val dup = Seq((1L, "same exact text", "en", "a"), (2L, "same exact text", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val splits = Sampling.assignSplit(dup).collect().map(_.getString(2)).distinct
+    assert(splits.length == 1)
+  }
+
+  test("split percentages roughly honored and every doc assigned") {
+    val out = Sampling.assignSplit(docs, trainPct = 80, valPct = 10).collect()
+    assert(out.length == 200)
+    val train = out.count(_.getString(2) == "train")
+    assert(train > 120 && train < 200, s"train=$train of 200 at 80pct")
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(2))))
+  }
+
+  test("mixSources keeps listed sources at their rate, drops unlisted") {
+    val kept = Sampling.mixSources(docs,
+      Map("src0" -> 1000000L, "src1" -> 0L, "src2" -> 500000L)).collect()
+    assert(kept.count(_.getAs[String]("source") == "src0") == 50) // rate 1.0: all
+    assert(!kept.exists(_.getAs[String]("source") == "src1"))     // rate 0
+    assert(!kept.exists(_.getAs[String]("source") == "src3"))     // unlisted
+    val s2 = kept.count(_.getAs[String]("source") == "src2")
+    assert(s2 > 5 && s2 < 45, s"src2 kept $s2 of 50 at rate 0.5")
+  }
+
+  test("assignSplit rejects bad percentages") {
+    intercept[IllegalArgumentException] { Sampling.assignSplit(docs, 95, 10) }
+  }
+}
