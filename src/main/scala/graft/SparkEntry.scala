@@ -192,6 +192,9 @@ object SparkEntry {
     "q_dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), 0.9)),
 
+    "q_embedding_stats" -> ((s, dir) =>
+      Similarity.embeddingStats(Tables.embeddings(s, dir))),
+
     // ───────────────────────── similarity search ──
     "q_knn_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
@@ -698,6 +701,16 @@ object SparkEntry {
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embedding_stats" ->
+      s"""WITH base AS (
+         |  SELECT label,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  ${DAVG("nrm")} AS avg_norm,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+         |FROM base GROUP BY label ORDER BY label""".stripMargin,
 
     "q_data_split" -> OracleSql.splitCountsSql(trainPct = 90, valPct = 5),
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),

@@ -143,9 +143,14 @@ object Analytics {
     * oracle recomputes the exact side and asserts the verdict). */
   def approxDistinctUsersChecked(events: DataFrame, errBound: Double = 0.05): DataFrame =
     events
+      // pre-distinct the pairs: HLL registers are duplicate-insensitive, so
+      // the estimate is identical, and the mixed exact+approx aggregate no
+      // longer plans as an Expand that doubles the shuffled row count —
+      // instead one partial-combinable distinct then a tiny re-aggregation
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_users"),
         approx_count_distinct(col("user_id"), 0.01).as("_approx"))
       .select(col("event_type"), col("n_users"),
         (abs(col("_approx") - col("n_users")) <=

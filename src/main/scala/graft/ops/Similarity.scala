@@ -186,6 +186,21 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-label corpus statistics over the embedding column — the sanity
+    * profile (cardinality, norm distribution) an embedding pipeline logs
+    * before/after normalization. One narrow pass + a tiny label exchange;
+    * norms via the native [[graft.functions.VecDot]] kernel. */
+  def embeddingStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), sqrt(normSq(col("embedding"))).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.Cols.davg(col("nrm")).as("avg_norm"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .orderBy(col("label"))
+
   /** Embedding near-duplicate pairs via hyperplane-LSH candidate
     * generation — the 100 TB twin of [[embeddingNearDupPairs]]: candidates
     * come from an equi-join on (table, signature) bucket collisions (a
