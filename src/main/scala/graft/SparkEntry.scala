@@ -261,6 +261,12 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
         Tables.nation(s, dir), "1996-01-01 00:00:00", "1996-04-01 00:00:00")),
 
+    "q_cube_activity" -> ((s, dir) =>
+      analytics.Analytics4.cubeActivity(Tables.events(s, dir))),
+
+    "q_purchase_and_signup" -> ((s, dir) =>
+      analytics.Analytics4.purchasedAndSignedUp(Tables.events(s, dir))),
+
     "q_session_window" -> ((s, dir) =>
       analytics.Analytics3.sessionWindows(Tables.events(s, dir), 30)),
 
@@ -648,6 +654,21 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_cube_activity" ->
+      s"""WITH ev AS ($EV),
+         |ev2 AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day, value FROM ev)
+         |SELECT event_type, hour_of_day,
+         |  COUNT(*) AS n, ${DSUM("value")} AS total_value
+         |FROM ev2
+         |GROUP BY CUBE (event_type, hour_of_day)
+         |ORDER BY event_type ASC NULLS FIRST, hour_of_day ASC NULLS FIRST""".stripMargin,
+
+    "q_purchase_and_signup" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
 
     "q_pivot_daily" ->
       s"""WITH ev AS ($EV)

@@ -56,6 +56,23 @@ object Analytics4 {
       .orderBy(col("o_year"))
   }
 
+  /** CUBE over (event_type, hour-of-day): all four grouping sets in one
+    * pass — partial aggregation handles the expansion map-side, so the
+    * exchange still carries only group rows. */
+  def cubeActivity(events: DataFrame): DataFrame =
+    events
+      .cube(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("hour_of_day").asc_nulls_first)
+
+  /** Set intersection: users who both purchased and signed up (INTERSECT
+    * distinct-set semantics on both engines). */
+  def purchasedAndSignedUp(events: DataFrame): DataFrame = {
+    val purchased = events.filter(col("event_type") === "purchase").select(col("user_id"))
+    val signedUp = events.filter(col("event_type") === "signup").select(col("user_id"))
+    purchased.intersect(signedUp).orderBy(col("user_id"))
+  }
+
   /** TPC-H Q10-shaped returned-item report: top-`k` customers by revenue
     * from lineitems flagged returned within the window. Fact tables join
     * on their keys; the nation dim broadcasts; the top-K plans as
