@@ -129,6 +129,44 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame =
     minHashPairs(documents, n = n, k = 64, bands = 32, threshold = threshold)
 
+  /** Connected components over a near-duplicate pair frame — the cluster
+    * assignment a dedup pipeline actually needs (every doc labeled with
+    * the smallest doc_id reachable through near-dup edges, so "keep one
+    * per cluster" is a filter, and transitive duplicates A~B~C collapse
+    * even when A~C was never emitted as a pair).
+    *
+    * Min-label propagation (the dataflow form of connected components,
+    * cf. Rastogi et al. 2013 "Finding connected components in MapReduce"):
+    * every iteration each node takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds —
+    * near-dup clusters are shallow, so a handful. Each round is one
+    * edge-key shuffle; `localCheckpoint` cuts the growing lineage so the
+    * plan stays O(1) per round. Deterministic (min is order-free).
+    */
+  def nearDupClusters(documents: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id").as("nbr"))
+        .groupBy(col("doc_id")).agg(min(col("nbr")).as("nbr"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = updated.join(
+          labels.withColumnRenamed("cluster_id", "_old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("_old")).count()
+      labels = updated
+      i += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   /** Character-set jaccard pairs within each source group — exact pairwise
     * inside small groups (source is a natural blocking key). Matches
     * DuckDB's `jaccard()` text-similarity function (distinct code points

@@ -80,6 +80,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(9) == unguarded) // g larger than some sub-block sizes
   }
 
+  test("nearDupClusters: transitive pairs collapse into one component") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "x", "en", "s"), (11L, "x", "en", "s"), (12L, "x", "en", "s"),
+      (20L, "y", "en", "s"), (30L, "z", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    // chain 10~11, 11~12 WITHOUT the 10~12 edge; 20 isolated via no pairs
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
+  }
+
   test("shingles: distinct n-grams; short docs degrade to whole-doc shingle") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")
