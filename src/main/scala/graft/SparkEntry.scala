@@ -271,6 +271,9 @@ object SparkEntry {
     "q_purchase_and_signup" -> ((s, dir) =>
       analytics.Analytics4.purchasedAndSignedUp(Tables.events(s, dir))),
 
+    "q_full_outer_activity" -> ((s, dir) =>
+      analytics.Analytics4.fullOuterActivity(Tables.events(s, dir))),
+
     "q_session_window" -> ((s, dir) =>
       analytics.Analytics3.sessionWindows(Tables.events(s, dir), 30)),
 
@@ -690,6 +693,15 @@ object SparkEntry {
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_full_outer_activity" ->
+      """WITH p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id),
+        |s AS (SELECT user_id, COUNT(*) AS n_signups FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT COALESCE(p.user_id, s.user_id) AS user_id, n_purchases, n_signups
+        |FROM p FULL OUTER JOIN s ON p.user_id = s.user_id
         |ORDER BY user_id""".stripMargin,
 
     "q_pivot_daily" ->

@@ -65,6 +65,24 @@ object Analytics4 {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("hour_of_day").asc_nulls_first)
 
+  /** Full-outer join of per-user purchase and signup activity — rows
+    * survive from either side with NULL-padded counterparts, the one join
+    * shape the other queries don't exercise. */
+  def fullOuterActivity(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_signups"))
+    purchases
+      .withColumnRenamed("user_id", "p_user")
+      .join(signups.withColumnRenamed("user_id", "s_user"),
+        col("p_user") === col("s_user"), "full_outer")
+      .select(
+        coalesce(col("p_user"), col("s_user")).as("user_id"),
+        col("n_purchases"), col("n_signups"))
+      .orderBy(col("user_id"))
+  }
+
   /** Set intersection: users who both purchased and signed up (INTERSECT
     * distinct-set semantics on both engines). */
   def purchasedAndSignedUp(events: DataFrame): DataFrame = {
