@@ -43,11 +43,12 @@ object Soak {
     * global rank, text agg, hash dedup, banded LSH dedup, blocked
     * quadratic dedup, brute/bucketed ANN, as-of merge, full pipeline). */
   val headline: Seq[String] = Seq(
-    "q_logs_flagship", "q1_pricing", "q5_local_supplier", "q_rollup_revenue",
-    "q_sessionize", "q_ntile_spend", "q_token_freq", "q_dedup_exact",
-    "q_dedup_minhash", "q_dedup_char_jaccard", "q_knn_bruteforce",
-    "q_knn_lsh", "q_knn_ivf", "q_dedup_embedding_lsh", "q_asof_join_exec",
-    "q_pipeline_clean")
+    "q_logs_flagship", "q1_pricing", "q5_local_supplier", "q8_market_share",
+    "q_rollup_revenue", "q_sessionize", "q_ntile_spend", "q_token_freq",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_char_jaccard",
+    "q_dedup_clusters", "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
+    "q_dedup_embedding_lsh", "q_asof_join_exec", "q_pipeline_clean",
+    "q_data_split")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -145,8 +145,11 @@ object Dedup {
     */
   def nearDupClusters(documents: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair frame ONCE — candidate generation is the
+    // expensive part and must not re-run per union branch or per iteration
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var i = 0
