@@ -81,6 +81,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // the spark.sql entry path: temp view + SQL text (incl. HAVING, which
+    // no DataFrame query exercises) — proves the library's tables work
+    // from the SQL surface, not just the DataFrame builders
+    "q_sql_having" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_sql")
+      s.sql(s"""SELECT event_type, COUNT(*) AS n,
+               |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+               |FROM events_sql
+               |WHERE value > 10
+               |GROUP BY event_type
+               |HAVING COUNT(*) > 100
+               |ORDER BY event_type""".stripMargin)
+    }),
+
     "q_logs_retention" -> ((s, dir) =>
       Tables.events(s, dir)
         .filter(col("ts") >= ts("2024-01-15 00:00:00"))
@@ -349,6 +363,14 @@ object SparkEntry {
 
     "q_logs_by_level" ->
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+
+    "q_sql_having" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${DSUM("value")} AS total_value
+         |FROM events
+         |WHERE value > 10
+         |GROUP BY event_type
+         |HAVING COUNT(*) > 100
+         |ORDER BY event_type""".stripMargin,
 
     "q_logs_retention" ->
       s"""WITH ev AS ($EV)
