@@ -243,6 +243,9 @@ object SparkEntry {
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir))),
 
+    "q_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(Tables.documents(s, dir), 3)),
+
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
       ops.Sampling.splitCounts(Tables.documents(s, dir))),
@@ -788,6 +791,21 @@ object SparkEntry {
          |  ${DAVG("nrm")} AS avg_norm,
          |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM base GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lower(t.token) AS token, COUNT(*) AS tf
+        |  FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(token)
+        |  WHERE t.token <> ''
+        |  GROUP BY doc_id, lower(t.token)),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN df USING (token))
+        |SELECT doc_id, token, tf, df, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_data_split" -> OracleSql.splitCountsSql(trainPct = 90, valPct = 5),
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),

@@ -89,6 +89,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-`k` characteristic terms per document: rank tokens by term
+    * frequency, break ties toward rarer corpus-wide document frequency
+    * (then token text) — a tf-idf-shaped keyword extractor whose ordering
+    * is integer-only, so it is bit-exact across engines (a float tf·idf
+    * score can flip ranks in the last ulp between libm implementations).
+    *
+    * Dataflow: one explode pass → (doc, token) counts (map-side partial) →
+    * token document frequencies derived from the SAME aggregated frame
+    * (each (doc, token) row counts once, no second scan of the corpus) →
+    * key-join back → per-doc top-k window. At 100 TB the exchanges carry
+    * (doc, token) and (token) group rows, never raw text. */
+  def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("raw"))
+      .select(col("doc_id"), lower(col("raw")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the token stream:
     * h = Σ token_hash(t_i) · 31^(n−1−i) (mod 2^64) — order-sensitive, so
     * permuted documents get different fingerprints (unlike a bag-of-words
