@@ -282,6 +282,10 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
         Tables.nation(s, dir), "1996-01-01 00:00:00", "1996-04-01 00:00:00")),
 
+    "q17_small_qty" -> ((s, dir) =>
+      analytics.Analytics4.smallQuantityRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir), "Brand#1", "ECONOMY")),
+
     "q_cube_activity" -> ((s, dir) =>
       analytics.Analytics4.cubeActivity(Tables.events(s, dir))),
 
@@ -704,6 +708,19 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q17_small_qty" ->
+      s"""WITH parts AS (
+         |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'),
+         |avgq AS (
+         |  SELECT l_partkey, ${DAVG("l_quantity")} AS avg_qty
+         |  FROM lineitem JOIN parts ON l_partkey = p_partkey
+         |  GROUP BY l_partkey)
+         |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+         |FROM lineitem
+         |JOIN parts ON lineitem.l_partkey = p_partkey
+         |JOIN avgq ON lineitem.l_partkey = avgq.l_partkey
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
 
     "q_cube_activity" ->
       s"""WITH ev AS ($EV),

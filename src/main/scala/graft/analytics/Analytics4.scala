@@ -56,6 +56,31 @@ object Analytics4 {
       .orderBy(col("o_year"))
   }
 
+  /** TPC-H Q17-shaped small-quantity revenue: average yearly revenue lost
+    * if small orders (below 20% of a part's mean order quantity) were not
+    * filled, for one brand/type segment. The correlated scalar subquery
+    * (per-part average) is reformulated as a grouped frame joined back —
+    * the decorrelation Catalyst would otherwise have to find, stated
+    * directly; the per-part frame joins on the part key it is already
+    * grouped by. Decimal-exact average (sum/count) keeps the 0.2×avg
+    * threshold bit-identical on both engines. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String, pType: String): DataFrame = {
+    val parts = part
+      .filter(col("p_brand") === brand && col("p_type") === pType)
+      .select(col("p_partkey"))
+    val avgQty = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("avg_partkey"))
+      .agg(graft.Cols.davg(col("l_quantity")).as("avg_qty"))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((decSum(col("l_extendedprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) / lit(7.0)).as("avg_yearly"))
+  }
+
   /** CUBE over (event_type, hour-of-day): all four grouping sets in one
     * pass — partial aggregation handles the expansion map-side, so the
     * exchange still carries only group rows. */
