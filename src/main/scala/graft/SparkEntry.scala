@@ -295,6 +295,12 @@ object SparkEntry {
     "q_full_outer_activity" -> ((s, dir) =>
       analytics.Analytics4.fullOuterActivity(Tables.events(s, dir))),
 
+    "q_profile_events" -> ((s, dir) =>
+      analytics.Analytics4.profileEvents(Tables.events(s, dir))),
+
+    "q_spend_ranks" -> ((s, dir) =>
+      analytics.Analytics4.spendRanks(Tables.events(s, dir))),
+
     "q_session_window" -> ((s, dir) =>
       analytics.Analytics3.sessionWindows(Tables.events(s, dir), 30)),
 
@@ -736,6 +742,28 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'signup'
         |ORDER BY user_id""".stripMargin,
+
+    "q_profile_events" ->
+      s"""WITH ev AS ($EV)
+         |SELECT COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  COUNT(DISTINCT event_type) AS n_types,
+         |  CAST(COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_props,
+         |  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM ev""".stripMargin,
+
+    "q_spend_ranks" ->
+      s"""WITH spend AS (
+         |  SELECT user_id, ${DSUM("value")} AS total_spend
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         |SELECT user_id, total_spend,
+         |  CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rank,
+         |  PERCENT_RANK() OVER w AS percent_rank,
+         |  CUME_DIST() OVER w AS cume_dist
+         |FROM spend
+         |WINDOW w AS (ORDER BY total_spend DESC, user_id)
+         |ORDER BY user_id""".stripMargin,
 
     "q_full_outer_activity" ->
       """WITH p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events

@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Cols.{decRevenue, decSum, dsum}
 
 /** Fourth analytics tranche: the remaining TPC-H shapes the fixtures have
@@ -89,6 +91,37 @@ object Analytics4 {
       .cube(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("hour_of_day").asc_nulls_first)
+
+  /** One-row data profile of the events table — the DESCRIBE-plus
+    * (row/null/distinct counts, ranges) a pipeline logs before processing.
+    * Single pass; every aggregate is exact and order-free. */
+  def profileEvents(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+
+  /** The remaining ranking-function family over per-user spend:
+    * dense_rank (no gaps), percent_rank and cume_dist (exact rationals of
+    * integer ranks — deterministic doubles on both engines). Global
+    * ordering is fine here: the frame is one row per user AFTER
+    * aggregation, orders of magnitude smaller than the input. */
+  def spendRanks(events: DataFrame): DataFrame = {
+    val spend = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("total_spend"))
+    val w = Window.orderBy(col("total_spend").desc, col("user_id"))
+    spend
+      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+      .withColumn("percent_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .orderBy(col("user_id"))
+  }
 
   /** Full-outer join of per-user purchase and signup activity — rows
     * survive from either side with NULL-padded counterparts, the one join
