@@ -294,6 +294,19 @@ object OracleSql {
        |WHERE fi / $stride < $maxFrames
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** [[graft.ops.Multimodal.audioFeatures]]: stub rate from the payload
+    * hash (unsigned mod 4), two samples per byte, double duration. */
+  def multimodalAudioSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,
+       |    octet_length(encode(text)) AS n_bytes
+       |  FROM documents WHERE doc_id % 3 = 1)
+       |SELECT media_id,
+       |  CAST(8000 * (1 + h % 4) AS INTEGER) AS sample_rate,
+       |  CAST(n_bytes * 2 AS BIGINT) AS n_samples,
+       |  CAST(n_bytes * 2 AS DOUBLE) / CAST(8000 * (1 + h % 4) AS INTEGER) AS duration_s
+       |FROM media ORDER BY media_id""".stripMargin
+
   /** [[graft.ops.CleanPipeline.cleanCharJaccard]] per-document frame — the
     * near-dup tier runs on DuckDB's native `jaccard()`, fully independent
     * of our hash implementations. */

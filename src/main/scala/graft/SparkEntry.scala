@@ -349,6 +349,13 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)),
         stride = 1, maxFrames = 4)
         .toDF().orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.audioFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"))
     }))
 
   private val DSUM = Cols.dsumSql _
@@ -857,6 +864,7 @@ object SparkEntry {
 
     "q_multimodal_image" -> OracleSql.multimodalImageSql,
     "q_multimodal_frames" -> OracleSql.multimodalFramesSql(stride = 1, maxFrames = 4),
+    "q_multimodal_audio" -> OracleSql.multimodalAudioSql,
 
     // ── approximate tier: exact sides recomputed, verdicts asserted ──
     "q_approx_distinct_users" ->

@@ -37,6 +37,13 @@ object Multimodal {
       frame_idx: Int,
       frame_hash: Long)
 
+  /** Decoded audio envelope metadata. */
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_s: Double)
+
   /** Deterministic 64-bit hash of a byte payload (FNV-1a). */
   private def contentHash(bytes: Array[Byte]): Long =
     graft.functions.SimHash64.fnv1a64(bytes)
@@ -61,6 +68,25 @@ object Multimodal {
           val width = 64 + (math.floorMod(h, 1024L)).toInt
           val height = 64 + (math.floorMod(h >>> 32, 1024L)).toInt
           ImageFeatures(r.media_id, width, height, r.payload.length.toLong, h)
+        }
+      }
+    }
+  }
+
+  /** Audio decode metadata, batch-per-partition like [[imageFeatures]].
+    * Sample rate / sample count are stub-derived (rate from the payload
+    * hash, two samples per byte); a real resampler would read the codec
+    * header and PCM frames. */
+  def audioFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // STUB: replace with one vectorized decode/resample call per batch.
+        batch.map { r =>
+          val h = contentHash(r.payload)
+          val rate = (8000L * (1L + java.lang.Long.remainderUnsigned(h, 4L))).toInt
+          val nSamples = r.payload.length.toLong * 2L
+          AudioFeatures(r.media_id, rate, nSamples, nSamples.toDouble / rate)
         }
       }
     }
