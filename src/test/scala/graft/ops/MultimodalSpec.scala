@@ -41,6 +41,16 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFeatures: audio rows only, duration consistent with rate") {
+    val feats = Multimodal.audioFeatures(media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.media_id % 3 == 1) // the audio kind
+      assert(Set(8000, 16000, 24000, 32000)(f.sample_rate))
+      assert(math.abs(f.duration_s - f.n_samples.toDouble / f.sample_rate) == 0.0)
+    }
+  }
+
   test("payloadMeta: byte length matches utf-8 encoding") {
     import org.apache.spark.sql.functions._
     val meta = Multimodal.payloadMeta(media.toDF())
