@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * any real star schema growth. events.ts is read raw (nanos long) and
   * kept raw so the written parquet round-trips through [[Tables.events]].
   *
-  * Usage: `runMain graft.Soak [factor] [baseDir] [outDir]`.
+  * Usage: `runMain graft.Soak [factor] [baseDir] [outDir] [all|linear]` —
+  * `linear` restricts to [[linearHeadline]] (used at 100×, where the
+  * quadratic-OUTPUT dedup tiers would measure answer size, not plans).
   */
 object Soak {
 
@@ -50,10 +52,21 @@ object Soak {
     "q_dedup_embedding_lsh", "q_asof_join_exec", "q_pipeline_clean",
     "q_data_split")
 
+  /** The subset whose work scales linearly in the data (excludes the
+    * dedup tiers whose OUTPUT grows quadratically under replication) —
+    * used for the 100× run, where a quadratic-output query would measure
+    * answer size, not plan quality. */
+  val linearHeadline: Seq[String] = Seq(
+    "q_logs_flagship", "q1_pricing", "q5_local_supplier", "q8_market_share",
+    "q_rollup_revenue", "q_sessionize", "q_ntile_spend", "q_token_freq",
+    "q_dedup_exact", "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
+    "q_asof_join_exec", "q_data_split")
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(2).getOrElse("target/scale")
+    val queries = if (args.lift(3).contains("linear")) linearHeadline else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,7 +91,7 @@ object Soak {
     }
 
     def run(tag: String, dir: String): Unit =
-      for (name <- headline) {
+      for (name <- queries) {
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
