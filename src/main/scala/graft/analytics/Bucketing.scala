@@ -16,14 +16,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed+sorted managed table (Parquet). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Persist `df` as a bucketed+sorted managed table (Parquet).
+    * Idempotent across JVMs: a dropped-but-undeleted warehouse directory
+    * from a previous process would otherwise fail the CREATE with
+    * LOCATION_ALREADY_EXISTS. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(warehouse), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Co-locate lineitem and orders on the order key; returns the joined
     * frame reading from the bucketed tables — plans with no shuffle
