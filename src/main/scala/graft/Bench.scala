@@ -43,25 +43,37 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    val failures = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      // A failed run's time-to-failure is NOT a sample — blending it into
+      // the median would make the JSON look healthy while hiding the error
+      // (only stderr would know), corrupting the acceptance comparison.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          failures(name) += 1
+          System.err.println(s"[bench] $name failed: $e")
+      }
     }
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val med = names.map(n => n -> median(samples(n)))
+    val ok = names.filter(samples(_).nonEmpty)
+    val med = ok.map(n => n -> median(samples(n)))
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val spread = names.map { n =>
+    val spread = ok.map { n =>
       val s = samples(n)
       "\"" + n + "\":{\"min\":" + s.min + ",\"median\":" + median(s) + ",\"max\":" + s.max + "}"
     }.mkString("{", ",", "}")
+    val errs = names.filter(failures(_) > 0)
+      .map(n => "\"" + n + "\":" + failures(n)).mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

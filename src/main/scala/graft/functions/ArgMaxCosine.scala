@@ -73,17 +73,27 @@ object ArgMaxCosine {
   /** Cheap revalidation key: every row of one query carries the same
     * broadcast centroid set, but the ArrayData wrapper object differs per
     * access — identity caching would miss every row and re-decode
-    * nCentroids×dim floats. (n, boundary ids, first norm bits) is stable
-    * across wrappers of the same set and distinguishes any two centroid
-    * sets that could realistically alternate on one thread. */
-  private final case class Key(n: Int, firstId: Long, lastId: Long, firstNormBits: Long)
+    * nCentroids×dim floats. The key folds EVERY centroid's id and norm
+    * bits into one FNV-style 64-bit hash — O(n) per row without the dim
+    * factor (~dim× cheaper than a re-decode), and unlike a boundary-only
+    * key it cannot alias two centroid sets that share n, the first and the
+    * last centroid but differ in the middle (two corpora with ids 0..n-1
+    * would collide on boundaries alone). */
+  private final case class Key(n: Int, hash: Long)
 
   private val cache = new ThreadLocal[(Key, Cents)]
 
   private def key(cents: ArrayData): Key = {
     val n = cents.numElements()
-    Key(n, cents.getStruct(0, 3).getLong(0), cents.getStruct(n - 1, 3).getLong(0),
-      java.lang.Double.doubleToLongBits(cents.getStruct(0, 3).getDouble(2)))
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 3)
+      h = (h ^ row.getLong(0)) * 0x100000001b3L
+      h = (h ^ java.lang.Double.doubleToLongBits(row.getDouble(2))) * 0x100000001b3L
+      i += 1
+    }
+    Key(n, h)
   }
 
   private def parse(cents: ArrayData, centFloat: Boolean): Cents = {
@@ -129,7 +139,12 @@ object ArgMaxCosine {
     var i = 0
     while (i < n) {
       val ce = c.embs(i)
-      val m = math.min(dim, ce.length)
+      if (ce.length != dim)
+        throw new IllegalArgumentException(
+          s"argmax_cosine: embedding dim $dim != centroid dim ${ce.length} " +
+            s"(centroid id ${c.ids(i)}) — a truncated dot product would be " +
+            "plausible-but-wrong, so dimension mismatch is an error")
+      val m = dim
       var dot = 0.0
       var j = 0
       while (j < m) {

@@ -63,6 +63,21 @@ object LogApi {
     * (internal/api/api.go:95-96). */
   val DefaultTimeoutMs: Long = 30000L
 
+  /** Dedicated daemon pool for query collects. The global ExecutionContext
+    * is sized for CPU-bound work: many concurrent timed-out queries would
+    * accumulate blocked threads there and starve unrelated users of the
+    * shared pool. A cached pool of daemon threads gives every query a
+    * thread immediately (so the timeout-before-start race below is already
+    * vanishingly rare) and lets blocked collects pile up without touching
+    * anyone else's executor. */
+  private lazy val queryPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-logs-query")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Run the flagship query and wrap results in the reference envelope,
     * enforcing the V6 timeout: the collect runs under a dedicated job
     * group; if it exceeds `timeoutMs` the group's Spark jobs are cancelled
@@ -74,18 +89,33 @@ object LogApi {
     parseParams(params) match {
       case Left(e) => Left(e)
       case Right(p) =>
+        import java.util.concurrent.atomic.AtomicBoolean
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
         val sc = logs.sparkSession.sparkContext
         val group = s"graft-logs-query-${java.util.UUID.randomUUID()}"
+        // started/timedOut close the cancel-before-start race: if the
+        // timeout fires before the worker thread claims the query (pool
+        // saturation), cancelJobGroup would precede setJobGroup and the
+        // query would later run to completion UNGOVERNED after the API
+        // already returned a timeout. With the flags, a not-yet-started
+        // query is skipped instead of run, and cancelJobGroup is only
+        // issued once the group assignment actually happened.
+        val started = new AtomicBoolean(false)
+        val timedOut = new AtomicBoolean(false)
         val fut = Future {
-          // job-group assignment is thread-local: set it on the thread that
-          // submits the collect so cancelJobGroup reaches exactly this query
-          sc.setJobGroup(group, "logs query (V6 timeout)", interruptOnCancel = true)
-          try LogQuery.flagship(logs, p).collect().toSeq
-          finally sc.clearJobGroup()
-        }
+          if (timedOut.get() || !started.compareAndSet(false, true)) Seq.empty[Row]
+          else {
+            // job-group assignment is thread-local: set it on the thread
+            // that submits the collect so cancelJobGroup reaches exactly
+            // this query
+            sc.setJobGroup(group, "logs query (V6 timeout)", interruptOnCancel = true)
+            try {
+              if (timedOut.get()) Seq.empty[Row] // cancelled between claim and submit
+              else LogQuery.flagship(logs, p).collect().toSeq
+            } finally sc.clearJobGroup()
+          }
+        }(queryPool)
         try {
           val rows = Await.result(fut, timeoutMs.millis)
           Right(Envelope(rows, rows.length,
@@ -93,7 +123,8 @@ object LogApi {
               p.level, p.user, p.limit)))
         } catch {
           case _: java.util.concurrent.TimeoutException =>
-            sc.cancelJobGroup(group)
+            timedOut.set(true)
+            if (started.get()) sc.cancelJobGroup(group)
             Left(s"query timed out after ${timeoutMs} ms")
         }
     }

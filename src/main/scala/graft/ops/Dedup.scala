@@ -167,6 +167,14 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // Partially-propagated labels would silently diverge from the oracle's
+    // full transitive closure — non-convergence must be a visible failure,
+    // not a wrong answer. (Components with diameter > maxIter only; the
+    // default 20 covers any realistic near-dup cluster.)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge after $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter")
     labels.orderBy(col("doc_id"))
   }
 
