@@ -760,6 +760,10 @@ object SparkEntry {
          |  MIN(value) AS min_value, MAX(value) AS max_value
          |FROM ev""".stripMargin,
 
+    // peers defined by total_spend alone (no tie-break in the window
+    // ORDER BY) — the semantics that actually exercises dense_rank's
+    // peer-group collapse; rank outputs are peer-determined, so the query
+    // is deterministic even with spend ties
     "q_spend_ranks" ->
       s"""WITH spend AS (
          |  SELECT user_id, ${DSUM("value")} AS total_spend
@@ -769,7 +773,7 @@ object SparkEntry {
          |  PERCENT_RANK() OVER w AS percent_rank,
          |  CUME_DIST() OVER w AS cume_dist
          |FROM spend
-         |WINDOW w AS (ORDER BY total_spend DESC, user_id)
+         |WINDOW w AS (ORDER BY total_spend DESC)
          |ORDER BY user_id""".stripMargin,
 
     "q_full_outer_activity" ->

@@ -108,18 +108,23 @@ object Analytics4 {
 
   /** The remaining ranking-function family over per-user spend:
     * dense_rank (no gaps), percent_rank and cume_dist (exact rationals of
-    * integer ranks — deterministic doubles on both engines). Global
-    * ordering is fine here: the frame is one row per user AFTER
-    * aggregation, orders of magnitude smaller than the input. */
+    * integer ranks — deterministic doubles on both engines). Computed via
+    * [[GlobalRank.withRankFamily]] — the range-partitioned construction —
+    * because the "one row per user after aggregation" frame is still
+    * data-sized at a billion users: the naive global window would move
+    * every row to ONE task regardless of cluster size. The window ORDER BY
+    * is (total_spend DESC, user_id), with peer groups defined by
+    * total_spend alone (user_id is the tie-break), matching the SQL
+    * window's peer semantics exactly. */
   def spendRanks(events: DataFrame): DataFrame = {
     val spend = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("total_spend"))
-    val w = Window.orderBy(col("total_spend").desc, col("user_id"))
-    spend
-      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
-      .withColumn("percent_rank", percent_rank().over(w))
-      .withColumn("cume_dist", cume_dist().over(w))
+    GlobalRank.withRankFamily(spend,
+        valueSort = Seq(col("total_spend").desc), valueNames = Seq("total_spend"),
+        tieBreak = Seq(col("user_id")))
+      .select(col("user_id"), col("total_spend"),
+        col("dense_rank"), col("percent_rank"), col("cume_dist"))
       .orderBy(col("user_id"))
   }
 

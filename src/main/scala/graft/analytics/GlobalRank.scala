@@ -79,6 +79,58 @@ object GlobalRank {
   def withRowNumber(df: DataFrame, sortCols: Seq[Column], rankCol: String): DataFrame =
     withGlobalRowNumber(df, sortCols, rankCol).drop("_gr_total")
 
+  /** Append the full SQL ranking-function family over a global order —
+    * RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST — without a data-sized
+    * single-partition window.
+    *
+    * `valueSort` are the ORDER BY expressions (e.g. `col("spend").desc`)
+    * whose distinct values define peer groups; `valueNames` are the same
+    * columns' plain names (used for the peer aggregation and join-back);
+    * `tieBreak` extends the order to a total one so the underlying row
+    * number is deterministic (tie-break columns do NOT affect peer
+    * grouping, matching SQL window semantics where peers are rows equal on
+    * the ORDER BY keys — here the keys in `valueSort`).
+    *
+    * Construction (all shuffles are keyed exchanges; the only
+    * single-partition windows are the O(numPartitions) offset frames):
+    *  1. global row number `rn` over (valueSort ++ tieBreak) — one range
+    *     exchange (peers land adjacent).
+    *  2. peer frame: groupBy(valueNames) → (min rn, max rn) — a keyed
+    *     aggregation, one row per distinct value. RANK = min rn of the
+    *     peer group; CUME_DIST = max rn / total (exact SQL semantics).
+    *  3. DENSE_RANK = ordinal of the peer group = global row number of
+    *     the peer frame ordered by its min rn — the same range-partitioned
+    *     construction recursed onto the (distinct-values-sized) frame.
+    *  4. join the peer columns back on the value keys; PERCENT_RANK =
+    *     (rank−1)/(total−1), 0 when total = 1.
+    *
+    * The rational ranks divide exactly the same integers on any engine, so
+    * the double results are bit-identical across Spark and DuckDB. */
+  def withRankFamily(df: DataFrame, valueSort: Seq[Column], valueNames: Seq[String],
+      tieBreak: Seq[Column], rankCol: String = "rank",
+      denseRankCol: String = "dense_rank", percentRankCol: String = "percent_rank",
+      cumeDistCol: String = "cume_dist"): DataFrame = {
+    require(!df.columns.exists(_.startsWith("_rf_")),
+      "input already has _rf_-prefixed working columns")
+    val ranked = withGlobalRowNumber(df, valueSort ++ tieBreak, "_rf_rn")
+      .withColumnRenamed("_gr_total", "_rf_total")
+    val peers = ranked
+      .groupBy(valueNames.map(col): _*)
+      .agg(min(col("_rf_rn")).as("_rf_minrn"), max(col("_rf_rn")).as("_rf_maxrn"))
+    val peersDense = withRowNumber(peers, Seq(col("_rf_minrn")), "_rf_dense")
+    ranked
+      .join(peersDense, valueNames)
+      .withColumn(rankCol, col("_rf_minrn"))
+      .withColumn(denseRankCol, col("_rf_dense"))
+      .withColumn(percentRankCol,
+        when(col("_rf_total") === 1L, lit(0.0))
+          .otherwise((col("_rf_minrn") - 1L).cast("double") /
+            (col("_rf_total") - 1L).cast("double")))
+      .withColumn(cumeDistCol,
+        col("_rf_maxrn").cast("double") / col("_rf_total").cast("double"))
+      .drop("_rf_rn", "_rf_minrn", "_rf_maxrn", "_rf_dense", "_rf_total")
+  }
+
   /** Append a global BIGINT NTILE(`n`) column ordered by `sortCols`:
     * the first `total mod n` buckets get `ceil(total/n)` rows, the rest
     * `floor(total/n)` — SQL NTILE semantics, derived arithmetically from

@@ -82,4 +82,52 @@ class GlobalRankSpec extends AnyFunSuite {
     val parted = d.repartitionByRange(4, col("v")).withColumn("p", spark_partition_id())
     assert(parted.select("p").distinct().count() > 1)
   }
+
+  /** Rank family vs the builtin single-partition window it replaces:
+    * peers defined by the value column only (id is the tie-break), so
+    * dense_rank collapses tied values, percent_rank uses the peer group's
+    * min row number, cume_dist its max. */
+  private def checkFamily(values: Seq[(Double, Long)]): Unit = {
+    val d = df(values)
+    val got = GlobalRank.withRankFamily(d,
+        valueSort = Seq(col("v").desc), valueNames = Seq("v"), tieBreak = Seq(col("id")))
+      .orderBy(col("id"))
+      .select("id", "rank", "dense_rank", "percent_rank", "cume_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val w = Window.orderBy(col("v").desc)
+    val want = d
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+      .withColumn("percent_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .orderBy(col("id"))
+      .select("id", "rank", "dense_rank", "percent_rank", "cume_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == want.toSeq, s"rank family over ${values.size} rows")
+  }
+
+  test("rank family matches builtins with ties (dense collapse, peer min/max)") {
+    checkFamily(Seq((9.0, 1L), (7.0, 2L), (7.0, 3L), (7.0, 4L), (3.0, 5L), (3.0, 6L), (1.0, 7L)))
+  }
+
+  test("rank family with all-distinct values degenerates to row numbers") {
+    checkFamily((1 to 50).map(i => (i.toDouble, i.toLong)))
+  }
+
+  test("rank family with all rows tied: one peer group") {
+    checkFamily(Seq.fill(8)(4.0).zipWithIndex.map { case (v, i) => (v, i.toLong) })
+  }
+
+  test("rank family single row: percent_rank 0 (total=1 guard)") {
+    checkFamily(Seq((2.0, 1L)))
+  }
+
+  test("rank family on empty input returns empty") {
+    val d = df(Seq.empty)
+    assert(GlobalRank.withRankFamily(d, Seq(col("v").desc), Seq("v"), Seq(col("id"))).count() == 0)
+  }
+
+  test("rank family at scale shape: many partitions, values spanning ranges") {
+    checkFamily((1 to 2000).map(i => ((i % 13).toDouble, i.toLong)))
+  }
 }
