@@ -185,7 +185,7 @@ object Dedup {
     * SQL-oracle-checkable; computed by the native
     * [[graft.functions.CharSetJaccard]] expression. */
   def charJaccardPairs(documents: DataFrame, threshold: Double,
-      subBlocks: Int = 8): DataFrame = {
+      targetBlock: Int = 1024): DataFrame = {
     // Build each document's character set once (128-bit ASCII mask + rare
     // code points), so the quadratic-within-block pair loop only bitcounts
     // — re-scanning the text per pair is O(|text|) × |pairs| and dominated
@@ -193,22 +193,33 @@ object Dedup {
     //
     // The pairwise comparison inside a `source` block is inherently
     // quadratic; unguarded, one oversized block becomes one task doing
-    // |block|² work (the single-straggler scale-killer). `subBlocks` = g
-    // splits every block into a g×g grid of sub-block pairs keyed by
+    // |block|² work (the single-straggler scale-killer). Each block is
+    // split into a g×g grid of sub-block pairs keyed by
     // (source, salt_a, salt_b) — each side replicated g times, every
-    // unordered pair matched exactly once, per-task work bounded by
-    // (|block|/g)². Output is identical for any g (exactness preserved;
-    // the guard parallelizes, it does not approximate).
+    // unordered pair matched exactly once. g is derived PER SOURCE from
+    // the block's row count, g = ceil(|block| / targetBlock), so per-task
+    // pair work is bounded by ~targetBlock² for ANY block size (a fixed g
+    // still left (|block|/g)² unbounded for a mega-block), and small
+    // blocks pay no replication at all (g = 1). Output is identical for
+    // any g (exactness preserved; the guard parallelizes, it does not
+    // approximate).
+    val t = math.max(targetBlock, 1)
     val d = documents.select(col("source"), col("doc_id"),
       graft.functions.CharSetMask.charsetMask(col("text")).as("m"))
-    val g = math.max(subBlocks, 1)
-    val grid = lit((0 until g).map(_.toLong).toArray)
-    val a = d.select(col("source"), col("doc_id").as("id_a"), col("m").as("m_a"),
-        pmod(xxhash64(col("doc_id")), lit(g.toLong)).as("ga"))
-      .withColumn("gb", explode(grid))
-    val b = d.select(col("source"), col("doc_id").as("id_b"), col("m").as("m_b"),
-        pmod(xxhash64(col("doc_id")), lit(g.toLong)).as("gb"))
-      .withColumn("ga", explode(grid))
+    // one row per source — broadcast back; at 100 TB the source count is
+    // orders of magnitude below the row count, and broadcasting avoids
+    // re-shuffling the corpus on the source key just to learn g
+    val gPerSource = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("_bc"))
+      .select(col("source"),
+        greatest(ceil(col("_bc").cast("double") / t).cast("long"), lit(1L)).as("_g"))
+    val withG = d.join(broadcast(gPerSource), "source")
+    val a = withG.select(col("source"), col("doc_id").as("id_a"), col("m").as("m_a"),
+      pmod(xxhash64(col("doc_id")), col("_g")).as("ga"),
+      explode(sequence(lit(0L), col("_g") - 1L)).as("gb"))
+    val b = withG.select(col("source"), col("doc_id").as("id_b"), col("m").as("m_b"),
+      pmod(xxhash64(col("doc_id")), col("_g")).as("gb"),
+      explode(sequence(lit(0L), col("_g") - 1L)).as("ga"))
     a.join(b, Seq("source", "ga", "gb"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", graft.functions.MaskJaccard.maskJaccard(col("m_a"), col("m_b")))

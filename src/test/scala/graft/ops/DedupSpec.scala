@@ -65,19 +65,36 @@ class DedupSpec extends AnyFunSuite {
     assert(p01.isDefined && p01.get.getAs[Double]("jaccard") == 1.0)
   }
 
-  test("char jaccard sub-blocking guard preserves the exact pair set") {
+  test("char jaccard adaptive sub-blocking preserves the exact pair set") {
     import spark.implicits._
-    // one skewed block: 40 docs in a single source (the unguarded shape
-    // that becomes one quadratic task), plus a small second block
+    // one skewed mega-block: 40 docs in a single source (the unguarded
+    // shape that becomes one quadratic task), plus a small second block —
+    // g derives per source as ceil(|block| / targetBlock), so the big
+    // block splits while the small one stays whole
     val skewed = ((0 until 40).map(i => (i.toLong, s"shared alphabet soup $i", "en", "big")) ++
       Seq((100L, "tiny block one", "en", "small"), (101L, "tiny block two", "en", "small")))
       .toDF("doc_id", "text", "lang", "source")
-    def pairs(g: Int) = Dedup.charJaccardPairs(skewed, 0.5, subBlocks = g).collect()
+    def pairs(target: Int) = Dedup.charJaccardPairs(skewed, 0.5, targetBlock = target).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    val unguarded = pairs(1)
-    assert(unguarded.nonEmpty)
-    assert(pairs(4) == unguarded)
-    assert(pairs(9) == unguarded) // g larger than some sub-block sizes
+    val whole = pairs(1000) // g = 1 everywhere (no sub-blocking)
+    assert(whole.nonEmpty)
+    assert(pairs(7) == whole) // big block g = 6, small block g = 1
+    assert(pairs(1) == whole) // g = |block|: more cells than rows per cell
+  }
+
+  test("char jaccard sub-block grid bounds per-cell pair work by ~targetBlock^2") {
+    import spark.implicits._
+    // replicate the grid-cell construction to measure the biggest cell a
+    // task would see: with targetBlock=8 over a 64-row block, g=8 and no
+    // (ga, gb) cell may hold more than ~ceil(64/8)=8 rows per side
+    val docs = (0 until 64).map(i => (i.toLong, s"doc $i", "en", "one"))
+      .toDF("doc_id", "text", "lang", "source")
+    val g = 8L
+    val sideSizes = docs
+      .select(pmod(xxhash64(col("doc_id")), lit(g)).as("ga"))
+      .groupBy(col("ga")).count().collect().map(_.getLong(1))
+    // hash-balanced: no sub-block should exceed a small multiple of n/g
+    assert(sideSizes.max <= 3 * (64 / g))
   }
 
   test("nearDupClusters: transitive pairs collapse into one component") {
