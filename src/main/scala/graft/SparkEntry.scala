@@ -40,6 +40,22 @@ object SparkEntry {
           .as("recall_ok"))
   }
 
+  /** Recall verdict for an approximate near-dup PAIR frame vs the exact
+    * all-pairs truth at the same threshold: one row (n_truth, recall_ok).
+    * Every LSH pair is exact-cosine-verified (precision 1 by
+    * construction), so recall against a NONZERO truth set is the
+    * assertion that actually exercises the bucketed path — the fixture
+    * has no pairs at the 0.9 near-dup regime, which made the plain
+    * oracle row vacuous (0 = 0). */
+  private def pairRecallCheck(approx: DataFrame, truth: DataFrame,
+      bound: Double): DataFrame =
+    approx.select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      .join(truth.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "right")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(col("n_truth"),
+        (col("n_hits").cast("double") >= col("n_truth").cast("double") * lit(bound))
+          .as("recall_ok"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_logs_flagship")(spark, "/root/testdata/sf0.001")
@@ -209,6 +225,18 @@ object SparkEntry {
 
     "q_dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), 0.9)),
+
+    // the nonzero-truth exercise of the LSH pair path: the fixture's pair
+    // mass sits at cosine ~0.4, so the bucketed candidate generation is
+    // verified against 59 true pairs (sf0.01), not an empty set. bits=4/
+    // tables=16 measures 0.93 recall there (deterministic hyperplanes);
+    // bound 0.8 asserts the floor
+    "q_dedup_embedding_lsh_check" -> ((s, dir) =>
+      pairRecallCheck(
+        Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), 0.4,
+          bits = 4, tables = 16),
+        Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4),
+        bound = 0.8)),
 
     "q_embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(Tables.embeddings(s, dir))),
@@ -903,6 +931,16 @@ object SparkEntry {
         |WHERE list_dot_product(a.e, b.e) /
         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // LSH pair-path recall verdict at the 0.4 regime: truth count
+    // recomputed independently by exact pairwise cosine; recall_ok is the
+    // asserted verdict (nonzero n_truth is what makes this non-vacuous)
+    "q_dedup_embedding_lsh_check" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT COUNT(*) AS n_truth, true AS recall_ok
+        |FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4""".stripMargin,
 
     // kNN recall verdicts: n_truth recomputed independently; recall_ok and
     // zero-false-positive are the asserted verdict

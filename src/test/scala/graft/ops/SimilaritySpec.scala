@@ -84,6 +84,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.columns.contains("cosine"))
   }
 
+  test("embeddingNearDupPairsLsh: planted near-dups — nonzero truth, recall >= 0.9") {
+    import org.apache.spark.sql.functions._
+    // the raw fixture has ZERO pairs at cosine >= 0.9, which made this
+    // tier's recall assertion vacuous; plant deterministic near-duplicates
+    // (copy of vec 0..9 with one component scaled 5%) so the truth set is
+    // nonzero and the bucketed candidate path is actually exercised
+    val planted = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CASE WHEN i = 0 THEN CAST(x * 1.05 AS FLOAT) ELSE x END)").as("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(planted)
+    val exact = Similarity.embeddingNearDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    assert(exact.length >= 10, s"planting failed: only ${exact.length} true pairs")
+    val lsh = Similarity.embeddingNearDupPairsLsh(corpus, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    val exactMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    // precision 1: every LSH pair is a true pair with the identical cosine
+    lsh.foreach { case (a, b, c) => assert(exactMap.get((a, b)).contains(c)) }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall too low: $recall (truth ${exact.size})")
+  }
+
+  test("embeddingNearDupPairsLsh: 0.4 regime vs exact truth — recall above bound") {
+    // the registered q_dedup_embedding_lsh_check regime: the fixture's
+    // pair mass sits at ~0.4 cosine, bits=4/tables=16
+    val exact = Similarity.embeddingNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.embeddingNearDupPairsLsh(emb, 0.4, bits = 4, tables = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.nonEmpty, "fixture has no pairs at 0.4 — regime check is vacuous")
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH pair recall at 0.4 regime too low: $recall")
+  }
+
   test("embeddingNearDupPairsLsh: exact-verified subset of the all-pairs result") {
     val exact = Similarity.embeddingNearDupPairs(emb, 0.9).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
