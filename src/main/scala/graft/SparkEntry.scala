@@ -133,6 +133,20 @@ object SparkEntry {
         Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
         "ASIA", "1996-01-01 00:00:00", "1997-01-01 00:00:00")),
 
+    // same query over the bucketed fact layout: lineitem/orders persisted
+    // bucketed+sorted on the order key (one-time write, memoized per JVM),
+    // so the fact-fact join consumes co-located buckets with ZERO exchange
+    // on either side — the storage fix for the one super-linear 100x soak
+    // row (SCALE.md: q5 8.7x). Shares q5's oracle.
+    "q5_local_supplier_bkt" -> ((s, dir) => {
+      val (li, o) = analytics.Bucketing.bucketedFacts(s, dir,
+        Tables.lineitem(s, dir), Tables.orders(s, dir))
+      Analytics.localSupplierVolume(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), o, li,
+        "ASIA", "1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    }),
+
     "q_daily_counts" -> ((s, dir) =>
       Analytics.dailyCounts(Tables.events(s, dir))),
 
@@ -969,5 +983,6 @@ object SparkEntry {
   /** Oracles; the alternate-implementation queries share their twin's SQL. */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "q_session_window" -> baseOracleSql("q_sessionize"),
-    "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"))
+    "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
+    "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"))
 }
