@@ -265,16 +265,23 @@ object OracleSql {
     * media table: the decode STUB derives (width, height) from the payload
     * FNV hash, so the whole mapPartitions path is oracle-checkable — the
     * oracle recomputes the same FNV over the same UTF-8 payload bytes. */
+  /** [[graft.ops.Multimodal.imageFeatures]] over the documents-derived
+    * fixture: the decode is REAL (javax.imageio), and text payloads are
+    * not images, so every fixture row takes the quarantine branch —
+    * (-1, -1, decoded=false) with the byte-exact FNV content hash. The
+    * successful-decode branch is exercised with real generated PNGs in
+    * MultimodalSpec (actual pixel dimensions are not SQL-expressible). */
   def multimodalImageSql: String =
     s"""WITH media AS (
        |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,
        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
        |  FROM documents WHERE doc_id % 3 = 0)
        |SELECT media_id,
-       |  CAST(64 + h % 1024 AS INTEGER) AS width,
-       |  CAST(64 + (h >> 32) % 1024 AS INTEGER) AS height,
+       |  CAST(-1 AS INTEGER) AS width,
+       |  CAST(-1 AS INTEGER) AS height,
        |  n_bytes,
-       |  ${u2s("h")} AS content_hash
+       |  ${u2s("h")} AS content_hash,
+       |  false AS decoded
        |FROM media ORDER BY media_id""".stripMargin
 
   /** [[graft.ops.Multimodal.sampleFrames]]: stub frame count from payload

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns next to typed metadata, processed per-partition in
   * batches — the Scala analogue of a Pandas-UDF `mapInPandas` stage.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * extraction) needs native libraries this container does not ship, so the
-  * decode kernels are STUBBED with deterministic fakes that derive plausible
-  * metadata from the bytes. Everything Spark-side — schema, encoders, batch
-  * iteration shape, partitioning — is real and tested; swapping a stub for
-  * a real codec changes only the function body marked `// STUB`.
+  * The IMAGE decode is real: plain-JDK `javax.imageio` (PNG/JPEG/GIF/BMP)
+  * parses actual pixel dimensions, with undecodable payloads quarantined
+  * as (-1, -1, decoded=false) rows. Audio resampling and video frame
+  * extraction need native libraries this container does not ship, so those
+  * two decode kernels remain STUBBED with deterministic fakes that derive
+  * plausible metadata from the bytes. Everything Spark-side — schema,
+  * encoders, batch iteration shape, partitioning — is real and tested;
+  * swapping a stub for a real codec changes only the function body marked
+  * `// STUB` (the image path shows the shape).
   */
 object Multimodal {
 
@@ -23,13 +26,15 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Decoded image features. */
+  /** Decoded image features. `decoded` distinguishes a real codec parse
+    * from an undecodable payload (width/height = -1). */
   final case class ImageFeatures(
       media_id: Long,
       width: Int,
       height: Int,
       n_bytes: Long,
-      content_hash: Long)
+      content_hash: Long,
+      decoded: Boolean)
 
   /** Sampled video frame reference. */
   final case class FrameSample(
@@ -53,21 +58,32 @@ object Multimodal {
     * Rows are processed in fixed-size batches inside each partition — the
     * shape a real vectorized codec call wants (and the Scala analogue of a
     * Pandas-UDF `mapInPandas` stage, whose contract is also
-    * iterator-of-batches → iterator-of-batches). The decode itself is a
-    * deterministic stub; a real implementation would hand `batch.map(_
-    * .payload)` to the codec in one call.
+    * iterator-of-batches → iterator-of-batches). The decode is REAL:
+    * plain-JDK `javax.imageio` parses PNG/JPEG/GIF/BMP payloads into
+    * actual width/height (no native libraries needed). A payload no
+    * installed reader recognizes yields (-1, -1, decoded = false) — the
+    * quarantine row a 100 TB ingest keeps rather than throwing away a
+    * whole batch over one corrupt file.
     */
   def imageFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
+      // in-memory decode only: the default ImageIO path spills a temp file
+      // per read, which would put a disk write in every task's hot loop
+      javax.imageio.ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
-        // STUB: replace with one vectorized decode call per batch
-        // (e.g. TwelveMonkeys/ImageIO, or JNI into libjpeg-turbo).
         batch.map { r =>
           val h = contentHash(r.payload)
-          val width = 64 + (math.floorMod(h, 1024L)).toInt
-          val height = 64 + (math.floorMod(h >>> 32, 1024L)).toInt
-          ImageFeatures(r.media_id, width, height, r.payload.length.toLong, h)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) =>
+              ImageFeatures(r.media_id, im.getWidth, im.getHeight,
+                r.payload.length.toLong, h, decoded = true)
+            case None =>
+              ImageFeatures(r.media_id, -1, -1, r.payload.length.toLong, h, decoded = false)
+          }
         }
       }
     }

@@ -22,13 +22,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("imageFeatures: deterministic stub features for image rows only") {
+  test("imageFeatures: text payloads quarantine as undecodable, deterministically") {
     val feats = Multimodal.imageFeatures(media).collect()
     assert(feats.nonEmpty)
-    assert(feats.forall(f => f.width >= 64 && f.height >= 64 && f.n_bytes > 0))
-    // re-running yields identical features (stub is deterministic)
+    // the documents-derived payloads are utf-8 text — no installed reader
+    // accepts them, so every row takes the (-1, -1, decoded=false) branch
+    assert(feats.forall(f => f.width == -1 && f.height == -1 && !f.decoded && f.n_bytes > 0))
     val again = Multimodal.imageFeatures(media).collect()
     assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+
+  test("imageFeatures: REAL decode — generated PNGs yield actual pixel dimensions") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", png(17, 9), "s"),
+      Multimodal.MediaRow(3L, "image", png(128, 64), "s"),
+      Multimodal.MediaRow(6L, "image", "not an image".getBytes("UTF-8"), "s"))
+    val feats = Multimodal.imageFeatures(rows.toDS()).collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.media_id, f.width, f.height, f.decoded)).toSeq ==
+      Seq((0L, 17, 9, true), (3L, 128, 64, true), (6L, -1, -1, false)))
+    // content hash still covers the raw bytes on both branches
+    assert(feats.forall(_.n_bytes > 0))
   }
 
   test("sampleFrames: stride and cap respected") {
