@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
   * any real star schema growth. events.ts is read raw (nanos long) and
   * kept raw so the written parquet round-trips through [[Tables.events]].
   *
-  * Usage: `runMain graft.Soak [factor] [baseDir] [outDir] [all|linear]` —
-  * `linear` restricts to [[linearHeadline]] (used at 100×, where the
-  * quadratic-OUTPUT dedup tiers would measure answer size, not plans).
+  * Usage: `runMain graft.Soak [factor] [baseDir] [outDir] [all|linear|streaming]`
+  * — `linear` restricts to [[linearHeadline]] (used at 100×, where the
+  * quadratic-OUTPUT dedup tiers would measure answer size, not plans);
+  * `streaming` runs the end-to-end ingest soak instead
+  * ([[streamingSoak]]: micro-batched stream ingest → file-count growth →
+  * compaction → flagship query, with parity asserted at each step).
   */
 object Soak {
+
+  /** Wire-shaped record for the streaming soak's memory source. */
+  final case class Wire(ts: String, service: String, level: String, msg: String,
+      attrs: Map[String, String], trace_id: String, span_id: String)
 
   private val Off = 10000000000L // > any fixture key; copy i adds i*Off
 
@@ -62,10 +69,109 @@ object Soak {
     "q_dedup_exact", "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
     "q_asof_join_exec", "q_data_split")
 
+  /** End-to-end streaming soak: replay the events fixture `factor`× as
+    * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one
+    * micro-batch per replay round — the many-small-files regime), then
+    *
+    *  1. assert ingest-then-query PARITY: total row count and every
+    *     (service, level) group count read back from the table equal
+    *     factor × the source's, so no micro-batch dropped or duplicated
+    *     rows on the way through normalize → partitioned append;
+    *  2. measure the small-file growth and assert [[graft.logs.LogTable
+    *     .compact]] bounds it back to ≤ filesPerMonth per month;
+    *  3. run the reference flagship query (service + ts-range + top-K)
+    *     against the compacted table and assert it returns its limit and
+    *     parity re-holds after compaction.
+    *
+    * Prints one SOAK json line per phase with wall seconds. */
+  def streamingSoak(spark: SparkSession, factor: Int, baseDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = s"$outDir/stream_logs"
+    val ckpt = s"$outDir/stream_ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(table, ckpt)) {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    def parquetFiles(): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(table), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    // events fixture → wire rows (ts rendered RFC3339 so ingest re-parses)
+    val wire = spark.read.parquet(s"$baseDir/events.parquet") // raw nanos long
+      .select(
+        date_format(timestamp_micros(expr("ts div 1000")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
+        concat(lit("svc"), pmod(col("user_id"), lit(8))).as("service"),
+        upper(col("event_type")).as("level"),
+        concat(lit("event "), col("event_id")).as("msg"),
+        map(lit("et"), col("event_type")).as("attrs"),
+        concat(lit("tr"), col("event_id")).as("trace_id"),
+        concat(lit("sp"), col("event_id")).as("span_id"))
+      .as[Wire]
+    val rows = wire.collect()
+    val groups = wire.groupBy(col("service"), col("level")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Wire]
+    val q = graft.streaming.LogStream.ingest(mem.toDF(), table, ckpt)
+    val t0 = System.nanoTime()
+    for (_ <- 1 to factor) {
+      mem.addData(rows.toSeq)
+      q.processAllAvailable() // force a micro-batch boundary per replay
+    }
+    q.stop()
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    val filesBefore = parquetFiles()
+
+    def assertParity(tag: String): Long = {
+      val got = graft.logs.LogTable.read(spark, table)
+      val n = got.count()
+      require(n == rows.length.toLong * factor,
+        s"$tag parity: read $n rows, expected ${rows.length.toLong * factor}")
+      val gotGroups = got.groupBy(col("service"), col("level")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      require(gotGroups == groups.map { case (k, v) => k -> v * factor },
+        s"$tag parity: per-(service, level) counts diverge")
+      n
+    }
+    val nIngested = assertParity("post-ingest")
+    println(f"""SOAK {"phase":"ingest","factor":$factor,"rows":$nIngested,"files":$filesBefore,"sec":$ingestSec%.2f}""")
+
+    val t1 = System.nanoTime()
+    graft.logs.LogTable.compact(spark, table, filesPerMonth = 1)
+    val compactSec = (System.nanoTime() - t1) / 1e9
+    val filesAfter = parquetFiles()
+    val months = graft.logs.LogTable.read(spark, table)
+      .select(col("month")).distinct().count()
+    require(filesAfter <= months,
+      s"compaction left $filesAfter files for $months months")
+    require(filesBefore > filesAfter,
+      s"streaming left no small files to compact ($filesBefore -> $filesAfter)")
+    assertParity("post-compact")
+    println(f"""SOAK {"phase":"compact","files_before":$filesBefore,"files_after":$filesAfter,"months":$months,"sec":$compactSec%.2f}""")
+
+    val t2 = System.nanoTime()
+    val flagship = graft.logs.LogQuery.flagship(
+      graft.logs.LogTable.read(spark, table),
+      graft.logs.LogQueryParams("svc0",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-12-31 00:00:00"),
+        level = None, user = None, limit = 100)).collect()
+    val querySec = (System.nanoTime() - t2) / 1e9
+    require(flagship.length == 100, s"flagship returned ${flagship.length} rows")
+    println(f"""SOAK {"phase":"flagship_query","rows":${flagship.length},"sec":$querySec%.2f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(2).getOrElse("target/scale")
+    val streaming = args.lift(3).contains("streaming")
     val queries = if (args.lift(3).contains("linear")) linearHeadline else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -79,6 +185,12 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if (streaming) {
+      streamingSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
 
     // ── build the N× fixture set ──
     for (t <- Seq("region", "nation")) // dims: single copy
