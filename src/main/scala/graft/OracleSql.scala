@@ -155,6 +155,55 @@ object OracleSql {
        |      (h, f) -> ${addmod64(mulmod64("h", "31"), "f")})""".stripMargin)
 
   /** [[graft.ops.TextAnalysis.fingerprints]]: h ← h·31 + fnv1a64(token). */
+  /** Full replica of [[graft.ops.Similarity.lshTopK]] — the previously
+    * dark (rows-only) q_knn_lsh becomes hash-comparable: the splitmix64
+    * hyperplane components of [[graft.functions.HyperplaneSig]] are
+    * recomputed with exact HUGEINT modular arithmetic (seed
+    * `t<<40 ^ b<<20 ^ i` has disjoint bit ranges, so the xor is a sum);
+    * `(h >>> 11) / 2^53 * 2 - 1` is dyadic-rational-exact in IEEE doubles
+    * on both engines, and `list_dot_product` folds sequentially exactly
+    * like the native projection loop, so every sign bit — and therefore
+    * every bucket, candidate, cosine and rank — matches bit-for-bit. */
+  def knnLshSql(tables: Int = 12, bits: Int = 6, dim: Int = 64,
+      nProbes: Int = 10, k: Int = 5): String = {
+    val c1 = ulit(-7046029254386353131L) // 0x9e3779b97f4a7c15
+    val c2 = ulit(-4658895280553007687L) // 0xbf58476d1ce4e5b9
+    val c3 = ulit(-7723592293110705685L) // 0x94d049bb133111eb
+    s"""WITH seeds AS (
+       |  SELECT t, b, i,
+       |    CAST(t AS UBIGINT) * 1099511627776 + CAST(b AS UBIGINT) * 1048576
+       |      + CAST(i AS UBIGINT) AS seed
+       |  FROM range(0, $tables) r1(t), range(0, $bits) r2(b), range(0, $dim) r3(i)),
+       |s1 AS (SELECT t, b, i, ${addmod64("seed", c1)} AS z FROM seeds),
+       |s2 AS (SELECT t, b, i, ${mulmod64("xor(z, z >> 30)", c2)} AS z FROM s1),
+       |s3 AS (SELECT t, b, i, ${mulmod64("xor(z, z >> 27)", c3)} AS z FROM s2),
+       |s4 AS (SELECT t, b, i, xor(z, z >> 31) AS z FROM s3),
+       |comp AS (
+       |  SELECT t, b,
+       |    list(CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY i) AS cvec
+       |  FROM s4 GROUP BY t, b),
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN list_dot_product(e, cvec) >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+       |  FROM base CROSS JOIN comp GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, a.vec_id AS vec_id
+       |  FROM sigs p JOIN sigs a ON p.t = a.t AND p.sig = a.sig
+       |  WHERE p.vec_id < $nProbes AND a.vec_id <> p.vec_id),
+       |scored AS (
+       |  SELECT c.probe_id, c.vec_id,
+       |    list_dot_product(ea.e, ep.e) /
+       |      (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(ep.e, ep.e))) AS cosine
+       |  FROM cand c JOIN base ea ON c.vec_id = ea.vec_id JOIN base ep ON c.probe_id = ep.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
+
   def fingerprintSql: String =
     s"""SELECT doc_id,
        |  $fpExpr AS fp
