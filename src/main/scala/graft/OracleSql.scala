@@ -74,6 +74,16 @@ object OracleSql {
   private def u2s(v: String): String =
     s"CASE WHEN ($v) >= 9223372036854775808 THEN CAST(CAST($v AS HUGEINT) - $M64 AS BIGINT) ELSE CAST($v AS BIGINT) END"
 
+  /** Reinterpret a signed BIGINT as UBIGINT (two's-complement). */
+  private def s2u(v: String): String =
+    s"CAST(CAST(CASE WHEN ($v) < 0 THEN CAST($v AS HUGEINT) + $M64 ELSE CAST($v AS HUGEINT) END AS HUGEINT) AS UBIGINT)"
+
+  /** 64-bit rotate-left by a constant, via HUGEINT split (DuckDB's `<<`
+    * would overflow rather than wrap). */
+  private def rotl64(x: String, r: Int): String =
+    s"""CAST(CAST((CAST(($x) % ${BigInt(2).pow(64 - r)} AS HUGEINT) * ${BigInt(2).pow(r)}
+       | + CAST(($x) >> ${64 - r} AS HUGEINT)) AS HUGEINT) AS UBIGINT)""".stripMargin
+
   /** Whitespace tokens (Spark `split(trim(text), "\\s+")`). */
   private def wstoks(s: String): String = s"string_split_regex(trim($s), '\\s+')"
 
@@ -196,6 +206,83 @@ object OracleSql {
        |    list_dot_product(ea.e, ep.e) /
        |      (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(ep.e, ep.e))) AS cosine
        |  FROM cand c JOIN base ea ON c.vec_id = ea.vec_id JOIN base ep ON c.probe_id = ep.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Full replica of [[graft.ops.Similarity.ivfTopK]] — the last dark
+    * (rows-only) query becomes hash-comparable end to end:
+    *
+    *  - centroid seeding: Spark's `xxhash64(vec_id)` (XXH64 of one 8-byte
+    *    long, seed 42) replicated with the HUGEINT wrapping-multiply /
+    *    rotate machinery, then the same (hash, vec_id) rank-and-limit;
+    *  - Lloyd refinement: nearest-centroid assignment as a windowed argmax
+    *    with identical tie semantics (cosine DESC, c_id — NaN-largest on
+    *    both engines), and cluster means over 2⁻²⁰-quantized components
+    *    summed as exact integers — every arithmetic step is exact or
+    *    correctly-rounded IEEE, so refined centroids match bit-for-bit;
+    *  - probe bucket selection and final exact-cosine top-k, with
+    *    `list_dot_product`'s sequential fold matching the native kernels.
+    */
+  def knnIvfSql(nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2,
+      nProbes: Int = 10, k: Int = 5): String = {
+    val xxP1 = ulit(-7046029288634856825L) // 0x9E3779B185EBCA87
+    val xxP2 = ulit(-4417276706812531889L) // 0xC2B2AE3D27D4EB4F
+    val xxP3 = ulit(1609587929392839161L)  // 0x165667B19E3779F9
+    val xxP4 = ulit(-8796714831421723037L) // 0x85EBCA77C2B2AE63
+    val xxInit = ulit(42L + 2870177450012600261L + 8L) // seed + PRIME5 + len
+    val q = "1048576.0" // 2^20 quantization of the cluster means
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    /** One Lloyd round: assign `base` to `prev`'s centroids, emit `out`. */
+    def lloyd(prev: String, out: String): String =
+      s"""asg_$out AS (
+         |  SELECT vec_id, e, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("e", "c")} DESC, c_id) AS rn
+         |  FROM base CROSS JOIN $prev),
+         |a_$out AS (SELECT vec_id, e, c_id AS cluster FROM asg_$out WHERE rn = 1),
+         |m_$out AS (
+         |  SELECT cluster, i, CAST(SUM(CAST(floor(v * $q) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * $q) AS m
+         |  FROM (SELECT cluster, unnest(range(1, len(e) + 1)) AS i, unnest(e) AS v FROM a_$out)
+         |  GROUP BY cluster, i),
+         |$out AS (SELECT cluster AS c_id, list(m ORDER BY i) AS c FROM m_$out GROUP BY cluster)""".stripMargin
+    val rounds = (1 to lloydIters)
+      .map(i => lloyd(if (i == 1) "cents0" else s"cents${i - 1}", s"cents$i"))
+      .mkString(",\n")
+    val last = s"cents$lloydIters"
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |xu AS (SELECT vec_id, ${s2u("vec_id")} AS lu FROM base),
+       |x1 AS (SELECT vec_id, ${mulmod64("lu", xxP2)} AS h FROM xu),
+       |x2 AS (SELECT vec_id, ${rotl64("h", 31)} AS h FROM x1),
+       |x3 AS (SELECT vec_id, ${mulmod64("h", xxP1)} AS h FROM x2),
+       |x4 AS (SELECT vec_id, xor($xxInit, h) AS h FROM x3),
+       |x5 AS (SELECT vec_id, ${addmod64(mulmod64(rotl64("h", 27), xxP1), xxP4)} AS h FROM x4),
+       |x6 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 33)", xxP2)} AS h FROM x5),
+       |x7 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 29)", xxP3)} AS h FROM x6),
+       |xxh AS (SELECT vec_id, ${u2s("xor(h, h >> 32)")} AS xxh FROM x7),
+       |cents0 AS (
+       |  SELECT b.vec_id AS c_id, b.e AS c
+       |  FROM base b JOIN xxh x ON b.vec_id = x.vec_id
+       |  ORDER BY x.xxh, b.vec_id LIMIT $nCentroids),
+       |$rounds,
+       |asg_f AS (
+       |  SELECT vec_id, e, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("e", "c")} DESC, c_id) AS rn
+       |  FROM base CROSS JOIN $last),
+       |a_f AS (SELECT vec_id, e, c_id AS cluster FROM asg_f WHERE rn = 1),
+       |probes AS (
+       |  SELECT b.vec_id AS probe_id, b.e AS pe, cc.c_id AS cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${cos("b.e", "cc.c")} DESC, cc.c_id) AS r
+       |  FROM base b CROSS JOIN $last cc WHERE b.vec_id < $nProbes),
+       |pl AS (SELECT probe_id, pe, cluster FROM probes WHERE r <= $nProbe),
+       |scored AS (
+       |  SELECT p.probe_id, a.vec_id, ${cos("a.e", "p.pe")} AS cosine
+       |  FROM a_f a JOIN pl p ON a.cluster = p.cluster
+       |  WHERE a.vec_id <> p.probe_id),
        |ranked AS (
        |  SELECT probe_id, vec_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank

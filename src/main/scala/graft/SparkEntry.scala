@@ -927,9 +927,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // ── hash-sketch tier: full SQL replicas of the native expressions ──
-    // q_knn_lsh itself (not just its recall twin): hyperplane sign bits,
-    // buckets, candidates and ranks all replicated bit-exactly in DuckDB
+    // the raw kNN queries themselves (not just their recall twins):
+    // hyperplane sign bits / xxhash64 seeds, Lloyd means, buckets,
+    // candidates and ranks all replicated bit-exactly in DuckDB
     "q_knn_lsh" -> OracleSql.knnLshSql(),
+    "q_knn_ivf" -> OracleSql.knnIvfSql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),

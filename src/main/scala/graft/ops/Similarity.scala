@@ -120,14 +120,20 @@ object Similarity {
     * each iteration assigns every vector to its nearest centroid (the
     * broadcast + native-argmax pattern — zero corpus exchange of
     * embeddings beyond the per-dimension aggregation) and replaces each
-    * centroid with its cluster's mean. Means are decimal-exact per
-    * dimension (order-independent sums), so refined centroids — and hence
-    * measured recall — are deterministic across runs and partitionings.
-    * Clusters that lose every point drop out (standard Lloyd behavior);
-    * the per-dimension aggregation carries (cluster, pos, value) rows
-    * whose map-side combine reduces shuffle volume to tasks × k × dim.
-    * All lazy — no job at query-construction time. */
+    * centroid with its cluster's mean. Means are computed on 2⁻²⁰-
+    * quantized components summed as exact integers (every step — scale by
+    * a power of two, floor, integer sum, one final division — is exact or
+    * correctly-rounded IEEE arithmetic), so refined centroids and hence
+    * measured recall are deterministic across runs, partitionings AND
+    * engines (the DuckDB oracle replicates them bit-for-bit; a decimal
+    * AVG would hit engine-specific precision/rounding rules). The 2⁻²⁰
+    * quantization is noise relative to k-means' own convergence
+    * tolerance. Clusters that lose every point drop out (standard Lloyd
+    * behavior); the per-dimension aggregation carries (cluster, pos,
+    * value) rows whose map-side combine reduces shuffle volume to
+    * tasks × k × dim. All lazy — no job at query-construction time. */
   private def refineCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val q = 1048576.0 // 2^20
     var cents = seeds
     for (_ <- 1 to iters) {
       val centArr = cents
@@ -140,7 +146,14 @@ object Similarity {
       val byDim = assigned
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col").cast("decimal(30,12)")).cast("double").as("m"))
+        .agg(
+          // decimal(38,0) keeps the integer sum exact at any cluster size
+          // (a long would wrap near 2^63); the values being integral makes
+          // the decimal conversion itself exact
+          sum(floor(col("col").cast("double") * lit(q)).cast("decimal(38,0)")).as("qsum"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          (col("qsum").cast("double") / (col("n").cast("double") * lit(q))).as("m"))
       cents = byDim
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
