@@ -300,6 +300,27 @@ object SparkEntry {
     "q_lang_stats" -> ((s, dir) =>
       TextAnalysis.langStats(Tables.documents(s, dir))),
 
+    // PII scrub with deterministic planted PII on every third doc (the
+    // fixture carries none — raw redaction would pass vacuously); both
+    // changed and untouched branches are exercised
+    "q_pii_redaction" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ops.Redaction.piiReport(docs, ops.Redaction.withPlantedPii(docs))
+    }),
+
+    // train-vs-eval n-gram overlap audit; eval side = every 17th doc (407
+    // of 470 train docs overlap at the gate SF — non-vacuous)
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ops.Contamination.benchmarkOverlap(
+        docs.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(17)) === 0), n = 3)
+    }),
+
+    // Gopher-style repetition/diversity quality signals
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir))),
+
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir))),
 
@@ -906,6 +927,69 @@ object SparkEntry {
         |  FROM tf JOIN df USING (token))
         |SELECT doc_id, token, tf, df, rank FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // PII scrub: identical planting + regex cascade on both engines (the
+    // patterns stay in the Java/RE2-common subset); counts are staged the
+    // same way (IPs counted after emails are gone, phones after both)
+    "q_pii_redaction" -> {
+      val plant = "CASE WHEN doc_id % 3 = 0 THEN concat('contact user', doc_id, " +
+        "'@example.com at 10.0.', doc_id % 256, '.7 or 555-01', doc_id % 10, " +
+        "'-4242 ', text) ELSE text END"
+      s"""WITH src AS (SELECT doc_id, $plant AS t FROM documents),
+         |r1 AS (SELECT doc_id, t, regexp_replace(t, '${ops.Redaction.EmailRe}', '<EMAIL>', 'g') AS t1 FROM src),
+         |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '${ops.Redaction.Ipv4Re}', '<IP>', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2, '${ops.Redaction.PhoneRe}', '<PHONE>', 'g') AS t3 FROM r2)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${ops.Redaction.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${ops.Redaction.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${ops.Redaction.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  t3 <> t AS changed,
+         |  md5(t3) AS redacted_md5
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    },
+
+    // same shingling as the minhash chain (already oracle-proven), split
+    // into train/eval by doc_id mod, distinct eval grams, per-doc overlap
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |shingled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |                i -> array_to_string(tk[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM toks),
+        |evalg AS (SELECT DISTINCT unnest(sh) AS s FROM shingled WHERE doc_id % 17 = 0),
+        |trainx AS (SELECT doc_id, unnest(sh) AS s FROM shingled WHERE doc_id % 17 <> 0)
+        |SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(e.s) AS n_contaminated,
+        |  CAST(COUNT(e.s) AS DOUBLE) / COUNT(*) AS contamination
+        |FROM trainx t LEFT JOIN evalg e ON t.s = e.s
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |toks AS (SELECT doc_id, lower(unnest(tk)) AS token FROM base),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token),
+        |ts AS (SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt
+        |       FROM tc GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |         lower(unnest(list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1])))) AS bigram
+        |       FROM base),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+        |bs AS (SELECT doc_id, MAX(cnt) AS top_bi_cnt FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(ts.n_distinct, 0) AS DOUBLE) / greatest(COALESCE(ts.n_tokens, 0), 1) AS distinct_ratio,
+        |  CAST(COALESCE(ts.top_cnt, 0) AS DOUBLE) / greatest(COALESCE(ts.n_tokens, 0), 1) AS top_token_ratio,
+        |  CAST(COALESCE(bs.top_bi_cnt, 0) AS DOUBLE) / greatest(COALESCE(ts.n_tokens, 0) - 1, 1) AS top_bigram_ratio
+        |FROM documents d
+        |LEFT JOIN ts ON d.doc_id = ts.doc_id
+        |LEFT JOIN bs ON d.doc_id = bs.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_data_split" -> OracleSql.splitCountsSql(trainPct = 90, valPct = 5),
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),

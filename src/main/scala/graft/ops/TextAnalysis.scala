@@ -118,6 +118,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1 quality filters): per document, the token-diversity and
+    * repeated-phrase signals used to drop boilerplate/spam —
+    *  - `distinct_ratio`: distinct tokens / total tokens,
+    *  - `top_token_ratio`: occurrences of the most frequent token / total,
+    *  - `top_bigram_ratio`: occurrences of the most frequent bigram /
+    *    (total − 1 bigram slots).
+    * All ratios are exact integer quotients in doubles (bit-deterministic
+    * across engines). Dataflow: one explode pass per n-gram width into
+    * (doc, gram) counts with map-side partial aggregation — the exchanges
+    * carry group rows, never raw text; empty documents survive via the
+    * left join with zeroed metrics. */
+  def repetitionMetrics(documents: DataFrame): DataFrame = {
+    val base = documents.withColumn("_tk", split(trim(col("text")), "\\s+"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("_tk")).as("raw"))
+      .filter(col("raw") =!= "")
+      .select(col("doc_id"), lower(col("raw")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+    val biStats = base
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0)), " +
+          "(x, i) -> concat(x, ' ', element_at(_tk, i + 2)))")).as("raw"))
+      .select(col("doc_id"), lower(col("raw")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bi_cnt"))
+    documents.select(col("doc_id"))
+      .join(tokStats, Seq("doc_id"), "left")
+      .join(biStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_distinct"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)).cast("double"))
+          .as("distinct_ratio"),
+        (coalesce(col("top_cnt"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)).cast("double"))
+          .as("top_token_ratio"),
+        (coalesce(col("top_bi_cnt"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens"), lit(0L)) - 1L, lit(1L)).cast("double"))
+          .as("top_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the token stream:
     * h = Σ token_hash(t_i) · 31^(n−1−i) (mod 2^64) — order-sensitive, so
     * permuted documents get different fingerprints (unlike a bag-of-words

@@ -54,4 +54,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(2))
     assert(fps(0) != fps(1))
   }
+
+  test("repetitionMetrics: diversity and repeated-phrase ratios") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // 1 distinct / 4; top token 4/4; top bigram "spam spam" 3/3
+      (2L, "all words here are distinct"), // 5 distinct / 5; every count 1
+      (3L, ""),                            // empty: zeros
+      (4L, "one"))                         // single token: no bigrams
+      .toDF("doc_id", "text")
+    val got = repetitionMetrics(df).collect().map(r =>
+      r.getLong(0) -> ((r.getAs[Long]("n_tokens"), r.getAs[Double]("distinct_ratio"),
+        r.getAs[Double]("top_token_ratio"), r.getAs[Double]("top_bigram_ratio")))).toMap
+    assert(got(1L) == ((4L, 0.25, 1.0, 1.0)))
+    assert(got(2L) == ((5L, 1.0, 0.2, 0.25)))
+    assert(got(3L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((1L, 1.0, 1.0, 0.0)))
+  }
+
+  test("repetitionMetrics: case-insensitive token identity") {
+    import spark.implicits._
+    val df = Seq((1L, "Spam SPAM spam")).toDF("doc_id", "text")
+    val r = repetitionMetrics(df).collect().head
+    assert(r.getAs[Double]("distinct_ratio") == 1.0 / 3.0)
+    assert(r.getAs[Double]("top_token_ratio") == 1.0)
+  }
 }
