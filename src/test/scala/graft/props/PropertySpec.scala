@@ -100,6 +100,34 @@ object DedupProps extends Properties("Dedup") {
       sigs.forall(_.length == 32) && sigs(0) == sigs(1)
     }
 
+  property("redaction: idempotent, and clean of raw pattern matches after one pass") =
+    forAll(Gen.listOfN(6, Gen.oneOf(
+      Gen.identifier,
+      Gen.const("a@b.io"), Gen.const("10.1.2.3"), Gen.const("555-123-4567")))) { words =>
+      import spark.implicits._
+      val doc = words.mkString(" ")
+      val once = Seq(doc).toDF("text")
+        .select(graft.ops.Redaction.redact(col("text"))).collect().head.getString(0)
+      val twice = Seq(once).toDF("text")
+        .select(graft.ops.Redaction.redact(col("text"))).collect().head.getString(0)
+      // a second pass finds nothing new: placeholders are fixed points
+      once == twice
+    }
+
+  property("contamination: ratio bounded in [0,1]; self-contamination is total") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier).map(_.take(8))) { words =>
+      import spark.implicits._
+      val doc = words.mkString(" ")
+      val d = Seq((1L, doc)).toDF("doc_id", "text")
+      val self = graft.ops.Contamination.benchmarkOverlap(d, d).collect().head
+      val other = graft.ops.Contamination.benchmarkOverlap(
+        d, Seq((2L, "qq ww ee rr tt yy uu")).toDF("doc_id", "text")).collect().head
+      Prop.all(
+        self.getAs[Double]("contamination") == 1.0,
+        other.getAs[Double]("contamination") >= 0.0,
+        other.getAs[Double]("contamination") <= 1.0)
+    }
+
   property("charset jaccard: reflexive 1.0, symmetric, bounded") =
     forAll(Gen.listOfN(4, Gen.asciiPrintableStr.suchThat(_.nonEmpty))) { texts =>
       import spark.implicits._
