@@ -110,6 +110,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
   }
 
+  test("nearDupClusters: non-convergence is an error, not a silent wrong answer") {
+    import spark.implicits._
+    // a path graph 0-1-2-3-4-5 has diameter 5; two rounds of min-label
+    // propagation cannot close it — the loop must throw rather than
+    // return partially-propagated labels that diverge from the oracle's
+    // transitive closure
+    val docs = (0L to 5L).map(i => (i, s"d$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(docs, pairs, maxIter = 2)
+    }
+    // with enough rounds the same graph converges to one component
+    val ok = Dedup.nearDupClusters(docs, pairs, maxIter = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ok.values.toSet == Set(0L))
+  }
+
   test("shingles: distinct n-grams; short docs degrade to whole-doc shingle") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")
