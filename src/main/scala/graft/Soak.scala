@@ -52,22 +52,24 @@ object Soak {
     * global rank, text agg, hash dedup, banded LSH dedup, blocked
     * quadratic dedup, brute/bucketed ANN, as-of merge, full pipeline). */
   val headline: Seq[String] = Seq(
-    "q_logs_flagship", "q1_pricing", "q5_local_supplier", "q8_market_share",
-    "q_rollup_revenue", "q_sessionize", "q_ntile_spend", "q_token_freq",
+    "q_logs_flagship", "q1_pricing", "q5_local_supplier", "q5_local_supplier_bkt",
+    "q8_market_share", "q_rollup_revenue", "q_sessionize", "q_ntile_spend",
+    "q_spend_ranks", "q_token_freq",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_char_jaccard",
     "q_dedup_clusters", "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
     "q_dedup_embedding_lsh", "q_asof_join_exec", "q_pipeline_clean",
-    "q_data_split")
+    "q_data_split", "q_pii_redaction", "q_contamination", "q_repetition")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
     * used for the 100× run, where a quadratic-output query would measure
     * answer size, not plan quality. */
   val linearHeadline: Seq[String] = Seq(
-    "q_logs_flagship", "q1_pricing", "q5_local_supplier", "q8_market_share",
-    "q_rollup_revenue", "q_sessionize", "q_ntile_spend", "q_token_freq",
+    "q_logs_flagship", "q1_pricing", "q5_local_supplier", "q5_local_supplier_bkt",
+    "q8_market_share", "q_rollup_revenue", "q_sessionize", "q_ntile_spend",
+    "q_spend_ranks", "q_token_freq",
     "q_dedup_exact", "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
-    "q_asof_join_exec", "q_data_split")
+    "q_asof_join_exec", "q_data_split", "q_pii_redaction", "q_repetition")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one
