@@ -62,5 +62,12 @@ object Cols {
   def decChargeSql(price: String, discount: String, tax: String): String =
     s"${decRevenueSql(price, discount)} * CAST(1.0 + $tax AS DECIMAL(4,2))"
 
+  /** extendedprice · discount, exact decimal (TPC-H Q6/Q14 shape). */
+  def decDiscounted(price: Column, discount: Column): Column =
+    price.cast(D18) * discount.cast(D4)
+
+  def decDiscountedSql(price: String, discount: String): String =
+    s"CAST($price AS DECIMAL(18,2)) * CAST($discount AS DECIMAL(4,2))"
+
   def decSumSql(x: String): String = s"CAST(SUM($x) AS DOUBLE)"
 }

@@ -421,7 +421,75 @@ object SparkEntry {
       Multimodal.audioFeatures(
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)))
         .toDF().orderBy(col("media_id"))
-    }))
+    }),
+
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      analytics.Analytics5.minBalanceSupplier(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.supplier(s, dir),
+        Tables.part(s, dir), Tables.lineitem(s, dir), "EUROPE", 15, "STANDARD")),
+
+    "q6_forecast_revenue" -> ((s, dir) =>
+      analytics.Analytics5.forecastRevenue(Tables.lineitem(s, dir),
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00", 0.05, 0.07, 24.0)),
+
+    "q9_product_profit" -> ((s, dir) =>
+      analytics.Analytics5.productProfit(
+        Tables.nation(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), "red")),
+
+    "q11_important_parts" -> ((s, dir) =>
+      analytics.Analytics5.importantParts(
+        Tables.nation(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        "NATION_3", 0.001)),
+
+    "q12_ship_speed" -> ((s, dir) =>
+      analytics.Analytics5.shipSpeedPriority(
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00", 60)),
+
+    "q13_order_distribution" -> ((s, dir) =>
+      analytics.Analytics5.customerOrderDistribution(
+        Tables.customer(s, dir), Tables.orders(s, dir), "5-LOW")),
+
+    "q14_promo_revenue" -> ((s, dir) =>
+      analytics.Analytics5.promoRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir),
+        "1996-03-01 00:00:00", "1996-04-01 00:00:00", "PROMO")),
+
+    "q22_idle_rich" -> ((s, dir) =>
+      analytics.Analytics5.idleRichCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Seq("AUTOMOBILE", "BUILDING", "MACHINERY"), "2000-01-01 00:00:00")),
+
+    "q15_top_supplier" -> ((s, dir) =>
+      analytics.Analytics6.topSupplier(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        "1996-01-01 00:00:00", "1996-04-01 00:00:00")),
+
+    "q16_part_supplier_cnt" -> ((s, dir) =>
+      analytics.Analytics6.partSupplierCounts(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        "Brand#1", "PROMO", Seq(1, 5, 10, 15, 20, 25, 30, 35))),
+
+    "q18_large_volume" -> ((s, dir) =>
+      analytics.Analytics6.largeVolumeCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), 300.0)),
+
+    "q19_disjunctive" -> ((s, dir) =>
+      analytics.Analytics6.disjunctiveRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir), Seq(
+          ("Brand#1", 1, 5, 1.0, 11.0),
+          ("Brand#2", 1, 10, 10.0, 20.0),
+          ("Brand#3", 1, 15, 20.0, 30.0)))),
+
+    "q20_part_promotion" -> ((s, dir) =>
+      analytics.Analytics6.partPromotionSuppliers(
+        Tables.supplier(s, dir), Tables.part(s, dir), Tables.lineitem(s, dir),
+        "STANDARD", "1996-01-01 00:00:00", "1997-01-01 00:00:00", 0.5)),
+
+    "q21_waiting_suppliers" -> ((s, dir) =>
+      analytics.Analytics6.waitingSuppliers(
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), 60)))
 
   private val DSUM = Cols.dsumSql _
   private val DAVG = Cols.davgSql _
@@ -1069,7 +1137,177 @@ object SparkEntry {
         |        (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) DESC,
         |      b.vec_id) AS BIGINT) AS rank
         |  FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id)
-        |SELECT COUNT(*) AS n_truth, true AS recall_ok FROM sims WHERE rank <= 5""".stripMargin)
+        |SELECT COUNT(*) AS n_truth, true AS recall_ok FROM sims WHERE rank <= 5""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |cand AS (
+         |  SELECT p_partkey, p_type, s_acctbal, s_name, n_name
+         |  FROM ps
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD')
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+         |FROM cand c1
+         |WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM cand c2
+         |                   WHERE c2.p_partkey = c1.p_partkey)
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT ${Cols.decSumSql(Cols.decDiscountedSql("l_extendedprice", "l_discount"))}
+         |  AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM(${Cols.decRevenueSql("l_extendedprice", "l_discount")}
+         |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+         |    AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY n_name, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey, $REV AS value
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey, value FROM v
+         |WHERE value > (SELECT ${DSUM("value")} FROM v) * 0.001
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q12_ship_speed" ->
+      s"""SELECT
+         |  CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+         |       THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS high_line_count,
+         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY ship_speed""".stripMargin,
+
+    "q13_order_distribution" ->
+      s"""SELECT c_count, COUNT(*) AS custdist FROM (
+         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         |  FROM customer
+         |  LEFT OUTER JOIN orders
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+         |  GROUP BY c_custkey)
+         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 *
+         |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0.0 END
+         |    AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         |  / $REV AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q22_idle_rich" ->
+      s"""WITH segs AS (
+         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         |  WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY'))
+         |SELECT c_mktsegment, COUNT(*) AS numcust, ${DSUM("c_acctbal")} AS totacctbal
+         |FROM segs s
+         |WHERE c_acctbal > (SELECT ${DAVG("c_acctbal")} FROM segs WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = s.c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $REV AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_part_supplier_cnt" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         |SELECT p_brand, p_type, p_size,
+         |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM ps JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         |  AND p_size IN (1,5,10,15,20,25,30,35)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q18_large_volume" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+         |FROM (SELECT l_orderkey, ${DSUM("l_quantity")} AS total_qty
+         |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300.0)
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT $REV AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity BETWEEN 1.0 AND 11.0)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 10.0 AND 20.0)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+
+    "q20_part_promotion" ->
+      s"""WITH shipped AS (
+         |  SELECT l_partkey, l_suppkey, ${DSUM("l_quantity")} AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY l_partkey, l_suppkey),
+         |pp AS (SELECT l_partkey, ${DSUM("qty")} AS total_qty
+         |       FROM shipped GROUP BY l_partkey)
+         |SELECT s_name, s_acctbal
+         |FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM shipped
+         |  JOIN pp USING (l_partkey)
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'STANDARD' AND qty > total_qty * 0.5)
+         |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      s"""WITH lo AS (
+         |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderstatus = 'F')
+         |SELECT s_name, COUNT(*) AS numwait
+         |FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+         |  AND EXISTS (SELECT 1 FROM lo l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lo l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 
   /** Oracles; the alternate-implementation queries share their twin's SQL. */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
