@@ -228,21 +228,25 @@ object OracleSql {
     *  - probe bucket selection and final exact-cosine top-k, with
     *    `list_dot_product`'s sequential fold matching the native kernels.
     */
-  def knnIvfSql(nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2,
-      nProbes: Int = 10, k: Int = 5): String = {
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** The shared IVF CTE chain (everything through the final per-vector
+    * cluster assignment `a_f`, plus the refined centroid relation it
+    * returns the name of) — used by both [[knnIvfSql]] and
+    * [[semDedupPairsSql]], mirroring [[graft.ops.Similarity.ivfIndex]]. */
+  private def ivfChainCtes(nCentroids: Int, lloydIters: Int): (String, String) = {
     val xxP1 = ulit(-7046029288634856825L) // 0x9E3779B185EBCA87
     val xxP2 = ulit(-4417276706812531889L) // 0xC2B2AE3D27D4EB4F
     val xxP3 = ulit(1609587929392839161L)  // 0x165667B19E3779F9
     val xxP4 = ulit(-8796714831421723037L) // 0x85EBCA77C2B2AE63
     val xxInit = ulit(42L + 2870177450012600261L + 8L) // seed + PRIME5 + len
     val q = "1048576.0" // 2^20 quantization of the cluster means
-    def cos(a: String, b: String): String =
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
     /** One Lloyd round: assign `base` to `prev`'s centroids, emit `out`. */
     def lloyd(prev: String, out: String): String =
       s"""asg_$out AS (
          |  SELECT vec_id, e, c_id,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("e", "c")} DESC, c_id) AS rn
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("e", "c")} DESC, c_id) AS rn
          |  FROM base CROSS JOIN $prev),
          |a_$out AS (SELECT vec_id, e, c_id AS cluster FROM asg_$out WHERE rn = 1),
          |m_$out AS (
@@ -254,26 +258,35 @@ object OracleSql {
       .map(i => lloyd(if (i == 1) "cents0" else s"cents${i - 1}", s"cents$i"))
       .mkString(",\n")
     val last = s"cents$lloydIters"
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |xu AS (SELECT vec_id, ${s2u("vec_id")} AS lu FROM base),
-       |x1 AS (SELECT vec_id, ${mulmod64("lu", xxP2)} AS h FROM xu),
-       |x2 AS (SELECT vec_id, ${rotl64("h", 31)} AS h FROM x1),
-       |x3 AS (SELECT vec_id, ${mulmod64("h", xxP1)} AS h FROM x2),
-       |x4 AS (SELECT vec_id, xor($xxInit, h) AS h FROM x3),
-       |x5 AS (SELECT vec_id, ${addmod64(mulmod64(rotl64("h", 27), xxP1), xxP4)} AS h FROM x4),
-       |x6 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 33)", xxP2)} AS h FROM x5),
-       |x7 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 29)", xxP3)} AS h FROM x6),
-       |xxh AS (SELECT vec_id, ${u2s("xor(h, h >> 32)")} AS xxh FROM x7),
-       |cents0 AS (
-       |  SELECT b.vec_id AS c_id, b.e AS c
-       |  FROM base b JOIN xxh x ON b.vec_id = x.vec_id
-       |  ORDER BY x.xxh, b.vec_id LIMIT $nCentroids),
-       |$rounds,
-       |asg_f AS (
-       |  SELECT vec_id, e, c_id,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cos("e", "c")} DESC, c_id) AS rn
-       |  FROM base CROSS JOIN $last),
-       |a_f AS (SELECT vec_id, e, c_id AS cluster FROM asg_f WHERE rn = 1),
+    val ctes =
+      s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |xu AS (SELECT vec_id, ${s2u("vec_id")} AS lu FROM base),
+         |x1 AS (SELECT vec_id, ${mulmod64("lu", xxP2)} AS h FROM xu),
+         |x2 AS (SELECT vec_id, ${rotl64("h", 31)} AS h FROM x1),
+         |x3 AS (SELECT vec_id, ${mulmod64("h", xxP1)} AS h FROM x2),
+         |x4 AS (SELECT vec_id, xor($xxInit, h) AS h FROM x3),
+         |x5 AS (SELECT vec_id, ${addmod64(mulmod64(rotl64("h", 27), xxP1), xxP4)} AS h FROM x4),
+         |x6 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 33)", xxP2)} AS h FROM x5),
+         |x7 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 29)", xxP3)} AS h FROM x6),
+         |xxh AS (SELECT vec_id, ${u2s("xor(h, h >> 32)")} AS xxh FROM x7),
+         |cents0 AS (
+         |  SELECT b.vec_id AS c_id, b.e AS c
+         |  FROM base b JOIN xxh x ON b.vec_id = x.vec_id
+         |  ORDER BY x.xxh, b.vec_id LIMIT $nCentroids),
+         |$rounds,
+         |asg_f AS (
+         |  SELECT vec_id, e, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("e", "c")} DESC, c_id) AS rn
+         |  FROM base CROSS JOIN $last),
+         |a_f AS (SELECT vec_id, e, c_id AS cluster FROM asg_f WHERE rn = 1)""".stripMargin
+    (ctes, last)
+  }
+
+  def knnIvfSql(nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2,
+      nProbes: Int = 10, k: Int = 5): String = {
+    val (ctes, last) = ivfChainCtes(nCentroids, lloydIters)
+    def cos(a: String, b: String): String = cosSql(a, b)
+    s"""WITH $ctes,
        |probes AS (
        |  SELECT b.vec_id AS probe_id, b.e AS pe, cc.c_id AS cluster,
        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${cos("b.e", "cc.c")} DESC, cc.c_id) AS r
@@ -289,6 +302,22 @@ object OracleSql {
        |  FROM scored)
        |SELECT probe_id, vec_id, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Full replica of [[graft.ops.Similarity.semanticDedupPairs]]: the
+    * bit-exact IVF chain above assigns every vector, then all same-cluster
+    * pairs over the cosine threshold are emitted — `list_dot_product`'s
+    * sequential fold matches the native kernel, so the pair set, cluster
+    * ids and cosines hash-match exactly (no recall bound needed). */
+  def semDedupPairsSql(nCentroids: Int = 32, lloydIters: Int = 2,
+      threshold: Double = 0.4): String = {
+    val (ctes, _) = ivfChainCtes(nCentroids, lloydIters)
+    s"""WITH $ctes
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       |FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.e", "b.e")} >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   def fingerprintSql: String =

@@ -252,6 +252,11 @@ object SparkEntry {
         Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4),
         bound = 0.8)),
 
+    // SemDeDup: cluster-local semantic dedup — within-cluster pairwise
+    // work (Σ|c|² not n²), hash-exact oracle via the replicated IVF chain
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(Tables.embeddings(s, dir), 0.4)),
+
     "q_embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(Tables.embeddings(s, dir))),
 
@@ -1084,6 +1089,7 @@ object SparkEntry {
     // candidates and ranks all replicated bit-exactly in DuckDB
     "q_knn_lsh" -> OracleSql.knnLshSql(),
     "q_knn_ivf" -> OracleSql.knnIvfSql(),
+    "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),

@@ -164,8 +164,23 @@ object Similarity {
     cents
   }
 
-  def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
-      nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
+  /** The shared IVF index construction: hash-sampled seeds, optional Lloyd
+    * refinement, and the per-row nearest-centroid assignment. Returns
+    * (corpus, centroids, assigned) — all lazy subplans.
+    *
+    * Assignment folds the whole centroid set into ONE array-of-structs row
+    * and broadcast-joins it onto the corpus, so (a) centroid computation
+    * stays lazy — it runs inside the job, not at query-construction time;
+    * (b) no corpus row ever moves (a groupBy(vec_id)/max_by formulation
+    * would re-shuffle the corpus including embeddings — the build-phase
+    * bottleneck at 100 TB); (c) nCentroids scales to the 10⁴-10⁵ a real
+    * IVF index wants, where a per-centroid-literal expression tree dies on
+    * codegen/constant-pool limits. The argmax itself is the native
+    * [[graft.functions.ArgMaxCosine]] kernel, ties toward the smaller c_id
+    * (max_by(c_id, struct(c_sim, -c_id)) semantics), and handles
+    * nCentroids=1 and empty corpora (empty → no assignments). */
+  private def ivfIndex(embeddings: DataFrame, nCentroids: Int, lloydIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val corpus = embeddings
       .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
     val seeds = corpus
@@ -181,18 +196,6 @@ object Similarity {
     // stays lazy inside the query.
     val centroids =
       if (lloydIters <= 0) seeds else refineCentroids(corpus, seeds, lloydIters)
-    // Assign every vector to its nearest centroid with a per-row argmax:
-    // the whole centroid set is folded into ONE array-of-structs row and
-    // broadcast-joined onto the corpus, so (a) centroid computation stays
-    // lazy — it runs inside the job, not at query-construction time; (b) no
-    // corpus row ever moves (the earlier groupBy(vec_id)/max_by formulation
-    // re-shuffled the corpus including embeddings — the build-phase
-    // bottleneck at 100 TB); (c) nCentroids scales to the 10⁴-10⁵ a real
-    // IVF index wants, where the previous per-centroid-literal expression
-    // tree died on codegen/constant-pool limits. The argmax itself is the
-    // native [[graft.functions.ArgMaxCosine]] kernel, ties toward the
-    // smaller c_id (max_by(c_id, struct(c_sim, -c_id)) semantics), and
-    // handles nCentroids=1 and empty corpora (empty → no assignments).
     val centArr = centroids
       .agg(collect_list(struct(col("c_id"), col("c_emb"), col("c_nsq"))).as("cents"))
     val assigned = corpus
@@ -200,6 +203,12 @@ object Similarity {
       .withColumn("cluster",
         graft.functions.ArgMaxCosine.argmaxCosine(col("embedding"), col("nsq"), col("cents")))
       .drop("cents")
+    (corpus, centroids, assigned)
+  }
+
+  def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
+    val (corpus, centroids, assigned) = ivfIndex(embeddings, nCentroids, lloydIters)
     // each probe picks its nProbe nearest clusters
     val probes = corpus
       .filter(col("vec_id").isin(probeIds: _*))
@@ -239,6 +248,39 @@ object Similarity {
         cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus with the IVF coarse quantizer
+    * (deterministic hash-sampled seeds + Lloyd refinement — the exact
+    * construction [[ivfTopK]] proves and the DuckDB oracle replicates
+    * bit-for-bit), then emit all within-cluster pairs with cosine ≥
+    * `threshold`.
+    *
+    * This is the dedup tier whose *semantics* are cluster-local by design
+    * — pairwise work is Σ|cluster|² instead of n², and at 100 TB the
+    * cluster count scales with the corpus (n/k roughly constant) so
+    * per-cluster work stays bounded while the only data-sized exchange is
+    * one shuffle of (cluster, vec_id, embedding) rows per join side.
+    * Unlike the LSH twin ([[embeddingNearDupPairsLsh]]) there is no
+    * per-pair miss probability to bound: the answer is exactly "all
+    * same-cluster pairs over the threshold", which the oracle recomputes
+    * independently — hash-exact, not recall-bounded. */
+  def semanticDedupPairs(embeddings: DataFrame, threshold: Double,
+      nCentroids: Int = 32, lloydIters: Int = 2): DataFrame = {
+    val (_, _, assigned) = ivfIndex(embeddings, nCentroids, lloydIters)
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

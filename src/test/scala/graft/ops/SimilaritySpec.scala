@@ -152,4 +152,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(recall >= 0.9, s"LSH near-dup recall too low: $recall")
     }
   }
+
+  test("semanticDedupPairs: cluster-local subset of all-pairs, identical cosines") {
+    val exact = Similarity.embeddingNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    val sem = Similarity.semanticDedupPairs(emb, 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+    assert(sem.nonEmpty, "no within-cluster pairs at the fixture's 0.4 regime")
+    val exactMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    // SemDeDup only restricts the pair space: every emitted pair is a true
+    // pair with the bit-identical cosine
+    sem.foreach { case (a, b, c) => assert(exactMap.get((a, b)).contains(c)) }
+  }
+
+  test("semanticDedupPairs: exact duplicates always share a cluster and are found") {
+    import org.apache.spark.sql.functions._
+    // assignment is a pure function of the embedding, so a verbatim copy
+    // lands in its original's cluster — exact dups can never be missed
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(copies)
+    val sem = Similarity.semanticDedupPairs(corpus, 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    (0L until 10L).foreach { i =>
+      assert(sem.contains((i, i + 20000L)), s"exact duplicate of vec $i missed")
+    }
+  }
 }
