@@ -295,6 +295,16 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), 3)),
 
+    // C4-style corpus-wide span dedup: keep each distinct 5-token span's
+    // first occurrence, report the per-document survival ledger
+    "q_span_dedup" -> ((s, dir) =>
+      TextAnalysis.spanDedup(Tables.documents(s, dir), 5)),
+
+    // Gopher rule-based quality flags (word count, mean word length,
+    // alpha-word fraction, stopword floor)
+    "q_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFlags(Tables.documents(s, dir))),
+
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
       ops.Sampling.splitCounts(Tables.documents(s, dir))),
@@ -968,6 +978,49 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+        |    array_to_string(tk[(i * 5) + 1 : (i * 5) + 5], ' ') AS span
+        |  FROM t, unnest(range(0, greatest((len(tk) + 4) // 5, 1))) AS u(i)
+        |  WHERE length(trim(array_to_string(tk[(i * 5) + 1 : (i * 5) + 5], ' '))) > 0),
+        |flagged AS (
+        |  SELECT doc_id,
+        |    (ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx)) = 1 AS kept
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans, COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(n_spans, 0) - COALESCE(n_kept, 0) AS n_dropped
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_nonws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    n_nonws / greatest(n_words, 1) AS mean_word_len,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(tk), 1) AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_transform(tk, x -> lower(x)),
+        |      ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'])) AS BIGINT) AS stopword_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+        |  n_words >= 50 AND n_words <= 100000 AS words_in_range,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_len_ok,
+        |  alpha_word_frac >= 0.8 AS alpha_ok,
+        |  stopword_hits >= 2 AS stopwords_ok,
+        |  (n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_token_counts" ->
       """SELECT doc_id,

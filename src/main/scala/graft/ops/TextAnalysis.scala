@@ -179,4 +179,84 @@ object TextAnalysis {
     documents
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** C4-style corpus-wide span deduplication (Raffel et al. 2020, §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once"; the fixture's texts have no sentence boundaries, so the
+    * span unit is a non-overlapping `width`-token chunk): every distinct
+    * span keeps only its first occurrence — ordered by (doc_id, span
+    * index) — and the per-document ledger reports how many of its spans
+    * survive. An exact-duplicate document loses every span.
+    *
+    * Dataflow: one explode pass → the first-occurrence owner per distinct
+    * span via min(struct) — a grouped aggregate with map-side partial
+    * combine, NOT a window (no per-group sort, and the exchange carries
+    * one row per distinct span) — then a key-join back and a per-doc
+    * count. At 100 TB both exchanges are hash-shuffles on span text /
+    * doc_id; raw text moves once. */
+  def spanDedup(documents: DataFrame, width: Int = 5): DataFrame = {
+    val spans = documents
+      .withColumn("_tk", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil(size(_tk) / $width.0) as int) - 1, 0))," +
+          s" i -> array_join(slice(_tk, i * $width + 1, $width), ' '))"))
+        .as(Seq("span_idx", "span")))
+      .select(col("doc_id"), col("span_idx").cast("long").as("span_idx"), col("span"))
+      .filter(length(trim(col("span"))) > 0)
+    val firstOwner = spans
+      .groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+    val flagged = spans
+      .join(firstOwner, "span")
+      .select(col("doc_id"),
+        (col("doc_id") === col("first.doc_id") &&
+          col("span_idx") === col("first.span_idx")).as("kept"))
+    documents.select(col("doc_id"))
+      .join(flagged.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_spans"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher rule-based quality flags (Rae et al. 2021, §A1.1): the
+    * document-level filters a pretraining pipeline applies before any
+    * model-based scoring —
+    *  - word count within [minWords, maxWords],
+    *  - mean word length within [3, 10] characters,
+    *  - ≥ 80% of words contain at least one alphabetic character,
+    *  - at least `minStopwords` stopword hits (the "ellipsis page" guard).
+    * Emits the raw signals, one boolean per rule, and the conjunction as
+    * `keep`. Every ratio is an exact integer quotient in doubles —
+    * bit-deterministic across engines. Pure per-row map work; the only
+    * exchange is the final ORDER BY. */
+  def gopherQualityFlags(documents: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000, minStopwords: Int = 2): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nWords = tokenCount(col("text"))
+    val meanLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+    val stopHits = size(array_intersect(transform(toks, t => lower(t)),
+      lit(stopwords.toArray))).cast("long")
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stopword_hits"),
+      (nWords >= minWords && nWords <= maxWords).as("words_in_range"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("mean_len_ok"),
+      (alphaFrac >= 0.8).as("alpha_ok"),
+      (stopHits >= minStopwords).as("stopwords_ok"))
+      .withColumn("keep",
+        col("words_in_range") && col("mean_len_ok") && col("alpha_ok") && col("stopwords_ok"))
+      .orderBy(col("doc_id"))
+  }
 }

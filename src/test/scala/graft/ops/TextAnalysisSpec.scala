@@ -72,6 +72,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 1.0, 1.0, 0.0)))
   }
 
+  test("spanDedup: duplicate document loses every span; unique doc keeps all") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // 2 spans of 5
+      (2L, "a b c d e f g h i j"),          // exact duplicate → 0 kept
+      (3L, "k l m n o"),                    // unique → kept
+      (4L, "a b c d e zz yy xx ww vv"),     // shares span 0 with doc 1 only
+      (5L, "   "))                          // blank → zero spans
+      .toDF("doc_id", "text")
+    val out = spanDedup(docs, width = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+    assert(out(1L) == ((2L, 2L, 0L)))
+    assert(out(2L) == ((2L, 0L, 2L)))
+    assert(out(3L) == ((1L, 1L, 0L)))
+    assert(out(4L) == ((2L, 1L, 1L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+  }
+
+  test("spanDedup: first occurrence wins by (doc_id, span_idx) order") {
+    import spark.implicits._
+    // the same span appears twice INSIDE doc 1 (spans 0 and 1): only the
+    // first position survives; doc 2's copy also drops
+    val docs = Seq(
+      (1L, "p q r s t p q r s t"),
+      (2L, "p q r s t")).toDF("doc_id", "text")
+    val out = spanDedup(docs, width = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(out(1L) == 1L && out(2L) == 0L)
+  }
+
+  test("gopherQualityFlags: each rule fires on its designed violator") {
+    import spark.implicits._
+    val longOk = (("the and of " * 20) + ("alpha beta gamma delta " * 10)).trim
+    val docs = Seq(
+      (1L, longOk),                                  // passes all rules
+      (2L, "the of it"),                             // too short
+      (3L, ("x " * 60).trim),                        // mean word len 1 < 3
+      (4L, (("12345 " * 60) + "the of").trim))       // alpha frac ~0
+      .toDF("doc_id", "text")
+    val out = gopherQualityFlags(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("words_in_range") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("mean_len_ok") && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("alpha_ok") && !out(4L).getAs[Boolean]("keep"))
+  }
+
   test("repetitionMetrics: case-insensitive token identity") {
     import spark.implicits._
     val df = Seq((1L, "Spam SPAM spam")).toDF("doc_id", "text")
