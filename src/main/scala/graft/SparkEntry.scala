@@ -150,6 +150,11 @@ object SparkEntry {
     "q_daily_counts" -> ((s, dir) =>
       Analytics.dailyCounts(Tables.events(s, dir))),
 
+    // the same report served from the memoized hourly summary table
+    // (ClickHouse materialized-view pattern): scans group rows, not events
+    "q_daily_counts_mv" -> ((s, dir) =>
+      analytics.MaterializedRollup.dailyCountsFromRollup(s, dir, Tables.events(s, dir))),
+
     "q_top_events_per_user" -> ((s, dir) =>
       Analytics.topEventsPerUser(Tables.events(s, dir), 3)),
 
@@ -1372,5 +1377,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
-    "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"))
+    "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),
+    "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"))
 }
