@@ -33,6 +33,15 @@ object MaterializedRollup {
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
+  /** The rollup's partial-aggregate frame for a slice of events. The value
+    * sum is pinned to DECIMAL(28,4) so initial builds and incremental
+    * merges store the identical type (Spark's sum() widens precision per
+    * nesting level and would otherwise drift the schema on every merge). */
+  private def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("value_dec"))
+
   private val prepared = scala.collection.concurrent.TrieMap[(String, String), String]()
 
   /** Memoized hourly rollup of the events fixture: one row per
@@ -43,13 +52,31 @@ object MaterializedRollup {
     val appId = spark.sparkContext.applicationId
     prepared.getOrElseUpdate((appId, dir), {
       val name = s"events_hourly_rollup_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      writeTable(
-        events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(18, 4))).as("value_dec")),
-        name)
+      writeTable(hourlyAgg(events), name)
       name
     })
+  }
+
+  /** Incremental upkeep: fold one micro-batch of raw events into the
+    * rollup additively — aggregate the delta to the same partials, union
+    * with the current table, re-sum per group, swap. Counts and decimal
+    * sums re-aggregate exactly, so N incremental merges end bit-identical
+    * to one batch rebuild (spec-asserted). The merged frame is
+    * `localCheckpoint`ed before the overwrite because its lineage reads
+    * the very table being replaced; a transactional table format would
+    * express this as MERGE INTO and skip the copy. Intended as the
+    * `foreachBatch` body of a streaming ingest (the
+    * [[graft.streaming.LogStream]] sink shape). */
+  def upsertDelta(spark: SparkSession, table: String, deltaEvents: DataFrame): Unit = {
+    val delta = hourlyAgg(deltaEvents)
+    val merged =
+      if (spark.catalog.tableExists(table))
+        spark.table(table).unionByName(delta)
+          .groupBy(col("event_type"), col("hour"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("value_dec")).cast(DecimalType(28, 4)).as("value_dec"))
+      else delta
+    writeTable(merged.localCheckpoint(), table)
   }
 
   /** Daily counts served FROM the hourly rollup — same output (and oracle)

@@ -4,6 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkTestBase, Tables}
 
+case class RollupEv(event_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+
 class MaterializedRollupSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
@@ -25,6 +27,45 @@ class MaterializedRollupSpec extends AnyFunSuite {
       "materialized-rollup query still scans the raw events file")
     assert(plan.contains("events_hourly_rollup"),
       "materialized-rollup query does not read the summary table")
+  }
+
+  test("streaming upkeep: N foreachBatch merges end bit-identical to one rebuild") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val batch1 = Seq(
+      RollupEv(1, t("2024-01-01T00:10:00Z"), "click", 1.25),
+      RollupEv(2, t("2024-01-01T00:40:00Z"), "click", 2.5),
+      RollupEv(3, t("2024-01-01T01:10:00Z"), "view", 3.75))
+    val batch2 = Seq(
+      RollupEv(4, t("2024-01-01T00:55:00Z"), "click", 4.25), // same hour as batch1 rows
+      RollupEv(5, t("2024-01-01T02:05:00Z"), "view", 0.5))
+    val table = "rollup_upkeep_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+    val mem = MemoryStream[RollupEv]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        MaterializedRollup.upsertDelta(spark, table, delta.toDF())
+      }
+      .start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val incremental = spark.table(table)
+      .orderBy("event_type", "hour").collect().map(_.toSeq).toSeq
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_rebuild")
+    MaterializedRollup.upsertDelta(spark, s"${table}_rebuild", (batch1 ++ batch2).toDF())
+    val rebuilt = spark.table(s"${table}_rebuild")
+      .orderBy("event_type", "hour").collect().map(_.toSeq).toSeq
+    assert(incremental == rebuilt)
+    // the same-hour group actually merged across batches: clicks in hour 0
+    // arrived 2 in batch1 + 1 in batch2 → one row with n = 3
+    assert(incremental.length == 3)
+    assert(incremental.head(2) == 3L)
   }
 
   test("rollup build is memoized per (app, dir): repeat calls reuse the table") {
