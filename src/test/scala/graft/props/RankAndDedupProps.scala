@@ -1,0 +1,89 @@
+package graft.props
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkTestBase
+import graft.analytics.GlobalRank
+import graft.ops.TextAnalysis
+
+/** Property-based laws for the hand-rolled scalable constructions: on
+  * random small frames (where the naive spellings are safe) the
+  * range-partitioned rank family must equal Spark's own global window
+  * functions EXACTLY, and spanDedup must equal a driver-side brute-force
+  * reference. These guard the constructions' arithmetic (offset sums,
+  * peer-group min/max, first-owner ordering) against every shape a
+  * generator can produce — ties, all-equal values, singletons, empties.
+  */
+object RankAndDedupProps extends Properties("RankAndDedup") {
+  lazy val spark = SparkTestBase.spark
+
+  private val genRows: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    // values from a tiny domain so peer groups (ties) are common
+    vs <- Gen.listOfN(n, Gen.choose(0L, 7L))
+  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+
+  property("withRankFamily == SQL window functions (desc order, ties everywhere)") =
+    forAll(genRows) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "v")
+      val got = GlobalRank.withRankFamily(df,
+        valueSort = Seq(col("v").desc), valueNames = Seq("v"),
+        tieBreak = Seq(col("id")))
+        .select("id", "v", "rank", "dense_rank", "percent_rank", "cume_dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+      val w = Window.orderBy(col("v").desc)
+      val want = df
+        .withColumn("rank", rank().over(w).cast("long"))
+        .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+        .withColumn("percent_rank", percent_rank().over(w))
+        .withColumn("cume_dist", cume_dist().over(w))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"),
+          r.getAs[Long]("rank"), r.getAs[Long]("dense_rank"),
+          r.getAs[Double]("percent_rank"), r.getAs[Double]("cume_dist"))).sortBy(_._1)
+      got.sameElements(want)
+    }
+
+  property("withNtile == SQL NTILE for random n") =
+    forAll(genRows, Gen.choose(1, 9)) { (rows, n) =>
+      import spark.implicits._
+      val df = rows.toDF("id", "v")
+      val got = GlobalRank.withNtile(df, n, Seq(col("v"), col("id")), "nt")
+        .select("id", "nt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val want = df
+        .withColumn("nt", ntile(n).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "nt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      got.sameElements(want)
+    }
+
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    // 3-word vocabulary and short docs force plenty of shared spans
+    docs <- Gen.listOfN(n, Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("spanDedup == brute-force first-occurrence reference") =
+    forAll(genDocs, Gen.choose(1, 4)) { (docs, width) =>
+      import spark.implicits._
+      val got = TextAnalysis.spanDedup(docs.toDF("doc_id", "text"), width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // reference: enumerate spans in (doc_id, span_idx) order, first
+      // occurrence of each distinct span is kept
+      val spansOf = docs.sortBy(_._1).map { case (id, t) =>
+        val tk = t.trim.split("\\s+").toSeq
+        id -> tk.grouped(width).map(_.mkString(" ")).filter(_.trim.nonEmpty).toSeq
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val want = spansOf.map { case (id, spans) =>
+        val kept = spans.count(s => seen.add(s))
+        (id, spans.length.toLong, kept.toLong)
+      }.sortBy(_._1)
+      got.map(t => (t._1, t._2, t._3)).sameElements(want)
+    }
+}
