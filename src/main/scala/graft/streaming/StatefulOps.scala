@@ -84,6 +84,19 @@ object StatefulOps {
       .withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_id")
 
+  /** Streaming dedup with TIME-BOUNDED keys ([[dedupStream]]'s sibling for
+    * the replay/retry regime): `dropDuplicatesWithinWatermark` deduplicates
+    * keys whose copies arrive within the watermark delay OF EACH OTHER,
+    * rather than keying state by exact event time — the right contract
+    * when a producer retries the same record with a fresh-ish timestamp.
+    * State for a key is dropped once the watermark passes its first
+    * sighting + delay, so the store is bounded by the key arrival rate ×
+    * watermark horizon regardless of stream length. */
+  def dedupStreamWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
   /** Stream-stream interval join: each purchase matched to the same user's
     * signups within the preceding `horizon`. Watermarks on both sides
     * bound the join state — purchase state can expire once no matching

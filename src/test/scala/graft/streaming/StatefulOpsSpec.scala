@@ -73,4 +73,29 @@ class StatefulOpsSpec extends AnyFunSuite {
     q.stop()
     assert(spark.table("dedup_out").count() == 1)
   }
+
+  test("dedupStreamWithinWatermark: retries collapse, state expires with the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val q = StatefulOps.dedupStreamWithinWatermark(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    mem.addData(EventIn(1, t("2024-01-01T00:00:00Z"), 7, "click", 1.0))
+    q.processAllAvailable()
+    // a retry of the same record with a refreshed timestamp, within the
+    // delay of the first sighting → dropped; the far-future row advances
+    // the watermark past the key's expiry (00:00 + 10 min)
+    mem.addData(
+      EventIn(1, t("2024-01-01T00:05:00Z"), 7, "click", 1.0),
+      EventIn(9, t("2024-01-01T01:00:00Z"), 7, "view", 9.0))
+    q.processAllAvailable()
+    // same key again, long after its state expired → a NEW record (the
+    // bounded-state contract: dedup holds within the horizon, not forever)
+    mem.addData(EventIn(1, t("2024-01-01T01:00:00Z"), 7, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_wm_out").collect()
+    assert(out.length == 3)
+    assert(out.count(_.getAs[Long]("event_id") == 1L) == 2)
+  }
 }
