@@ -466,17 +466,24 @@ object OracleSql {
        |WHERE fi / $stride < $maxFrames
        |ORDER BY media_id, frame_idx""".stripMargin
 
-  /** [[graft.ops.Multimodal.audioFeatures]]: stub rate from the payload
-    * hash (unsigned mod 4), two samples per byte, double duration. */
+  /** [[graft.ops.Multimodal.audioFeatures]]: the decode is REAL
+    * (javax.sound.sampled header parse), and text payloads are not audio
+    * containers, so every fixture row takes the quarantine branch —
+    * (-1, -1, -1.0, decoded=false) with the byte-exact FNV content hash.
+    * The successful-decode branch is exercised with real generated WAVs in
+    * MultimodalSpec (header fields are not SQL-expressible). */
   def multimodalAudioSql: String =
     s"""WITH media AS (
        |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,
-       |    octet_length(encode(text)) AS n_bytes
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
        |  FROM documents WHERE doc_id % 3 = 1)
        |SELECT media_id,
-       |  CAST(8000 * (1 + h % 4) AS INTEGER) AS sample_rate,
-       |  CAST(n_bytes * 2 AS BIGINT) AS n_samples,
-       |  CAST(n_bytes * 2 AS DOUBLE) / CAST(8000 * (1 + h % 4) AS INTEGER) AS duration_s
+       |  CAST(-1 AS INTEGER) AS sample_rate,
+       |  CAST(-1 AS BIGINT) AS n_samples,
+       |  CAST(-1.0 AS DOUBLE) AS duration_s,
+       |  n_bytes,
+       |  ${u2s("h")} AS content_hash,
+       |  false AS decoded
        |FROM media ORDER BY media_id""".stripMargin
 
   /** [[graft.ops.CleanPipeline.cleanCharJaccard]] per-document frame — the

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns next to typed metadata, processed per-partition in
   * batches — the Scala analogue of a Pandas-UDF `mapInPandas` stage.
   *
-  * The IMAGE decode is real: plain-JDK `javax.imageio` (PNG/JPEG/GIF/BMP)
-  * parses actual pixel dimensions, with undecodable payloads quarantined
-  * as (-1, -1, decoded=false) rows. Audio resampling and video frame
-  * extraction need native libraries this container does not ship, so those
-  * two decode kernels remain STUBBED with deterministic fakes that derive
-  * plausible metadata from the bytes. Everything Spark-side — schema,
-  * encoders, batch iteration shape, partitioning — is real and tested;
-  * swapping a stub for a real codec changes only the function body marked
-  * `// STUB` (the image path shows the shape).
+  * TWO of the three decodes are real, on plain JDK alone: IMAGE via
+  * `javax.imageio` (PNG/JPEG/GIF/BMP → actual pixel dimensions) and AUDIO
+  * via `javax.sound.sampled` (WAV/AIFF/AU headers → actual sample rate and
+  * frame count), both quarantining undecodable payloads as
+  * `decoded = false` rows instead of failing the batch. Video frame
+  * extraction needs native demuxers this container does not ship, so that
+  * one kernel remains STUBBED with a deterministic fake. Everything
+  * Spark-side — schema, encoders, batch iteration shape, partitioning —
+  * is real and tested; swapping the stub for a real codec changes only
+  * the function body marked `// STUB` (the image/audio paths show the
+  * shape).
   */
 object Multimodal {
 
@@ -42,12 +44,16 @@ object Multimodal {
       frame_idx: Int,
       frame_hash: Long)
 
-  /** Decoded audio envelope metadata. */
+  /** Decoded audio envelope metadata. `decoded` distinguishes a real codec
+    * parse from an undecodable payload (rate/samples/duration = -1). */
   final case class AudioFeatures(
       media_id: Long,
       sample_rate: Int,
       n_samples: Long,
-      duration_s: Double)
+      duration_s: Double,
+      n_bytes: Long,
+      content_hash: Long,
+      decoded: Boolean)
 
   /** Deterministic 64-bit hash of a byte payload (FNV-1a). */
   private def contentHash(bytes: Array[Byte]): Long =
@@ -89,20 +95,34 @@ object Multimodal {
     }
   }
 
-  /** Audio decode metadata, batch-per-partition like [[imageFeatures]].
-    * Sample rate / sample count are stub-derived (rate from the payload
-    * hash, two samples per byte); a real resampler would read the codec
-    * header and PCM frames. */
+  /** Audio envelope decode, batch-per-partition like [[imageFeatures]].
+    * The decode is REAL: plain-JDK `javax.sound.sampled` parses WAV/AIFF/AU
+    * container headers into the actual sample rate and frame count (header
+    * read only — the PCM body is never pulled through the task). A payload
+    * no installed provider recognizes yields (-1, -1, -1.0,
+    * decoded = false) — the same quarantine contract as the image path. */
   def audioFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio").mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // STUB: replace with one vectorized decode/resample call per batch.
         batch.map { r =>
           val h = contentHash(r.payload)
-          val rate = (8000L * (1L + java.lang.Long.remainderUnsigned(h, 4L))).toInt
-          val nSamples = r.payload.length.toLong * 2L
-          AudioFeatures(r.media_id, rate, nSamples, nSamples.toDouble / rate)
+          val parsed =
+            try {
+              val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+                new java.io.ByteArrayInputStream(r.payload))
+              val rate = aff.getFormat.getSampleRate
+              val frames = aff.getFrameLength.toLong
+              if (rate > 0 && frames >= 0) Some((rate.toInt, frames)) else None
+            } catch { case _: Exception => None }
+          parsed match {
+            case Some((rate, frames)) =>
+              AudioFeatures(r.media_id, rate, frames, frames.toDouble / rate,
+                r.payload.length.toLong, h, decoded = true)
+            case None =>
+              AudioFeatures(r.media_id, -1, -1L, -1.0,
+                r.payload.length.toLong, h, decoded = false)
+          }
         }
       }
     }

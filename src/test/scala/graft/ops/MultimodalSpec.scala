@@ -62,14 +62,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("audioFeatures: audio rows only, duration consistent with rate") {
+  test("audioFeatures: text payloads all quarantine (real codec, no audio headers)") {
     val feats = Multimodal.audioFeatures(media).collect()
     assert(feats.nonEmpty)
     feats.foreach { f =>
       assert(f.media_id % 3 == 1) // the audio kind
-      assert(Set(8000, 16000, 24000, 32000)(f.sample_rate))
-      assert(math.abs(f.duration_s - f.n_samples.toDouble / f.sample_rate) == 0.0)
+      assert(f.sample_rate == -1 && f.n_samples == -1L && f.duration_s == -1.0)
+      assert(!f.decoded && f.n_bytes > 0)
     }
+  }
+
+  test("audioFeatures: REAL decode — generated WAVs yield actual rate and frames") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    def wav(rate: Float, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i * 37) & 0x7f).toByte)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(8000f, 1600), "s"),
+      Multimodal.MediaRow(4L, "audio", wav(44100f, 4410), "s"),
+      Multimodal.MediaRow(7L, "audio", "not audio".getBytes("UTF-8"), "s"))
+    val feats = Multimodal.audioFeatures(rows.toDS()).collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.media_id, f.sample_rate, f.n_samples, f.decoded)).toSeq ==
+      Seq((1L, 8000, 1600L, true), (4L, 44100, 4410L, true), (7L, -1, -1L, false)))
+    assert(math.abs(feats(0).duration_s - 0.2) < 1e-9)
+    assert(math.abs(feats(1).duration_s - 0.1) < 1e-9)
   }
 
   test("payloadMeta: byte length matches utf-8 encoding") {
