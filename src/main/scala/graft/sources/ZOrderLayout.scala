@@ -77,6 +77,33 @@ object ZOrderLayout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[writeZOrdered]] with RANK-based normalization — the skew-proof
+    * variant. Linear min/max scaling wastes its 16 bits on empty range
+    * when a dimension is skewed (a dense cluster collapses into one scaled
+    * value, so the curve cannot discriminate inside it and every file's
+    * envelope spans the cluster). Ranking each dimension first spreads the
+    * dense mass across the full scale — the `range_partition_id`
+    * normalization production z-order implementations use — built here on
+    * [[graft.analytics.GlobalRank.withRowNumber]], so the rank itself is
+    * range-partitioned and never single-task. Write-side cost: two extra
+    * range exchanges, paid once per layout. */
+  def writeZOrderedByRank(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    val ranked = graft.analytics.GlobalRank.withRowNumber(
+      graft.analytics.GlobalRank.withRowNumber(
+        df, Seq(col(colA), col(colB)), "_zra"),
+      Seq(col(colB), col(colA)), "_zrb")
+    val total = ranked.agg(max(col("_zra")).as("_zn"))
+    def scale16(r: Column, n: Column): Column =
+      when(n === 1L, lit(0L)).otherwise(floor((r - 1L) * lit(65535L) / (n - 1L)).cast("long"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("_z", zorder2(scale16(col("_zra"), col("_zn")), scale16(col("_zrb"), col("_zn"))))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z", "_zra", "_zrb", "_zn")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file (min, max) envelopes of two columns — the statistics a
     * skipping scan consults. Returns (file, minA, maxA, minB, maxB). */
   def fileEnvelopes(spark: org.apache.spark.sql.SparkSession, path: String,

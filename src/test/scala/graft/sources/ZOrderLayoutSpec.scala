@@ -54,4 +54,33 @@ class ZOrderLayoutSpec extends AnyFunSuite {
     val linOrd = avgCand(linE, onA = true, orderkeys)
     assert(linOrd <= 2.0)
   }
+
+  test("rank normalization keeps skipping alive under heavy skew; linear collapses") {
+    import spark.implicits._
+    // 90% of colA mass sits in [0,100) with outliers up to 1e9: linear
+    // min/max scaling maps the whole dense cluster to ONE scaled value, so
+    // the curve cannot discriminate inside it and every file's envelope
+    // covers the cluster — rank normalization spreads it across the scale
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val a = if (i % 10 != 0) (i * 37) % 100
+        else ((i.toLong * 2654435761L) % 1000000000L)
+      val b = (i.toLong * 48271) % 100000L
+      (a.toLong, b)
+    }
+    val df = rows.toDF("a", "b")
+    val linDir = java.nio.file.Files.createTempDirectory("zskewlin").toString
+    val rankDir = java.nio.file.Files.createTempDirectory("zskewrank").toString
+    ZOrderLayout.writeZOrdered(df, linDir, "a", "b", 16)
+    ZOrderLayout.writeZOrderedByRank(df, rankDir, "a", "b", 16)
+    def env(p: String) = ZOrderLayout.fileEnvelopes(spark, p, "a", "b")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def avgCand(e: Array[(Long, Long, Long, Long)], onA: Boolean, vs: Seq[Long]) =
+      vs.map(v => ZOrderLayout.candidateFiles(e, onA, v)).sum.toDouble / vs.size
+    val dense = Seq(3L, 17L, 42L, 67L, 88L)
+    val linDense = avgCand(env(linDir), onA = true, dense)
+    val rankDense = avgCand(env(rankDir), onA = true, dense)
+    assert(linDense >= 15.0, s"linear layout unexpectedly pruned the dense cluster: $linDense")
+    assert(rankDense <= 9.0, s"rank z-order skipping under skew too weak: $rankDense of 16")
+  }
 }
