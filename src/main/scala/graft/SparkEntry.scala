@@ -158,6 +158,15 @@ object SparkEntry {
     "q_top_events_per_user" -> ((s, dir) =>
       Analytics.topEventsPerUser(Tables.events(s, dir), 3)),
 
+    // sequential first-occurrence funnel with a completion horizon
+    "q_funnel" -> ((s, dir) =>
+      analytics.Behavior.funnelCounts(Tables.events(s, dir),
+        Seq("signup", "view", "purchase"), horizonHours = 6)),
+
+    // day-over-day retention with exact integer rates
+    "q_retention" -> ((s, dir) =>
+      analytics.Behavior.dailyRetention(Tables.events(s, dir))),
+
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
 
@@ -983,6 +992,33 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH ev AS ($EV),
+         |s0 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+         |s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s0 ON e.user_id = s0.user_id
+         |       WHERE e.event_type = 'view' AND e.ts >= s0.t
+         |         AND e.ts < s0.t + INTERVAL 6 HOUR GROUP BY e.user_id),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+         |         AND e.ts < s1.t + INTERVAL 6 HOUR GROUP BY e.user_id)
+         |SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step, (SELECT COUNT(*) FROM s0) AS n_users
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), 'view', (SELECT COUNT(*) FROM s1)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s2)
+         |ORDER BY step_idx""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH ev AS ($EV),
+         |d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS dy FROM ev)
+         |SELECT a.dy AS dy, COUNT(*) AS n_active,
+         |  CAST(COUNT(*) FILTER (WHERE b.user_id IS NOT NULL) AS BIGINT) AS n_retained,
+         |  CAST(COUNT(*) FILTER (WHERE b.user_id IS NOT NULL) AS DOUBLE) / COUNT(*)
+         |    AS retention_rate
+         |FROM d a LEFT JOIN d b
+         |  ON a.user_id = b.user_id AND b.dy = a.dy + INTERVAL 1 DAY
+         |GROUP BY a.dy ORDER BY dy""".stripMargin,
 
     "q_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),

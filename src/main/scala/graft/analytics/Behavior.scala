@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral/product analytics over the event stream — the funnel and
+  * retention reports an observability stack computes next to its log
+  * queries (SURVEY §2.8 extension surface). Both are exact, integer-only
+  * aggregations (ratios are exact integer quotients in doubles), so they
+  * hash-match the DuckDB oracle bit-for-bit.
+  */
+object Behavior {
+
+  /** Sequential first-occurrence funnel: step k is completed by a user at
+    * the EARLIEST event of `steps(k)` at-or-after their step-(k−1)
+    * completion and strictly inside the `horizonHours` window from it.
+    * Emits one row per step with the surviving user count.
+    *
+    * Dataflow: one keyed frame per step — filter to the step's type, join
+    * on user to the previous step frame (both sides already reduced to one
+    * row per user), min-ts aggregate. Every join and aggregate is keyed on
+    * user_id; the step frames shrink monotonically, and the final counts
+    * are one-row aggregates unioned into an S-row result. At 100 TB each
+    * step costs one shuffle of (user, ts) pairs — never raw events beyond
+    * the per-type filter of the scan. */
+  def funnelCounts(events: DataFrame, steps: Seq[String], horizonHours: Int): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val perStep = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val typed = events.filter(col("event_type") === step)
+          .select(col("user_id"), col("ts"))
+        val advanced = prev match {
+          case None => typed
+          case Some(p) =>
+            typed.join(p.select(col("user_id").as("_pu"), col("_t").as("_pt")),
+              col("user_id") === col("_pu") &&
+                col("ts") >= col("_pt") &&
+                col("ts") < col("_pt") + expr(s"INTERVAL $horizonHours HOURS"))
+        }
+        Some(advanced.groupBy(col("user_id")).agg(min(col("ts")).as("_t")))
+    }.flatten
+    perStep.zip(steps).zipWithIndex.map { case ((frame, name), i) =>
+      frame.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(name).as("step"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("step_idx"))
+  }
+
+  /** Day-over-day retention: for each active day, how many of its users
+    * are active again the next day. One distinct (user, day) reduction,
+    * one self-join keyed on user, one per-day count — rate is the exact
+    * integer quotient. */
+  def dailyRetention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("dy"))
+      .distinct()
+    days.as("a")
+      .join(days.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.dy") === col("a.dy") + expr("INTERVAL 1 DAY"),
+        "left_outer")
+      .groupBy(col("a.dy").as("dy"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("b.user_id").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      .withColumn("retention_rate",
+        col("n_retained").cast("double") / col("n_active").cast("double"))
+      .orderBy(col("dy"))
+  }
+}
