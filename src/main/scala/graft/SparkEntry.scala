@@ -319,6 +319,10 @@ object SparkEntry {
     "q_gopher_quality" -> ((s, dir) =>
       TextAnalysis.gopherQualityFlags(Tables.documents(s, dir))),
 
+    // training-sequence packing: streaming-concat token layout, 2048/pack
+    "q_pack" -> ((s, dir) =>
+      ops.Packing.sequencePacks(Tables.documents(s, dir), 2048L)),
+
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
       ops.Sampling.splitCounts(Tables.documents(s, dir))),
@@ -1038,6 +1042,22 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans, COALESCE(n_kept, 0) AS n_kept,
         |  COALESCE(n_spans, 0) - COALESCE(n_kept, 0) AS n_dropped
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  (cum_tokens - n_tokens) // 2048 AS pack_id,
+        |  (cum_tokens - n_tokens) % 2048 AS offset_in_pack
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_gopher_quality" ->
       """WITH t AS (

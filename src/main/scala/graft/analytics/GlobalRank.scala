@@ -131,6 +131,51 @@ object GlobalRank {
       .drop("_rf_rn", "_rf_minrn", "_rf_maxrn", "_rf_dense", "_rf_total")
   }
 
+  /** Append a global BIGINT running total of `valueCol` (inclusive of the
+    * current row) over the total order `sortCols` — the scalable spelling
+    * of `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`, whose
+    * naive form moves every row to ONE task.
+    *
+    * Construction: the [[withGlobalRowNumber]] range partitioning, a
+    * PARTITION-LOCAL cumulative window keyed on the partition ordinal
+    * (one keyed hash exchange — rows of a partition stay together, every
+    * core busy), per-partition value sums prefix-summed over the
+    * O(numPartitions) offset frame, and a broadcast join back:
+    * total = partition prefix + local cumsum. Integer-only — exact and
+    * engine-stable at any size (a double accumulation would be
+    * order-sensitive). */
+  def withRunningTotalLong(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      outCol: String): DataFrame = {
+    require(!df.columns.exists(_.startsWith("_gr_")),
+      "input already has _gr_-prefixed working columns")
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption.filter(_ > 0)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val parted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_gr_id", monotonically_increasing_id())
+      .withColumn("_gr_pid", shiftrightunsigned(col("_gr_id"), 33))
+      .withColumn("_gr_rn", col("_gr_id").bitwiseAND(lit((1L << 33) - 1)))
+      .withColumn("_gr_v", valueCol.cast("long"))
+      .drop("_gr_id")
+    val localW = Window.partitionBy(col("_gr_pid")).orderBy(col("_gr_rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_gr_lcum", sum(col("_gr_v")).over(localW))
+    // numPartitions rows — the only single-partition window
+    val offW = Window.orderBy(col("_gr_pid"))
+    val offsets = parted
+      .groupBy(col("_gr_pid"))
+      .agg(sum(col("_gr_v")).as("_gr_psum"))
+      .select(col("_gr_pid"),
+        coalesce(sum(col("_gr_psum")).over(
+          offW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_gr_voff"))
+    local
+      .join(broadcast(offsets), "_gr_pid")
+      .withColumn(outCol, col("_gr_voff") + col("_gr_lcum"))
+      .drop("_gr_pid", "_gr_rn", "_gr_v", "_gr_lcum", "_gr_voff")
+  }
+
   /** Append a global BIGINT NTILE(`n`) column ordered by `sortCols`:
     * the first `total mod n` buckets get `ceil(total/n)` rows, the rest
     * `floor(total/n)` — SQL NTILE semantics, derived arithmetically from

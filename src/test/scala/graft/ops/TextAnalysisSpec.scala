@@ -120,6 +120,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out(4L).getAs[Boolean]("alpha_ok") && !out(4L).getAs[Boolean]("keep"))
   }
 
+  test("sequencePacks: offsets stay under capacity, stream is gap-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens
+      (2L, ("w " * 10).trim),   // 10 tokens → straddles the 8-cap boundary
+      (3L, "x y"),              // 2
+      (4L, "")).toDF("doc_id", "text")
+    val out = Packing.sequencePacks(docs, capacity = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // cum: 3, 13, 15, 15 ; starts: 0, 3, 13, 15 → packs 0, 0, 1, 1
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 0L, 0L),
+      (2L, 10L, 13L, 0L, 3L),
+      (3L, 2L, 15L, 1L, 5L),
+      (4L, 0L, 15L, 1L, 7L)))
+    out.foreach { case (_, _, _, _, off) => assert(off >= 0 && off < 8) }
+  }
+
   test("repetitionMetrics: case-insensitive token identity") {
     import spark.implicits._
     val df = Seq((1L, "Spam SPAM spam")).toDF("doc_id", "text")

@@ -62,6 +62,21 @@ object RankAndDedupProps extends Properties("RankAndDedup") {
       got.sameElements(want)
     }
 
+  property("withRunningTotalLong == SQL cumulative window") =
+    forAll(genRows) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "v")
+      val got = GlobalRank.withRunningTotalLong(df, Seq(col("id")), col("v"), "cum")
+        .select("id", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val want = df
+        .withColumn("cum", sum(col("v")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      got.sameElements(want)
+    }
+
   private val genDocs: Gen[List[(Long, String)]] = for {
     n <- Gen.choose(1, 12)
     // 3-word vocabulary and short docs force plenty of shared spans
