@@ -60,7 +60,8 @@ object Soak {
     "q_dedup_embedding_lsh", "q_asof_join_exec", "q_pipeline_clean",
     "q_data_split", "q_pii_redaction", "q_contamination", "q_repetition",
     "q_semdedup", "q_span_dedup", "q_gopher_quality",
-    "q16_part_supplier_cnt", "q21_waiting_suppliers")
+    "q16_part_supplier_cnt", "q21_waiting_suppliers",
+    "q_funnel", "q_retention", "q_pack")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
@@ -73,7 +74,8 @@ object Soak {
     "q_dedup_exact", "q_knn_bruteforce", "q_knn_lsh", "q_knn_ivf",
     "q_asof_join_exec", "q_data_split", "q_pii_redaction", "q_repetition",
     "q_span_dedup", "q_gopher_quality",
-    "q16_part_supplier_cnt", "q21_waiting_suppliers")
+    "q16_part_supplier_cnt", "q21_waiting_suppliers",
+    "q_funnel", "q_retention", "q_pack")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one
