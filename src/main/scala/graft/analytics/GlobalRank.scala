@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   * and counts) see identical boundaries even if the exchange is recomputed
   * rather than reused; `sortCols` must be a total order (include a unique
   * tie-break) so the within-partition order is unique.
+  *
+  * Cost note: the constructions reference their input subplan from several
+  * consumers (ranks, offsets, peer frames). Exchange reuse deduplicates
+  * the shuffles when AQE canonicalization allows, but the subplan BELOW
+  * the first exchange can still evaluate once per consumer — callers
+  * whose input frame is expensive (a wide scan or a heavy aggregation)
+  * should persist or checkpoint it before ranking if they cannot afford
+  * the recompute. The registered queries' inputs are post-aggregation
+  * frames, where the recompute is cheap by construction.
   */
 object GlobalRank {
 
