@@ -522,7 +522,17 @@ object SparkEntry {
 
     "q21_waiting_suppliers" -> ((s, dir) =>
       analytics.Analytics6.waitingSuppliers(
-        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), 60)))
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), 60)),
+
+    // q21 over the bucketed fact layout: the twice-paid lineitem⋈orders
+    // shuffle (the 100× soak's one super-linear row) disappears — both
+    // fact scans read co-located orderkey buckets, and the per-(order,
+    // supplier) aggregates cluster on a subset of the bucket key
+    "q21_waiting_suppliers_bkt" -> ((s, dir) => {
+      val (li, o) = analytics.Bucketing.bucketedFacts(
+        s, dir, Tables.lineitem(s, dir), Tables.orders(s, dir))
+      analytics.Analytics6.waitingSuppliers(Tables.supplier(s, dir), o, li, 60)
+    }))
 
   private val DSUM = Cols.dsumSql _
   private val DAVG = Cols.davgSql _
@@ -1434,5 +1444,6 @@ object SparkEntry {
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),
+    "q21_waiting_suppliers_bkt" -> baseOracleSql("q21_waiting_suppliers"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"))
 }
