@@ -29,6 +29,9 @@ object Soak {
   final case class Wire(ts: String, service: String, level: String, msg: String,
       attrs: Map[String, String], trace_id: String, span_id: String)
 
+  /** Events-shaped record for the rollup-upkeep soak phase. */
+  final case class EvWire(ts: java.sql.Timestamp, event_type: String, value: Double)
+
   private val Off = 10000000000L // > any fixture key; copy i adds i*Off
 
   /** Key columns to offset, per table. */
@@ -173,6 +176,42 @@ object Soak {
     val querySec = (System.nanoTime() - t2) / 1e9
     require(flagship.length == 100, s"flagship returned ${flagship.length} rows")
     println(f"""SOAK {"phase":"flagship_query","rows":${flagship.length},"sec":$querySec%.2f}""")
+
+    // phase 4: materialized-rollup upkeep under the same replay regime —
+    // one additive upsertDelta per micro-batch, then assert the
+    // incrementally-maintained summary is bit-identical to one batch
+    // rebuild over the full factor× corpus (the invariant the spec proves
+    // at toy scale, held here across `factor` real merges).
+    val evRows = spark.read.parquet(s"$baseDir/events.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+      .as[EvWire].collect()
+    val rollupTbl = "soak_rollup_inc"
+    val rollupRef = "soak_rollup_ref"
+    for (t <- Seq(rollupTbl, rollupRef)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EvWire]
+    val t3 = System.nanoTime()
+    val q2 = mem2.toDF().writeStream
+      .foreachBatch { (delta: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.analytics.MaterializedRollup.upsertDelta(spark, rollupTbl, delta.toDF())
+      }
+      .option("checkpointLocation", s"$outDir/rollup_ckpt")
+      .start()
+    for (_ <- 1 to factor) {
+      mem2.addData(evRows.toSeq)
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val upkeepSec = (System.nanoTime() - t3) / 1e9
+    graft.analytics.MaterializedRollup.upsertDelta(spark, rollupRef,
+      Seq.fill(factor)(evRows.toSeq).flatten.toDF())
+    val inc = spark.table(rollupTbl).orderBy("event_type", "hour")
+      .collect().map(_.toSeq).toSeq
+    val ref = spark.table(rollupRef).orderBy("event_type", "hour")
+      .collect().map(_.toSeq).toSeq
+    require(inc == ref,
+      s"rollup upkeep diverged from batch rebuild (${inc.length} vs ${ref.length} groups)")
+    println(f"""SOAK {"phase":"rollup_upkeep","merges":$factor,"groups":${inc.length},"sec":$upkeepSec%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {
