@@ -65,15 +65,38 @@ object Bench {
     }
     val ok = names.filter(samples(_).nonEmpty)
     val med = ok.map(n => n -> median(samples(n)))
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val spread = ok.map { n =>
-      val s = samples(n)
-      "\"" + n + "\":{\"min\":" + s.min + ",\"median\":" + median(s) + ",\"max\":" + s.max + "}"
-    }.mkString("{", ",", "}")
+    def r3(d: Double): String = "%.3f".format(d)
     val errs = names.filter(failures(_) > 0)
       .map(n => "\"" + n + "\":" + failures(n)).mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query spread goes to a file (the harness tail-captures only
+    // ~2000 chars of stdout, which 100+ queries of min/median/max can never
+    // fit — rounds 1-4 all recorded parsed:null because of this).
+    val spread = ok.map { n =>
+      val s = samples(n)
+      "\"" + n + "\":{\"min\":" + r3(s.min) + ",\"median\":" + r3(median(s)) +
+        ",\"max\":" + r3(s.max) + "}"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get("bench_full.json")
+    java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
+    // The stdout line is budget-capped: slowest queries first (they carry
+    // the performance signal), stop before the line outgrows the tail
+    // window, and record how many small queries were elided.
+    val budget = 1600
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"queries":{"""
+    val footer = s"""},"omitted":NNN,"errors":$errs,"detail":"bench_full.json","sf":"$sfDir"}"""
+    val bySlowest = med.sortBy(-_._2)
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var len = header.length + footer.length
+    var omitted = 0
+    for ((k, v) <- bySlowest) {
+      val piece = "\"" + k + "\":" + r3(v)
+      if (len + piece.length + 1 <= budget) { parts += piece; len += piece.length + 1 }
+      else omitted += 1
+    }
+    println(header + parts.mkString(",") +
+      footer.replace("NNN", omitted.toString))
     spark.stop()
   }
 }
