@@ -188,6 +188,9 @@ object SparkEntry {
     "q_asof_join_exec" -> ((s, dir) =>
       Analytics.lastOrderBeforeEventExec(s, Tables.events(s, dir), Tables.orders(s, dir))),
 
+    "q_range_join" -> ((s, dir) =>
+      analytics.RangeJoin.shipmentsInWindows(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
     "q4_order_priority" -> ((s, dir) =>
       Analytics2.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir),
         "1996-01-01 00:00:00", "1997-01-01 00:00:00")),
@@ -679,6 +682,15 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
          |FROM ev e ASOF JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
          |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""SELECT o.o_orderkey, COUNT(*) AS n_ship,
+         |  ${Cols.dsumSql("l.l_quantity")} AS sum_qty
+         |FROM orders o JOIN lineitem l
+         |  ON l.l_shipdate >= o.o_orderdate
+         | AND l.l_shipdate <= o.o_orderdate + INTERVAL 6 DAY
+         |WHERE o.o_orderkey % 97 = 0
+         |GROUP BY 1""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
