@@ -167,6 +167,11 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       analytics.Behavior.dailyRetention(Tables.events(s, dir))),
 
+    // sequenceMatch('(?1).*(?2).*(?3)'): strict-order subsequence witness
+    "q_sequence_match" -> ((s, dir) =>
+      analytics.Behavior.sequenceMatches(Tables.events(s, dir),
+        Seq("signup", "click", "purchase"))),
+
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
 
@@ -1034,6 +1039,18 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s2)
          |ORDER BY step_idx""".stripMargin,
+
+    "q_sequence_match" ->
+      s"""WITH ev AS ($EV),
+         |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, s1.t1, MIN(e.ts) AS t2 FROM ev e
+         |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+         |       WHERE e.event_type = 'click' GROUP BY 1, 2),
+         |s3 AS (SELECT e.user_id, s2.t1, s2.t2, MIN(e.ts) AS t3 FROM ev e
+         |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+         |       WHERE e.event_type = 'purchase' GROUP BY 1, 2, 3)
+         |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
 
     "q_retention" ->
       s"""WITH ev AS ($EV),

@@ -45,6 +45,36 @@ object Behavior {
     }.reduce(_ unionByName _).orderBy(col("step_idx"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1).*(?2)…')` analogue: per user, does the
+    * event stream contain `steps(0)`, then `steps(1)` strictly later, …, in
+    * order (arbitrary other events between)? Returns one row per MATCHING
+    * user with the greedy earliest-completion chain `(user_id, t1..tN)` —
+    * the canonical witness: t1 = min ts of step 1, t_k = min ts of step k
+    * strictly after t_{k-1}. Greedy earliest matching is exact for
+    * subsequence existence (any witness can be left-shifted onto the greedy
+    * one), so emptiness/membership agrees with the regex semantics.
+    *
+    * Scale shape: one keyed min-aggregation per step over the step-filtered
+    * stream, joined user-keyed to the (one-row-per-user) previous chain —
+    * the same monotone-shrinking dataflow as [[funnelCounts]]; no sorted
+    * per-user state, no window over raw events. Reference analogue:
+    * ClickHouse sequenceMatch (SQL-reference/aggregate-functions/
+    * parametric-functions) evaluated per shard over a sorted stream. */
+  def sequenceMatches(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "sequence pattern needs at least two steps")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (prev, (step, i)) =>
+      val k = i + 2
+      val typed = events.filter(col("event_type") === step)
+        .select(col("user_id").as("_u"), col("ts").as("_ts"))
+      val carried = col("user_id") +: (1 until k).map(j => col(s"t$j"))
+      prev.join(typed, col("user_id") === col("_u") && col("_ts") > col(s"t${k - 1}"))
+        .groupBy(carried: _*)
+        .agg(min(col("_ts")).as(s"t$k"))
+    }.orderBy(col("user_id"))
+  }
+
   /** Day-over-day retention: for each active day, how many of its users
     * are active again the next day. One distinct (user, day) reduction,
     * one self-join keyed on user, one per-day count — rate is the exact

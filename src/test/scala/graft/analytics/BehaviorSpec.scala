@@ -29,6 +29,39 @@ class BehaviorSpec extends AnyFunSuite {
     assert(narrow(1) <= wide(1))
   }
 
+  test("sequenceMatches: agrees with brute-force subsequence existence and emits the greedy witness") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // u1: a..b..c in order; u2: c before a,b (no match); u3: a,c only;
+    // u4: interleaved with repeats — match exists, greedy picks earliest;
+    // u5: b and c SIMULTANEOUS with a earlier — strict > rejects c at t(b)
+    val rows = Seq(
+      (1L, "a", 1), (1L, "x", 2), (1L, "b", 3), (1L, "c", 9),
+      (2L, "c", 1), (2L, "a", 2), (2L, "b", 3),
+      (3L, "a", 1), (3L, "c", 5),
+      (4L, "a", 4), (4L, "b", 2), (4L, "a", 1), (4L, "b", 6), (4L, "c", 7), (4L, "b", 5),
+      (5L, "a", 1), (5L, "b", 4), (5L, "c", 4)
+    ).map { case (u, e, m) => (u, e, t(m)) }
+    val ev = rows.toDF("user_id", "event_type", "ts")
+
+    val got = Behavior.sequenceMatches(ev, Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Timestamp]("t1"), r.getAs[Timestamp]("t2"), r.getAs[Timestamp]("t3"))).toMap
+
+    // brute force: any strictly increasing (a,b,c) triple
+    val expect = rows.groupBy(_._1).collect { case (u, es) =>
+      val byType = (ty: String) => es.filter(_._2 == ty).map(_._3.getTime)
+      val ok = byType("a").exists(ta => byType("b").exists(tb => tb > ta &&
+        byType("c").exists(tc => tc > tb)))
+      u -> ok
+    }.filter(_._2).map(_._1).toSet
+    assert(got.keySet == expect)
+    assert(expect == Set(1L, 4L))
+    // greedy witness for u4: earliest a=t(1), earliest b after it=t(2), earliest c=t(7)
+    assert(got(4L) == ((t(1), t(2), t(7))))
+  }
+
   test("dailyRetention: rates in [0,1], retained never exceeds active, last day has successors=0 only if none") {
     val out = Behavior.dailyRetention(Tables.events(spark, d)).collect()
     assert(out.nonEmpty)
