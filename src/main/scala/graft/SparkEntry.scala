@@ -203,6 +203,19 @@ object SparkEntry {
     "q_customer_ltv" -> ((s, dir) =>
       Analytics2.customerOrderStats(Tables.customer(s, dir), Tables.orders(s, dir))),
 
+    // salted fact-to-dim join: same result as the plain equi-join (the
+    // salt only re-scatters the hot keys), verified against the unsalted
+    // oracle SQL
+    "q_skew_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      analytics.SkewJoin.saltedJoin(Tables.events(s, dir), dim,
+        key = "user_id", idCol = "event_id", saltFactor = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"), Cols.dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "q_running_revenue" -> ((s, dir) =>
       Analytics2.runningRevenue(Tables.orders(s, dir))),
 
@@ -1039,6 +1052,13 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s2)
          |ORDER BY step_idx""".stripMargin,
+
+    "q_skew_join" ->
+      s"""WITH ev AS ($EV)
+         |SELECT c.c_nationkey, COUNT(*) AS n_events,
+         |  ${Cols.dsumSql("e.value")} AS sum_value
+         |FROM ev e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
 
     "q_sequence_match" ->
       s"""WITH ev AS ($EV),
