@@ -295,6 +295,11 @@ object SparkEntry {
     "q_embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(Tables.embeddings(s, dir))),
 
+    // int8 scalar quantization (FAISS-SQ8 shape): integer aggregates of
+    // the quantized codes are exact, so the frame hash-matches DuckDB
+    "q_embedding_quantize" -> ((s, dir) =>
+      ops.Quantization.quantizeSummary(Tables.embeddings(s, dir))),
+
     // ───────────────────────── similarity search ──
     "q_knn_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
@@ -1158,6 +1163,24 @@ object SparkEntry {
          |  ${DAVG("nrm")} AS avg_norm,
          |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
          |FROM base GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+        |      AS scale, embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER) END) AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_aggregate(list_transform(qv, x -> CAST(x AS BIGINT)), 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(list_transform(qv, x -> CAST(abs(x) AS BIGINT)), 'sum') AS BIGINT) AS q_l1,
+        |  list_aggregate(qv, 'min') AS q_min,
+        |  list_aggregate(qv, 'max') AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_top_terms" ->
       """WITH tf AS (
