@@ -304,6 +304,10 @@ object SparkEntry {
     "q_knn_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
+    // int8 quantized scan + exact re-rank; deterministic, hash-compared
+    "q_knn_int8" -> ((s, dir) =>
+      Similarity.int8TopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
@@ -849,6 +853,40 @@ object SparkEntry {
         |    list_dot_product(b.e, p.pe) /
         |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) AS cosine
         |  FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id),
+        |ranked AS (SELECT probe_id, vec_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        |  FROM sims)
+        |SELECT probe_id, vec_id, cosine, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // full bit-exact replica of the int8 tier: quantize, integer-dot
+    // candidate ranking (scales cancel in the quantized cosine), pool cut,
+    // exact re-rank -- every double expression mirrors the Spark tree
+    "q_knn_int8" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sc AS (SELECT vec_id, e,
+        |    list_aggregate(list_transform(e, x -> abs(x)), 'max') AS scale FROM base),
+        |q AS (SELECT vec_id, e,
+        |    list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER) AS DOUBLE) END) AS qd
+        |  FROM sc),
+        |qq AS (SELECT vec_id, e, qd,
+        |    CAST(list_dot_product(qd, qd) AS BIGINT) AS qn FROM q),
+        |pq AS (SELECT vec_id AS probe_id, qd AS p_qd, qn AS p_qn FROM qq WHERE vec_id < 10),
+        |cand AS (SELECT p.probe_id, b.vec_id,
+        |    CASE WHEN b.qn = 0 OR p.p_qn = 0 THEN -2.0
+        |         ELSE list_dot_product(b.qd, p.p_qd) / sqrt(CAST(b.qn * p.p_qn AS DOUBLE))
+        |    END AS cos_q
+        |  FROM qq b CROSS JOIN pq p WHERE b.vec_id <> p.probe_id),
+        |pool AS (SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_q DESC, vec_id) AS qrank
+        |    FROM cand) WHERE qrank <= 20),
+        |sims AS (SELECT c.probe_id, c.vec_id,
+        |    list_dot_product(b.e, p.e) /
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.e, p.e))) AS cosine
+        |  FROM pool c JOIN base b ON c.vec_id = b.vec_id
+        |              JOIN base p ON c.probe_id = p.vec_id),
         |ranked AS (SELECT probe_id, vec_id, cosine,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
         |  FROM sims)

@@ -58,4 +58,18 @@ object Quantization {
   /** Dequantized vector: `q_i · scale / 127` as float array. */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => (x.cast("double") * scale / lit(127.0d)).cast("float"))
+
+  /** Codes frame `(vec_id, scale, qv, qn)` for the quantized-scan kNN tier
+    * ([[graft.ops.Similarity.int8TopK]]): per-vector int8 codes plus their
+    * integer self-dot (‖q‖², exact). In production this frame is
+    * materialized once next to the embeddings (4× smaller, so the ANN
+    * scan reads a quarter of the bytes); deriving it inline as here costs
+    * one extra pass over the float column. */
+  def codes(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), maxAbs(col("embedding")).as("scale"), col("embedding"))
+      .select(col("vec_id"), col("scale"), quantize(col("embedding"), col("scale")).as("qv"))
+      .withColumn("qn", aggregate(
+        zip_with(col("qv"), col("qv"), (x, y) => (x * y).cast("long")),
+        lit(0L), (a, x) => a + x))
 }

@@ -102,6 +102,65 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Quantized-scan top-k: int8 candidate generation + exact float re-rank
+    * (the SQ8 search shape — FAISS's scalar-quantizer index without the
+    * IVF coarse layer).
+    *
+    * Pass 1 touches ONLY the codes frame ([[Quantization.codes]] — int8
+    * codes + integer self-dots; 4× smaller than the float column when
+    * materialized): per-(probe, vector) integer dot products rank
+    * candidates by quantized cosine `q_a·q_b / √(‖q_a‖²‖q_b‖²)` — the
+    * per-vector scales cancel in the cosine, so the score needs no float
+    * data at all. Pass 2 re-attaches true embeddings to the top
+    * `k·poolFactor` candidates only (a broadcast of candidate ids against
+    * the corpus — at 100 TB that is an id-pushdown point lookup, not a
+    * scan) and exact cosine produces the final top-k.
+    *
+    * Every step is integer-exact or an identical IEEE double expression on
+    * both engines, so unlike the LSH/IVF tiers this approximate index is
+    * fully hash-comparable against a DuckDB SQL replica — determinism
+    * without a recall-twin. Candidate-pool misses (true neighbor ranked
+    * out of the pool by quantization error) are possible by design;
+    * `poolFactor` trades them away geometrically.
+    */
+  def int8TopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      poolFactor: Int = 4): DataFrame = {
+    import graft.ops.Quantization
+    val codes = Quantization.codes(embeddings)
+    val pCodes = codes.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("qv").as("p_qv"), col("qn").as("p_qn"))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_q").desc, col("vec_id"))
+    val candidates = codes
+      .join(broadcast(pCodes), col("vec_id") =!= col("probe_id"))
+      .withColumn("qdot", aggregate(
+        zip_with(col("qv"), col("p_qv"), (x, y) => (x * y).cast("long")),
+        lit(0L), (a, x) => a + x))
+      .withColumn("cos_q",
+        when(col("qn") === 0L || col("p_qn") === 0L, lit(-2.0d))
+          .otherwise(col("qdot").cast("double") /
+            sqrt((col("qn") * col("p_qn")).cast("double"))))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * poolFactor)
+      .select(col("probe_id"), col("vec_id"))
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+    val probes = corpus.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus
+      .join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("embedding"), col("p_emb")), col("nsq"), col("p_nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** IVF-flat approximate top-k (the inverted-file structure of Jegou,
     * Douze & Schmid 2011, "Product quantization for nearest neighbor
     * search", without the PQ compression): a coarse quantizer

@@ -26,6 +26,18 @@ class QuantizationSpec extends AnyFunSuite {
     assert(byId(1L).getAs[Int]("q_min") == -127)
   }
 
+  test("int8TopK recovers >=0.9 of the exact top-k on the fixture") {
+    val emb = Tables.embeddings(spark, SparkTestBase.sfDir)
+    val probes = 0L until 10L
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, probes, 5))
+    val got = pairs(Similarity.int8TopK(emb, probes, 5))
+    assert(truth.nonEmpty)
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"int8 recall: $recall")
+  }
+
   test("dequantized vectors keep >=0.999 cosine vs the originals on the fixture") {
     val emb = Tables.embeddings(spark, SparkTestBase.sfDir)
     val withQ = emb
