@@ -64,7 +64,12 @@ object Soak {
     "q_data_split", "q_pii_redaction", "q_contamination", "q_repetition",
     "q_semdedup", "q_span_dedup", "q_gopher_quality",
     "q16_part_supplier_cnt", "q21_waiting_suppliers",
-    "q_funnel", "q_retention", "q_pack")
+    "q_funnel", "q_retention", "q_pack",
+    // round-5 families; q_range_join is quadratic UNDER REPLICATION only
+    // (copies share the same date span, so every window matches every
+    // copy's shipments — real growth extends the time axis instead)
+    "q_range_join", "q_knn_int8", "q_embedding_quantize",
+    "q_sequence_match", "q_skew_join")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
@@ -78,7 +83,8 @@ object Soak {
     "q_asof_join_exec", "q_data_split", "q_pii_redaction", "q_repetition",
     "q_span_dedup", "q_gopher_quality",
     "q16_part_supplier_cnt", "q21_waiting_suppliers",
-    "q_funnel", "q_retention", "q_pack")
+    "q_funnel", "q_retention", "q_pack",
+    "q_knn_int8", "q_embedding_quantize", "q_sequence_match", "q_skew_join")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one

@@ -172,6 +172,10 @@ object SparkEntry {
       analytics.Behavior.sequenceMatches(Tables.events(s, dir),
         Seq("signup", "click", "purchase"))),
 
+    // alerting: hours whose count is >2 sample-sigma off the key's norm
+    "q_rate_anomaly" -> ((s, dir) =>
+      analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
+
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
 
@@ -1095,6 +1099,30 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s2)
          |ORDER BY step_idx""".stripMargin,
+
+    // integer moment sums (exact on both engines), then identical IEEE
+    // double trees for mean/variance/z -- hash-exact anomaly flags
+    "q_rate_anomaly" ->
+      s"""WITH ev AS ($EV),
+         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+         |           FROM ev GROUP BY 1, 2),
+         |stats AS (SELECT event_type, COUNT(*) AS n_hours, SUM(n) AS sum_n,
+         |            SUM(n * n) AS sum_n2
+         |          FROM hourly GROUP BY 1),
+         |j AS (SELECT h.event_type, h.hr, h.n, s.n_hours, s.sum_n, s.sum_n2
+         |      FROM hourly h JOIN stats s ON h.event_type = s.event_type
+         |      WHERE s.n_hours > 1),
+         |m AS (SELECT event_type, hr, n,
+         |        CAST(sum_n AS DOUBLE) / n_hours AS mean,
+         |        CAST(n_hours * sum_n2 - sum_n * sum_n AS DOUBLE) /
+         |          CAST(n_hours * (n_hours - 1) AS DOUBLE) AS variance
+         |      FROM j)
+         |SELECT event_type, hr, n, mean,
+         |  (CAST(n AS DOUBLE) - mean) / sqrt(variance) AS z
+         |FROM m
+         |WHERE variance > 0
+         |  AND abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > 2.0
+         |ORDER BY event_type, hr""".stripMargin,
 
     "q_skew_join" ->
       s"""WITH ev AS ($EV)

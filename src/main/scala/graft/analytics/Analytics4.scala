@@ -117,9 +117,16 @@ object Analytics4 {
     * total_spend alone (user_id is the tie-break), matching the SQL
     * window's peer semantics exactly. */
   def spendRanks(events: DataFrame): DataFrame = {
+    // The rank-family construction references its input from several
+    // consumers (ranks, offsets, peer frames). Checkpointing the
+    // aggregated frame (|users| rows — small even at 100 TB after the
+    // reduction) makes the raw-event scan+aggregation run ONCE instead of
+    // once per consumer — exactly the persist-before-ranking call-out in
+    // the GlobalRank scaladoc.
     val spend = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("total_spend"))
+      .localCheckpoint()
     GlobalRank.withRankFamily(spend,
         valueSort = Seq(col("total_spend").desc), valueNames = Seq("total_spend"),
         tieBreak = Seq(col("user_id")))

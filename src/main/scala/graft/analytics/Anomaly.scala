@@ -1,0 +1,52 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rate-anomaly detection over the event stream — the alerting query an
+  * observability stack runs on top of its per-interval counts ("this
+  * service's error rate is 3σ off its norm").
+  *
+  * Shape: one keyed aggregation to (key, hour) counts, one keyed
+  * aggregation to per-key moment sums, a broadcast-sized join back, and a
+  * z-score filter. The per-key stats frame has one row per key — at 100 TB
+  * the raw events reduce at the first aggregation and everything after is
+  * group-cardinality-sized.
+  *
+  * Determinism: counts are integers, so the moment sums (Σx, Σx²) are
+  * exact BIGINTs; mean/variance/z are then derived with identical IEEE
+  * double expression trees on Spark and DuckDB (sample variance in the
+  * integer-numerator form `(n·Σx² − (Σx)²) / (n·(n−1))`), making the
+  * flagged set and the emitted doubles hash-comparable — no tolerance
+  * compare needed.
+  */
+object Anomaly {
+
+  /** Hours whose event count sits more than `zThreshold` sample standard
+    * deviations from the key's own hourly mean. Keys with fewer than two
+    * active hours or zero variance flag nothing (no baseline to deviate
+    * from). Output: (event_type, hr, n, mean, z). */
+  def rateAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n")).as("sum_n"),
+        sum(col("n") * col("n")).as("sum_n2"))
+    hourly
+      .join(broadcast(stats), "event_type")
+      .filter(col("n_hours") > 1L)
+      .withColumn("mean", col("sum_n").cast("double") / col("n_hours"))
+      .withColumn("variance",
+        (col("n_hours") * col("sum_n2") - col("sum_n") * col("sum_n")).cast("double") /
+          (col("n_hours") * (col("n_hours") - 1L)).cast("double"))
+      .filter(col("variance") > 0.0)
+      .withColumn("z", (col("n").cast("double") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > zThreshold)
+      .select(col("event_type"), col("hr"), col("n"), col("mean"), col("z"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+}
