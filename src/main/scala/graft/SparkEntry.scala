@@ -176,6 +176,10 @@ object SparkEntry {
     "q_rate_anomaly" -> ((s, dir) =>
       analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
 
+    // gauge LOCF resampling onto the hourly grid via the AsOfJoin operator
+    "q_gauge_locf" -> ((s, dir) =>
+      analytics.Gauge.hourlyLocf(s, Tables.events(s, dir))),
+
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
 
@@ -1099,6 +1103,18 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s2)
          |ORDER BY step_idx""".stripMargin,
+
+    "q_gauge_locf" ->
+      s"""WITH ev AS ($EV),
+         |s AS (SELECT user_id AS s_user, ts AS s_ts, arg_max(value, event_id) AS s_value
+         |      FROM ev GROUP BY 1, 2),
+         |b AS (SELECT date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1 FROM ev),
+         |g AS (SELECT u.user_id, gs.hr
+         |      FROM (SELECT DISTINCT user_id FROM ev) u
+         |      CROSS JOIN b, unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS gs(hr))
+         |SELECT g.user_id, g.hr, s.s_value AS value
+         |FROM g ASOF JOIN s ON g.user_id = s.s_user AND s.s_ts <= g.hr
+         |ORDER BY user_id, hr""".stripMargin,
 
     // integer moment sums (exact on both engines), then identical IEEE
     // double trees for mean/variance/z -- hash-exact anomaly flags
