@@ -180,6 +180,10 @@ object SparkEntry {
     "q_gauge_locf" -> ((s, dir) =>
       analytics.Gauge.hourlyLocf(s, Tables.events(s, dir))),
 
+    // per-source exact-discrete-percentile quality gate (counting-based)
+    "q_quality_gate" -> ((s, dir) =>
+      TextAnalysis.adaptiveQualityGate(Tables.documents(s, dir), 0.25)),
+
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
 
@@ -1103,6 +1107,25 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s2)
          |ORDER BY step_idx""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, n_tokens, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |cc AS (SELECT source, n_tokens,
+        |        SUM(cnt) OVER (PARTITION BY source ORDER BY n_tokens
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY source) AS total
+        |      FROM c),
+        |thr AS (SELECT source, MIN(n_tokens) AS thr FROM cc
+        |        WHERE cum >= ceil(0.25 * total) GROUP BY 1)
+        |SELECT t.source, thr.thr, COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE t.n_tokens >= thr.thr) AS BIGINT) AS n_kept,
+        |  COUNT(*) - CAST(COUNT(*) FILTER (WHERE t.n_tokens >= thr.thr) AS BIGINT) AS n_dropped
+        |FROM t JOIN thr ON t.source = thr.source
+        |GROUP BY 1, 2 ORDER BY t.source""".stripMargin,
 
     "q_gauge_locf" ->
       s"""WITH ev AS ($EV),

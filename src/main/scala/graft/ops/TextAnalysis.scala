@@ -25,6 +25,47 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "from", "that", "this")
 
+  /** Per-source adaptive quality gate: keep documents whose token count
+    * reaches their OWN source's `p`-th percentile — the pipeline pattern
+    * where a fixed global threshold would gut a terse-but-clean source
+    * while letting a verbose low-quality one through.
+    *
+    * The percentile is the exact DISCRETE quantile (smallest value whose
+    * cumulative count reaches `ceil(p·total)`), computed by counting:
+    * one keyed aggregation to (source, value, cnt), cumulative windows
+    * partitioned by source over the DISTINCT VALUES only (bounded by the
+    * value domain, never document count — the property that keeps the
+    * window safe when one source has billions of documents), then a
+    * min-over-qualifying-values aggregate. Integer-only throughout, so
+    * thresholds and kept/dropped counts hash-match any engine. Contrast
+    * `percentile_approx`/interpolated `quantile_cont`: approximate or
+    * float-interpolating, neither reproducible bit-for-bit across engines.
+    *
+    * Returns one row per source: (source, thr, n_docs, n_kept, n_dropped). */
+  def adaptiveQualityGate(documents: DataFrame, p: Double = 0.25): DataFrame = {
+    require(p > 0 && p <= 1, s"percentile must be in (0,1]: $p")
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(
+      col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+    val counts = toks.groupBy(col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    val thr = cum
+      .filter(col("cum") >= ceil(lit(p) * col("total")))
+      .groupBy(col("source")).agg(min(col("n_tokens")).as("thr"))
+    toks.join(broadcast(thr), "source")
+      .groupBy(col("source"), col("thr"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document quality metrics: length, token stats, punctuation ratio,
     * stopword ratio, mean token length — the standard cheap filters a
     * pretraining pipeline applies before anything expensive. */
