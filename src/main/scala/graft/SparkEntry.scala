@@ -237,6 +237,11 @@ object SparkEntry {
     "q_moving_avg" -> ((s, dir) =>
       Analytics2.movingAvg(Tables.events(s, dir))),
 
+    // counting-based exact percentile twin: same values as q_percentiles
+    // from O(distinct values) per-task state instead of all-group-rows
+    "q_percentiles_big" -> ((s, dir) =>
+      Analytics2.quantityPercentilesScalable(Tables.lineitem(s, dir))),
+
     "q_percentiles" -> ((s, dir) =>
       Analytics2.quantityPercentiles(Tables.lineitem(s, dir))),
 
@@ -1622,5 +1627,7 @@ object SparkEntry {
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),
     "q21_waiting_suppliers_bkt" -> baseOracleSql("q21_waiting_suppliers"),
+    // the counting-based twin must reproduce quantile_cont bit-for-bit
+    "q_percentiles_big" -> baseOracleSql("q_percentiles"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"))
 }

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -92,6 +92,47 @@ object Analytics2 {
         min(col("l_quantity")).as("qmin"),
         max(col("l_quantity")).as("qmax"))
       .orderBy(col("l_returnflag"))
+
+  /** [[quantityPercentiles]] recomputed scalably: Spark's `percentile`
+    * aggregate buffers EVERY group value on the reducer — exact, but one
+    * group with billions of rows is one task's memory. This twin computes
+    * the identical interpolated result by counting: reduce to
+    * (group, value, cnt) — bounded by the value DOMAIN, not the row count
+    * — cumulative counts over the distinct values, locate the two rows
+    * bracketing the interpolation position `p·(n−1)` by conditional
+    * aggregation, and interpolate with the same `lo + (hi−lo)·frac`
+    * double expression. Shares q_percentiles' DuckDB `quantile_cont`
+    * oracle: same values, bit-for-bit, from a plan whose per-task state
+    * is O(distinct values per group). */
+  def quantityPercentilesScalable(lineitem: DataFrame): DataFrame = {
+    val counts = lineitem.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("_pos50", lit(0.5) * (col("n") - 1L).cast("double"))
+      .withColumn("_pos90", lit(0.9) * (col("n") - 1L).cast("double"))
+    def at(pos: Column): Column =
+      max(when(col("prev") <= floor(pos) && floor(pos) < col("cum"), col("l_quantity")))
+    def atHi(pos: Column): Column =
+      max(when(col("prev") <= ceil(pos) && ceil(pos) < col("cum"), col("l_quantity")))
+    cum.groupBy(col("l_returnflag"))
+      .agg(
+        at(col("_pos50")).as("_lo50"), atHi(col("_pos50")).as("_hi50"),
+        at(col("_pos90")).as("_lo90"), atHi(col("_pos90")).as("_hi90"),
+        max(col("_pos50")).as("_p50"), max(col("_pos90")).as("_p90"),
+        min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"))
+      .select(col("l_returnflag"),
+        (col("_lo50") + (col("_hi50") - col("_lo50")) *
+          (col("_p50") - floor(col("_p50")).cast("double"))).as("p50"),
+        (col("_lo90") + (col("_hi90") - col("_lo90")) *
+          (col("_p90") - floor(col("_p90")).cast("double"))).as("p90"),
+        col("qmin"), col("qmax"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** Sketch-based percentiles (KLL/GK-style approx_percentile) — the
     * mergeable one-pass path that replaces [[quantityPercentiles]]' exact
