@@ -29,7 +29,11 @@ val headline = Seq(
   "q_knn_int8" -> "quantized-scan kNN: pass 1 ranks candidates on int8 codes only (integer dots, scales cancel), WindowGroupLimit cuts the pool, pass 2 re-attaches float embeddings to survivors by id and exact cosine decides -- the SQ8 two-pass shape",
   "q_sequence_match" -> "sequenceMatch chain: one keyed min-aggregation per step joined user-keyed to the one-row-per-user previous chain; no per-user sort or data-sized window",
   "q_skew_join" -> "salted fact-to-dim join: dim explodes saltFactor-fold, fact scatters by row-identity hash -- the hot key occupies saltFactor shuffle partitions instead of one",
-  "q_embedding_quantize" -> "int8 quantization at scan speed: higher-order array ops, per-row, zero exchanges before the final sort")
+  "q_embedding_quantize" -> "int8 quantization at scan speed: higher-order array ops, per-row, zero exchanges before the final sort",
+  "q_gauge_locf" -> "gauge LOCF resampling: generated (key x hour) grid + the AsOfJoin merge-walk operator -- samples shuffle once, grid never stored, no per-grid-point rescan",
+  "q_rate_anomaly" -> "z-score alerting: raw events reduce at the FIRST aggregation; per-key moment stats broadcast back onto group-cardinality-sized rows",
+  "q_quality_gate" -> "per-source discrete-percentile gate: cumulative windows over DISTINCT token-count values only (value-domain-bounded, never document-count), threshold broadcast into one grouped pass",
+  "q_percentiles_big" -> "counting-based exact percentiles: (group, value, cnt) reduction, bracketing rows via conditional aggregation -- per-task state O(distinct values), not O(group rows) like the percentile() buffer")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
