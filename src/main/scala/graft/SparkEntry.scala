@@ -172,6 +172,10 @@ object SparkEntry {
       analytics.Behavior.sequenceMatches(Tables.events(s, dir),
         Seq("signup", "click", "purchase"))),
 
+    // sequenceCount('(?1).*(?2)'): non-overlapping matches in closed form
+    "q_sequence_count" -> ((s, dir) =>
+      analytics.Behavior.sequenceCounts(Tables.events(s, dir), "signup", "purchase")),
+
     // alerting: hours whose count is >2 sample-sigma off the key's norm
     "q_rate_anomaly" -> ((s, dir) =>
       analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
@@ -1143,6 +1147,26 @@ object SparkEntry {
          |SELECT g.user_id, g.hr, s.s_value AS value
          |FROM g ASOF JOIN s ON g.user_id = s.s_user AND s.s_ts <= g.hr
          |ORDER BY user_id, hr""".stripMargin,
+
+    // the min-cut closed form of greedy non-overlapping matching: count =
+    // tot_b + min(0, min over prefixes of (cum_a - cum_b))
+    "q_sequence_count" ->
+      s"""WITH ev AS ($EV),
+         |f AS (SELECT user_id, ts, event_id,
+         |        CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_a,
+         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+         |      FROM ev WHERE event_type IN ('signup', 'purchase')),
+         |c AS (SELECT user_id, is_b,
+         |        SUM(is_a) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum_a,
+         |        SUM(is_b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum_b
+         |      FROM f)
+         |SELECT user_id,
+         |  CAST(SUM(is_b) + least(MIN(cum_a - cum_b), 0) AS BIGINT) AS n_matches
+         |FROM c GROUP BY user_id
+         |HAVING SUM(is_b) + least(MIN(cum_a - cum_b), 0) > 0
+         |ORDER BY user_id""".stripMargin,
 
     // integer moment sums (exact on both engines), then identical IEEE
     // double trees for mean/variance/z -- hash-exact anomaly flags

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral/product analytics over the event stream — the funnel and
@@ -73,6 +74,50 @@ object Behavior {
         .groupBy(carried: _*)
         .agg(min(col("_ts")).as(s"t$k"))
     }.orderBy(col("user_id"))
+  }
+
+  /** ClickHouse-`sequenceCount`-style disjoint-match counting: per user,
+    * the MAXIMUM number of non-overlapping "`a` then later `b`" pairs
+    * (each event consumed by at most one pair). Note this is the
+    * attribution-friendly quantity — ClickHouse's own `sequenceCount`
+    * restarts its scan after each match end and therefore undercounts
+    * interleaved journeys (stream `a a b b`: max disjoint pairs = 2,
+    * restart-scan = 1).
+    *
+    * Computed in closed form rather than by iterating matches: by flow
+    * duality the maximum is
+    * `min over prefixes t of (#a in prefix t + #b after t)` — every pair
+    * has its `a` inside any prefix or its `b` after it, and the
+    * pending-counter greedy attains the bound. So one cumulative-count
+    * window per user (partitioned by user — scales across users, no
+    * iteration, no per-match dataflow rounds) plus a min-aggregate yields
+    * the exact count. Only users with at least one match are emitted.
+    *
+    * Tie handling: events are ordered by (ts, event_id), so a simultaneous
+    * a/b resolves deterministically by id — the oracle uses the identical
+    * window order. */
+  def sequenceCounts(events: DataFrame, a: String, b: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filtered = events
+      .filter(col("event_type") === a || col("event_type") === b)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === a, 1L).otherwise(0L).as("_is_a"),
+        when(col("event_type") === b, 1L).otherwise(0L).as("_is_b"))
+    filtered
+      .withColumn("_cum_a", sum(col("_is_a")).over(w))
+      .withColumn("_cum_b", sum(col("_is_b")).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("_is_b")).as("_tot_b"),
+        min(col("_cum_a") - col("_cum_b")).as("_md"))
+      // min over t>0 of A(t)+Btot-B(t) = Btot + min(A(t)-B(t)); the t=0
+      // prefix contributes Btot itself, i.e. min(..., 0)
+      .select(col("user_id"),
+        (col("_tot_b") + least(col("_md"), lit(0L))).as("n_matches"))
+      .filter(col("n_matches") > 0L)
+      .orderBy(col("user_id"))
   }
 
   /** Day-over-day retention: for each active day, how many of its users

@@ -62,6 +62,39 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got(4L) == ((t(1), t(2), t(7))))
   }
 
+  test("sequenceCounts: closed form equals the pending-counter greedy on random streams") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(42)
+    val types = Array("a", "b", "x")
+    val rows = for {
+      u <- 1 to 120
+      i <- 1 to (1 + rnd.nextInt(12))
+    } yield (u * 1000L + i, u.toLong, types(rnd.nextInt(3)),
+      new Timestamp(1700000000000L + i * 60000L))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavior.sequenceCounts(ev, "a", "b").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_matches")).toMap
+
+    // pending-counter greedy is optimal for max disjoint a-before-b pairs
+    val expect = rows.groupBy(_._2).map { case (u, es) =>
+      var pending = 0L; var matches = 0L
+      es.sortBy(e => (e._4.getTime, e._1)).foreach {
+        case (_, _, "a", _) => pending += 1
+        case (_, _, "b", _) => if (pending > 0) { pending -= 1; matches += 1 }
+        case _ =>
+      }
+      u -> matches
+    }.filter(_._2 > 0)
+    assert(got == expect)
+    assert(expect.nonEmpty)
+    // the interleaved stream where restart-scan counting would say 1
+    val inter = Seq((1L, 9L, "a", new Timestamp(1L)), (2L, 9L, "a", new Timestamp(2L)),
+      (3L, 9L, "b", new Timestamp(3L)), (4L, 9L, "b", new Timestamp(4L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(Behavior.sequenceCounts(inter, "a", "b").head.getAs[Long]("n_matches") == 2L)
+  }
+
   test("dailyRetention: rates in [0,1], retained never exceeds active, last day has successors=0 only if none") {
     val out = Behavior.dailyRetention(Tables.events(spark, d)).collect()
     assert(out.nonEmpty)
