@@ -290,6 +290,11 @@ object SparkEntry {
       Dedup.nearDupClusters(Tables.documents(s, dir),
         Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9))),
 
+    // the keep list: canonical survivor + member count per component
+    "q_dedup_survivors" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(Tables.documents(s, dir),
+        Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
@@ -856,6 +861,24 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a)
+        |SELECT cluster_id AS doc_id, COUNT(*) AS n_members
+        |FROM labels GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

@@ -178,6 +178,20 @@ object Dedup {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Dedup KEEP LIST — the actual output corpus of a near-dup pass: one
+    * canonical survivor (the minimum doc_id) per connected component,
+    * with its member count; singletons survive as their own 1-member
+    * cluster. Since [[nearDupClusters]] labels every document with its
+    * component's MINIMUM id, the survivors are exactly the distinct
+    * labels — one grouped count over the label frame, no extra joins. */
+  def nearDupSurvivors(documents: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame =
+    nearDupClusters(documents, pairs, maxIter)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("doc_id"), col("n_members"))
+      .orderBy(col("doc_id"))
+
   /** Character-set jaccard pairs within each source group — exact pairwise
     * inside small groups (source is a natural blocking key). Matches
     * DuckDB's `jaccard()` text-similarity function (distinct code points
