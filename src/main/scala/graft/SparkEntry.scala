@@ -180,6 +180,13 @@ object SparkEntry {
     "q_rate_anomaly" -> ((s, dir) =>
       analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
 
+    // the same anomaly flags served from the hourly rollup's group rows
+    "q_rate_anomaly_mv" -> ((s, dir) => {
+      val table = analytics.MaterializedRollup.hourlyRollupTable(s, dir, Tables.events(s, dir))
+      analytics.Anomaly.rateAnomaliesFromCounts(
+        s.table(table).select(col("event_type"), col("hour").as("hr"), col("n")), 2.0)
+    }),
+
     // gauge LOCF resampling onto the hourly grid via the AsOfJoin operator
     "q_gauge_locf" -> ((s, dir) =>
       analytics.Gauge.hourlyLocf(s, Tables.events(s, dir))),
@@ -1676,5 +1683,7 @@ object SparkEntry {
     "q21_waiting_suppliers_bkt" -> baseOracleSql("q21_waiting_suppliers"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),
-    "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"))
+    "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),
+    // serving-layer twin: BIGINT count partials make the z doubles identical
+    "q_rate_anomaly_mv" -> baseOracleSql("q_rate_anomaly"))
 }

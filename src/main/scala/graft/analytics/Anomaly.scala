@@ -26,10 +26,18 @@ object Anomaly {
     * deviations from the key's own hourly mean. Keys with fewer than two
     * active hours or zero variance flag nothing (no baseline to deviate
     * from). Output: (event_type, hr, n, mean, z). */
-  def rateAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
-    val hourly = events
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"))
+  def rateAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame =
+    rateAnomaliesFromCounts(
+      events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n")),
+      zThreshold)
+
+  /** [[rateAnomalies]] from a pre-aggregated `(event_type, hr, n)` frame —
+    * the serving-layer shape: the counts are BIGINT partials, so an
+    * ingest-time rollup ([[MaterializedRollup]]) feeds this with
+    * bit-identical flags to the raw-event scan while reading only group
+    * rows. */
+  def rateAnomaliesFromCounts(hourly: DataFrame, zThreshold: Double): DataFrame = {
     val stats = hourly
       .groupBy(col("event_type"))
       .agg(
