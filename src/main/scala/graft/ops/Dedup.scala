@@ -157,9 +157,19 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id").as("nbr"))
         .groupBy(col("doc_id")).agg(min(col("nbr")).as("nbr"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id"))).as("cluster_id"))
+      // pointer jumping: follow each label to ITS label (labels are always
+      // member doc_ids, so the self-join hits a row; min-monotone, and it
+      // cannot undershoot the component minimum). Doubles the reach per
+      // round — O(log diameter) rounds instead of O(diameter), one extra
+      // keyed join per round.
+      val updated = propagated.join(
+          propagated.select(col("doc_id").as("_jd"), col("cluster_id").as("_jc")),
+          col("cluster_id") === col("_jd"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_jc"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
       changed = updated.join(
           labels.withColumnRenamed("cluster_id", "_old"), Seq("doc_id"))
