@@ -75,6 +75,78 @@ object StatefulOps {
       }
   }
 
+  final case class FunnelOut(user_id: Long, completed_at: Timestamp, duration_ms: Long)
+
+  /** Per-user funnel progress: `step` = index of the NEXT awaited step
+    * (−1 = completed marker), `stepTs` = completion time of the previous
+    * step, `startTs` = step-0 time. Public for the state encoder. */
+  final case class FunnelState(step: Int, stepTs: Long, startTs: Long)
+
+  /** Streaming funnel: emit one `(user, completed_at, duration)` row the
+    * moment a user finishes `steps` in order, each step inside
+    * `horizonHours` of the previous — the real-time twin of
+    * [[graft.analytics.Behavior.funnelCounts]]' final-step count.
+    *
+    * State machine per user (events processed in event-time order within
+    * each batch): the first `steps(0)` event starts the chain; the first
+    * qualifying event of each awaited step advances it (first-qualifying =
+    * earliest under in-order delivery, matching the batch min-ts chain); a
+    * completed chain emits and leaves a completion MARKER so later events
+    * can't double-emit the user. Event-time timeouts bound the state: a
+    * stalled chain dies once the watermark passes its step window (it can
+    * never legally advance — no droppable event could qualify), and the
+    * marker expires `horizonHours` after completion. So state is
+    * proportional to users ACTIVELY inside a window, and each user emits
+    * at most once per marker lifetime (exactly once vs the batch funnel
+    * when delivery is event-time-ordered, the replay regime the spec
+    * asserts parity in). */
+  def funnelStream(events: Dataset[EventIn], steps: Seq[String], horizonHours: Int,
+      watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val horizonMs = horizonHours * 3600000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            var out = List.empty[FunnelOut]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              val idx = steps.indexOf(e.event_type)
+              cur match {
+                case None if idx == 0 =>
+                  if (steps.size == 1) {
+                    out ::= FunnelOut(userId, e.ts, 0L)
+                    cur = Some(FunnelState(-1, t, t))
+                  } else cur = Some(FunnelState(1, t, t))
+                case Some(s) if s.step >= 0 && idx == s.step &&
+                    t >= s.stepTs && t < s.stepTs + horizonMs =>
+                  if (s.step == steps.size - 1) {
+                    out ::= FunnelOut(userId, e.ts, t - s.startTs)
+                    cur = Some(FunnelState(-1, t, s.startTs)) // completion marker
+                  } else cur = Some(FunnelState(s.step + 1, t, s.startTs))
+                case _ => () // non-step event, wrong step, or outside window
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // chain dies (or marker expires) when the watermark passes
+              // the step window's end
+              state.setTimeoutTimestamp(s.stepTs + horizonMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: first occurrence of each (user_id, event_id)
     * wins; duplicates arriving within the watermark horizon are dropped.
     * Spark's built-in `dropDuplicates` + watermark — state expires with

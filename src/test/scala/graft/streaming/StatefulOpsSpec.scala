@@ -37,6 +37,63 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(closed.head.n_events == 2L)
   }
 
+  test("funnelStream: completes in order within windows, no double emission, stalls expire silently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val q = StatefulOps.funnelStream(mem.toDS(), Seq("a", "b", "c"), horizonHours = 1)
+      .writeStream.format("memory").queryName("fun1").outputMode("append").start()
+    mem.addData(
+      // u1 completes: a 00:00, b 00:30, c 00:50
+      EventIn(1, t("2024-01-01T00:00:00Z"), 1, "a", 0),
+      EventIn(2, t("2024-01-01T00:30:00Z"), 1, "b", 0),
+      EventIn(3, t("2024-01-01T00:50:00Z"), 1, "c", 0),
+      // u1 again within the marker window -> must NOT re-emit
+      EventIn(4, t("2024-01-01T01:00:00Z"), 1, "a", 0),
+      EventIn(5, t("2024-01-01T01:10:00Z"), 1, "b", 0),
+      EventIn(6, t("2024-01-01T01:20:00Z"), 1, "c", 0),
+      // u2 stalls: b arrives 2h after a (outside the 1h window)
+      EventIn(7, t("2024-01-01T00:00:00Z"), 2, "a", 0),
+      EventIn(8, t("2024-01-01T02:00:00Z"), 2, "b", 0),
+      // u3: wrong order (c before b)
+      EventIn(9, t("2024-01-01T00:00:00Z"), 3, "a", 0),
+      EventIn(10, t("2024-01-01T00:10:00Z"), 3, "c", 0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fun1").as[StatefulOps.FunnelOut].collect()
+    assert(out.length == 1)
+    assert(out.head.user_id == 1L)
+    assert(out.head.completed_at == t("2024-01-01T00:50:00Z"))
+    assert(out.head.duration_ms == 50L * 60000L)
+  }
+
+  test("funnelStream: completion count matches the batch funnel on an ordered fixture replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventIn].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val mid = ev(ev.length / 2).ts.getTime
+    val (b1, b2) = ev.partition(_.ts.getTime <= mid)
+
+    val mem = MemoryStream[EventIn]
+    val q = StatefulOps.funnelStream(mem.toDS(), Seq("signup", "view", "purchase"),
+      horizonHours = 6).writeStream.format("memory").queryName("fun2")
+      .outputMode("append").start()
+    mem.addData(b1.toSeq); q.processAllAvailable()
+    mem.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fun2").as[StatefulOps.FunnelOut].collect()
+
+    val batchFinal = graft.analytics.Behavior.funnelCounts(
+      graft.Tables.events(spark, dir), Seq("signup", "view", "purchase"), 6)
+      .collect().last.getAs[Long]("n_users")
+    assert(batchFinal > 0, "fixture should have conversions")
+    assert(streamed.length.toLong == batchFinal)
+    assert(streamed.map(_.user_id).distinct.length == streamed.length)
+  }
+
   test("stream-stream interval join matches within the horizon only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
