@@ -180,6 +180,10 @@ object SparkEntry {
     "q_rate_anomaly" -> ((s, dir) =>
       analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
 
+    // uniqState/uniqMerge: distinct users from mergeable HLL partials
+    "q_distinct_users_mv" -> ((s, dir) =>
+      analytics.MaterializedRollup.distinctUsersFromSketches(s, dir, Tables.events(s, dir))),
+
     // the same anomaly flags served from the hourly rollup's group rows
     "q_rate_anomaly_mv" -> ((s, dir) => {
       val table = analytics.MaterializedRollup.hourlyRollupTable(s, dir, Tables.events(s, dir))
@@ -1685,5 +1689,10 @@ object SparkEntry {
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),
     // serving-layer twin: BIGINT count partials make the z doubles identical
-    "q_rate_anomaly_mv" -> baseOracleSql("q_rate_anomaly"))
+    "q_rate_anomaly_mv" -> baseOracleSql("q_rate_anomaly"),
+    // sketch-union estimate asserted against the exact count in-query;
+    // the oracle recomputes the exact side and the literal-true verdict
+    "q_distinct_users_mv" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

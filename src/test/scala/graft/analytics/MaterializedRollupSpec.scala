@@ -88,4 +88,23 @@ class MaterializedRollupSpec extends AnyFunSuite {
     }
     assert(mtime1 == mtime2, "repeat call rewrote the rollup table")
   }
+
+  test("HLL sketch partials: union of hourly sketches == one global sketch (uniqMerge law)") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val ev = graft.Tables.events(spark, d)
+    val table = MaterializedRollup.hourlyUserSketchTable(spark, d, ev)
+    val merged = spark.table(table).groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(user_hll))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "merging hourly partials must equal sketching the raw stream")
+    // and the serving query's verdict holds
+    val out = MaterializedRollup.distinctUsersFromSketches(spark, d, ev).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("approx_ok")))
+  }
 }
