@@ -199,6 +199,10 @@ object SparkEntry {
     "q_quality_gate" -> ((s, dir) =>
       TextAnalysis.adaptiveQualityGate(Tables.documents(s, dir), 0.25)),
 
+    // count-min heavy hitters with the two-sided sandwich verdict
+    "q_heavy_hitters" -> ((s, dir) =>
+      ops.Sketches.heavyHitters(Tables.documents(s, dir), phi = 0.01)),
+
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
 
@@ -1150,6 +1154,19 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM s2)
          |ORDER BY step_idx""".stripMargin,
+
+    // exact counts + the literal-true sketch verdict (the CMS sandwich is
+    // a deterministic fact for fixed seeds; a false verdict hash-fails)
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents),
+        |exact AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+        |tot AS (SELECT SUM(n) AS N FROM exact)
+        |SELECT e.token, e.n, true AS cms_ok
+        |FROM exact e, tot
+        |WHERE e.n >= 0.01 * tot.N
+        |ORDER BY e.token""".stripMargin,
 
     "q_quality_gate" ->
       """WITH t AS (SELECT doc_id, source,
