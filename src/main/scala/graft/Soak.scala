@@ -218,6 +218,37 @@ object Soak {
     require(inc == ref,
       s"rollup upkeep diverged from batch rebuild (${inc.length} vs ${ref.length} groups)")
     println(f"""SOAK {"phase":"rollup_upkeep","merges":$factor,"groups":${inc.length},"sec":$upkeepSec%.2f}""")
+
+    // phase 5: streaming funnel at factor× user cardinality — replicate
+    // the events with offset user ids (factor× distinct users, same time
+    // axis), replay in event-time order, and assert completions are
+    // EXACTLY factor × the base corpus's batch-funnel final count: the
+    // per-user state machine must neither cross-talk between users nor
+    // lose chains across micro-batch boundaries as the state store scales.
+    val funnelSteps = Seq("signup", "view", "purchase")
+    val baseFinal = graft.analytics.Behavior.funnelCounts(
+      Tables.events(spark, baseDir), funnelSteps, 6)
+      .collect().last.getAs[Long]("n_users")
+    val evIn = Tables.events(spark, baseDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.StatefulOps.EventIn].collect()
+    val replicated = (0 until factor).flatMap(i =>
+      evIn.map(e => e.copy(event_id = e.event_id + i * Off, user_id = e.user_id + i * Off)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.StatefulOps.EventIn]
+    val t4 = System.nanoTime()
+    val q3 = graft.streaming.StatefulOps.funnelStream(mem3.toDS(), funnelSteps, horizonHours = 6)
+      .writeStream.format("memory").queryName("soak_funnel").outputMode("append").start()
+    val batchSize = math.max(1, replicated.length / 4)
+    replicated.grouped(batchSize).foreach { b =>
+      mem3.addData(b); q3.processAllAvailable()
+    }
+    q3.stop()
+    val funnelSec = (System.nanoTime() - t4) / 1e9
+    val completions = spark.table("soak_funnel").count()
+    require(completions == baseFinal * factor,
+      s"streaming funnel at $factor x: $completions completions, expected ${baseFinal * factor}")
+    println(f"""SOAK {"phase":"streaming_funnel","users_x":$factor,"completions":$completions,"sec":$funnelSec%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -78,8 +78,9 @@ object StatefulOps {
   final case class FunnelOut(user_id: Long, completed_at: Timestamp, duration_ms: Long)
 
   /** Per-user funnel progress: `step` = index of the NEXT awaited step
-    * (−1 = completed marker), `stepTs` = completion time of the previous
-    * step, `startTs` = step-0 time. Public for the state encoder. */
+    * (−1 = completed marker, −2 = failed marker), `stepTs` = completion
+    * time of the previous step (or the terminal event for markers),
+    * `startTs` = step-0 time. Public for the state encoder. */
   final case class FunnelState(step: Int, stepTs: Long, startTs: Long)
 
   /** Streaming funnel: emit one `(user, completed_at, duration)` row the
@@ -88,23 +89,31 @@ object StatefulOps {
     * [[graft.analytics.Behavior.funnelCounts]]' final-step count.
     *
     * State machine per user (events processed in event-time order within
-    * each batch): the first `steps(0)` event starts the chain; the first
-    * qualifying event of each awaited step advances it (first-qualifying =
-    * earliest under in-order delivery, matching the batch min-ts chain); a
-    * completed chain emits and leaves a completion MARKER so later events
-    * can't double-emit the user. Event-time timeouts bound the state: a
-    * stalled chain dies once the watermark passes its step window (it can
-    * never legally advance — no droppable event could qualify), and the
-    * marker expires `horizonHours` after completion. So state is
-    * proportional to users ACTIVELY inside a window, and each user emits
-    * at most once per marker lifetime (exactly once vs the batch funnel
-    * when delivery is event-time-ordered, the replay regime the spec
-    * asserts parity in). */
+    * each batch): the first `steps(0)` event EVER starts the user's one
+    * chain; the first qualifying event of each awaited step advances it
+    * (first-qualifying = earliest under in-order delivery, matching the
+    * batch min-ts chain). A chain whose step window passes the watermark
+    * can never legally advance — it transitions to a permanent FAILED
+    * marker rather than restarting on a later step-0 event, and a
+    * completed chain leaves a COMPLETED marker: both pin the batch
+    * funnel's strict first-occurrence semantics, so completions equal the
+    * batch final-step count EXACTLY and independently of micro-batch
+    * boundaries (the streaming soak asserts this at 10× users).
+    *
+    * The honest cost of exact first-touch attribution is marker
+    * retention: markers hold state `retentionHours` (default one year)
+    * past their terminal event, after which a RETURNING user is treated
+    * as new — the standard TTL'd-identity compromise; active chains
+    * themselves expire with their step window, so live state tracks only
+    * users inside a window plus one marker row per seen user within
+    * retention. */
   def funnelStream(events: Dataset[EventIn], steps: Seq[String], horizonHours: Int,
-      watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+      watermark: String = "10 minutes",
+      retentionHours: Int = 24 * 365): Dataset[FunnelOut] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     val horizonMs = horizonHours * 3600000L
+    val retentionMs = retentionHours * 3600000L
 
     events
       .withWatermark("ts", watermark)
@@ -113,7 +122,12 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[EventIn], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            val s = state.get
+            if (s.step >= 0) {
+              // live chain's window expired → permanent failed marker
+              state.update(FunnelState(-2, s.stepTs, s.startTs))
+              state.setTimeoutTimestamp(s.stepTs + retentionMs)
+            } else state.remove() // marker retention elapsed
             Iterator.empty
           } else {
             var cur = state.getOption
@@ -133,14 +147,19 @@ object StatefulOps {
                     out ::= FunnelOut(userId, e.ts, t - s.startTs)
                     cur = Some(FunnelState(-1, t, s.startTs)) // completion marker
                   } else cur = Some(FunnelState(s.step + 1, t, s.startTs))
-                case _ => () // non-step event, wrong step, or outside window
+                case Some(s) if s.step >= 0 && idx == s.step &&
+                    t >= s.stepTs + horizonMs =>
+                  // the awaited step arrived but outside the window: the
+                  // chain can never complete — fail it NOW (don't wait for
+                  // the watermark) so semantics don't depend on timing
+                  cur = Some(FunnelState(-2, s.stepTs, s.startTs))
+                case _ => () // non-step event, wrong step, marker, or early dup
               }
             }
             cur.foreach { s =>
               state.update(s)
-              // chain dies (or marker expires) when the watermark passes
-              // the step window's end
-              state.setTimeoutTimestamp(s.stepTs + horizonMs)
+              state.setTimeoutTimestamp(
+                if (s.step >= 0) s.stepTs + horizonMs else s.stepTs + retentionMs)
             }
             out.reverseIterator
           }
