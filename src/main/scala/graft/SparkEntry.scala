@@ -176,6 +176,10 @@ object SparkEntry {
     "q_sequence_count" -> ((s, dir) =>
       analytics.Behavior.sequenceCounts(Tables.events(s, dir), "signup", "purchase")),
 
+    // ClickHouse-exact restart-scan variant: one lag window
+    "q_sequence_count_ch" -> ((s, dir) =>
+      analytics.Behavior.sequenceCountsRestartScan(Tables.events(s, dir), "signup", "purchase")),
+
     // alerting: hours whose count is >2 sample-sigma off the key's norm
     "q_rate_anomaly" -> ((s, dir) =>
       analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
@@ -1198,6 +1202,17 @@ object SparkEntry {
          |SELECT g.user_id, g.hr, s.s_value AS value
          |FROM g ASOF JOIN s ON g.user_id = s.s_user AND s.s_ts <= g.hr
          |ORDER BY user_id, hr""".stripMargin,
+
+    // restart-scan completes a match exactly at each b whose previous
+    // filtered event is an a (run-compression argument in the scaladoc)
+    "q_sequence_count_ch" ->
+      s"""WITH ev AS ($EV),
+         |f AS (SELECT user_id, ts, event_id, event_type,
+         |        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |      FROM ev WHERE event_type IN ('signup', 'purchase'))
+         |SELECT user_id, COUNT(*) AS n_matches
+         |FROM f WHERE event_type = 'purchase' AND prev = 'signup'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the min-cut closed form of greedy non-overlapping matching: count =
     // tot_b + min(0, min over prefixes of (cum_a - cum_b))

@@ -120,6 +120,30 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse-EXACT `sequenceCount('(?1).*(?2)')`: restart-scan
+    * semantics (each match's search resumes after the previous match's
+    * end). Closed form: in the a/b-filtered per-user sequence the scan
+    * completes a match exactly at every `b` whose immediately preceding
+    * filtered event is an `a` — runs of equal types collapse (extra a's
+    * before a match don't add matches, extra b's after one aren't
+    * reachable), the compressed sequence alternates, and each a-run →
+    * b-run boundary consumes exactly one match with the scan pointer
+    * landing before the next a-run. So the count is ONE lag window over
+    * the filtered stream plus a keyed count — per-user partitioned,
+    * nothing global. Complements [[sequenceCounts]] (maximum disjoint
+    * pairs): on `a a b b` this counts 1 where max-matching counts 2. */
+  def sequenceCountsRestartScan(events: DataFrame, a: String, b: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("event_type") === a || col("event_type") === b)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("event_type") === b && col("_prev") === a)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("user_id"))
+  }
+
   /** Day-over-day retention: for each active day, how many of its users
     * are active again the next day. One distinct (user, day) reduction,
     * one self-join keyed on user, one per-day count — rate is the exact

@@ -95,6 +95,41 @@ class BehaviorSpec extends AnyFunSuite {
     assert(Behavior.sequenceCounts(inter, "a", "b").head.getAs[Long]("n_matches") == 2L)
   }
 
+  test("sequenceCountsRestartScan: lag closed form equals the restart-scan simulation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val types = Array("a", "b", "x")
+    val rows = for {
+      u <- 1 to 120
+      i <- 1 to (1 + rnd.nextInt(12))
+    } yield (u * 1000L + i, u.toLong, types(rnd.nextInt(3)),
+      new Timestamp(1700000000000L + i * 60000L))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavior.sequenceCountsRestartScan(ev, "a", "b").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_matches")).toMap
+
+    // direct simulation of ClickHouse restart-scan semantics
+    val expect = rows.groupBy(_._2).map { case (u, es) =>
+      var waitingFor = "a"; var cnt = 0L
+      es.sortBy(e => (e._4.getTime, e._1)).foreach { e =>
+        if (e._3 == waitingFor) {
+          if (waitingFor == "a") waitingFor = "b"
+          else { cnt += 1; waitingFor = "a" }
+        }
+      }
+      u -> cnt
+    }.filter(_._2 > 0)
+    assert(got == expect)
+    assert(expect.nonEmpty)
+    // the distinguishing stream: restart-scan 1, max-matching 2
+    val inter = Seq((1L, 9L, "a", new Timestamp(1L)), (2L, 9L, "a", new Timestamp(2L)),
+      (3L, 9L, "b", new Timestamp(3L)), (4L, 9L, "b", new Timestamp(4L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    assert(Behavior.sequenceCountsRestartScan(inter, "a", "b").head.getAs[Long]("n_matches") == 1L)
+    assert(Behavior.sequenceCounts(inter, "a", "b").head.getAs[Long]("n_matches") == 2L)
+  }
+
   test("dailyRetention: rates in [0,1], retained never exceeds active, last day has successors=0 only if none") {
     val out = Behavior.dailyRetention(Tables.events(spark, d)).collect()
     assert(out.nonEmpty)
