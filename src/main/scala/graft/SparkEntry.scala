@@ -210,6 +210,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
 
+    // sessionize composed with the counting-percentile construction
+    "q_session_length_pcts" -> ((s, dir) =>
+      Analytics.sessionLengthPercentiles(Tables.events(s, dir), 30)),
+
     "q_distinct_users" -> ((s, dir) =>
       Analytics.distinctUsers(Tables.events(s, dir))),
 
@@ -721,6 +725,24 @@ object SparkEntry {
 
     "q_distinct_users" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_session_length_pcts" ->
+      s"""WITH ev AS ($EV),
+         |s1 AS (SELECT user_id, event_id, ts,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+         |s2 AS (SELECT user_id, event_id, ts,
+         |         CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+         |              THEN 1 ELSE 0 END AS new_session FROM s1),
+         |s3 AS (SELECT user_id, event_id,
+         |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s2),
+         |sess AS (SELECT user_id, session_id, COUNT(*) AS n_events
+         |         FROM s3 GROUP BY 1, 2)
+         |SELECT quantile_cont(n_events, 0.5) AS p50,
+         |  quantile_cont(n_events, 0.9) AS p90,
+         |  MIN(n_events) AS min_len, MAX(n_events) AS max_len,
+         |  COUNT(*) AS n_sessions
+         |FROM sess""".stripMargin,
 
     "q_purchase_no_signup" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -120,6 +120,46 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Session-length distribution: exact interpolated p50/p90 of
+    * events-per-session, computed by counting over the DISTINCT length
+    * values ([[Analytics2.quantityPercentilesScalable]]'s construction,
+    * composed on top of [[sessionize]]): session lengths live in a tiny
+    * integer domain, so the cumulative window runs over dozens of rows
+    * regardless of how many billions of sessions exist — where a
+    * `percentile(n_events, …)` aggregate would buffer every session on
+    * one reducer. One global row: (p50, p90, min_len, max_len,
+    * n_sessions). */
+  def sessionLengthPercentiles(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val counts = sessionize(events, gapMinutes)
+      .groupBy(col("n_events")).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("n_events"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("n_events"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(allW))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("_pos50", lit(0.5) * (col("n") - 1L).cast("double"))
+      .withColumn("_pos90", lit(0.9) * (col("n") - 1L).cast("double"))
+    def at(pos: org.apache.spark.sql.Column) =
+      max(when(col("prev") <= floor(pos) && floor(pos) < col("cum"), col("n_events")))
+    def atHi(pos: org.apache.spark.sql.Column) =
+      max(when(col("prev") <= ceil(pos) && ceil(pos) < col("cum"), col("n_events")))
+    cum.agg(
+        at(col("_pos50")).as("_lo50"), atHi(col("_pos50")).as("_hi50"),
+        at(col("_pos90")).as("_lo90"), atHi(col("_pos90")).as("_hi90"),
+        max(col("_pos50")).as("_p50"), max(col("_pos90")).as("_p90"),
+        min(col("n_events")).as("min_len"), max(col("n_events")).as("max_len"),
+        sum(col("cnt")).as("n_sessions"))
+      .select(
+        (col("_lo50").cast("double") + (col("_hi50") - col("_lo50")).cast("double") *
+          (col("_p50") - floor(col("_p50")).cast("double"))).as("p50"),
+        (col("_lo90").cast("double") + (col("_hi90") - col("_lo90")).cast("double") *
+          (col("_p90") - floor(col("_p90")).cast("double"))).as("p90"),
+        col("min_len"), col("max_len"), col("n_sessions"))
+  }
+
   /** Exact + approximate distinct users per event type. The exact count is
     * the oracle-checked value; approx_count_distinct (HLL++) is the one
     * that survives 100 TB and is exposed alongside. */
