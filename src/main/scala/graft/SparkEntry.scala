@@ -180,6 +180,11 @@ object SparkEntry {
     "q_sequence_count_ch" -> ((s, dir) =>
       analytics.Behavior.sequenceCountsRestartScan(Tables.events(s, dir), "signup", "purchase")),
 
+    // windowFunnel: max level within ONE window anchored at the chain start
+    "q_window_funnel" -> ((s, dir) =>
+      analytics.Behavior.windowFunnelLevels(Tables.events(s, dir),
+        Seq("signup", "view", "purchase"), windowHours = 6)),
+
     // alerting: hours whose count is >2 sample-sigma off the key's norm
     "q_rate_anomaly" -> ((s, dir) =>
       analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
@@ -1224,6 +1229,29 @@ object SparkEntry {
          |SELECT g.user_id, g.hr, s.s_value AS value
          |FROM g ASOF JOIN s ON g.user_id = s.s_user AND s.s_ts <= g.hr
          |ORDER BY user_id, hr""".stripMargin,
+
+    // chained conditional running maxima mirror the Spark construction;
+    // BOOL_OR replicates Spark's max-over-boolean level flags
+    "q_window_funnel" ->
+      s"""WITH ev AS ($EV),
+         |f AS (SELECT user_id, ts, event_id, event_type, epoch_ms(ts) AS t
+         |      FROM ev WHERE event_type IN ('signup', 'view', 'purchase')),
+         |c1 AS (SELECT *, MAX(CASE WHEN event_type = 'signup' THEN t END)
+         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS UNBOUNDED PRECEDING) AS m1 FROM f),
+         |c2 AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN m1 END)
+         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS UNBOUNDED PRECEDING) AS m2 FROM c1),
+         |u AS (SELECT user_id,
+         |        BOOL_OR(m1 IS NOT NULL) AS l1,
+         |        BOOL_OR(event_type = 'view' AND t - m1 <= 21600000) AS l2,
+         |        BOOL_OR(event_type = 'purchase' AND t - m2 <= 21600000) AS l3
+         |      FROM c2 GROUP BY 1)
+         |SELECT CAST(0 AS BIGINT) AS level_idx, 'signup' AS step,
+         |  (SELECT COUNT(*) FROM u WHERE l1) AS n_users
+         |UNION ALL SELECT CAST(1 AS BIGINT), 'view', (SELECT COUNT(*) FROM u WHERE l2)
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM u WHERE l3)
+         |ORDER BY level_idx""".stripMargin,
 
     // restart-scan completes a match exactly at each b whose previous
     // filtered event is an a (run-compression argument in the scaladoc)

@@ -120,6 +120,54 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse `windowFunnel(window)(ts, c1, c2, …)` analogue: the max
+    * funnel level each user reaches with the WHOLE chain inside a single
+    * `windowHours` window anchored at its first step (contrast
+    * [[funnelCounts]], where each step gets its own horizon from the
+    * previous step).
+    *
+    * Exact closed form via CHAINED conditional running maxima — no
+    * per-user sort-and-scan state: let `m1(t)` = latest step-1 time ≤ t
+    * (a running max over the user's ordered events), and `m_k(t)` =
+    * latest achievable chain-start over step-k events ≤ t
+    * (`max(when(step_k, m_{k-1}))` running). A user reaches level k iff
+    * some step-k event has `t − m_{k-1}(t) ≤ window`: maximizing the
+    * start time is optimal for the window test, intermediate events are
+    * automatically inside `[t1, t_k]`, and level-k feasibility implies
+    * level-(k−1) (the same chain truncated), so the emitted counts are
+    * monotone. Every step is a window over one user-keyed exchange; the
+    * identical window trees run in DuckDB, so the result hash-matches.
+    * Emits one row per level: (level_idx, step, n_users). */
+  def windowFunnelLevels(events: DataFrame, steps: Seq[String],
+      windowHours: Int): DataFrame = {
+    require(steps.size >= 2, "windowFunnel needs at least two steps")
+    val windowMs = windowHours * 3600000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_t"))
+    // _m1.._m{n-1}: best chain-start time reaching each prefix, per row
+    val chained = steps.dropRight(1).zipWithIndex.foldLeft(base) {
+      case (df, (step, i)) =>
+        val src = if (i == 0) when(col("event_type") === step, col("_t"))
+                  else when(col("event_type") === step, col(s"_m$i"))
+        df.withColumn(s"_m${i + 1}", max(src).over(w))
+    }
+    val perUser = chained.groupBy(col("user_id")).agg(
+      max(col("_m1").isNotNull).as("_l1"),
+      (steps.tail.zipWithIndex.map { case (step, i) =>
+        max(col("event_type") === step &&
+          (col("_t") - col(s"_m${i + 1}")) <= windowMs).as(s"_l${i + 2}")
+      }): _*)
+    steps.zipWithIndex.map { case (step, i) =>
+      perUser.filter(col(s"_l${i + 1}") === true)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("level_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("level_idx"))
+  }
+
   /** ClickHouse-EXACT `sequenceCount('(?1).*(?2)')`: restart-scan
     * semantics (each match's search resumes after the previous match's
     * end). Closed form: in the a/b-filtered per-user sequence the scan

@@ -95,6 +95,47 @@ class BehaviorSpec extends AnyFunSuite {
     assert(Behavior.sequenceCounts(inter, "a", "b").head.getAs[Long]("n_matches") == 2L)
   }
 
+  test("windowFunnelLevels: chained-running-max closed form equals brute-force max level") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(11)
+    val types = Array("a", "b", "c", "x")
+    val rows = for {
+      u <- 1 to 100
+      i <- 1 to (1 + rnd.nextInt(10))
+    } yield (u * 1000L + i, u.toLong, types(rnd.nextInt(4)),
+      new Timestamp(1700000000000L + rnd.nextInt(600) * 60000L))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val windowMs = 3600000L // 1h window over a 10h spread
+    val got = Behavior.windowFunnelLevels(ev, Seq("a", "b", "c"), windowHours = 1)
+      .collect().map(r => r.getAs[Long]("level_idx") -> r.getAs[Long]("n_users")).toMap
+
+    def maxLevel(es: Seq[(Long, Long, String, Timestamp)]): Int = {
+      val sorted = es.sortBy(e => (e._4.getTime, e._1))
+      def chains(steps: List[String], after: Long, anchor: Option[Long]): Boolean =
+        steps match {
+          case Nil => true
+          case s :: rest => sorted.exists { e =>
+            e._3 == s && e._4.getTime >= after &&
+              anchor.forall(a => e._4.getTime - a <= windowMs) &&
+              chains(rest, e._4.getTime, anchor.orElse(Some(e._4.getTime)))
+          }
+        }
+      if (chains(List("a", "b", "c"), Long.MinValue, None)) 3
+      else if (chains(List("a", "b"), Long.MinValue, None)) 2
+      else if (sorted.exists(_._3 == "a")) 1
+      else 0
+    }
+    val byUser = rows.groupBy(_._2).view.mapValues(maxLevel).toMap
+    val expect = Map(
+      0L -> byUser.values.count(_ >= 1).toLong,
+      1L -> byUser.values.count(_ >= 2).toLong,
+      2L -> byUser.values.count(_ >= 3).toLong)
+    assert(got == expect)
+    assert(expect(0L) > 0 && expect(2L) > 0)
+    assert(expect(0L) >= expect(1L) && expect(1L) >= expect(2L))
+  }
+
   test("sequenceCountsRestartScan: lag closed form equals the restart-scan simulation") {
     import spark.implicits._
     import java.sql.Timestamp
