@@ -185,6 +185,11 @@ object SparkEntry {
       analytics.Behavior.windowFunnelLevels(Tables.events(s, dir),
         Seq("signup", "view", "purchase"), windowHours = 6)),
 
+    // ClickHouse retention(): cohort-anchored condition flags
+    "q_retention_cohort" -> ((s, dir) =>
+      analytics.Behavior.retentionCohort(Tables.events(s, dir),
+        Seq(("signup", 0), ("purchase", 1), ("purchase", 7)))),
+
     // alerting: hours whose count is >2 sample-sigma off the key's norm
     "q_rate_anomaly" -> ((s, dir) =>
       analytics.Anomaly.rateAnomalies(Tables.events(s, dir), 2.0)),
@@ -1229,6 +1234,22 @@ object SparkEntry {
          |SELECT g.user_id, g.hr, s.s_value AS value
          |FROM g ASOF JOIN s ON g.user_id = s.s_user AND s.s_ts <= g.hr
          |ORDER BY user_id, hr""".stripMargin,
+
+    "q_retention_cohort" ->
+      s"""WITH ev AS ($EV),
+         |d0 AS (SELECT date_trunc('day', MIN(ts)) AS d0 FROM ev),
+         |f AS (SELECT user_id,
+         |        BOOL_OR(event_type = 'signup'
+         |          AND CAST(date_diff('day', d0.d0, date_trunc('day', ts)) AS INTEGER) = 0) AS r1,
+         |        BOOL_OR(event_type = 'purchase'
+         |          AND CAST(date_diff('day', d0.d0, date_trunc('day', ts)) AS INTEGER) = 1) AS r2,
+         |        BOOL_OR(event_type = 'purchase'
+         |          AND CAST(date_diff('day', d0.d0, date_trunc('day', ts)) AS INTEGER) = 7) AS r3
+         |      FROM ev CROSS JOIN d0 GROUP BY user_id)
+         |SELECT CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cond1,
+         |  CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cond2,
+         |  CAST(SUM(CASE WHEN r1 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_cond3
+         |FROM f""".stripMargin,
 
     // chained conditional running maxima mirror the Spark construction;
     // BOOL_OR replicates Spark's max-over-boolean level flags

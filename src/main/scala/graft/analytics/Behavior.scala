@@ -192,6 +192,32 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** ClickHouse `retention(cond1, …, condN)` analogue: per-user boolean
+    * flags for each condition, then the cohort sums `Σ r1, Σ (r1 ∧ r2),
+    * …, Σ (r1 ∧ rN)` — every later condition only counts for users who
+    * satisfied the FIRST (the cohort anchor). Conditions here are
+    * (event_type, day-offset from the stream's first day) pairs. One
+    * user-keyed aggregation of bool_or flags plus one global sum — group
+    * rows only past the first reduction. */
+  def retentionCohort(events: DataFrame,
+      conds: Seq[(String, Int)]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val day0 = events.agg(date_trunc("day", min(col("ts"))).as("_d0"))
+    val withDay = events.crossJoin(broadcast(day0))
+      .withColumn("_day_idx",
+        datediff(date_trunc("day", col("ts")), col("_d0")).cast("int"))
+    val flagCols = conds.zipWithIndex.map { case ((et, d), i) =>
+      max(col("event_type") === et && col("_day_idx") === d).as(s"_r${i + 1}")
+    }
+    val flags = withDay.groupBy(col("user_id"))
+      .agg(flagCols.head, flagCols.tail: _*)
+    val sumCols = conds.indices.map { i =>
+      val cond = if (i == 0) col("_r1") else col("_r1") && col(s"_r${i + 1}")
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_cond${i + 1}")
+    }
+    flags.agg(sumCols.head, sumCols.tail: _*)
+  }
+
   /** Day-over-day retention: for each active day, how many of its users
     * are active again the next day. One distinct (user, day) reduction,
     * one self-join keyed on user, one per-day count — rate is the exact
