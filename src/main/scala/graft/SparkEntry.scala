@@ -209,6 +209,24 @@ object SparkEntry {
     "q_gauge_locf" -> ((s, dir) =>
       analytics.Gauge.hourlyLocf(s, Tables.events(s, dir))),
 
+    // counter/gauge time-series kernels: ClickHouse deltaSum, Prometheus
+    // increase() with reset handling, intervalLengthSum, time-decayed score
+    "q_delta_sum" -> ((s, dir) =>
+      analytics.TimeSeries.deltaSum(Tables.events(s, dir))),
+
+    "q_counter_increase" -> ((s, dir) =>
+      analytics.TimeSeries.counterIncrease(Tables.events(s, dir))),
+
+    "q_interval_union" -> ((s, dir) =>
+      analytics.TimeSeries.intervalUnionSeconds(Tables.events(s, dir))),
+
+    "q_decayed_score" -> ((s, dir) =>
+      analytics.TimeSeries.decayedScore(Tables.events(s, dir), horizonHours = 30)),
+
+    // largest-triangle-three-buckets downsampling (parallel anchor variant)
+    "q_lttb" -> ((s, dir) =>
+      analytics.Lttb.downsample(Tables.events(s, dir), nBuckets = 24)),
+
     // per-source exact-discrete-percentile quality gate (counting-based)
     "q_quality_gate" -> ((s, dir) =>
       TextAnalysis.adaptiveQualityGate(Tables.documents(s, dir), 0.25)),
@@ -1234,6 +1252,95 @@ object SparkEntry {
          |SELECT g.user_id, g.hr, s.s_value AS value
          |FROM g ASOF JOIN s ON g.user_id = s.s_user AND s.s_ts <= g.hr
          |ORDER BY user_id, hr""".stripMargin,
+
+    "q_delta_sum" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM ev),
+         |d AS (SELECT user_id,
+         |        cents - lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+         |      FROM c)
+         |SELECT user_id,
+         |  CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS delta_sum_cents,
+         |  COUNT(*) AS n_samples
+         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_counter_increase" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM ev),
+         |d AS (SELECT user_id, ts, cents,
+         |        lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |      FROM c)
+         |SELECT user_id, date_trunc('hour', ts) AS hr,
+         |  CAST(SUM(CASE WHEN prev IS NULL THEN cents
+         |                WHEN cents >= prev THEN cents - prev
+         |                ELSE cents END) AS BIGINT) AS increase_cents
+         |FROM d GROUP BY user_id, date_trunc('hour', ts)
+         |ORDER BY user_id, hr""".stripMargin,
+
+    "q_interval_union" ->
+      s"""WITH ev AS ($EV),
+         |iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+         |         epoch_us(ts) + CAST(round(value) AS BIGINT) * 1000000 AS e
+         |       FROM ev),
+         |sw AS (SELECT user_id, s, e,
+         |         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM iv)
+         |SELECT user_id,
+         |  CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(prev_end, s)), 0)) AS BIGINT) // 1000000
+         |    AS covered_seconds,
+         |  COUNT(*) AS n_intervals
+         |FROM sw GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_decayed_score" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         |        CAST((MAX(epoch_us(ts)) OVER (PARTITION BY user_id) - epoch_us(ts))
+         |          // 3600000000 AS INTEGER) AS age_h
+         |      FROM ev),
+         |w AS (SELECT user_id, cents,
+         |        CASE WHEN age_h < 30 THEN CAST(1 AS BIGINT) << (30 - age_h)
+         |             ELSE CAST(0 AS BIGINT) END AS weight
+         |      FROM c)
+         |SELECT user_id, CAST(SUM(cents * weight) AS BIGINT) AS decayed_score,
+         |  CAST(MAX(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BOOLEAN) AS active
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_lttb" ->
+      s"""WITH ev AS ($EV),
+         |pts AS (SELECT event_type AS series, event_id, ts, epoch_us(ts) AS x,
+         |          CAST(round(value * 100) AS BIGINT) AS y, value
+         |        FROM ev),
+         |b AS (SELECT series AS b_series, MIN(x) AS xmin,
+         |        (MAX(x) - MIN(x)) // 24 + 1 AS width
+         |      FROM pts GROUP BY 1),
+         |bk AS (SELECT p.*, CAST((x - xmin) // width AS INTEGER) AS bucket
+         |       FROM pts p JOIN b ON p.series = b.b_series),
+         |st AS (SELECT series AS s_series, bucket AS s_bucket,
+         |         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |         CAST(COUNT(*) AS HUGEINT) AS cnt
+         |       FROM bk GROUP BY 1, 2),
+         |nb AS (SELECT s_series, s_bucket, cnt,
+         |         lag(sx) OVER w AS psx, lag(sy) OVER w AS psy, lag(cnt) OVER w AS pc,
+         |         lead(sx) OVER w AS nsx, lead(sy) OVER w AS nsy, lead(cnt) OVER w AS nc
+         |       FROM st WINDOW w AS (PARTITION BY s_series ORDER BY s_bucket)),
+         |j AS (SELECT bk.*, nb.psx, nb.psy, nb.pc, nb.nsx, nb.nsy, nb.nc,
+         |        CAST(bk.x AS HUGEINT) AS xd, CAST(bk.y AS HUGEINT) AS yd
+         |      FROM bk JOIN nb ON bk.series = nb.s_series AND bk.bucket = nb.s_bucket),
+         |keyed AS (SELECT series, bucket,
+         |        {'c1': CASE WHEN pc IS NULL THEN xd
+         |                    WHEN nc IS NULL THEN -xd
+         |                    ELSE -abs((xd * pc - psx) * (nsy * pc - psy * nc)
+         |                            - (nsx * pc - psx * nc) * (yd * pc - psy)) END,
+         |         'c2': CASE WHEN pc IS NULL OR nc IS NULL THEN CAST(event_id AS HUGEINT)
+         |                    ELSE xd END,
+         |         'c3': CAST(event_id AS HUGEINT),
+         |         'ts': ts, 'value': value} AS cand
+         |      FROM j),
+         |sel AS (SELECT series, bucket, MIN(cand) AS best
+         |        FROM keyed GROUP BY series, bucket)
+         |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
+         |FROM sel ORDER BY event_type, bucket""".stripMargin,
 
     "q_retention_cohort" ->
       s"""WITH ev AS ($EV),
