@@ -327,6 +327,13 @@ object OracleSql {
 
   /** [[graft.ops.Sampling.splitCounts]]: fingerprint bucket (Spark `pmod`
     * = ((x % m) + m) % m on the signed value) → train/val/test counts. */
+  /** [[graft.ops.Sampling.trainOrder]]: global 1-based position ordered by
+    * (content fingerprint, doc_id). */
+  def trainOrderSql: String =
+    s"""WITH f AS (SELECT doc_id, $fpExpr AS fp FROM documents)
+       |SELECT doc_id, fp, row_number() OVER (ORDER BY fp, doc_id) AS pos
+       |FROM f ORDER BY pos""".stripMargin
+
   def splitCountsSql(trainPct: Int, valPct: Int): String =
     s"""WITH f AS (
        |  SELECT lang, ((($fpExpr) % 100) + 100) % 100 AS b FROM documents)

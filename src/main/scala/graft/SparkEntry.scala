@@ -227,6 +227,28 @@ object SparkEntry {
     "q_lttb" -> ((s, dir) =>
       analytics.Lttb.downsample(Tables.events(s, dir), nBuckets = 24)),
 
+    // ClickHouse aggregate-function analogues: uniqUpTo, topKWeighted,
+    // quantileExactWeighted (counting), boundingRatio
+    "q_uniq_upto" -> ((s, dir) =>
+      analytics.Analytics7.uniqUpTo(Tables.events(s, dir), n = 20)),
+
+    "q_topk_weighted" -> ((s, dir) =>
+      analytics.Analytics7.topKWeighted(Tables.events(s, dir), k = 5)),
+
+    "q_weighted_median" -> ((s, dir) =>
+      analytics.Analytics7.weightedMedian(Tables.events(s, dir))),
+
+    "q_bounding_ratio" -> ((s, dir) =>
+      analytics.Analytics7.boundingRatio(Tables.events(s, dir))),
+
+    // reproducible global training order (content-hash shuffle + GlobalRank)
+    "q_train_order" -> ((s, dir) =>
+      ops.Sampling.trainOrder(Tables.documents(s, dir))),
+
+    // BPE first-merge candidate table: top adjacent-token pairs
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMergePairs(Tables.documents(s, dir), k = 20)),
+
     // per-source exact-discrete-percentile quality gate (counting-based)
     "q_quality_gate" -> ((s, dir) =>
       TextAnalysis.adaptiveQualityGate(Tables.documents(s, dir), 0.25)),
@@ -1341,6 +1363,63 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_uniq_upto" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_type, LEAST(COUNT(DISTINCT user_id), 21) AS uniq_upto,
+         |  COUNT(*) AS n_events
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_topk_weighted" ->
+      s"""WITH ev AS ($EV),
+         |g AS (SELECT event_type, user_id,
+         |        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS weight_cents
+         |      FROM ev GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+         |        ORDER BY weight_cents DESC, user_id) AS INTEGER) AS rnk
+         |      FROM g)
+         |SELECT event_type, user_id, weight_cents, rnk
+         |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+
+    "q_weighted_median" ->
+      s"""WITH ev AS ($EV),
+         |g AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         |        CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS w
+         |      FROM ev GROUP BY 1, 2),
+         |cw AS (SELECT event_type, c, w,
+         |         CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY c
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+         |         CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT) AS tot_w
+         |       FROM g)
+         |SELECT event_type, MIN(c) AS weighted_median_cents, MAX(tot_w) AS total_weight
+         |FROM cw WHERE cum_w * 2 >= tot_w
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bounding_ratio" ->
+      s"""WITH ev AS ($EV),
+         |p AS (SELECT user_id,
+         |        {'x': epoch_us(ts), 'id': event_id,
+         |         'c': CAST(round(value * 100) AS BIGINT)} AS pt
+         |      FROM ev),
+         |e AS (SELECT user_id, MIN(pt) AS fp, MAX(pt) AS lp FROM p GROUP BY user_id)
+         |SELECT user_id,
+         |  CASE WHEN lp.x = fp.x THEN NULL
+         |       ELSE CAST(lp.c - fp.c AS DOUBLE) / ((lp.x - fp.x) / 1000000.0)
+         |  END AS cents_per_second
+         |FROM e ORDER BY user_id""".stripMargin,
+
+    "q_train_order" -> OracleSql.trainOrderSql,
+
+    "q_bpe_merges" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (SELECT u.pair
+        |      FROM tk, unnest(list_transform(range(len(t) - 1),
+        |        i -> t[i + 1] || ' ' || t[i + 2])) AS u(pair)
+        |      WHERE len(t) >= 2)
+        |SELECT pair, COUNT(*) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "q_retention_cohort" ->
       s"""WITH ev AS ($EV),

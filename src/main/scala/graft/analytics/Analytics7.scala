@@ -1,0 +1,88 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seventh analytics tranche: the remaining ClickHouse aggregate-function
+  * analogues from the observability toolbox — `uniqUpTo`, `topKWeighted`,
+  * `quantileExactWeighted`, `boundingRatio` — each as a shape that keeps
+  * its heavy reduction map-side-combinable and its windows over bounded
+  * frames (distinct values / group count), never over raw event rows.
+  */
+object Analytics7 {
+
+  /** `value` (a 2-decimal gauge) as exact integer cents. */
+  private val cents = round(col("value") * 100).cast("long")
+
+  /** ClickHouse `uniqUpTo(N)(user_id)` per event_type: the exact distinct
+    * count while it is ≤ N, else N+1 ("more than N") — the cheap cardinality
+    * gate dashboards use for "show exact count up to 100, then '100+'".
+    * The cap is the API contract; the reduction is Spark's two-phase
+    * distinct aggregate (partial distinct map-side). */
+  def uniqUpTo(events: DataFrame, n: Int = 20): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(least(countDistinct(col("user_id")), lit(n.toLong + 1)).as("uniq_upto"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** ClickHouse `topKWeighted(k)`: per event_type, the k users with the
+    * largest total value weight. Two-phase: keyed (type, user) aggregation
+    * (map-side combinable), then a rank-filtered window that Spark plans as
+    * WindowGroupLimit — each shuffle partition pre-trims to its local top-k
+    * before the exchange, so a type with a billion users moves only
+    * k·numPartitions rows. */
+  def topKWeighted(events: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("weight_cents").desc, col("user_id"))
+    events.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(cents).as("weight_cents"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  /** ClickHouse `quantileExactWeighted(0.5)(value, weight)` per event_type,
+    * with the weight taken from the `props` JSON attribute `k`: the
+    * smallest value whose cumulative weight reaches half the total —
+    * the exact DISCRETE weighted median, by counting. The only window runs
+    * over the (type, distinct cents) frame — bounded by the value domain,
+    * never by event count — the same construction as the adaptive quality
+    * gate. Integer weights and cents throughout → engine-exact. */
+  def weightedMedian(events: DataFrame): DataFrame = {
+    val weight = get_json_object(col("props"), "$.k").cast("long")
+    val grouped = events
+      .select(col("event_type"), cents.as("c"), weight.as("wt"))
+      .groupBy(col("event_type"), col("c"))
+      .agg(sum(col("wt")).as("w"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+    grouped
+      .withColumn("cum_w", sum(col("w")).over(wCum))
+      .withColumn("tot_w", sum(col("w")).over(wTot))
+      .filter(col("cum_w") * 2 >= col("tot_w"))
+      .groupBy(col("event_type"))
+      .agg(min(col("c")).as("weighted_median_cents"), max(col("tot_w")).as("total_weight"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ClickHouse `boundingRatio(ts, value)` per user: the slope between the
+    * chronologically first and last samples, in cents per second. Endpoint
+    * extraction is `min(struct)`/`max(struct)` over (epoch-micros,
+    * event_id, cents) — associative, map-side combinable, no window at
+    * all. The single double division at the end is IEEE-exact on any
+    * engine; a zero time span yields NULL. */
+  def boundingRatio(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("x"), col("event_id").as("id"), cents.as("c")).as("pt"))
+      .groupBy(col("user_id"))
+      .agg(min(col("pt")).as("first_pt"), max(col("pt")).as("last_pt"))
+      .select(col("user_id"),
+        when(col("last_pt.x") === col("first_pt.x"), lit(null).cast("double"))
+          .otherwise((col("last_pt.c") - col("first_pt.c")).cast("double") /
+            ((col("last_pt.x") - col("first_pt.x")) / lit(1000000.0)))
+          .as("cents_per_second"))
+      .orderBy(col("user_id"))
+}

@@ -58,4 +58,19 @@ object Sampling {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
+
+  /** Deterministic global training order: every document gets a 1-based
+    * position in a content-hash-shuffled sequence — the reproducible
+    * "global shuffle" a training run needs so that restarts, re-runs, and
+    * different cluster layouts all feed batches in the same order. Ordering
+    * key is (fingerprint, doc_id): pseudorandom by content, total by id.
+    * The global position comes from [[graft.analytics.GlobalRank]]'s range-
+    * exchange row number — one range shuffle, no single-partition window,
+    * so the sequencing itself holds at any corpus size. */
+  def trainOrder(documents: DataFrame): DataFrame =
+    graft.analytics.GlobalRank.withRowNumber(
+      documents.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Seq(col("fp"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("fp"), col("pos"))
+      .orderBy(col("pos"))
 }

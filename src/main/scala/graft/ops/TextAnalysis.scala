@@ -300,4 +300,24 @@ object TextAnalysis {
         col("words_in_range") && col("mean_len_ok") && col("alpha_ok") && col("stopwords_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** Adjacent-token pair frequencies, top-k — the first merge-candidate
+    * table of a BPE-style tokenizer-training pass (Sennrich et al. 2016:
+    * each merge step promotes the most frequent adjacent pair). One round
+    * here = the corpus-wide pair count at word granularity: per-document
+    * pair explosion (narrow), a map-side-combinable count keyed on the
+    * pair, and a global top-k that plans as TakeOrderedAndProject — no
+    * sorted global shuffle. Ties break lexicographically so the result is
+    * total-ordered and engine-exact. */
+  def bpeMergePairs(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
 }

@@ -49,4 +49,19 @@ class SamplingSpec extends AnyFunSuite {
   test("assignSplit rejects bad percentages") {
     intercept[IllegalArgumentException] { Sampling.assignSplit(docs, 95, 10) }
   }
+
+  test("trainOrder is a content-keyed permutation: dense 1..n, stable") {
+    val out = Sampling.trainOrder(docs).collect()
+    assert(out.length == 200)
+    // positions are exactly 1..n (a permutation, no gaps or dups)
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 200L))
+    // ordering follows (fp, doc_id)
+    val sorted = out.sortBy(_.getAs[Long]("pos"))
+    val keys = sorted.map(r => (r.getAs[Long]("fp"), r.getAs[Long]("doc_id")))
+    assert(keys.toSeq == keys.sortBy(identity).toSeq)
+    // re-running yields the identical order (reproducibility contract)
+    val again = Sampling.trainOrder(docs).collect().sortBy(_.getAs[Long]("pos"))
+    assert(again.map(_.getAs[Long]("doc_id")).toSeq ==
+      sorted.map(_.getAs[Long]("doc_id")).toSeq)
+  }
 }

@@ -145,4 +145,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("distinct_ratio") == 1.0 / 3.0)
     assert(r.getAs[Double]("top_token_ratio") == 1.0)
   }
+
+  test("bpeMergePairs counts adjacent pairs, top-k ties lexicographic") {
+    import spark.implicits._
+    // "a b" appears 3× (across docs), "b a" 1×, "b c" 1×; the single-token
+    // and empty docs contribute nothing.
+    val df = Seq((1L, "a b c"), (2L, "a b a b"), (3L, "x"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMergePairs(df, k = 2).collect()
+      .map(x => (x.getAs[String]("pair"), x.getAs[Long]("cnt")))
+    assert(r.head == ("a b", 3L))
+    assert(r(1)._2 == 1L && Set("b a", "b c")(r(1)._1))
+    assert(r(1)._1 == "b a") // cnt tie 1==1 → lexicographic
+  }
 }
