@@ -69,7 +69,10 @@ object Soak {
     // (copies share the same date span, so every window matches every
     // copy's shipments — real growth extends the time axis instead)
     "q_range_join", "q_knn_int8", "q_embedding_quantize",
-    "q_sequence_match", "q_skew_join")
+    "q_sequence_match", "q_skew_join",
+    // round-5 additions: time-series kernels + tokenizer/training-prep
+    "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
+    "q_train_order", "q_bpe_merges")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
@@ -84,7 +87,9 @@ object Soak {
     "q_span_dedup", "q_gopher_quality",
     "q16_part_supplier_cnt", "q21_waiting_suppliers",
     "q_funnel", "q_retention", "q_pack",
-    "q_knn_int8", "q_embedding_quantize", "q_sequence_match", "q_skew_join")
+    "q_knn_int8", "q_embedding_quantize", "q_sequence_match", "q_skew_join",
+    "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
+    "q_train_order", "q_bpe_merges")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one

@@ -241,6 +241,16 @@ object SparkEntry {
     "q_bounding_ratio" -> ((s, dir) =>
       analytics.Analytics7.boundingRatio(Tables.events(s, dir))),
 
+    "q_agg_if" -> ((s, dir) =>
+      analytics.Analytics7.aggIfReport(Tables.events(s, dir), thresholdCents = 10000L)),
+
+    "q_avg_weighted" -> ((s, dir) =>
+      analytics.Analytics7.avgWeighted(Tables.events(s, dir))),
+
+    // per-label fixed-point class centroids over the embeddings table
+    "q_embedding_centroids" -> ((s, dir) =>
+      ops.Quantization.labelCentroids(Tables.embeddings(s, dir))),
+
     // reproducible global training order (content-hash shuffle + GlobalRank)
     "q_train_order" -> ((s, dir) =>
       ops.Sampling.trainOrder(Tables.documents(s, dir))),
@@ -1407,6 +1417,40 @@ object SparkEntry {
          |       ELSE CAST(lp.c - fp.c AS DOUBLE) / ((lp.x - fp.x) / 1000000.0)
          |  END AS cents_per_second
          |FROM e ORDER BY user_id""".stripMargin,
+
+    "q_agg_if" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT event_type,
+         |        CASE WHEN CAST(round(value * 100) AS BIGINT) >= 10000
+         |             THEN CAST(round(value * 100) AS BIGINT) END AS qc
+         |      FROM ev)
+         |SELECT event_type,
+         |  CAST(SUM(CASE WHEN qc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS count_if,
+         |  CAST(SUM(qc) AS BIGINT) AS sum_if,
+         |  MIN(qc) AS min_if, MAX(qc) AS max_if
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_avg_weighted" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS wt
+         |      FROM ev)
+         |SELECT event_type,
+         |  CAST(SUM(c * wt) AS BIGINT) AS wv_sum,
+         |  CAST(SUM(wt) AS BIGINT) AS w_sum,
+         |  CAST(CAST(SUM(c * wt) AS BIGINT) AS DOUBLE) / CAST(SUM(wt) AS BIGINT)
+         |    AS avg_weighted_cents
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_embedding_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(t.pos AS INTEGER) AS pos,
+        |    CAST(round(CAST(embedding[t.pos + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(len(embedding))) AS t(pos))
+        |SELECT label, pos,
+        |  CAST(SUM(q) AS BIGINT) / COUNT(*) / 1048576.0 AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q_train_order" -> OracleSql.trainOrderSql,
 

@@ -67,6 +67,35 @@ object Analytics7 {
       .orderBy(col("event_type"))
   }
 
+  /** The ClickHouse `-If` combinator family in one frame: per event_type,
+    * countIf / sumIf / minIf / maxIf over the high-value slice (cents ≥
+    * `thresholdCents`). Each combinator is its base aggregate over a CASE
+    * projection — one map-side-combinable grouped pass, no second scan per
+    * condition. sum/min/max are NULL for a group with no qualifying row
+    * (ClickHouse -If semantics for empty slices of these aggregates). */
+  def aggIfReport(events: DataFrame, thresholdCents: Long = 10000L): DataFrame = {
+    val qual = when(cents >= thresholdCents, cents)
+    events.select(col("event_type"), qual.as("qc"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("qc").isNotNull, 1L).otherwise(0L)).as("count_if"),
+        sum(col("qc")).as("sum_if"),
+        min(col("qc")).as("min_if"),
+        max(col("qc")).as("max_if"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ClickHouse `avgWeighted(value, weight)` per event_type, weight from
+    * the props JSON attribute `k`: both sums exact integer, ONE final IEEE
+    * division — engine-exact without decimal gymnastics. */
+  def avgWeighted(events: DataFrame): DataFrame =
+    events.select(col("event_type"), cents.as("c"),
+      get_json_object(col("props"), "$.k").cast("long").as("wt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("wt")).as("wv_sum"), sum(col("wt")).as("w_sum"))
+      .withColumn("avg_weighted_cents", col("wv_sum").cast("double") / col("w_sum"))
+      .orderBy(col("event_type"))
+
   /** ClickHouse `boundingRatio(ts, value)` per user: the slope between the
     * chronologically first and last samples, in cents per second. Endpoint
     * extraction is `min(struct)`/`max(struct)` over (epoch-micros,

@@ -72,4 +72,23 @@ object Quantization {
       .withColumn("qn", aggregate(
         zip_with(col("qv"), col("qv"), (x, y) => (x * y).cast("long")),
         lit(0L), (a, x) => a + x))
+
+  /** Per-label class centroids in 2²⁰ fixed point — the per-class mean
+    * vector a curriculum/quality pipeline tracks per source or cluster.
+    * Each component is scaled by an exact power of two (float → double →
+    * ·2²⁰ is EXACT, no rounding until the final integer round), summed as
+    * BIGINT per (label, dimension) — order-independent, engine-exact where
+    * a float mean never is — and divided back once at the end. Relational
+    * output (label, pos, centroid): posexplode + grouped sum, map-side
+    * combinable, no collect_list ordering hazards, |labels|·dim rows out. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .select(col("label"), col("pos"),
+        round(col("comp").cast("double") * lit(1048576.0)).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("n_vecs"))
+      .withColumn("centroid", col("q_sum").cast("double") / col("n_vecs") / lit(1048576.0))
+      .select(col("label"), col("pos"), col("centroid"), col("n_vecs"))
+      .orderBy(col("label"), col("pos"))
 }

@@ -188,6 +188,64 @@ object StatefulOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_id")
 
+  final case class IncreaseOut(user_id: Long, ts: Timestamp, increase_cents: Long)
+
+  /** Per-user last-sample state: (event-time ms, event id, cents). Public
+    * for the state encoder. */
+  final case class CounterState(lastTs: Long, lastId: Long, lastCents: Long)
+
+  /** Streaming counter-reset-aware increase — the real-time twin of
+    * [[graft.analytics.TimeSeries.counterIncrease]]: each sample emits its
+    * delta against the user's previous sample, a drop counting as a reset
+    * that restarts from zero (the Prometheus correction), the user's first
+    * sample counting in full. State is ONE (ts, id, cents) triple per
+    * user; users idle past `idleHours` of event time have it dropped, so
+    * the store tracks active keys, not stream history. Out-of-order
+    * samples at or before the stored (ts, id) are skipped — with the
+    * watermark honored by the producer they are duplicates, and skipping
+    * keeps emission deterministic across micro-batch boundaries (a
+    * summed-by-hour downstream equals the batch operator's increase). */
+  def counterIncreaseStream(events: Dataset[EventIn],
+      watermark: String = "10 minutes", idleHours: Int = 24): Dataset[IncreaseOut] = {
+    import events.sparkSession.implicits._
+    val idleMs = idleHours * 3600000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CounterState, IncreaseOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[CounterState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            var out = List.empty[IncreaseOut]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100)
+              cur match {
+                case Some(s) if t < s.lastTs || (t == s.lastTs && e.event_id <= s.lastId) =>
+                  () // late duplicate/out-of-order: skip
+                case Some(s) =>
+                  val inc = if (cents >= s.lastCents) cents - s.lastCents else cents
+                  out ::= IncreaseOut(userId, e.ts, inc)
+                  cur = Some(CounterState(t, e.event_id, cents))
+                case None =>
+                  out ::= IncreaseOut(userId, e.ts, cents)
+                  cur = Some(CounterState(t, e.event_id, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + idleMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: each purchase matched to the same user's
     * signups within the preceding `horizon`. Watermarks on both sides
     * bound the join state — purchase state can expire once no matching

@@ -155,4 +155,49 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(out.length == 3)
     assert(out.count(_.getAs[Long]("event_id") == 1L) == 2)
   }
+
+  test("counterIncreaseStream: reset restarts from zero, state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val q = StatefulOps.counterIncreaseStream(mem.toDS())
+      .writeStream.format("memory").queryName("cinc").outputMode("append").start()
+    // batch 1: 100 → 180 (first sample counts in full, then +80)
+    mem.addData(
+      EventIn(1, t("2024-01-01T00:10:00Z"), 9, "view", 100.00),
+      EventIn(2, t("2024-01-01T00:20:00Z"), 9, "view", 180.00))
+    q.processAllAvailable()
+    // batch 2: 30 (reset → +30), 50 (+20) — prior value carried via state
+    mem.addData(
+      EventIn(3, t("2024-01-01T01:10:00Z"), 9, "view", 30.00),
+      EventIn(4, t("2024-01-01T01:20:00Z"), 9, "view", 50.00))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cinc").as[StatefulOps.IncreaseOut].collect()
+      .sortBy(_.ts.getTime).map(_.increase_cents).toSeq
+    assert(out == Seq(10000L, 8000L, 3000L, 2000L))
+    // summed, it equals the batch operator's per-user increase total
+    assert(out.sum == 23000L)
+  }
+
+  test("counterIncreaseStream: late out-of-order duplicate is skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EventIn]
+    val q = StatefulOps.counterIncreaseStream(mem.toDS())
+      .writeStream.format("memory").queryName("cinc2").outputMode("append").start()
+    mem.addData(
+      EventIn(1, t("2024-01-01T00:10:00Z"), 5, "view", 10.00),
+      EventIn(2, t("2024-01-01T00:20:00Z"), 5, "view", 20.00))
+    q.processAllAvailable()
+    // a replay of event 1 (same ts/id) and an older-ts straggler: both skipped
+    mem.addData(
+      EventIn(1, t("2024-01-01T00:10:00Z"), 5, "view", 10.00),
+      EventIn(0, t("2024-01-01T00:05:00Z"), 5, "view", 99.00))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cinc2").as[StatefulOps.IncreaseOut].collect()
+    assert(out.length == 2)
+    assert(out.map(_.increase_cents).sum == 2000L) // 1000 + 1000
+  }
 }

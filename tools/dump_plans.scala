@@ -33,7 +33,14 @@ val headline = Seq(
   "q_gauge_locf" -> "gauge LOCF resampling: generated (key x hour) grid + the AsOfJoin merge-walk operator -- samples shuffle once, grid never stored, no per-grid-point rescan",
   "q_rate_anomaly" -> "z-score alerting: raw events reduce at the FIRST aggregation; per-key moment stats broadcast back onto group-cardinality-sized rows",
   "q_quality_gate" -> "per-source discrete-percentile gate: cumulative windows over DISTINCT token-count values only (value-domain-bounded, never document-count), threshold broadcast into one grouped pass",
-  "q_percentiles_big" -> "counting-based exact percentiles: (group, value, cnt) reduction, bracketing rows via conditional aggregation -- per-task state O(distinct values), not O(group rows) like the percentile() buffer")
+  "q_percentiles_big" -> "counting-based exact percentiles: (group, value, cnt) reduction, bracketing rows via conditional aggregation -- per-task state O(distinct values), not O(group rows) like the percentile() buffer",
+  "q_lttb" -> "LTTB downsampling: series bounds and bucket-neighbor stats fold to broadcasts; the per-bucket argmax is min(struct) with map-side partials, so only ~|series x buckets| partial rows shuffle -- no per-bucket window over raw points",
+  "q_topk_weighted" -> "topKWeighted: keyed weight aggregation, then WindowGroupLimit Partial trims each shuffle partition to its local top-k BEFORE the exchange",
+  "q_delta_sum" -> "deltaSum: lag window and final sum ride ONE user-keyed exchange; the positive-delta sum combines map-side",
+  "q_interval_union" -> "intervalLengthSum: per-key sweep (running-max window) and the union-length sum on the same single exchange -- no pairwise interval join",
+  "q_weighted_median" -> "quantileExactWeighted: cumulative windows over (type, DISTINCT cents) group rows only -- value-domain-bounded, never event-count",
+  "q_train_order" -> "reproducible training order: content-fingerprint sort via GlobalRank's range exchange; the only single-partition window is the O(numPartitions) offset frame",
+  "q_bpe_merges" -> "BPE merge candidates: per-doc pair explosion, map-side-combined pair counts, global top-k as TakeOrderedAndProject -- no sorted global shuffle")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
