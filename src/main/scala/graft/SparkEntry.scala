@@ -241,6 +241,10 @@ object SparkEntry {
     "q_bounding_ratio" -> ((s, dir) =>
       analytics.Analytics7.boundingRatio(Tables.events(s, dir))),
 
+    // delta/dod + zigzag-varint codec sizing as pure column arithmetic
+    "q_codec_stats" -> ((s, dir) =>
+      analytics.CodecStats.deltaEncodingStats(Tables.events(s, dir))),
+
     "q_agg_if" -> ((s, dir) =>
       analytics.Analytics7.aggIfReport(Tables.events(s, dir), thresholdCents = 10000L)),
 
@@ -1417,6 +1421,39 @@ object SparkEntry {
          |       ELSE CAST(lp.c - fp.c AS DOUBLE) / ((lp.x - fp.x) / 1000000.0)
          |  END AS cents_per_second
          |FROM e ORDER BY user_id""".stripMargin,
+
+    "q_codec_stats" -> {
+      def vcost(z: String) =
+        s"""CASE WHEN $z < 128 THEN 1 WHEN $z < 16384 THEN 2
+           | WHEN $z < 2097152 THEN 3 WHEN $z < 268435456 THEN 4
+           | WHEN $z < 34359738368 THEN 5 WHEN $z < 4398046511104 THEN 6
+           | WHEN $z < 562949953421312 THEN 7 WHEN $z < 72057594037927936 THEN 8
+           | ELSE 9 END""".stripMargin.replaceAll("\n", "")
+      s"""WITH ev AS ($EV),
+         |s AS (SELECT user_id, ts, event_id, epoch_ms(ts) AS x,
+         |        CAST(round(value * 100) AS BIGINT) AS c FROM ev),
+         |l AS (SELECT user_id, x, c,
+         |        lag(x, 1) OVER w AS px, lag(x, 2) OVER w AS ppx, lag(c, 1) OVER w AS pc
+         |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |st AS (SELECT user_id,
+         |         CASE WHEN px IS NULL THEN x
+         |              WHEN ppx IS NULL THEN x - px
+         |              ELSE (x - px) - (px - ppx) END AS tsv,
+         |         CASE WHEN pc IS NULL THEN c ELSE c - pc END AS vv
+         |       FROM l),
+         |z AS (SELECT user_id,
+         |        CASE WHEN tsv >= 0 THEN tsv * 2 ELSE tsv * -2 - 1 END AS zt,
+         |        CASE WHEN vv >= 0 THEN vv * 2 ELSE vv * -2 - 1 END AS zv
+         |      FROM st)
+         |SELECT user_id, COUNT(*) AS n_samples,
+         |  COUNT(*) * 16 AS raw_bytes,
+         |  CAST(SUM(${vcost("zt")}) AS BIGINT) AS enc_ts_bytes,
+         |  CAST(SUM(${vcost("zv")}) AS BIGINT) AS enc_val_bytes,
+         |  CAST(COUNT(*) * 16 AS DOUBLE) /
+         |    (CAST(SUM(${vcost("zt")}) AS BIGINT) + CAST(SUM(${vcost("zv")}) AS BIGINT))
+         |    AS compression_ratio
+         |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     "q_agg_if" ->
       s"""WITH ev AS ($EV),
