@@ -217,6 +217,11 @@ object SparkEntry {
     "q_counter_increase" -> ((s, dir) =>
       analytics.TimeSeries.counterIncrease(Tables.events(s, dir))),
 
+    // rollup-served twin: disjoint slice states merged then stitched
+    "q_counter_increase_mv" -> ((s, dir) =>
+      analytics.CounterRollup.increaseFromSlices(Tables.events(s, dir),
+        Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00"))),
+
     "q_interval_union" -> ((s, dir) =>
       analytics.TimeSeries.intervalUnionSeconds(Tables.events(s, dir))),
 
@@ -2060,6 +2065,9 @@ object SparkEntry {
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),
     // serving-layer twin: BIGINT count partials make the z doubles identical
     "q_rate_anomaly_mv" -> baseOracleSql("q_rate_anomaly"),
+    // mergeable deltaSumTimestamp state: slice → merge → serve must equal
+    // the direct one-pass counter increase exactly
+    "q_counter_increase_mv" -> baseOracleSql("q_counter_increase"),
     // sketch-union estimate asserted against the exact count in-query;
     // the oracle recomputes the exact side and the literal-true verdict
     "q_distinct_users_mv" ->

@@ -1,0 +1,99 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable counter-increase state — the ClickHouse `deltaSumTimestamp`
+  * / AggregatingMergeTree pattern for the one aggregate a naive rollup
+  * gets wrong: counter increase is ORDER-SENSITIVE, so a per-hour state
+  * must carry its boundary samples, not just a sum. State per
+  * (user, hour) slice: (inner increase, first sample, last sample, n),
+  * where first/last are (epoch-us, event_id, cents) structs — min/max
+  * mergeable. Two states over DISJOINT time ranges merge exactly:
+  * stitched = Σ inner + increase(earlier.last → later.first). That
+  * disjointness contract is the same one ClickHouse documents for
+  * `deltaSumTimestamp` (and is what time-contiguous micro-batch ingest
+  * gives you for free); arbitrary interleaved merges are exactly the
+  * case `deltaSum` is documented to get wrong.
+  *
+  * Scale: state rows are group-cardinality (|users|×|hours|); the merge
+  * and serve windows run over STATE rows only — raw events are touched
+  * once, at statify time, by the same per-key window as the direct
+  * operator. Serving stitches hour rows per user with one lag window and
+  * reproduces [[TimeSeries.counterIncrease]] bit-for-bit (same oracle). */
+object CounterRollup {
+
+  private val cents = round(col("value") * 100).cast("long")
+  private def inc(prev: String, next: String) =
+    when(col(s"$next.c") >= col(s"$prev.c"), col(s"$next.c") - col(s"$prev.c"))
+      .otherwise(col(s"$next.c"))
+
+  /** Aggregate one time-slice of raw events into per-(user, hour) state. */
+  def statify(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("hr")).orderBy(col("x"), col("event_id"))
+    events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+        unix_micros(col("ts")).as("x"), col("event_id"), cents.as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .withColumn("step",
+        when(col("pc").isNull, 0L)
+          .when(col("c") >= col("pc"), col("c") - col("pc"))
+          .otherwise(col("c")))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(
+        sum(col("step")).as("inner_inc"),
+        min(struct(col("x"), col("event_id").as("id"), col("c"))).as("first_pt"),
+        max(struct(col("x"), col("event_id").as("id"), col("c"))).as("last_pt"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Merge any number of DISJOINT-time-range states per (user, hour):
+    * order slices by first sample, stitch each boundary, re-min/max the
+    * endpoints. The window runs over state rows (slices per group), never
+    * raw events. */
+  def mergeStates(states: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("hr")).orderBy(col("first_pt"))
+    states
+      .withColumn("prev_last", lag(col("last_pt"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_last").isNull, 0L).otherwise(inc("prev_last", "first_pt")))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(
+        (sum(col("inner_inc")) + sum(col("boundary"))).as("inner_inc"),
+        min(col("first_pt")).as("first_pt"),
+        max(col("last_pt")).as("last_pt"),
+        sum(col("n")).as("n"))
+  }
+
+  /** Serve per-(user, hour) increase from merged state: stitch consecutive
+    * hour rows per user (lag over state rows), a user's first-ever sample
+    * counting in full — bit-identical to [[TimeSeries.counterIncrease]]. */
+  def serveIncrease(state: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    state
+      .withColumn("prev_last", lag(col("last_pt"), 1).over(w))
+      .select(col("user_id"), col("hr"),
+        (col("inner_inc") +
+          when(col("prev_last").isNull, col("first_pt.c"))
+            .otherwise(inc("prev_last", "first_pt"))).as("increase_cents"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  /** End-to-end MV query: build state from disjoint time slices, merge,
+    * serve — proves slice-count invariance against the direct operator's
+    * oracle. */
+  def increaseFromSlices(events: DataFrame, cutISO: Seq[String]): DataFrame = {
+    val cuts = cutISO.map(s => to_timestamp(lit(s)))
+    val bounds = (None +: cuts.map(Option(_))).zip(cuts.map(Option(_)) :+ None)
+    val slices = bounds.map { case (lo, hi) =>
+      events.filter(
+        lo.map(col("ts") >= _).getOrElse(lit(true)) &&
+          hi.map(col("ts") < _).getOrElse(lit(true)))
+    }
+    // each slice statifies independently (the micro-batch analogue) …
+    val states = slices.map(statify).reduce(_ unionByName _)
+    // … then merge + serve reproduce the one-pass answer
+    serveIncrease(mergeStates(states))
+  }
+}
