@@ -222,6 +222,16 @@ object SparkEntry {
       analytics.CounterRollup.increaseFromSlices(Tables.events(s, dir),
         Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00"))),
 
+    // 2-D slice over the z-ordered layout — a pure permutation of the
+    // raw table, so the raw-events oracle must match exactly
+    "q_zorder_slice" -> ((s, dir) => {
+      val path = sources.ZOrderLayout.eventsZPath(s, dir, Tables.events(s, dir))
+      s.read.parquet(path)
+        .filter(col("user_id").between(40, 60) && col("value").between(100.0, 200.0))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    }),
+
     "q_interval_union" -> ((s, dir) =>
       analytics.TimeSeries.intervalUnionSeconds(Tables.events(s, dir))),
 
@@ -1382,6 +1392,12 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_zorder_slice" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_id, ts, user_id, event_type, value, props FROM ev
+         |WHERE user_id BETWEEN 40 AND 60 AND value BETWEEN 100.0 AND 200.0
+         |ORDER BY event_id""".stripMargin,
 
     "q_uniq_upto" ->
       s"""WITH ev AS ($EV)

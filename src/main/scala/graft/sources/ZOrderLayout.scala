@@ -121,4 +121,26 @@ object ZOrderLayout {
     envelopes.count { case (minA, maxA, minB, maxB) =>
       if (onA) minA <= v && v <= maxA else minB <= v && v <= maxB
     }
+
+  private val prepared =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  /** One-time-per-JVM z-ordered layout of the events fixture on
+    * (user_id, value), memoized per (app, dir) so a REGISTERED query can
+    * read the curve layout without re-paying the write each invocation —
+    * the same write-once/read-many economics as the bucketed tables. At
+    * scale the payoff is min/max file skipping on BOTH predicate
+    * dimensions (spec-quantified in ZOrderLayoutSpec); correctness-wise
+    * the layout is a pure permutation, which the registered 2-D slice
+    * query proves against the raw-table oracle. */
+  def eventsZPath(spark: org.apache.spark.sql.SparkSession, dir: String,
+      events: => DataFrame): String = {
+    val appId = spark.sparkContext.applicationId
+    prepared.getOrElseUpdate((appId, dir), {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_zorder_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      writeZOrdered(events, path, "user_id", "value", numFiles = 16)
+      path
+    })
+  }
 }
