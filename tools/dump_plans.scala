@@ -40,7 +40,10 @@ val headline = Seq(
   "q_interval_union" -> "intervalLengthSum: per-key sweep (running-max window) and the union-length sum on the same single exchange -- no pairwise interval join",
   "q_weighted_median" -> "quantileExactWeighted: cumulative windows over (type, DISTINCT cents) group rows only -- value-domain-bounded, never event-count",
   "q_train_order" -> "reproducible training order: content-fingerprint sort via GlobalRank's range exchange; the only single-partition window is the O(numPartitions) offset frame",
-  "q_bpe_merges" -> "BPE merge candidates: per-doc pair explosion, map-side-combined pair counts, global top-k as TakeOrderedAndProject -- no sorted global shuffle")
+  "q_bpe_merges" -> "BPE merge candidates: per-doc pair explosion, map-side-combined pair counts, global top-k as TakeOrderedAndProject -- no sorted global shuffle",
+  "q_counter_increase_mv" -> "mergeable deltaSumTimestamp state: slice statify windows ride the (user,hour) exchange; merge and serve windows run over STATE rows only (group cardinality, never raw events)",
+  "q_codec_stats" -> "codec sizing as column math: lag windows + closed-form LEB128 cost on ONE user-keyed exchange, map-side-combinable byte sums, no bytes materialized",
+  "q_zorder_slice" -> "z-ordered layout scan: both range predicates reach the parquet scan as PushedFilters over the curve-local files -- min/max skipping works on BOTH dimensions at scale")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
