@@ -80,20 +80,38 @@ object CounterRollup {
       .orderBy(col("user_id"), col("hr"))
   }
 
-  /** End-to-end MV query: build state from disjoint time slices, merge,
-    * serve — proves slice-count invariance against the direct operator's
-    * oracle. */
-  def increaseFromSlices(events: DataFrame, cutISO: Seq[String]): DataFrame = {
-    val cuts = cutISO.map(s => to_timestamp(lit(s)))
-    val bounds = (None +: cuts.map(Option(_))).zip(cuts.map(Option(_)) :+ None)
-    val slices = bounds.map { case (lo, hi) =>
-      events.filter(
-        lo.map(col("ts") >= _).getOrElse(lit(true)) &&
-          hi.map(col("ts") < _).getOrElse(lit(true)))
+  /** [[statify]] with a slice id appended to the state key — statifying N
+    * disjoint time slices in ONE scan of the raw events (time cuts become
+    * a projection, the window partitions by (user, hour, slice)), instead
+    * of one filtered scan per slice. Produces exactly the per-slice states
+    * independent statify calls would. */
+  def statifySliced(events: DataFrame, cutISO: Seq[String]): DataFrame = {
+    require(cutISO == cutISO.sorted, "slice cuts must be ascending")
+    val slice = cutISO.zipWithIndex.foldLeft(lit(0)) { case (acc, (cut, i)) =>
+      when(col("ts") >= to_timestamp(lit(cut)), lit(i + 1)).otherwise(acc)
     }
-    // each slice statifies independently (the micro-batch analogue) …
-    val states = slices.map(statify).reduce(_ unionByName _)
-    // … then merge + serve reproduce the one-pass answer
-    serveIncrease(mergeStates(states))
+    val w = Window.partitionBy(col("user_id"), col("hr"), col("slice"))
+      .orderBy(col("x"), col("event_id"))
+    events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"), slice.as("slice"),
+        unix_micros(col("ts")).as("x"), col("event_id"), cents.as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .withColumn("step",
+        when(col("pc").isNull, 0L)
+          .when(col("c") >= col("pc"), col("c") - col("pc"))
+          .otherwise(col("c")))
+      .groupBy(col("user_id"), col("hr"), col("slice"))
+      .agg(
+        sum(col("step")).as("inner_inc"),
+        min(struct(col("x"), col("event_id").as("id"), col("c"))).as("first_pt"),
+        max(struct(col("x"), col("event_id").as("id"), col("c"))).as("last_pt"),
+        count(lit(1)).as("n"))
+      .drop("slice")
   }
+
+  /** End-to-end MV query: build per-slice states (one raw scan, the
+    * micro-batch analogue), merge, serve — proves slice-count invariance
+    * against the direct operator's oracle. */
+  def increaseFromSlices(events: DataFrame, cutISO: Seq[String]): DataFrame =
+    serveIncrease(mergeStates(statifySliced(events, cutISO)))
 }
