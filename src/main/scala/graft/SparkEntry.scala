@@ -222,6 +222,10 @@ object SparkEntry {
       analytics.CounterRollup.increaseFromSlices(Tables.events(s, dir),
         Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00"))),
 
+    // robust median/MAD anomaly twin of q_rate_anomaly
+    "q_mad_anomaly" -> ((s, dir) =>
+      analytics.Anomaly.madAnomalies(Tables.events(s, dir), k = 3)),
+
     // 2-D slice over the z-ordered layout — a pure permutation of the
     // raw table, so the raw-events oracle must match exactly
     "q_zorder_slice" -> ((s, dir) => {
@@ -1392,6 +1396,31 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_mad_anomaly" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+         |      FROM ev GROUP BY 1, 2),
+         |g1 AS (SELECT event_type, n AS v, COUNT(*) AS c FROM h GROUP BY 1, 2),
+         |m1 AS (SELECT event_type, MIN(v) AS med FROM (
+         |        SELECT event_type, v,
+         |          SUM(c) OVER (PARTITION BY event_type ORDER BY v
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |          SUM(c) OVER (PARTITION BY event_type) AS tot
+         |        FROM g1) t WHERE cum * 2 >= tot GROUP BY event_type),
+         |d AS (SELECT h.event_type, h.hr, h.n, m1.med, abs(h.n - m1.med) AS dev
+         |      FROM h JOIN m1 USING (event_type)),
+         |g2 AS (SELECT event_type, dev AS v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+         |m2 AS (SELECT event_type, MIN(v) AS mad FROM (
+         |        SELECT event_type, v,
+         |          SUM(c) OVER (PARTITION BY event_type ORDER BY v
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |          SUM(c) OVER (PARTITION BY event_type) AS tot
+         |        FROM g2) t WHERE cum * 2 >= tot GROUP BY event_type)
+         |SELECT d.event_type, d.hr, d.n, d.med, m2.mad
+         |FROM d JOIN m2 USING (event_type)
+         |WHERE d.dev > m2.mad * 3
+         |ORDER BY event_type, hr""".stripMargin,
 
     "q_zorder_slice" ->
       s"""WITH ev AS ($EV)

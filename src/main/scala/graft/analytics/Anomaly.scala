@@ -57,4 +57,46 @@ object Anomaly {
       .select(col("event_type"), col("hr"), col("n"), col("mean"), col("z"))
       .orderBy(col("event_type"), col("hr"))
   }
+
+  /** Exact lower median of `valueCol` per `key` by counting: one keyed
+    * (key, value) reduction, cumulative windows over DISTINCT values only
+    * (value-domain-bounded, never group-row count). */
+  private def lowerMedian(df: DataFrame, key: String, valueCol: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(key), col(valueCol).as("_v")).agg(count(lit(1)).as("_c"))
+    val wC = Window.partitionBy(col(key)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col(key))
+    g.withColumn("_cum", sum(col("_c")).over(wC))
+      .withColumn("_tot", sum(col("_c")).over(wT))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(key)).agg(min(col("_v")).as(out))
+  }
+
+  /** Robust (median/MAD) twin of [[rateAnomalies]]: flag hours where
+    * |n − median| > k · MAD, with both the median and the median absolute
+    * deviation exact discrete (lower) medians by counting — the
+    * outlier-resistant alert a z-score misses when the baseline itself
+    * contains spikes (one incident hour inflates σ and masks the next
+    * incident; it barely moves the MAD). Integer comparisons end-to-end →
+    * engine-exact flags, no tolerance compare. A key with MAD = 0 (more
+    * than half its hours exactly at the median) flags ANY deviating hour —
+    * the natural limit of the rule. Output: (event_type, hr, n, med, mad).
+    *
+    * Scale: the raw stream reduces at the first (type, hour) aggregation;
+    * medians run over distinct-count frames; both stat frames broadcast. */
+  def madAnomalies(events: DataFrame, k: Int = 3): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val med = lowerMedian(hourly, "event_type", "n", "med")
+    val withMed = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = lowerMedian(withMed, "event_type", "dev", "mad")
+    withMed.join(broadcast(mad), "event_type")
+      .filter(col("dev") > col("mad") * k)
+      .select(col("event_type"), col("hr"), col("n"), col("med"), col("mad"))
+      .orderBy(col("event_type"), col("hr"))
+  }
 }

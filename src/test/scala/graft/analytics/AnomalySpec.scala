@@ -18,4 +18,35 @@ class AnomalySpec extends AnyFunSuite {
     val k3 = at3.map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hr"))).toSet
     assert(k3.subsetOf(k2))
   }
+
+  /** Events yielding `counts(i)` rows in hour i of 2024-01-01, one type. */
+  private def hourly(counts: Seq[Int]) = {
+    import spark.implicits._
+    counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(j => ((h * 1000 + j).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${j % 60}%02d"),
+        1L, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("madAnomalies flags repeated spikes that inflate sigma past the z-score") {
+    // 9 quiet hours at 10, 3 incident hours at 100: sigma balloons to ~41,
+    // so z = 1.66 and the z-score alert at 2.0 stays silent — the classic
+    // masked repeated incident. The median is immovable: MAD flags all 3.
+    val ev = hourly(Seq(10, 10, 10, 100, 10, 10, 100, 10, 10, 10, 100, 10))
+    assert(Anomaly.rateAnomalies(ev, 2.0).collect().isEmpty)
+    val mad = Anomaly.madAnomalies(ev, k = 3).collect()
+    assert(mad.length == 3)
+    assert(mad.forall(_.getAs[Long]("n") == 100L))
+    assert(mad.forall(_.getAs[Long]("med") == 10L))
+  }
+
+  test("madAnomalies: quiet keys flag nothing; MAD=0 flags any deviation") {
+    val flat = hourly(Seq(10, 10, 10, 10))
+    assert(Anomaly.madAnomalies(flat).collect().isEmpty)
+    val oneOff = hourly(Seq(10, 10, 10, 11))
+    val r = Anomaly.madAnomalies(oneOff).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n") == 11L &&
+      r(0).getAs[Long]("mad") == 0L)
+  }
 }
