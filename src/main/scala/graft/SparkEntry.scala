@@ -226,6 +226,14 @@ object SparkEntry {
     "q_mad_anomaly" -> ((s, dir) =>
       analytics.Anomaly.madAnomalies(Tables.events(s, dir), k = 3)),
 
+    // exact discrete percentile bands per (type, day) — the quantile heatmap
+    "q_value_bands" -> ((s, dir) =>
+      analytics.Analytics7.valueBands(Tables.events(s, dir))),
+
+    // cross-source rare-shingle overlap matrix (corpus governance)
+    "q_source_overlap" -> ((s, dir) =>
+      ops.Contamination.sourceOverlap(Tables.documents(s, dir))),
+
     // 2-D slice over the z-ordered layout — a pure permutation of the
     // raw table, so the raw-events oracle must match exactly
     "q_zorder_slice" -> ((s, dir) => {
@@ -1396,6 +1404,41 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_value_bands" ->
+      s"""WITH ev AS ($EV),
+         |g AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |        CAST(round(value * 100) AS BIGINT) AS c, COUNT(*) AS cnt
+         |      FROM ev GROUP BY 1, 2, 3),
+         |cw AS (SELECT event_type, day, c,
+         |         CAST(SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY c
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY event_type, day) AS BIGINT) AS n
+         |       FROM g)
+         |SELECT event_type, day,
+         |  MIN(CASE WHEN cum * 100 >= n * 50 THEN c END) AS p50_cents,
+         |  MIN(CASE WHEN cum * 100 >= n * 90 THEN c END) AS p90_cents,
+         |  MIN(CASE WHEN cum * 100 >= n * 99 THEN c END) AS p99_cents,
+         |  MAX(n) AS n_events
+         |FROM cw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |                ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |                       i -> array_to_string(tk[i:i+2], ' ')))
+        |                END) AS s
+        |       FROM toks),
+        |df AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+        |rare AS (SELECT DISTINCT sh.s, sh.source
+        |         FROM sh JOIN df ON sh.s = df.s WHERE df.df <= 10)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS shared_shingles
+        |FROM rare a JOIN rare b ON a.s = b.s AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_mad_anomaly" ->
       s"""WITH ev AS ($EV),

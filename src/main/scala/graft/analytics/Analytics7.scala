@@ -96,6 +96,30 @@ object Analytics7 {
       .withColumn("avg_weighted_cents", col("wv_sum").cast("double") / col("w_sum"))
       .orderBy(col("event_type"))
 
+  /** Latency-band panel: exact DISCRETE p50/p90/p99 of value cents per
+    * (event_type, day) by counting — the per-interval quantile heatmap an
+    * observability dashboard draws. Rank condition in integers
+    * (`100·cum ≥ q·n` with q in percent — cum is integral, so this IS the
+    * ceil(q·n) discrete quantile), windows over (group, DISTINCT cents)
+    * rows only: value-domain-bounded state, engine-exact output, and the
+    * same construction stays safe when one group holds a billion events. */
+  def valueBands(events: DataFrame): DataFrame = {
+    val g = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"), cents.as("c"))
+      .groupBy(col("event_type"), col("day"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wC = Window.partitionBy(col("event_type"), col("day")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("event_type"), col("day"))
+    def pick(pct: Int) = min(when(col("cum") * 100 >= col("n") * pct, col("c")))
+    g.withColumn("cum", sum(col("cnt")).over(wC))
+      .withColumn("n", sum(col("cnt")).over(wT))
+      .groupBy(col("event_type"), col("day"))
+      .agg(pick(50).as("p50_cents"), pick(90).as("p90_cents"), pick(99).as("p99_cents"),
+        max(col("n")).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** ClickHouse `boundingRatio(ts, value)` per user: the slope between the
     * chronologically first and last samples, in cents per second. Endpoint
     * extraction is `min(struct)`/`max(struct)` over (epoch-micros,

@@ -39,4 +39,28 @@ object Contamination {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
       .orderBy(col("doc_id"))
   }
+
+  /** Cross-source overlap matrix: for every source pair, how many RARE
+    * shingles both emit — the governance report that catches two feeds
+    * scraping the same upstream before they get mixed into a corpus.
+    * Distinct (shingle, source) pairs reduce first; shingles appearing in
+    * more than `maxDf` documents are dropped — boilerplate shingles carry
+    * no provenance signal AND are exactly the hot keys that would skew the
+    * self-join, so the filter is both the statistics and the scale fix.
+    * The pair join is a shingle-keyed equi-join over the rare survivors;
+    * output is at most |sources|² rows. */
+  def sourceOverlap(documents: DataFrame, n: Int = 3, maxDf: Int = 10): DataFrame = {
+    val sh = documents
+      .select(col("source"), col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("sh"))
+    val df = sh.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+    val rare = sh
+      .join(df.filter(col("df") <= maxDf), "sh")
+      .select(col("sh"), col("source")).distinct()
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -70,6 +70,18 @@ class Analytics7Spec extends AnyFunSuite {
     assert(r(0).getAs[Double]("cents_per_second") == 50.0)
   }
 
+  test("valueBands: exact discrete percentiles per (type, day) by counting") {
+    // 100 events valued 0.01..1.00 on one day: p50 = 0.50, p90 = 0.90,
+    // p99 = 0.99 (smallest value whose cumulative count reaches ceil(q·n)).
+    val d = ev((1 to 100).map(i =>
+      (i.toLong, "2024-01-01 00:00:00", i.toLong, "view", i / 100.0, "{}")): _*)
+    val r = Analytics7.valueBands(d).collect()(0)
+    assert(r.getAs[Long]("p50_cents") == 50L)
+    assert(r.getAs[Long]("p90_cents") == 90L)
+    assert(r.getAs[Long]("p99_cents") == 99L)
+    assert(r.getAs[Long]("n_events") == 100L)
+  }
+
   test("boundingRatio: single sample (zero span) yields NULL") {
     val d = ev((1L, "2024-01-01 00:00:00", 8L, "view", 10.00, "{}"))
     val r = Analytics7.boundingRatio(d).collect()

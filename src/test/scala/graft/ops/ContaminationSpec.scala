@@ -45,4 +45,29 @@ class ContaminationSpec extends AnyFunSuite {
     assert(res.length == 20)
     assert(res.forall(_.getAs[Long]("n_contaminated") == 0L))
   }
+
+  private def srcDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("sourceOverlap counts rare shared shingles; boilerplate is dropped") {
+    // The boilerplate line appears in one doc per source (df=3 > maxDf=2 →
+    // all its shingles dropped); a and b share exactly one rare shingle.
+    val d = srcDocs(
+      (1L, "a", "rare overlap text uniqA"),
+      (2L, "b", "rare overlap text uniqB"),
+      (3L, "c", "totally different content here"),
+      (4L, "a", "the same boilerplate line"),
+      (5L, "b", "the same boilerplate line"),
+      (6L, "c", "the same boilerplate line"))
+    val r = Contamination.sourceOverlap(d, n = 3, maxDf = 2).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b"),
+        x.getAs[Long]("shared_shingles"))).toSet
+    assert(r.exists { case (a, b, _) => a == "a" && b == "b" })
+    assert(!r.exists { case (a, b, _) => b == "c" || a == "c" })
+    // a∩b: "rare overlap text" (df=2 ≤ 2 → kept); boilerplate trigrams gone
+    val ab = r.find { case (a, b, _) => a == "a" && b == "b" }.get._3
+    assert(ab == 1L)
+  }
 }
