@@ -72,7 +72,9 @@ object Soak {
     "q_sequence_match", "q_skew_join",
     // round-5 additions: time-series kernels + tokenizer/training-prep
     "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
-    "q_train_order", "q_bpe_merges")
+    "q_train_order", "q_bpe_merges",
+    "q_counter_increase_mv", "q_mad_anomaly", "q_value_bands",
+    "q_codec_stats", "q_top_journeys", "q_source_overlap")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
@@ -89,7 +91,9 @@ object Soak {
     "q_funnel", "q_retention", "q_pack",
     "q_knn_int8", "q_embedding_quantize", "q_sequence_match", "q_skew_join",
     "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
-    "q_train_order", "q_bpe_merges")
+    "q_train_order", "q_bpe_merges",
+    "q_counter_increase_mv", "q_mad_anomaly", "q_value_bands",
+    "q_codec_stats", "q_top_journeys")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one

@@ -226,6 +226,10 @@ object SparkEntry {
     "q_mad_anomaly" -> ((s, dir) =>
       analytics.Anomaly.madAnomalies(Tables.events(s, dir), k = 3)),
 
+    // top first-3-step user journeys (path analysis)
+    "q_top_journeys" -> ((s, dir) =>
+      analytics.Behavior.topJourneys(Tables.events(s, dir), steps = 3, k = 10)),
+
     // exact discrete percentile bands per (type, day) — the quantile heatmap
     "q_value_bands" -> ((s, dir) =>
       analytics.Analytics7.valueBands(Tables.events(s, dir))),
@@ -1404,6 +1408,20 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_top_journeys" ->
+      s"""WITH ev AS ($EV),
+         |r AS (SELECT user_id, event_type,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |      FROM ev),
+         |p AS (SELECT user_id,
+         |        MAX(CASE WHEN rn = 1 THEN event_type END) AS s1,
+         |        MAX(CASE WHEN rn = 2 THEN event_type END) AS s2,
+         |        MAX(CASE WHEN rn = 3 THEN event_type END) AS s3
+         |      FROM r WHERE rn <= 3 GROUP BY user_id),
+         |j AS (SELECT concat_ws('>', s1, s2, s3) AS journey FROM p)
+         |SELECT journey, COUNT(*) AS n_users FROM j GROUP BY journey
+         |ORDER BY n_users DESC, journey LIMIT 10""".stripMargin,
 
     "q_value_bands" ->
       s"""WITH ev AS ($EV),

@@ -239,4 +239,33 @@ object Behavior {
         col("n_retained").cast("double") / col("n_active").cast("double"))
       .orderBy(col("dy"))
   }
+
+  /** Top user journeys: each user's first `steps` event types in
+    * (ts, event_id) order joined with '>', counted across users, top `k`
+    * paths — the path-analysis panel behind "how do users actually reach
+    * purchase?". The per-user path is extracted with a rank-filtered
+    * window (WindowGroupLimit pre-trims shuffle partitions to their local
+    * first-k) and conditional aggregation — no collect_list buffers, so an
+    * abusive user with millions of events still costs k rows past the
+    * window. Users with fewer than `steps` events keep their shorter path
+    * (nulls drop out of concat_ws). Top-k plans as TakeOrderedAndProject;
+    * ties break lexicographically. */
+  def topJourneys(events: DataFrame, steps: Int = 3, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val firstK = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= steps)
+    val stepCols = (1 to steps).map(i =>
+      max(when(col("rn") === i, col("event_type"))).as(s"_s$i"))
+    firstK
+      .groupBy(col("user_id"))
+      .agg(stepCols.head, stepCols.tail: _*)
+      .select(concat_ws(">", (1 to steps).map(i => col(s"_s$i")): _*).as("journey"))
+      .groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(k)
+  }
 }

@@ -183,4 +183,24 @@ class BehaviorSpec extends AnyFunSuite {
       assert(rate == retained.toDouble / active)
     }
   }
+
+  test("topJourneys: first-k path extraction, short users, tie-break") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // u1, u2: view>click>buy; u3: view>click (short); u4: buy alone
+    val rows = Seq(
+      (1L, 1L, "view", 1), (2L, 1L, "click", 2), (3L, 1L, "buy", 3),
+      (4L, 1L, "x", 4), // beyond steps=3, ignored
+      (5L, 2L, "view", 1), (6L, 2L, "click", 2), (7L, 2L, "buy", 3),
+      (8L, 3L, "view", 1), (9L, 3L, "click", 2),
+      (10L, 4L, "buy", 1))
+      .map { case (id, u, et, m) => (id, t(m), u, et, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Behavior.topJourneys(rows, steps = 3, k = 10).collect()
+      .map(r => (r.getAs[String]("journey"), r.getAs[Long]("n_users")))
+    assert(out.head == ("view>click>buy", 2L))
+    // ties at n=1: lexicographic ("buy" < "view>click")
+    assert(out.drop(1).toSeq == Seq(("buy", 1L), ("view>click", 1L)))
+  }
 }
