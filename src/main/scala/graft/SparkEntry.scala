@@ -230,6 +230,14 @@ object SparkEntry {
     "q_top_journeys" -> ((s, dir) =>
       analytics.Behavior.topJourneys(Tables.events(s, dir), steps = 3, k = 10)),
 
+    // cohort retention triangle (first-activity-day cohorts × age)
+    "q_cohort_triangle" -> ((s, dir) =>
+      analytics.Behavior.cohortTriangle(Tables.events(s, dir))),
+
+    // hourly SLO error-budget burn rate
+    "q_slo_burn" -> ((s, dir) =>
+      analytics.Anomaly.sloBurn(Tables.events(s, dir), slo = 0.999)),
+
     // exact discrete percentile bands per (type, day) — the quantile heatmap
     "q_value_bands" -> ((s, dir) =>
       analytics.Analytics7.valueBands(Tables.events(s, dir))),
@@ -1408,6 +1416,31 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_cohort_triangle" ->
+      s"""WITH ev AS ($EV),
+         |d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS dy FROM ev),
+         |f AS (SELECT user_id, MIN(dy) AS cohort FROM d GROUP BY user_id),
+         |c AS (SELECT f.cohort,
+         |        CAST(date_diff('day', f.cohort, d.dy) AS INTEGER) AS age_days,
+         |        COUNT(DISTINCT d.user_id) AS n_active
+         |      FROM d JOIN f USING (user_id) GROUP BY 1, 2),
+         |s AS (SELECT *, MAX(CASE WHEN age_days = 0 THEN n_active END)
+         |        OVER (PARTITION BY cohort) AS cohort_size FROM c)
+         |SELECT cohort, age_days, n_active, cohort_size,
+         |  CAST(n_active AS DOUBLE) / cohort_size AS retention_rate
+         |FROM s ORDER BY cohort, age_days""".stripMargin,
+
+    "q_slo_burn" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n_total,
+         |        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+         |      FROM ev GROUP BY 1)
+         |SELECT hr, n_total, n_err,
+         |  CAST(n_err AS DOUBLE) / n_total AS err_rate,
+         |  (CAST(n_err AS DOUBLE) / n_total) /
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.999 AS DOUBLE)) AS burn_rate
+         |FROM h ORDER BY hr""".stripMargin,
 
     "q_top_journeys" ->
       s"""WITH ev AS ($EV),

@@ -74,6 +74,20 @@ object Anomaly {
       .groupBy(col(key)).agg(min(col("_v")).as(out))
   }
 
+  /** SLO burn rate per hour: the error-event fraction against the error
+    * budget (1 − slo) — burn > 1 means the budget is being spent faster
+    * than it accrues, the standard multi-window alert input (Google SRE
+    * workbook ch. 5). Integer counts; the two divisions are identical
+    * IEEE expression trees on any engine. */
+  def sloBurn(events: DataFrame, slo: Double = 0.999): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+      .withColumn("err_rate", col("n_err").cast("double") / col("n_total"))
+      .withColumn("burn_rate", col("err_rate") / lit(1.0 - slo))
+      .orderBy(col("hr"))
+
   /** Robust (median/MAD) twin of [[rateAnomalies]]: flag hours where
     * |n − median| > k · MAD, with both the median and the median absolute
     * deviation exact discrete (lower) medians by counting — the

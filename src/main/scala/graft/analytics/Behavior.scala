@@ -250,6 +250,29 @@ object Behavior {
     * window. Users with fewer than `steps` events keep their shorter path
     * (nulls drop out of concat_ws). Top-k plans as TakeOrderedAndProject;
     * ties break lexicographically. */
+  /** Cohort retention triangle: users grouped by their first-activity day
+    * (the cohort), distinct actives per (cohort, age-in-days) — the
+    * classic product-analytics heatmap. One distinct (user, day)
+    * reduction, a user-keyed join to each user's min day, a keyed
+    * count-distinct, and a cohort-partitioned window over GROUP rows for
+    * the age-0 denominator. Rates are exact integer quotients. */
+  def cohortTriangle(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("dy")).distinct()
+    val first = days.groupBy(col("user_id")).agg(min(col("dy")).as("cohort"))
+    val counts = days.join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("dy"), col("cohort")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val w = Window.partitionBy(col("cohort"))
+    counts
+      .withColumn("cohort_size",
+        max(when(col("age_days") === 0, col("n_active"))).over(w))
+      .withColumn("retention_rate",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .orderBy(col("cohort"), col("age_days"))
+  }
+
   def topJourneys(events: DataFrame, steps: Int = 3, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

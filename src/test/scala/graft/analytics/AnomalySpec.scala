@@ -41,6 +41,24 @@ class AnomalySpec extends AnyFunSuite {
     assert(mad.forall(_.getAs[Long]("med") == 10L))
   }
 
+  test("sloBurn: burn > 1 exactly when the hour's error fraction exceeds the budget") {
+    // 1000 events in hour 0 with 2 errors (rate 0.002 > budget 0.001 →
+    // burn 2); hour 1 has 1000 with 1 error (burn exactly 1).
+    import spark.implicits._
+    val rows = (0 until 1000).map { j =>
+      ((j).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${j % 60}%02d:00"),
+        1L, if (j < 2) "error" else "view", 1.0, "{}")
+    } ++ (0 until 1000).map { j =>
+      ((10000 + j).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 01:${j % 60}%02d:00"),
+        1L, if (j < 1) "error" else "view", 1.0, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Anomaly.sloBurn(df, slo = 0.999).collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("burn_rate") - 2.0) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("burn_rate") - 1.0) < 1e-9)
+  }
+
   test("madAnomalies: quiet keys flag nothing; MAD=0 flags any deviation") {
     val flat = hourly(Seq(10, 10, 10, 10))
     assert(Anomaly.madAnomalies(flat).collect().isEmpty)

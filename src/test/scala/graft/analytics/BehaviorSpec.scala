@@ -203,4 +203,24 @@ class BehaviorSpec extends AnyFunSuite {
     // ties at n=1: lexicographic ("buy" < "view>click")
     assert(out.drop(1).toSeq == Seq(("buy", 1L), ("view>click", 1L)))
   }
+
+  test("cohortTriangle: cohorts by first day, dense counts, exact rates") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int, h: Int = 0) =
+      Timestamp.valueOf(f"2024-01-0$day%d $h%02d:00:00")
+    // cohort day1: users 1,2 (u1 returns day2 and day3; u2 returns day3)
+    // cohort day2: user 3 only, never returns
+    val rows = Seq(
+      (1L, t(1), 1L), (2L, t(1, 5), 2L), (3L, t(2), 1L), (4L, t(3), 1L),
+      (5L, t(3, 2), 2L), (6L, t(2, 9), 3L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Behavior.cohortTriangle(rows).collect()
+      .map(r => (r.getAs[Timestamp]("cohort"), r.getAs[Int]("age_days"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size")))
+    assert(out.toSeq == Seq(
+      (t(1), 0, 2L, 2L), (t(1), 1, 1L, 2L), (t(1), 2, 2L, 2L),
+      (t(2), 0, 1L, 1L)))
+  }
 }

@@ -43,7 +43,11 @@ val headline = Seq(
   "q_bpe_merges" -> "BPE merge candidates: per-doc pair explosion, map-side-combined pair counts, global top-k as TakeOrderedAndProject -- no sorted global shuffle",
   "q_counter_increase_mv" -> "mergeable deltaSumTimestamp state: slice statify windows ride the (user,hour) exchange; merge and serve windows run over STATE rows only (group cardinality, never raw events)",
   "q_codec_stats" -> "codec sizing as column math: lag windows + closed-form LEB128 cost on ONE user-keyed exchange, map-side-combinable byte sums, no bytes materialized",
-  "q_zorder_slice" -> "z-ordered layout scan: both range predicates reach the parquet scan as PushedFilters over the curve-local files -- min/max skipping works on BOTH dimensions at scale")
+  "q_zorder_slice" -> "z-ordered layout scan: both range predicates reach the parquet scan as PushedFilters over the curve-local files -- min/max skipping works on BOTH dimensions at scale",
+  "q_mad_anomaly" -> "median/MAD robust alert: raw events reduce at the first (type,hour) aggregation; both medians run over DISTINCT-value frames and broadcast back",
+  "q_value_bands" -> "discrete percentile bands: (type,day,cents) reduction first; cumulative windows over distinct cents only -- value-domain-bounded state",
+  "q_top_journeys" -> "path analysis: WindowGroupLimit pre-trims each partition to its local first-k rows per user before the exchange; paths count map-side; top-k as TakeOrderedAndProject",
+  "q_source_overlap" -> "source overlap matrix: rare-shingle filter (df<=maxDf) shrinks the self-join input AND removes its hot keys; pair counts combine map-side")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
