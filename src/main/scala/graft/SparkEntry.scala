@@ -238,6 +238,14 @@ object SparkEntry {
     "q_slo_burn" -> ((s, dir) =>
       analytics.Anomaly.sloBurn(Tables.events(s, dir), slo = 0.999)),
 
+    // trailing-24h distinct users per hour
+    "q_rolling_dau" -> ((s, dir) =>
+      analytics.Analytics7.rollingDau(Tables.events(s, dir))),
+
+    // per-language char-trigram feature table (lang-ID training features)
+    "q_char_trigrams" -> ((s, dir) =>
+      TextAnalysis.charTrigramProfile(Tables.documents(s, dir), k = 10)),
+
     // exact discrete percentile bands per (type, day) — the quantile heatmap
     "q_value_bands" -> ((s, dir) =>
       analytics.Analytics7.valueBands(Tables.events(s, dir))),
@@ -1416,6 +1424,28 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_rolling_dau" ->
+      s"""WITH ev AS ($EV),
+         |uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM ev),
+         |t AS (SELECT user_id,
+         |        unnest(generate_series(hr, hr + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS at_hr
+         |      FROM uh),
+         |p AS (SELECT DISTINCT hr AS at_hr FROM uh)
+         |SELECT t.at_hr, COUNT(DISTINCT t.user_id) AS dau_24h
+         |FROM t JOIN p USING (at_hr)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_char_trigrams" ->
+      """WITH t AS (SELECT lang, text FROM documents WHERE length(text) >= 3),
+        |g AS (SELECT lang, u.tri
+        |      FROM t, unnest(list_transform(range(1, length(text) - 1),
+        |        i -> text[i:i+2])) AS u(tri)),
+        |c AS (SELECT lang, tri, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY cnt DESC, tri) AS INTEGER) AS rnk FROM c)
+        |SELECT lang, tri AS trigram, cnt, rnk FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
 
     "q_cohort_triangle" ->
       s"""WITH ev AS ($EV),

@@ -96,6 +96,26 @@ object Analytics7 {
       .withColumn("avg_weighted_cents", col("wv_sum").cast("double") / col("w_sum"))
       .orderBy(col("event_type"))
 
+  /** Rolling 24-hour distinct users evaluated at each hour — the trailing
+    * DAU panel. Exact, without a sliding-window distinct state: reduce to
+    * the DISTINCT (user, hour) frame, explode each row into the 24 target
+    * hours it remains visible to (a generated sequence — group rows × 24,
+    * never raw events), then count distinct users per target hour. Only
+    * hours the stream actually contains are reported. */
+  def rollingDau(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val uh = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr")).distinct()
+    val targets = uh.select(col("user_id"),
+      explode(sequence(col("hr"),
+        col("hr") + expr(s"INTERVAL ${windowHours - 1} HOURS"),
+        expr("INTERVAL 1 HOUR"))).as("at_hr"))
+    val present = uh.select(col("hr").as("at_hr")).distinct()
+    targets.join(present, "at_hr")
+      .groupBy(col("at_hr"))
+      .agg(countDistinct(col("user_id")).as("dau_24h"))
+      .orderBy(col("at_hr"))
+  }
+
   /** Latency-band panel: exact DISCRETE p50/p90/p99 of value cents per
     * (event_type, day) by counting — the per-interval quantile heatmap an
     * observability dashboard draws. Rank condition in integers

@@ -309,6 +309,27 @@ object TextAnalysis {
     * pair, and a global top-k that plans as TakeOrderedAndProject — no
     * sorted global shuffle. Ties break lexicographically so the result is
     * total-ordered and engine-exact. */
+  /** Per-language character-trigram profile, top-k by frequency — the
+    * feature table an n-gram language identifier trains on (Cavnar &
+    * Trenkle 1994), over the raw character stream (whitespace included:
+    * word-boundary trigrams are the discriminative ones). Narrow explode,
+    * map-side-combinable counts keyed on (lang, trigram), per-lang top-k
+    * via a rank-filtered window (WindowGroupLimit pre-trim). */
+  def charTrigramProfile(documents: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("trigram"))
+    documents
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("trigram"))
+      .groupBy(col("lang"), col("trigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   def bpeMergePairs(documents: DataFrame, k: Int = 20): DataFrame =
     documents
       .select(filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("t"))

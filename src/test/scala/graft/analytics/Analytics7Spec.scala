@@ -70,6 +70,23 @@ class Analytics7Spec extends AnyFunSuite {
     assert(r(0).getAs[Double]("cents_per_second") == 50.0)
   }
 
+  test("rollingDau: each reported hour counts users from its trailing window") {
+    // u1 at hour 0, u2 at hour 1, u1 again at hour 30 (outside u1@0's
+    // 24h visibility for hour 30's window start... it IS hour 30 itself).
+    val d = ev(
+      (1L, "2024-01-01 00:30:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:15:00", 2L, "view", 1.0, "{}"),
+      (3L, "2024-01-02 06:10:00", 1L, "view", 1.0, "{}"))
+    val r = Analytics7.rollingDau(d).collect()
+      .map(x => (x.getAs[java.sql.Timestamp]("at_hr").toString, x.getAs[Long]("dau_24h")))
+      .toMap
+    assert(r("2024-01-01 00:00:00.0") == 1L) // u1 only
+    assert(r("2024-01-01 01:00:00.0") == 2L) // u1 + u2 visible
+    // hour 30 (u1's second visit): u1@0 and u2@1 expired (>23h ago)
+    assert(r("2024-01-02 06:00:00.0") == 1L)
+    assert(r.size == 3) // only hours present in the stream are reported
+  }
+
   test("valueBands: exact discrete percentiles per (type, day) by counting") {
     // 100 events valued 0.01..1.00 on one day: p50 = 0.50, p90 = 0.90,
     // p99 = 0.99 (smallest value whose cumulative count reaches ceil(q·n)).

@@ -146,6 +146,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("top_token_ratio") == 1.0)
   }
 
+  test("charTrigramProfile: boundary trigrams counted, per-lang top-k") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "aaab"), (2L, "en", "aaa"), (3L, "de", "xy"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.charTrigramProfile(df, k = 2).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("trigram"), x.getAs[Long]("cnt")))
+    // "aaab": aaa, aab; "aaa": aaa → aaa×2, aab×1; "xy" too short → dropped
+    assert(r.toSeq == Seq(("en", "aaa", 2L), ("en", "aab", 1L)))
+  }
+
   test("bpeMergePairs counts adjacent pairs, top-k ties lexicographic") {
     import spark.implicits._
     // "a b" appears 3× (across docs), "b a" 1×, "b c" 1×; the single-token
