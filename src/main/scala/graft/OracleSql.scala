@@ -327,6 +327,26 @@ object OracleSql {
 
   /** [[graft.ops.Sampling.splitCounts]]: fingerprint bucket (Spark `pmod`
     * = ((x % m) + m) % m on the signed value) → train/val/test counts. */
+  /** [[graft.ops.Sampling.crossSplitLeakage]]: MinHash near-dup pairs
+    * labeled with both members' content-hash split assignments, counted
+    * per (split, split) cell. */
+  def crossSplitLeakageSql(trainPct: Int, valPct: Int): String =
+    s"""WITH pairs AS (
+       |${minhashPairsSql(bands = 16, threshold = 0.5)}
+       |),
+       |sp AS (SELECT doc_id,
+       |        CASE WHEN b < $trainPct THEN 'train'
+       |             WHEN b < ${trainPct + valPct} THEN 'val'
+       |             ELSE 'test' END AS split
+       |       FROM (SELECT doc_id, ((($fpExpr) % 100) + 100) % 100 AS b
+       |             FROM documents) q),
+       |lab AS (SELECT LEAST(a.split, b.split) AS split_a,
+       |          GREATEST(a.split, b.split) AS split_b
+       |        FROM pairs JOIN sp a ON pairs.id_a = a.doc_id
+       |                   JOIN sp b ON pairs.id_b = b.doc_id)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** [[graft.ops.Sampling.trainOrder]]: global 1-based position ordered by
     * (content fingerprint, doc_id). */
   def trainOrderSql: String =

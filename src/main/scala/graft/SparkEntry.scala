@@ -306,6 +306,10 @@ object SparkEntry {
     "q_train_order" -> ((s, dir) =>
       ops.Sampling.trainOrder(Tables.documents(s, dir))),
 
+    // near-dup pairs crossing train/val/test splits (leakage audit)
+    "q_split_leakage" -> ((s, dir) =>
+      ops.Sampling.crossSplitLeakage(Tables.documents(s, dir))),
+
     // BPE first-merge candidate table: top adjacent-token pairs
     "q_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMergePairs(Tables.documents(s, dir), k = 20)),
@@ -1664,6 +1668,7 @@ object SparkEntry {
         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q_train_order" -> OracleSql.trainOrderSql,
+    "q_split_leakage" -> OracleSql.crossSplitLeakageSql(trainPct = 90, valPct = 5),
 
     "q_bpe_merges" ->
       """WITH tk AS (

@@ -59,6 +59,28 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
 
+  /** Train/eval leakage audit: NEAR-duplicate pairs whose members landed
+    * in DIFFERENT splits, counted per split-pair cell. Exact duplicates
+    * cannot cross the splitter (assignment is a pure content-hash
+    * function), but near-duplicates can — this is the pre-training report
+    * that quantifies how much, composing the MinHash-LSH pair detector
+    * with the split assignment. Pair frame is LSH-banded (never all
+    * pairs); the two split lookups are doc-keyed joins. */
+  def crossSplitLeakage(documents: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val splits = assignSplit(documents, trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    Dedup.minHashPairs(documents, n = 3, k = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Deterministic global training order: every document gets a 1-based
     * position in a content-hash-shuffled sequence — the reproducible
     * "global shuffle" a training run needs so that restarts, re-runs, and

@@ -50,6 +50,37 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Sampling.assignSplit(docs, 95, 10) }
   }
 
+  test("crossSplitLeakage counts planted near-dups that straddle splits") {
+    import spark.implicits._
+    // deterministic search: a one-token variant of `base` that the LSH
+    // detector pairs with it AND that hashes to a different split
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def report(v: String) = {
+      val d = Seq((1L, base), (2L, v)).toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      Sampling.crossSplitLeakage(d, 50, 25).collect()
+        .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b"),
+          r.getAs[Long]("n_pairs")))
+    }
+    val rep = (1 to 40).iterator
+      .map(i => report(base.replace("today", s"tok$i")))
+      .find(r => r.exists { case (a, b, _) => a != b })
+      .getOrElse(fail("no variant produced a detected cross-split pair in 40 tries"))
+    val cross = rep.filter { case (a, b, _) => a != b }
+    assert(cross.length == 1 && cross(0)._3 == 1L)
+  }
+
+  test("exact duplicates can never straddle a split (content-hash law)") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, s"identical text payload ${i % 5}"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val s = Sampling.assignSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    val byText = s.groupBy(_._1 % 5).values
+    assert(byText.forall(g => g.map(_._2).distinct.size == 1))
+  }
+
   test("trainOrder is a content-keyed permutation: dense 1..n, stable") {
     val out = Sampling.trainOrder(docs).collect()
     assert(out.length == 200)
