@@ -47,7 +47,9 @@ val headline = Seq(
   "q_mad_anomaly" -> "median/MAD robust alert: raw events reduce at the first (type,hour) aggregation; both medians run over DISTINCT-value frames and broadcast back",
   "q_value_bands" -> "discrete percentile bands: (type,day,cents) reduction first; cumulative windows over distinct cents only -- value-domain-bounded state",
   "q_top_journeys" -> "path analysis: WindowGroupLimit pre-trims each partition to its local first-k rows per user before the exchange; paths count map-side; top-k as TakeOrderedAndProject",
-  "q_source_overlap" -> "source overlap matrix: rare-shingle filter (df<=maxDf) shrinks the self-join input AND removes its hot keys; pair counts combine map-side")
+  "q_source_overlap" -> "source overlap matrix: rare-shingle filter (df<=maxDf) shrinks the self-join input AND removes its hot keys; pair counts combine map-side",
+  "q_rolling_dau" -> "trailing-24h distinct users: the DISTINCT (user,hour) frame explodes into its 24 visibility hours (group rows x window, never raw events) then re-counts per target hour",
+  "q_split_leakage" -> "leakage audit: LSH-banded pair frame (never all pairs) + two doc-keyed split joins; cell counts combine map-side")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
