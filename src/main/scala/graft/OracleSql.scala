@@ -347,6 +347,15 @@ object OracleSql {
        |SELECT split_a, split_b, COUNT(*) AS n_pairs
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** [[graft.ops.Sampling.evalSample]]: per-lang first-k by
+    * (fingerprint, doc_id). */
+  def evalSampleSql(k: Int): String =
+    s"""WITH f AS (SELECT lang, doc_id, $fpExpr AS fp FROM documents),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       |        ORDER BY fp, doc_id) AS INTEGER) AS rnk FROM f)
+       |SELECT lang, doc_id, fp, rnk FROM r WHERE rnk <= $k
+       |ORDER BY lang, rnk""".stripMargin
+
   /** [[graft.ops.Sampling.trainOrder]]: global 1-based position ordered by
     * (content fingerprint, doc_id). */
   def trainOrderSql: String =

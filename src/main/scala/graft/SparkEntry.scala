@@ -310,6 +310,14 @@ object SparkEntry {
     "q_split_leakage" -> ((s, dir) =>
       ops.Sampling.crossSplitLeakage(Tables.documents(s, dir))),
 
+    // token-budget chunking plan (context-window splitting, overlap 16)
+    "q_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkPlan(Tables.documents(s, dir), maxTokens = 64, stride = 48)),
+
+    // reproducible per-language eval sample
+    "q_eval_sample" -> ((s, dir) =>
+      ops.Sampling.evalSample(Tables.documents(s, dir), k = 5)),
+
     // BPE first-merge candidate table: top adjacent-token pairs
     "q_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMergePairs(Tables.documents(s, dir), k = 20)),
@@ -1669,6 +1677,23 @@ object SparkEntry {
 
     "q_train_order" -> OracleSql.trainOrderSql,
     "q_split_leakage" -> OracleSql.crossSplitLeakageSql(trainPct = 90, valPct = 5),
+    "q_eval_sample" -> OracleSql.evalSampleSql(k = 5),
+
+    "q_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(u.k AS INTEGER) AS chunk_idx
+        |      FROM t, unnest(range((n_tokens - 1) // 48 + 1)) AS u(k)
+        |      WHERE n_tokens > 0)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(chunk_idx AS BIGINT) * 48 + 1 AS start_tok,
+        |  LEAST(64, n_tokens - CAST(chunk_idx AS BIGINT) * 48) AS n_toks
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_bpe_merges" ->
       """WITH tk AS (

@@ -59,6 +59,21 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
 
+  /** Deterministic per-language eval sample: the k documents per lang
+    * with the smallest (fingerprint, doc_id) — pseudorandom by content,
+    * identical on every run and engine, so an eval set drawn this way is
+    * reproducible without storing it. Rank-filtered window →
+    * WindowGroupLimit pre-trims each partition to its local k. */
+  def evalSample(documents: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))
+    documents
+      .select(col("lang"), col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** Train/eval leakage audit: NEAR-duplicate pairs whose members landed
     * in DIFFERENT splits, counted per split-pair cell. Exact duplicates
     * cannot cross the splitter (assignment is a pure content-hash

@@ -309,6 +309,30 @@ object TextAnalysis {
     * pair, and a global top-k that plans as TakeOrderedAndProject — no
     * sorted global shuffle. Ties break lexicographically so the result is
     * total-ordered and engine-exact. */
+  /** Token-budget chunking plan: each document split into windows of
+    * `maxTokens` whitespace tokens advancing by `stride` (overlap =
+    * maxTokens − stride) — the long-document → context-window step of a
+    * training pipeline, emitted as a PLAN (doc, chunk ordinal, start
+    * token, length) rather than materialized text: pure per-row integer
+    * arithmetic + one explode, no shuffle at all until a consumer groups.
+    * Every token is covered; the final chunk may be short; empty docs
+    * yield no chunks. */
+  def chunkPlan(documents: DataFrame, maxTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= maxTokens, "0 < stride <= maxTokens")
+    val n = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    documents
+      .select(col("doc_id"), n.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(s"sequence(0, CAST((n_tokens - 1) DIV $stride AS INT))")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx").cast("long") * stride + 1).as("start_tok"),
+        least(lit(maxTokens.toLong),
+          col("n_tokens") - col("chunk_idx").cast("long") * stride).as("n_toks"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Per-language character-trigram profile, top-k by frequency — the
     * feature table an n-gram language identifier trains on (Cavnar &
     * Trenkle 1994), over the raw character stream (whitespace included:

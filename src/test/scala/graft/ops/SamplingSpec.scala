@@ -70,6 +70,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(cross.length == 1 && cross(0)._3 == 1L)
   }
 
+  test("evalSample: k per lang, content-deterministic, stable across runs") {
+    val s1 = Sampling.evalSample(docs, k = 3).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Int]("rnk")))
+    val byLang = s1.groupBy(_._1)
+    assert(byLang.values.forall(_.length <= 3))
+    assert(byLang.values.forall(g => g.map(_._3).sorted.toSeq == (1 to g.length)))
+    val s2 = Sampling.evalSample(docs, k = 3).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Int]("rnk")))
+    assert(s1.toSeq == s2.toSeq)
+  }
+
   test("exact duplicates can never straddle a split (content-hash law)") {
     import spark.implicits._
     val d = (1L to 50L).map(i => (i, s"identical text payload ${i % 5}"))

@@ -146,6 +146,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("top_token_ratio") == 1.0)
   }
 
+  test("chunkPlan: full coverage with overlap, short tail, empty docs dropped") {
+    import spark.implicits._
+    // 10 tokens, maxTokens=4, stride=3 → starts 1,4,7,10; lengths 4,4,4,1
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text10), (2L, "a b"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPlan(df, maxTokens = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks")))
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0, 1L, 4L), (1L, 1, 4L, 4L), (1L, 2, 7L, 4L), (1L, 3, 10L, 1L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1L, 2L)))
+    assert(!out.exists(_._1 == 3L)) // empty doc → no chunks
+    // coverage law: every token index 1..10 falls inside ≥1 chunk
+    val covered = out.filter(_._1 == 1L)
+      .flatMap { case (_, _, s, n) => s until (s + n) }.toSet
+    assert((1L to 10L).forall(covered))
+  }
+
   test("charTrigramProfile: boundary trigrams counted, per-lang top-k") {
     import spark.implicits._
     val df = Seq((1L, "en", "aaab"), (2L, "en", "aaa"), (3L, "de", "xy"))
