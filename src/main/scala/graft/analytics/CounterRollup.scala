@@ -109,6 +109,26 @@ object CounterRollup {
       .drop("slice")
   }
 
+  /** Streaming-upkeep body: fold one micro-batch of raw events into the
+    * persisted state table — `statify` the batch, union with the current
+    * table, re-merge per (user, hour), swap. Intended as the
+    * `foreachBatch` sink of an ingest stream; the disjoint-range merge
+    * contract is exactly what event-time-ordered micro-batches provide.
+    * N upserts end bit-identical to one batch build (spec-asserted), so
+    * [[serveIncrease]] over the table equals the direct operator at any
+    * batch granularity. localCheckpoint for the same
+    * read-the-table-being-replaced reason as [[MaterializedRollup
+    * .upsertDelta]]. */
+  def upsertState(spark: org.apache.spark.sql.SparkSession, table: String,
+      batchEvents: DataFrame): Unit = {
+    val delta = statify(batchEvents)
+    val merged =
+      if (spark.catalog.tableExists(table))
+        mergeStates(spark.table(table).unionByName(delta))
+      else mergeStates(delta)
+    MaterializedRollup.writeTable(merged.localCheckpoint(), table)
+  }
+
   /** End-to-end MV query: build per-slice states (one raw scan, the
     * micro-batch analogue), merge, serve — proves slice-count invariance
     * against the direct operator's oracle. */

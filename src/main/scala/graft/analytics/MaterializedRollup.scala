@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.DecimalType
 object MaterializedRollup {
 
   /** Idempotent managed-table write (same JVM-crash hygiene as
-    * [[Bucketing.writeBucketed]], minus the bucketing). */
-  private def writeTable(df: DataFrame, table: String): Unit = {
+    * [[Bucketing.writeBucketed]], minus the bucketing). Shared with
+    * [[CounterRollup.upsertState]]. */
+  private[analytics] def writeTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))

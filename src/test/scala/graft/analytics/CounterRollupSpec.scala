@@ -50,6 +50,23 @@ class CounterRollupSpec extends AnyFunSuite {
     assert(sliced(cuts: _*) == direct)
   }
 
+  test("upsertState: N micro-batch upserts serve the one-pass answer") {
+    import org.apache.spark.sql.functions.col
+    val table = "counter_state_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // replay the fixture as three event-time-ordered micro-batches
+    val cuts = Seq(ts("2024-01-01 01:10:00"), ts("2024-01-01 03:00:00"))
+    val batches = Seq(
+      fixture.filter(col("ts") < cuts(0)),
+      fixture.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      fixture.filter(col("ts") >= cuts(1)))
+    batches.foreach(b => CounterRollup.upsertState(spark, table, b))
+    val served = CounterRollup.serveIncrease(spark.table(table)).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(served == direct)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("merge is n-way: three same-hour slices stitch both boundaries") {
     val d = ev(
       (1L, "2024-01-01 00:05:00", 1L, 10.00),
