@@ -242,6 +242,14 @@ object SparkEntry {
     "q_rolling_dau" -> ((s, dir) =>
       analytics.Analytics7.rollingDau(Tables.events(s, dir))),
 
+    // Apdex score per event_type (T = 100.00)
+    "q_apdex" -> ((s, dir) =>
+      analytics.Anomaly.apdex(Tables.events(s, dir), tCents = 10000L)),
+
+    // equi-depth histogram (deterministic histogram() analogue)
+    "q_equidepth_hist" -> ((s, dir) =>
+      analytics.Analytics7.equiDepthHistogram(Tables.events(s, dir), bins = 10)),
+
     // per-language char-trigram feature table (lang-ID training features)
     "q_char_trigrams" -> ((s, dir) =>
       TextAnalysis.charTrigramProfile(Tables.documents(s, dir), k = 10)),
@@ -1436,6 +1444,33 @@ object SparkEntry {
          |        FROM keyed GROUP BY series, bucket)
          |SELECT series AS event_type, bucket, best.ts AS ts, best.value AS value
          |FROM sel ORDER BY event_type, bucket""".stripMargin,
+
+    "q_apdex" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM ev),
+         |a AS (SELECT event_type, COUNT(*) AS n_total,
+         |        CAST(SUM(CASE WHEN c <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+         |        CAST(SUM(CASE WHEN c > 10000 AND c <= 40000 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_tolerating
+         |      FROM c GROUP BY event_type)
+         |SELECT event_type, n_total, n_satisfied, n_tolerating,
+         |  CAST(n_satisfied * 2 + n_tolerating AS DOUBLE) / (n_total * 2) AS apdex
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_equidepth_hist" ->
+      s"""WITH ev AS ($EV),
+         |g AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         |        COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+         |cw AS (SELECT event_type, c, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |       FROM g),
+         |b AS (SELECT event_type, c, cnt,
+         |        CAST((cum - 1) * 10 // n AS INTEGER) + 1 AS bin FROM cw)
+         |SELECT event_type, bin, MIN(c) AS lo_cents, MAX(c) AS hi_cents,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_events, COUNT(*) AS n_distinct
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rolling_dau" ->
       s"""WITH ev AS ($EV),

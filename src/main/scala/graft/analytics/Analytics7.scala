@@ -96,6 +96,28 @@ object Analytics7 {
       .withColumn("avg_weighted_cents", col("wv_sum").cast("double") / col("w_sum"))
       .orderBy(col("event_type"))
 
+  /** Equi-DEPTH histogram per event_type: `bins` buckets of ~equal event
+    * count, each distinct cents value assigned whole to the bucket of its
+    * cumulative position (`(cum−1)·bins DIV n`) — the deterministic
+    * integer-math analogue of ClickHouse's adaptive `histogram()` (whose
+    * random streaming merges are irreproducible by design). One keyed
+    * value reduction, cumulative windows over distinct values, a second
+    * keyed aggregation to (type, bin) envelopes. */
+  def equiDepthHistogram(events: DataFrame, bins: Int = 10): DataFrame = {
+    val g = events.select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+    val wC = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("event_type"))
+    g.withColumn("cum", sum(col("cnt")).over(wC))
+      .withColumn("n", sum(col("cnt")).over(wT))
+      .withColumn("bin", expr(s"CAST((cum - 1) * $bins DIV n AS INT) + 1"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"),
+        sum(col("cnt")).as("n_events"), count(lit(1)).as("n_distinct"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   /** Rolling 24-hour distinct users evaluated at each hour — the trailing
     * DAU panel. Exact, without a sliding-window distinct state: reduce to
     * the DISTINCT (user, hour) frame, explode each row into the 24 target

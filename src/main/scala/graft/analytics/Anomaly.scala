@@ -88,6 +88,24 @@ object Anomaly {
       .withColumn("burn_rate", col("err_rate") / lit(1.0 - slo))
       .orderBy(col("hr"))
 
+  /** Apdex score per event_type (Apdex standard v1.1): satisfied ≤ T,
+    * tolerating ≤ 4T, apdex = (satisfied + tolerating/2) / total —
+    * computed as the single exact division (2·sat + tol) / (2·total) so
+    * both engines emit the identical double. */
+  def apdex(events: DataFrame, tCents: Long = 10000L): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(cents <= tCents, 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(cents > tCents && cents <= 4 * tCents, 1L).otherwise(0L))
+          .as("n_tolerating"))
+      .withColumn("apdex",
+        (col("n_satisfied") * 2 + col("n_tolerating")).cast("double") /
+          (col("n_total") * 2))
+      .orderBy(col("event_type"))
+  }
+
   /** Robust (median/MAD) twin of [[rateAnomalies]]: flag hours where
     * |n − median| > k · MAD, with both the median and the median absolute
     * deviation exact discrete (lower) medians by counting — the

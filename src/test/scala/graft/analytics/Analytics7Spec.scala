@@ -70,6 +70,20 @@ class Analytics7Spec extends AnyFunSuite {
     assert(r(0).getAs[Double]("cents_per_second") == 50.0)
   }
 
+  test("equiDepthHistogram: near-equal bin weights, contiguous envelopes") {
+    // 100 distinct values, one event each, 10 bins → exactly 10 per bin
+    val d = ev((1 to 100).map(i =>
+      (i.toLong, "2024-01-01 00:00:00", i.toLong, "view", i / 100.0, "{}")): _*)
+    val r = Analytics7.equiDepthHistogram(d, bins = 10).collect()
+      .map(x => (x.getAs[Int]("bin"), x.getAs[Long]("lo_cents"),
+        x.getAs[Long]("hi_cents"), x.getAs[Long]("n_events")))
+    assert(r.length == 10)
+    assert(r.forall(_._4 == 10L))
+    assert(r.map(_._1).toSeq == (1 to 10))
+    // envelopes tile the domain in order: each bin's lo follows prev hi
+    r.sliding(2).foreach { case Array(a, b) => assert(b._2 > a._3) }
+  }
+
   test("rollingDau: each reported hour counts users from its trailing window") {
     // u1 at hour 0, u2 at hour 1, u1 again at hour 30 (outside u1@0's
     // 24h visibility for hour 30's window start... it IS hour 30 itself).

@@ -59,6 +59,20 @@ class AnomalySpec extends AnyFunSuite {
     assert(math.abs(out(1).getAs[Double]("burn_rate") - 1.0) < 1e-9)
   }
 
+  test("apdex: (satisfied + tolerating/2) / total with exact boundaries") {
+    import spark.implicits._
+    // values 50 (satisfied, = T/2), 100 (satisfied, = T exactly),
+    // 400 (tolerating, = 4T exactly), 401 (frustrated)
+    val rows = Seq(50.00, 100.00, 400.00, 401.00).zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "api", v, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Anomaly.apdex(df, tCents = 10000L).collect()(0)
+    assert(r.getAs[Long]("n_satisfied") == 2L)
+    assert(r.getAs[Long]("n_tolerating") == 1L)
+    assert(r.getAs[Double]("apdex") == (2.0 * 2 + 1) / 8.0) // (2+0.5)/4
+  }
+
   test("madAnomalies: quiet keys flag nothing; MAD=0 flags any deviation") {
     val flat = hourly(Seq(10, 10, 10, 10))
     assert(Anomaly.madAnomalies(flat).collect().isEmpty)
