@@ -74,7 +74,10 @@ object Soak {
     "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
     "q_train_order", "q_bpe_merges",
     "q_counter_increase_mv", "q_mad_anomaly", "q_value_bands",
-    "q_codec_stats", "q_top_journeys", "q_source_overlap")
+    "q_codec_stats", "q_top_journeys", "q_source_overlap",
+    "q_cohort_triangle", "q_slo_burn", "q_rolling_dau", "q_char_trigrams",
+    "q_split_leakage", "q_chunking", "q_eval_sample", "q_apdex",
+    "q_equidepth_hist")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
@@ -93,7 +96,9 @@ object Soak {
     "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
     "q_train_order", "q_bpe_merges",
     "q_counter_increase_mv", "q_mad_anomaly", "q_value_bands",
-    "q_codec_stats", "q_top_journeys")
+    "q_codec_stats", "q_top_journeys",
+    "q_cohort_triangle", "q_slo_burn", "q_rolling_dau", "q_chunking",
+    "q_eval_sample", "q_apdex", "q_equidepth_hist")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one
