@@ -533,6 +533,25 @@ object SparkEntry {
     "q_pack" -> ((s, dir) =>
       ops.Packing.sequencePacks(Tables.documents(s, dir), 2048L)),
 
+    // BM25 (raw-odds idf — cross-engine-exact, see Search.scaladoc) top-50
+    "q_bm25" -> ((s, dir) =>
+      ops.Search.bm25TopK(Tables.documents(s, dir),
+        Seq("spark", "vector", "merge"), k = 50)),
+
+    // bigram-LM perplexity filter: train on doc_id%5!=0, score the rest
+    "q_lm_score" -> ((s, dir) =>
+      ops.Search.bigramLmScore(Tables.documents(s, dir))),
+
+    // Drain-lite log-template mining over synthesized event log lines
+    "q_log_templates" -> ((s, dir) =>
+      TextAnalysis.logTemplates(
+        Tables.events(s, dir).select(
+          concat(col("event_type"), lit(": took "),
+            round(col("value") * 100).cast("long").cast("string"),
+            lit("ms user="), col("user_id").cast("string")).as("msg"),
+          col("user_id").as("group_key"), col("ts")),
+        prefixTokens = 8)),
+
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
       ops.Sampling.splitCounts(Tables.documents(s, dir))),
@@ -1740,6 +1759,99 @@ object SparkEntry {
         |      WHERE len(t) >= 2)
         |SELECT pair, COUNT(*) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // BM25 with raw-odds idf: only +,*,/ doubles with the same association
+    // as the Spark side, so scores are bit-identical (no ln anywhere).
+    "q_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS dl,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM documents),
+        |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |        SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |        SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |        SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |      FROM d),
+        |sc AS (SELECT doc_id, dl, tf_spark, tf_vector, tf_merge,
+        |    ((n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |      * (CAST(tf_spark AS DOUBLE) * 1.2 + CAST(tf_spark AS DOUBLE))
+        |      / (CAST(tf_spark AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))
+        |  + ((n_docs - df_vector + 0.5) / (df_vector + 0.5))
+        |      * (CAST(tf_vector AS DOUBLE) * 1.2 + CAST(tf_vector AS DOUBLE))
+        |      / (CAST(tf_vector AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))
+        |  + ((n_docs - df_merge + 0.5) / (df_merge + 0.5))
+        |      * (CAST(tf_merge AS DOUBLE) * 1.2 + CAST(tf_merge AS DOUBLE))
+        |      / (CAST(tf_merge AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))
+        |  AS score
+        |  FROM d, s)
+        |SELECT doc_id, dl, tf_spark, tf_vector, tf_merge, score
+        |FROM sc WHERE score > 0.0
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // fixed-point ppb probabilities (integer floor division) — order-free
+    // sums, so the distributed aggregation hash-matches exactly
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |         CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |              ELSE list_transform(range(1, len(tk)),
+        |                     i -> tk[i] || ' ' || tk[i + 1]) END AS bgs
+        |       FROM t),
+        |tr AS (SELECT bgs FROM bg WHERE doc_id % 5 != 0),
+        |ho AS (SELECT doc_id, bgs FROM bg WHERE doc_id % 5 = 0),
+        |trb AS (SELECT u.b AS bigram FROM tr, unnest(bgs) AS u(b)),
+        |bc AS (SELECT bigram, COUNT(*) AS b_cnt FROM trb GROUP BY 1),
+        |cc AS (SELECT string_split(bigram, ' ')[1] AS ctx, COUNT(*) AS u_cnt
+        |       FROM trb GROUP BY 1),
+        |vo AS (SELECT COUNT(DISTINCT tok) AS v_size FROM (
+        |         SELECT string_split(bigram, ' ')[1] AS tok FROM trb
+        |         UNION ALL
+        |         SELECT string_split(bigram, ' ')[2] AS tok FROM trb) toks),
+        |sc AS (SELECT ho.doc_id, u.b AS bigram, string_split(u.b, ' ')[1] AS ctx
+        |       FROM ho, unnest(bgs) AS u(b)),
+        |w AS (SELECT sc.doc_id,
+        |        CASE WHEN bc.b_cnt IS NULL THEN 1 ELSE 0 END AS oov,
+        |        (COALESCE(bc.b_cnt, 0) + 1) * 1000000000 AS b1e9,
+        |        COALESCE(cc.u_cnt, 0) + vo.v_size AS uv
+        |      FROM sc LEFT JOIN bc USING (bigram) LEFT JOIN cc USING (ctx)
+        |      CROSS JOIN vo)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(b1e9 // uv) AS BIGINT) AS sum_ppb,
+        |  CAST(CAST(SUM(b1e9 // uv) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_ppb
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_log_templates" ->
+      s"""WITH ev AS ($EV),
+         |m AS (SELECT event_type || ': took '
+         |          || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+         |          || 'ms user=' || CAST(user_id AS VARCHAR) AS msg,
+         |        user_id AS group_key, ts
+         |      FROM ev),
+         |t AS (SELECT array_to_string(list_slice(
+         |          regexp_split_to_array(trim(
+         |            regexp_replace(msg, '[0-9]+', '<num>', 'g')), '\\s+'),
+         |          1, 8), ' ') AS template,
+         |        group_key, ts
+         |      FROM m)
+         |SELECT template, COUNT(*) AS n_msgs,
+         |  COUNT(DISTINCT group_key) AS n_keys,
+         |  MIN(ts) AS first_seen, MAX(ts) AS last_seen
+         |FROM t GROUP BY template ORDER BY n_msgs DESC, template""".stripMargin,
 
     "q_retention_cohort" ->
       s"""WITH ev AS ($EV),

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance scoring over `documents` — the retrieval side of a
+  * training-data pipeline (dedup against a query set, boosted sampling,
+  * eval-set mining all start from "score every document against terms").
+  *
+  * Design notes for cross-engine exactness: classical BM25 uses
+  * `idf = ln((N-df+0.5)/(df+0.5) + 1)`. `ln` is implementation-defined in
+  * the last ulp (JVM `Math.log` vs libm), which can flip a hash-compared
+  * rank, so we use the RAW ODDS idf `(N-df+0.5)/(df+0.5)` — a strictly
+  * monotone transform of the classical idf (same ranking per term; the
+  * cross-term mix weights differ from Lucene's, which is acceptable for a
+  * deterministic engine and documented here). Every arithmetic op is IEEE
+  * +,*,/ with a fixed association, so Spark and the DuckDB oracle agree
+  * bit-for-bit.
+  *
+  * Scale shape: one narrow projection computes per-doc `(dl, tf_i)` (pure
+  * map work, codegen'd), one global aggregate folds corpus stats `(N,
+  * sum_dl, df_i)` into a SINGLE row that re-attaches via broadcast — the
+  * same lazy one-row-broadcast pattern as the IVF centroids, so there is
+  * no driver-side collect and the corpus never shuffles. Top-k is
+  * TakeOrderedAndProject (partial per partition, final k on one task).
+  */
+object Search {
+
+  /** Top-`k` documents by BM25 (raw-odds idf) over `terms`.
+    *
+    * Output: (doc_id, dl, tf_<term>..., score), score desc, doc_id tie.
+    * Documents matching none of the terms are dropped (score 0).
+    */
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 terms: $terms")
+    val toks = split(trim(col("text")), "\\s+")
+    val dl = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    def tfCol(t: String) = size(filter(toks, x => x === lit(t))).cast("long")
+
+    val perDoc = documents.select(
+      col("doc_id") +: dl.as("dl") +:
+        terms.map(t => tfCol(t).as(s"tf_$t")): _*)
+
+    // ONE row of corpus stats, attached lazily via broadcast — no collect.
+    val statCols = count(lit(1)).as("n_docs") :: sum(col("dl")).as("sum_dl") ::
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")).toList
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    val joined = perDoc.crossJoin(broadcast(stats))
+    // z = dl/avgdl computed as (dl*N)/sum_dl: one integer multiply (exact)
+    // then one double divide (correctly rounded) — identical in DuckDB.
+    val z = (col("dl") * col("n_docs")).cast("double") / col("sum_dl")
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      // tf·(k1+1) written as tf·k1 + tf: `k1 + 1.0` evaluated HERE could
+      // round differently from the oracle's decimal literal; this shape
+      // uses only literals both engines parse identically
+      idf * (tf * lit(k1) + tf) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * z))
+    }
+    // fixed left-assoc sum so the double result is engine-independent
+    val score = terms.map(termScore).reduceLeft(_ + _)
+    joined
+      .withColumn("score", score)
+      .filter(col("score") > 0.0)
+      .select(col("doc_id") :: col("dl") ::
+        terms.map(t => col(s"tf_$t")).toList ::: List(col("score")): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Bigram language-model scoring: train an add-one-smoothed bigram LM on
+    * the TRAIN split (doc_id % 5 != 0), score the held-out split — the
+    * perplexity-filter shape every pretraining pipeline runs, kept in
+    * exact fixed-point so it hash-matches across engines.
+    *
+    * Per held-out document: `n_bigrams`, `n_oov` (bigrams never seen in
+    * training), and `sum_ppb`/`mean_ppb` where each bigram contributes
+    * `floor((B+1)·1e9 / (U+V))` — B the train count of the bigram, U the
+    * train count of its left context, V the train vocabulary size. Integer
+    * floor-division, so sums are order-free (a double log-prob sum would
+    * be partition-order-dependent). Classical perplexity is a monotone
+    * function of the geometric mean of the same probabilities; the
+    * arithmetic fixed-point mean ranks documents for filtering purposes
+    * identically at the extremes that matter (rare-bigram documents).
+    *
+    * Scale shape: bigram extraction is per-row map work; the LM tables are
+    * keyed aggregates (map-side partial combine); scoring is two equi-joins
+    * on (bigram) and (context) — broadcastable when the vocabulary is
+    * bounded, shuffle-joins otherwise. Nothing is driver-side.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    // bigrams as "w1 w2" strings (tokens are whitespace-free by split)
+    val bigrams = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+
+    val withBg = documents.select(col("doc_id"), bigrams.as("bgs"))
+    val train = withBg.filter(col("doc_id") % 5 =!= 0)
+    val heldOut = withBg.filter(col("doc_id") % 5 === 0)
+
+    val trainBg = train.select(explode(col("bgs")).as("bigram"))
+    val bgCounts = trainBg.groupBy(col("bigram")).agg(count(lit(1)).as("b_cnt"))
+    val ctxCounts = trainBg
+      .select(split(col("bigram"), " ").getItem(0).as("ctx"))
+      .groupBy(col("ctx")).agg(count(lit(1)).as("u_cnt"))
+    // V = distinct tokens in train (both bigram positions contribute)
+    val vocab = train
+      .select(explode(flatten(array(
+        transform(col("bgs"), bg => split(bg, " ").getItem(0)),
+        transform(col("bgs"), bg => split(bg, " ").getItem(1))))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v_size"))
+
+    val scored = heldOut
+      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
+      .withColumn("ctx", split(col("bigram"), " ").getItem(0))
+      .join(bgCounts, Seq("bigram"), "left_outer")
+      .join(ctxCounts, Seq("ctx"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        col("b_cnt").isNull.cast("long").as("oov"),
+        (coalesce(col("b_cnt"), lit(0L)) + 1L).as("b1"),
+        (coalesce(col("u_cnt"), lit(0L)) + col("v_size")).as("uv"))
+      // floor((B+1)*1e9 / (U+V)) — BIGINT floor division, exact in both
+      // engines (a double divide could round across an integer boundary)
+      .withColumn("ppb", expr("(b1 * 1000000000L) div uv"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("ppb")).as("sum_ppb"))
+      .withColumn("mean_ppb", expr("sum_ppb div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -365,4 +365,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
+
+  /** Log-template mining (Drain-lite): collapse each raw message to its
+    * TEMPLATE by masking numeric runs with `<num>` and keeping the first
+    * `prefixTokens` whitespace tokens, then aggregate per template — the
+    * "group my million log lines into 50 shapes" operation every
+    * observability store ends up running. A full Drain builds a parse tree
+    * with wildcard promotion; masking + fixed-depth prefix is the
+    * deterministic core that covers numeric-variance templates, and being
+    * pure string algebra it is oracle-checkable (a similarity-threshold
+    * tree is not).
+    *
+    * `frame` must carry (msg, group_key: long, ts). Dataflow: per-row
+    * regexp + split (codegen'd map work), ONE keyed aggregation on the
+    * template string (map-side combine collapses each partition to its
+    * distinct templates first — at 100 TB the exchange carries one row
+    * per (partition, template), not per log line). */
+  def logTemplates(frame: DataFrame, prefixTokens: Int = 8): DataFrame = {
+    val tpl = array_join(
+      slice(split(trim(regexp_replace(col("msg"), "[0-9]+", "<num>")), "\\s+"),
+        1, prefixTokens), " ")
+    frame
+      .select(tpl.as("template"), col("group_key"), col("ts"))
+      .groupBy(col("template"))
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        countDistinct(col("group_key")).as("n_keys"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+      .orderBy(col("n_msgs").desc, col("template"))
+  }
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  // ── BM25 ──────────────────────────────────────────────────────────
+
+  test("bm25: doc with more matching terms outranks doc with fewer") {
+    val d = docs(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha beta noise noise noise"),
+      (3L, "noise noise noise noise")))
+    val out = Search.bm25TopK(d, Seq("alpha", "beta"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // doc 3 has no terms → dropped; 2 (tf alpha=2 + beta) beats 1 on tf
+    // but is longer — both must appear, and 3 must not
+    assert(out.toSet == Set(1L, 2L))
+  }
+
+  test("bm25: rarer term dominates via idf (raw odds monotone)") {
+    // 'rare' appears in 1 of 5 docs, 'common' in all 5; a doc with only
+    // 'rare' must outrank a doc with only 'common' at equal tf and dl
+    val d = docs(Seq(
+      (1L, "rare pad1 pad2 pad3"),
+      (2L, "common pad1 pad2 pad3"),
+      (3L, "common x1 x2 x3"),
+      (4L, "common y1 y2 y3"),
+      (5L, "common z1 z2 z3")))
+    val out = Search.bm25TopK(d, Seq("rare", "common"), k = 10)
+      .select("doc_id", "score").collect()
+    val score = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(1L) > score(2L))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val d = docs(Seq(
+      (1L, "hit a b c"),
+      (2L, "hit a b c d e f g h i j k l m n o p q r s t u v w x y z")))
+    val out = Search.bm25TopK(d, Seq("hit"), k = 10)
+      .select("doc_id", "score").collect()
+    val score = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(1L) > score(2L))
+  }
+
+  test("bm25: deterministic under repartition (top-k hash-stable)") {
+    val d = docs((0L until 60L).map(i =>
+      (i, s"w$i spark " * (i.toInt % 5 + 1) + "tail")))
+    val a = Search.bm25TopK(d, Seq("spark", "tail"), k = 20).collect().toSeq
+    val b = Search.bm25TopK(d.repartition(7), Seq("spark", "tail"), k = 20)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  // ── bigram LM ─────────────────────────────────────────────────────
+
+  test("lm: in-distribution held-out doc scores higher than OOV doc") {
+    // train split = doc_id % 5 != 0; docs 0,5,10 are held out
+    val base = (1L until 40L).filter(_ % 5 != 0).map(i => (i, "the cat sat on the mat"))
+    val d = docs(base ++ Seq(
+      (5L, "the cat sat on the mat"),       // pure in-distribution
+      (10L, "zorp blag frum quux zib nok"))) // all-OOV
+    val out = Search.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap // (n_oov, mean_ppb)
+    assert(out(5L)._1 == 0L, "in-distribution doc has no OOV bigrams")
+    assert(out(10L)._1 == 5L, "all 5 bigrams of the OOV doc are unseen")
+    assert(out(5L)._2 > out(10L)._2, "in-distribution doc has higher mean prob")
+  }
+
+  test("lm: single-token and empty held-out docs are absent (no bigrams)") {
+    val d = docs(Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "a b c"),
+      (5L, "solo"), (10L, "  ")))
+    val ids = Search.bigramLmScore(d).select("doc_id").collect().map(_.getLong(0))
+    assert(!ids.contains(5L) && !ids.contains(10L))
+  }
+
+  test("lm: deterministic under repartition (fixed-point sums order-free)") {
+    val d = docs((0L until 50L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}")))
+    val a = Search.bigramLmScore(d).collect().toSeq
+    val b = Search.bigramLmScore(d.repartition(5)).collect().toSeq
+    assert(a == b)
+  }
+
+  // ── log templates ─────────────────────────────────────────────────
+
+  test("logTemplates: numeric runs mask to one template with correct stats") {
+    import spark.implicits._
+    val frame = Seq(
+      ("conn from 10.0.0.1 port 443", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("conn from 10.0.0.2 port 80", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("conn from 192.168.7.9 port 8080", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00")),
+      ("disk full on /dev/sda1", 3L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00")))
+      .toDF("msg", "group_key", "ts")
+    val out = TextAnalysis.logTemplates(frame).collect()
+    assert(out.length == 2)
+    val top = out.head
+    assert(top.getString(0) == "conn from <num>.<num>.<num>.<num> port <num>")
+    assert(top.getLong(1) == 3L) // n_msgs
+    assert(top.getLong(2) == 2L) // n_keys
+    assert(top.getTimestamp(3) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(top.getTimestamp(4) == java.sql.Timestamp.valueOf("2024-01-01 00:02:00"))
+  }
+
+  test("logTemplates: prefix depth bounds template length") {
+    import spark.implicits._
+    val frame = Seq(
+      ("a b c d e f g h i j k l", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("a b c d e f g h DIFFERENT tail here now", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+      .toDF("msg", "group_key", "ts")
+    val out = TextAnalysis.logTemplates(frame, prefixTokens = 8).collect()
+    // identical first 8 tokens → ONE template of exactly 8 tokens
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "a b c d e f g h")
+    assert(out.head.getLong(1) == 2L)
+  }
+}
