@@ -90,5 +90,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "arg_max_cosine(vec, ids, flat) - id of the max-cosine centroid in a broadcast set"),
       args => { exact("arg_max_cosine", 3, args)
         ArgMaxCosine(args.head, args(1), args(2)) }))
+
+    // Runtime-filter pair (the InjectRuntimeFilter construction, exposed
+    // as user-callable SQL): build a bloom over xxhash64 of the dim keys,
+    // probe it as a scalar subquery on the fact side — the subquery
+    // materializes once before the fact stage, so the fact shuffle only
+    // carries rows that can possibly join. No driver-side collect in user
+    // code; the bloom binary never exceeds numBits/8 bytes.
+    e.injectFunction(GraftExtensions.bloomBuildDef)
+    e.injectFunction(GraftExtensions.bloomMightContainDef)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  private def einfo(name: String, cls: Class[_], usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage, "")
+
+  /** `bloom_build(key[, est_items])` — aggregate a bloom filter binary
+    * over xxhash64(key); est_items sizes the filter (default 1 M). */
+  val bloomBuildDef: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_build"),
+      einfo("bloom_build", classOf[BloomFilterAggregate],
+        "bloom_build(key[, est_items]) - bloom-filter binary over xxhash64(key)"),
+      args => {
+        require(args.size == 1 || args.size == 2,
+          s"bloom_build expects 1-2 arguments, got ${args.size}")
+        val est: Long = args.drop(1).headOption match {
+          case None => 1000000L
+          case Some(Literal(v: Int, _)) => v.toLong
+          case Some(Literal(v: Long, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"bloom_build: est_items must be an integer literal, got $other")
+        }
+        new BloomFilterAggregate(new XxHash64(Seq(args.head)), est)
+          .toAggregateExpression()
+      })
+
+  /** `bloom_might_contain(bloom, key)` — probe; false ⇒ key absent. */
+  val bloomMightContainDef: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bloom_might_contain"),
+      einfo("bloom_might_contain", classOf[BloomFilterMightContain],
+        "bloom_might_contain(bloom, key) - probe a bloom_build filter"),
+      args => {
+        require(args.size == 2,
+          s"bloom_might_contain expects 2 arguments, got ${args.size}")
+        BloomFilterMightContain(args.head, new XxHash64(Seq(args(1))))
+      })
+
+  /** Idempotently register the SQL functions into an ALREADY-BUILT session
+    * (the extensions class covers sessions built with `withExtensions`;
+    * this covers the driver's plain sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(bloomBuildDef, bloomMightContainDef).foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
 }

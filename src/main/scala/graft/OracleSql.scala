@@ -532,4 +532,56 @@ object OracleSql {
        |  FROM ae a JOIN ae b ON a.source = b.source AND a.doc_id < b.doc_id
        |  WHERE jaccard(a.text, b.text) >= $threshold),
        |${cleanFinal("neardrops", attrition = false)}""".stripMargin
+
+  /** Full replica of [[graft.ops.Sketches.kmvIntersections]]: the KMV
+    * theta-sketch intersection estimate, recomputed end to end — the same
+    * FNV-1a user hash (signed-long order), per-type k-minimums, pairwise
+    * union rank, θ selection, and the IEEE θ-fraction arithmetic (2^63 and
+    * 2^64 are exact double literals; +,/ are correctly rounded, so both
+    * engines produce the identical double). */
+  def kmvIntersectionsSql(ev: String, k: Int): String = {
+    val c1 = ulit(-7046029254386353131L) // 0x9e3779b97f4a7c15
+    val c2 = ulit(-4658895280553007687L) // 0xbf58476d1ce4e5b9
+    val c3 = ulit(-7723592293110705685L) // 0x94d049bb133111eb
+    s"""WITH ev AS ($ev),
+       |z1 AS (SELECT event_type, ${addmod64(s2u("user_id"), c1)} AS z FROM ev),
+       |z2 AS (SELECT event_type, ${mulmod64("xor(z, z >> 30)", c2)} AS z FROM z1),
+       |z3 AS (SELECT event_type, ${mulmod64("xor(z, z >> 27)", c3)} AS z FROM z2),
+       |uh AS (SELECT DISTINCT event_type AS t, ${u2s("xor(z, z >> 31)")} AS h FROM z3),
+       |sk AS (SELECT t, h FROM (
+       |         SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rnk
+       |         FROM uh) z WHERE rnk <= $k),
+       |ty AS (SELECT DISTINCT t FROM uh),
+       |pairs AS (SELECT a.t AS ta, b.t AS tb FROM ty a, ty b WHERE a.t < b.t),
+       |tg AS (SELECT ta, tb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+       |         SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+       |         FROM pairs p JOIN sk s ON s.t = p.ta
+       |         UNION ALL
+       |         SELECT p.ta, p.tb, s.h, 0 AS in_a, 1 AS in_b
+       |         FROM pairs p JOIN sk s ON s.t = p.tb) z
+       |       GROUP BY ta, tb, h),
+       |ur AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rnk
+       |       FROM tg),
+       |th AS (SELECT ta, tb, CAST(MAX(rnk) AS INTEGER) AS n_union,
+       |         MAX(CASE WHEN rnk <= $k THEN h END) AS theta
+       |       FROM ur GROUP BY ta, tb),
+       |cm AS (SELECT ur.ta, ur.tb, th.n_union, th.theta,
+       |         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+       |             AND (th.n_union < $k OR ur.h < th.theta)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+       |       FROM ur JOIN th USING (ta, tb) GROUP BY ur.ta, ur.tb, th.n_union, th.theta),
+       |ex AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_exact
+       |       FROM uh a JOIN uh b ON a.h = b.h AND a.t < b.t GROUP BY 1, 2),
+       |fin AS (SELECT cm.ta AS type_a, cm.tb AS type_b,
+       |         COALESCE(ex.n_exact, 0) AS n_exact, cm.n_union,
+       |         CASE WHEN cm.n_union < $k THEN CAST(cm.cnt AS DOUBLE)
+       |              ELSE CAST(cm.cnt AS DOUBLE) /
+       |                ((CAST(cm.theta AS DOUBLE) + 9223372036854775808.0)
+       |                  / 18446744073709551616.0) END AS est
+       |       FROM cm LEFT JOIN ex ON cm.ta = ex.ta AND cm.tb = ex.tb)
+       |SELECT type_a, type_b, n_exact, n_union, est,
+       |  (n_union < $k OR (est >= CAST(n_exact AS DOUBLE) * 0.5
+       |    AND est <= CAST(n_exact AS DOUBLE) * 1.5)) AS ok
+       |FROM fin ORDER BY type_a, type_b""".stripMargin
+  }
 }

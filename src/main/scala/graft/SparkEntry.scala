@@ -552,6 +552,32 @@ object SparkEntry {
           col("user_id").as("group_key"), col("ts")),
         prefixTokens = 8)),
 
+    // bloom-filter runtime join pruning (the InjectRuntimeFilter shape as
+    // user SQL): the scalar subquery builds the filter over the ~2%
+    // selective dim keys; the fact scan drops non-joining rows BEFORE the
+    // shuffle. Oracle = the plain join (blooms have no false negatives).
+    "q_bloom_join" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables.orders(s, dir).createOrReplaceTempView("orders_bf")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_bf")
+      s.sql("""SELECT o.o_orderkey, COUNT(*) AS n_items,
+              |  SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_cents
+              |FROM lineitem_bf l
+              |JOIN orders_bf o ON l.l_orderkey = o.o_orderkey
+              |WHERE bloom_might_contain(
+              |        (SELECT bloom_build(o_orderkey, 16384) FROM orders_bf
+              |         WHERE o_totalprice > 490000.0),
+              |        l.l_orderkey)
+              |  AND o.o_totalprice > 490000.0
+              |GROUP BY o.o_orderkey
+              |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
+    // KMV theta-sketch set intersection (what HLL cannot do), estimate
+    // hash-checked against a full DuckDB replica + in-frame exact verdict
+    "q_kmv_intersect" -> ((s, dir) =>
+      ops.Sketches.kmvIntersections(Tables.events(s, dir), k = 64)),
+
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
       ops.Sampling.splitCounts(Tables.documents(s, dir))),
@@ -1852,6 +1878,17 @@ object SparkEntry {
          |  COUNT(DISTINCT group_key) AS n_keys,
          |  MIN(ts) AS first_seen, MAX(ts) AS last_seen
          |FROM t GROUP BY template ORDER BY n_msgs DESC, template""".stripMargin,
+
+    // the bloom prefilter admits no false negatives and the join re-checks
+    // exactly, so the oracle is simply the join without the bloom
+    "q_bloom_join" ->
+      """SELECT o.o_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 490000.0
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_kmv_intersect" -> OracleSql.kmvIntersectionsSql(EV, 64),
 
     "q_retention_cohort" ->
       s"""WITH ev AS ($EV),

@@ -56,3 +56,46 @@ object TokenFingerprint64 {
   def tokenFingerprint64(tokens: Column): Column =
     GraftGlue.toColumn(TokenFingerprint64(GraftGlue.toExpression(tokens)))
 }
+
+/** splitmix64 finalizer as a value hash (Steele, Lea & Flood, "Fast
+  * splittable pseudorandom number generators", OOPSLA 2014) — full
+  * avalanche on a 64-bit key, unlike FNV-1a over short strings whose high
+  * bits barely mix (measurably non-uniform for small decimal ids, which
+  * breaks order-statistic sketches like KMV). Native expression because
+  * the wrapping multiplies are exactly what ANSI-mode SQL arithmetic
+  * rejects; the DuckDB oracle replicates the same chain with HUGEINT
+  * modular arithmetic (OracleSql s1–s4).
+  */
+case class Splitmix64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"splitmix64 expects BIGINT, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Splitmix64.hash(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Splitmix64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Splitmix64 =
+    copy(child = newChild)
+}
+
+object Splitmix64 {
+
+  def hash(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Column wrapper: `splitmix64(key)` */
+  def splitmix64(key: Column): Column =
+    GraftGlue.toColumn(Splitmix64(GraftGlue.toExpression(key)))
+}

@@ -68,4 +68,91 @@ object Sketches {
             lit(2.0 / width) * col("_N").cast("double")).as("cms_ok"))
       .orderBy(col("token"))
   }
+
+  /** KMV (k-minimum-values) theta sketches with SET INTERSECTION — the
+    * capability HyperLogLog lacks (HLL unions; it cannot intersect).
+    * Beyer, Haas, Reinwald, Sismanis, Gemulla, "On synopses for
+    * distinct-value estimation under multiset operations", SIGMOD 2007;
+    * the same construction underlies the Apache DataSketches theta family.
+    *
+    * Per event type, the sketch is the `k` smallest DISTINCT values of
+    * splitmix64(user_id) — an order-statistic sketch needs a hash uniform
+    * across the whole 64-bit range, which FNV-1a of short decimal strings
+    * is NOT (its high bits barely mix, skewing θ badly); splitmix64 fully
+    * avalanches and this repo already replicates it exactly in DuckDB
+    * HUGEINT SQL, so the whole estimate is oracle-checkable, not trusted. For each type pair:
+    * θ = the k-th smallest of the two sketches' union; the intersection
+    * estimate is |{v ∈ A_k ∩ B_k : v < θ}| / θ_frac, where θ_frac is the
+    * fraction of hash space below θ. When the union holds fewer than k
+    * values both sketches are exhaustive and the estimate IS the exact
+    * count.
+    *
+    * Scale shape: the one data-sized operation is `distinct (type, h)` —
+    * a keyed aggregation with map-side partial dedup; the per-type top-k
+    * trims via WindowGroupLimit (partial per partition, final k per
+    * type). Everything after operates on ≤ k rows per type — pair
+    * expansion, union ranking, and estimation are O(types² · k), driver
+    * never involved. The EXACT intersection column is computed alongside
+    * as the in-frame verdict (at true 100 TB scale you would drop it;
+    * it is the point of the fixture check).
+    *
+    * Output per pair (type_a < type_b): n_exact, n_union (capped at the
+    * union-rank ceiling), est (double; deterministic IEEE arithmetic),
+    * ok = est within ±50 % of exact (or the sketch was exhaustive).
+    */
+  def kmvIntersections(events: DataFrame, k: Int = 64): DataFrame = {
+    require(k > 1, s"k must exceed 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.Splitmix64.splitmix64(col("user_id"))
+    val uh = events.select(col("event_type").as("t"), h.as("h")).distinct()
+    val perType = Window.partitionBy(col("t")).orderBy(col("h"))
+    val sk = uh.withColumn("rnk", row_number().over(perType))
+      .filter(col("rnk") <= k)
+      .select(col("t"), col("h"))
+
+    val types = uh.select(col("t")).distinct()
+    val pairs = types.select(col("t").as("ta"))
+      .join(types.select(col("t").as("tb")), col("ta") < col("tb"))
+
+    val tagged = pairs.join(sk, col("t") === col("ta"))
+      .select(col("ta"), col("tb"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs.join(sk, col("t") === col("tb"))
+        .select(col("ta"), col("tb"), col("h"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val perPair = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val ranked = tagged.withColumn("rnk", row_number().over(perPair))
+    // θ = h at rank min(k, n_union): ranks ascend with h, so the max h
+    // among ranks ≤ k is exactly the k-th (or last) smallest
+    val theta = ranked.groupBy(col("ta"), col("tb"))
+      .agg(max(col("rnk")).as("n_union"),
+        max(when(col("rnk") <= k, col("h"))).as("theta"))
+    val common = ranked.join(theta, Seq("ta", "tb"))
+      .groupBy(col("ta"), col("tb"), col("n_union"), col("theta"))
+      .agg(sum(when(col("in_a") === 1 && col("in_b") === 1 &&
+        (col("n_union") < k || col("h") < col("theta")), 1L).otherwise(0L))
+        .as("cnt"))
+
+    val exact = uh.select(col("t").as("xa"), col("h"))
+      .join(uh.select(col("t").as("xb"), col("h")), Seq("h"))
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("xa").as("ta"), col("xb").as("tb"))
+      .agg(count(lit(1)).as("n_exact"))
+
+    // θ_frac = (θ + 2^63)/2^64 in doubles — both literals are exact
+    // powers of two, every op correctly rounded, so engines agree
+    val thetaFrac = (col("theta").cast("double") + lit(9.223372036854775808e18)) /
+      lit(1.8446744073709552e19)
+    val est = when(col("n_union") < k, col("cnt").cast("double"))
+      .otherwise(col("cnt").cast("double") / thetaFrac)
+    common.join(exact, Seq("ta", "tb"), "left_outer")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_union"), est.as("est"))
+      .withColumn("ok",
+        col("n_union") < k ||
+          (col("est") >= col("n_exact").cast("double") * 0.5 &&
+            col("est") <= col("n_exact").cast("double") * 1.5))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -73,4 +73,43 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batches = ext.sessionState.optimizer.batches.flatMap(_.rules)
     assert(batches.exists(_.ruleName.contains("NanosTimestampPushdown")))
   }
+
+  // ── bloom runtime filter ──────────────────────────────────────────
+
+  test("bloom filter prunes non-joining fact rows with zero false negatives") {
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(base) // runtime-registration path
+    import base.implicits._
+    // fact: keys 0..9999; dim keeps multiples of 100 (1% selective)
+    (0L until 10000L).toDF("k").createOrReplaceTempView("bf_fact")
+    (0L until 10000L by 100L).toDF("d").createOrReplaceTempView("bf_dim")
+    val pruned = base.sql(
+      """SELECT k FROM bf_fact
+        |WHERE bloom_might_contain((SELECT bloom_build(d, 1024) FROM bf_dim), k)
+        |""".stripMargin)
+    val survivors = pruned.collect().map(_.getLong(0)).toSet
+    // no false negatives: every real dim key survives
+    (0L until 10000L by 100L).foreach(d => assert(survivors.contains(d)))
+    // real pruning: at 1% selectivity the filter must drop the bulk
+    assert(survivors.size < 2000, s"${survivors.size} rows survived — no pruning")
+    // exact join after the prefilter equals the plain join
+    val withBloom = base.sql(
+      """SELECT k FROM bf_fact JOIN bf_dim ON k = d
+        |WHERE bloom_might_contain((SELECT bloom_build(d, 1024) FROM bf_dim), k)
+        |""".stripMargin).collect().map(_.getLong(0)).sorted.toSeq
+    val plain = base.sql("SELECT k FROM bf_fact JOIN bf_dim ON k = d")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(withBloom == plain)
+  }
+
+  test("bloom functions also resolve via the extensions-built session") {
+    val n = ext.sql(
+      """SELECT count(*) AS n FROM range(1000)
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_build(id * 10, 256) FROM range(10)), id)
+        |""".stripMargin).collect()(0).getLong(0)
+    // keys 0,10,..,90 of range(0..999): ≥ the 10 true positives, and far
+    // fewer than the full 1000 — i.e. the probe actually filtered
+    assert(n >= 10 && n < 300, s"survivor count $n")
+  }
 }

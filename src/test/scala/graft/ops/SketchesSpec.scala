@@ -39,4 +39,52 @@ class SketchesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Boolean]("cms_ok")))
   }
+
+  // ── KMV theta sketch ──────────────────────────────────────────────
+
+  private def ev(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((t, u), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("kmv: exhaustive regime (n_union < k) returns the exact intersection") {
+    // 30 users in A, 30 in B, 10 common — well under k=64, so the sketch
+    // holds every value and est must equal exact
+    val rows = (0L until 30L).map(u => ("a", u)) ++ (20L until 50L).map(u => ("b", u))
+    val out = Sketches.kmvIntersections(ev(rows), k = 64).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_exact") == 10L)
+    assert(r.getAs[Double]("est") == 10.0)
+    assert(r.getAs[Boolean]("ok"))
+  }
+
+  test("kmv: saturated regime estimates within the verdict bound") {
+    // 500 users per type, 250 common — sketches saturate at k=64
+    val rows = (0L until 500L).map(u => ("a", u)) ++ (250L until 750L).map(u => ("b", u))
+    val out = Sketches.kmvIntersections(ev(rows), k = 64).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_exact") == 250L)
+    // union of two saturated k-sketches ranks past k (up to 2k)
+    assert(r.getAs[Int]("n_union") > 64)
+    assert(r.getAs[Boolean]("ok"),
+      s"est ${r.getAs[Double]("est")} outside ±50% of 250")
+  }
+
+  test("kmv: disjoint sets estimate zero") {
+    val rows = (0L until 200L).map(u => ("a", u)) ++ (1000L until 1200L).map(u => ("b", u))
+    val r = Sketches.kmvIntersections(ev(rows), k = 64).collect().head
+    assert(r.getAs[Long]("n_exact") == 0L)
+    assert(r.getAs[Double]("est") == 0.0)
+  }
+
+  test("kmv: deterministic under repartition") {
+    val rows = (0L until 300L).flatMap(u => Seq(("a", u % 97), ("b", u % 89), ("c", u % 83)))
+    val base = ev(rows)
+    val x = Sketches.kmvIntersections(base, k = 32).collect().toSeq
+    val y = Sketches.kmvIntersections(base.repartition(7), k = 32).collect().toSeq
+    assert(x == y)
+  }
 }
