@@ -578,6 +578,19 @@ object SparkEntry {
     "q_kmv_intersect" -> ((s, dir) =>
       ops.Sketches.kmvIntersections(Tables.events(s, dir), k = 64)),
 
+    // ───────────────────────── statistical tests (exact-sums discipline) ──
+    "q_welch_ttest" -> ((s, dir) =>
+      analytics.Stats.welchTTest(Tables.events(s, dir))),
+
+    "q_cramers_v" -> ((s, dir) =>
+      analytics.Stats.cramersV(Tables.events(s, dir))),
+
+    "q_linreg" -> ((s, dir) =>
+      analytics.Stats.groupLinReg(Tables.events(s, dir))),
+
+    "q_type_diversity" -> ((s, dir) =>
+      analytics.Stats.typeDiversity(Tables.events(s, dir))),
+
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
       ops.Sampling.splitCounts(Tables.documents(s, dir))),
@@ -1889,6 +1902,93 @@ object SparkEntry {
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
 
     "q_kmv_intersect" -> OracleSql.kmvIntersectionsSql(EV, 64),
+
+    "q_welch_ttest" ->
+      s"""WITH ev AS ($EV),
+         |m AS (SELECT event_type, COUNT(*) AS n,
+         |        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+         |        CAST(SUM(CAST(round(value * 100) AS BIGINT)
+         |          * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc2
+         |      FROM ev GROUP BY event_type),
+         |s AS (SELECT event_type, n,
+         |        CAST(sc AS DOUBLE) / n AS mean,
+         |        (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n)
+         |          / CAST(n - 1 AS DOUBLE) AS var FROM m)
+         |SELECT a.event_type AS type_a, a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+         |  b.event_type AS type_b, b.n AS n_b, b.mean AS mean_b, b.var AS var_b,
+         |  (a.mean - b.mean) /
+         |    sqrt(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE)) AS t,
+         |  ((a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+         |    * (a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))) /
+         |  ((a.var / CAST(a.n AS DOUBLE)) * (a.var / CAST(a.n AS DOUBLE))
+         |      / CAST(a.n - 1 AS DOUBLE)
+         |    + (b.var / CAST(b.n AS DOUBLE)) * (b.var / CAST(b.n AS DOUBLE))
+         |      / CAST(b.n - 1 AS DOUBLE)) AS df
+         |FROM s a JOIN s b ON a.event_type < b.event_type
+         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_cramers_v" ->
+      s"""WITH ev AS ($EV),
+         |obs AS (SELECT event_type AS rt, dayofweek(ts) + 1 AS ct,
+         |          COUNT(*) AS o
+         |        FROM ev GROUP BY 1, 2),
+         |cells AS (SELECT g.rt, g.ct, COALESCE(obs.o, 0) AS o
+         |          FROM (SELECT a.rt, b.ct
+         |                FROM (SELECT DISTINCT rt FROM obs) a,
+         |                     (SELECT DISTINCT ct FROM obs) b) g
+         |          LEFT JOIN obs ON g.rt = obs.rt AND g.ct = obs.ct),
+         |rt_tot AS (SELECT rt, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY rt),
+         |ct_tot AS (SELECT ct, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY ct),
+         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn,
+         |          COUNT(DISTINCT rt) AS r, COUNT(DISTINCT ct) AS c FROM cells),
+         |cc AS (SELECT nn, r, c, rt, ct,
+         |         (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / nn)
+         |           * (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / nn)
+         |           / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / nn) AS cell
+         |       FROM cells JOIN rt_tot USING (rt) JOIN ct_tot USING (ct)
+         |       CROSS JOIN tot),
+         |f AS (SELECT nn AS n, r, c,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(cell ORDER BY rt, ct)), (acc, x) -> acc + x) AS chi2
+         |      FROM cc GROUP BY nn, r, c)
+         |SELECT n, r, c, chi2,
+         |  sqrt(chi2 / (CAST(n AS DOUBLE)
+         |    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))) AS v
+         |FROM f""".stripMargin,
+
+    "q_linreg" ->
+      s"""WITH ev AS ($EV),
+         |z AS (SELECT event_type,
+         |        (epoch_us(ts) // 1000000 - 1704067200) // 3600 AS x,
+         |        CAST(round(value * 100) AS BIGINT) AS y
+         |      FROM ev),
+         |m AS (SELECT event_type, COUNT(*) AS n,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |        CAST(SUM(x * y) AS BIGINT) AS sxy
+         |      FROM z GROUP BY event_type),
+         |sl AS (SELECT event_type, n,
+         |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         |         sx, sy
+         |       FROM m)
+         |SELECT event_type, n, slope,
+         |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |    AS intercept
+         |FROM sl ORDER BY event_type""".stripMargin,
+
+    "q_type_diversity" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT user_id, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         |g AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         |        COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS s2
+         |      FROM c GROUP BY user_id)
+         |SELECT user_id, n_events, n_types,
+         |  CAST(1000000000 - (s2 * 1000000000) // (n_events * n_events) AS BIGINT)
+         |    AS simpson_ppb
+         |FROM g ORDER BY user_id""".stripMargin,
 
     "q_retention_cohort" ->
       s"""WITH ev AS ($EV),

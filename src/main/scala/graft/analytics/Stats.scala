@@ -1,0 +1,154 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical-test aggregates over `events` — the ClickHouse
+  * `welchTTest`/`cramersV`/`simpleLinearRegression`/`entropy` family,
+  * re-derived for cross-engine exactness.
+  *
+  * Design rule (the repo-wide one): every data-sized aggregation produces
+  * INTEGER sums (cents, counts, squared cents), which are order-free and
+  * overflow-checked against the fixture scales; the statistics are then
+  * fixed-shape IEEE double arithmetic (+,*,/,sqrt are correctly rounded,
+  * so DuckDB reproduces them bit-for-bit). No ln/exp anywhere — where a
+  * classical definition needs a transcendental (entropy), the operator
+  * substitutes a rational-arithmetic diversity index with the same
+  * decision content (Simpson index; Simpson, "Measurement of diversity",
+  * Nature 1949).
+  *
+  * Scale shape: each operator is ONE map-side-combinable keyed
+  * aggregation over the events; everything after runs on one row per
+  * group (a handful), joined pairwise where the statistic compares
+  * groups. Nothing data-sized crosses a second shuffle.
+  */
+object Stats {
+
+  private def cents = round(col("value") * 100).cast("long")
+
+  /** Per-group exact moments: n, Σc, Σc² as BIGINT (c = value cents).
+    * Σc² fits comfortably: max cents ≈ 5·10⁶ squares to 2.5·10¹³; even
+    * 10⁹ rows per group stays < 2.5·10²² only in a 128-bit engine — at
+    * Spark's BIGINT ceiling this bounds each group to ~3.6·10⁵ rows per
+    * max-value regime; real telemetry values (latencies, prices) are far
+    * smaller. The DOUBLE-side math after this frame is group-count-sized.
+    */
+  private def moments(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents).as("sc"),
+        sum(cents * cents).as("sc2"))
+
+  /** Welch's unequal-variance t statistic for every event-type pair
+    * (Welch, Biometrika 1947), with the Welch–Satterthwaite degrees of
+    * freedom. Output per (type_a < type_b): n/mean/var per side, t, df.
+    * The p-value needs the incomplete beta function (transcendental,
+    * engine-varying) and is deliberately left to the caller's stats
+    * library — t and df carry the full decision content. */
+  def welchTTest(events: DataFrame): DataFrame = {
+    val m = moments(events)
+    def side(sfx: String) = m.select(
+      col("event_type").as(s"type_$sfx"),
+      col("n").as(s"n_$sfx"),
+      (col("sc").cast("double") / col("n")).as(s"mean_$sfx"),
+      ((col("sc2").cast("double") -
+        col("sc").cast("double") * col("sc").cast("double") / col("n")) /
+        (col("n") - lit(1)).cast("double")).as(s"var_$sfx"))
+    val a = side("a")
+    val b = side("b")
+    val va = col("var_a") / col("n_a").cast("double")
+    val vb = col("var_b") / col("n_b").cast("double")
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("t", (col("mean_a") - col("mean_b")) / sqrt(va + vb))
+      .withColumn("df",
+        ((va + vb) * (va + vb)) /
+          (va * va / (col("n_a") - lit(1)).cast("double") +
+            vb * vb / (col("n_b") - lit(1)).cast("double")))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Cramér's V association between event_type and day-of-week (Cramér,
+    * Mathematical Methods of Statistics 1946, §21.9): χ² over the r×c
+    * contingency table of integer counts, V = √(χ²/(N·min(r−1,c−1))).
+    * One row: (n, r, c, chi2, v). */
+  def cramersV(events: DataFrame): DataFrame = {
+    val observed = events
+      .groupBy(col("event_type").as("rt"), dayofweek(col("ts")).as("ct"))
+      .agg(count(lit(1)).as("o"))
+    // χ² ranges over the FULL r×c grid — an expected-but-unobserved cell
+    // contributes (0−e)²/e, and dropping it deflates strong associations
+    // (a fully-determined 2×2 would score 1/√2 instead of 1)
+    val cells = observed.select(col("rt")).distinct()
+      .crossJoin(observed.select(col("ct")).distinct())
+      .join(observed, Seq("rt", "ct"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val rowTot = cells.groupBy(col("rt")).agg(sum(col("o")).as("rn"))
+    val colTot = cells.groupBy(col("ct")).agg(sum(col("o")).as("cn"))
+    val tot = cells.agg(sum(col("o")).as("nn"),
+      countDistinct(col("rt")).as("r"), countDistinct(col("ct")).as("c"))
+    val e = col("rn").cast("double") * col("cn").cast("double") / col("nn")
+    // χ² is a sum of DOUBLES — a plain distributed sum would depend on
+    // partition order in the last ulps. The cells are collected into a
+    // (rt, ct)-sorted array and folded LEFT-TO-RIGHT, which fixes the
+    // association; the oracle folds the identically-ordered list. The
+    // collect is safe at any data scale: the table is r×c cells, not rows.
+    cells
+      .join(broadcast(rowTot), "rt").join(broadcast(colTot), "ct")
+      .crossJoin(broadcast(tot))
+      .select(col("nn"), col("r"), col("c"),
+        struct(col("rt"), col("ct"),
+          ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+            .as("cell")).as("kc"))
+      .groupBy(col("nn"), col("r"), col("c"))
+      .agg(sort_array(collect_list(col("kc"))).as("cells"))
+      .select(col("nn").as("n"), col("r"), col("c"),
+        aggregate(col("cells"), lit(0.0),
+          (acc, x) => acc + x.getField("cell")).as("chi2"))
+      .withColumn("v",
+        sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("r") - 1, col("c") - 1).cast("double"))))
+  }
+
+  /** Per-event-type least-squares regression of value cents on hours
+    * since 2024-01-01 (ClickHouse `simpleLinearRegression`). x is
+    * REFERENCED to the corpus epoch so the exact BIGINT sums (Σx, Σx²,
+    * Σxy) stay small and the double-side normal equations don't
+    * catastrophically cancel. Output: (event_type, n, slope, intercept),
+    * slope in cents/hour. */
+  def groupLinReg(events: DataFrame): DataFrame = {
+    val x = expr("(unix_timestamp(ts) - 1704067200L) div 3600L")
+    val agg = events
+      .select(col("event_type"), x.as("x"), cents.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / den
+    agg.select(col("event_type"), col("n"),
+        slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) / nD)
+          .as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-user behavioral diversity over event types: Simpson index in
+    * exact parts-per-billion — `1e9 − Σc_t²·1e9 div n²` with BIGINT floor
+    * division, the rational-arithmetic stand-in for Shannon entropy (a
+    * log-free monotone alternative; both rank "all one type" lowest and
+    * uniform highest). Integer-only, so it hash-matches any engine. */
+  def typeDiversity(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("_s2"))
+      .withColumn("simpson_ppb",
+        lit(1000000000L) - expr("_s2 * 1000000000L div (n_events * n_events)"))
+      .drop("_s2")
+      .orderBy(col("user_id"))
+}

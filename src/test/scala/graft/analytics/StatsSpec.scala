@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def ev(rows: Seq[(String, Long, Double, String)]) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((t, u, v, ts), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(ts), u, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("welch t: higher-mean group yields the expected sign and magnitude") {
+    // a ~ N(100), b ~ N(50): decisively separated, t large positive
+    val rows = (0 until 100).map(i => ("a", i.toLong, 100.0 + (i % 7), "2024-01-01 00:00:00")) ++
+      (0 until 100).map(i => ("b", i.toLong, 50.0 + (i % 5), "2024-01-01 00:00:00"))
+    val r = Stats.welchTTest(ev(rows)).collect().head
+    assert(r.getAs[String]("type_a") == "a" && r.getAs[String]("type_b") == "b")
+    assert(r.getAs[Double]("mean_a") > r.getAs[Double]("mean_b"))
+    assert(r.getAs[Double]("t") > 10.0, s"t=${r.getAs[Double]("t")}")
+    assert(r.getAs[Double]("df") > 50.0)
+  }
+
+  test("welch t: identical distributions give t == 0") {
+    val rows = (0 until 60).flatMap(i =>
+      Seq(("a", i.toLong, 10.0 + (i % 3), "2024-01-01 00:00:00"),
+        ("b", i.toLong, 10.0 + (i % 3), "2024-01-01 00:00:00")))
+    val r = Stats.welchTTest(ev(rows)).collect().head
+    assert(r.getAs[Double]("t") == 0.0)
+  }
+
+  test("cramers v: type independent of weekday is ~0; determined is ~1") {
+    // independent: every type occurs equally on both weekdays
+    val ind = (0 until 80).flatMap { i =>
+      val day = if (i % 2 == 0) "2024-01-01 10:00:00" else "2024-01-02 10:00:00"
+      Seq(("x", i.toLong, 1.0, day), ("y", i.toLong, 1.0, day))
+    }
+    val vInd = Stats.cramersV(ev(ind)).collect().head.getAs[Double]("v")
+    assert(vInd == 0.0, s"independent v=$vInd")
+    // determined: type x only Monday, type y only Tuesday
+    val dep = (0 until 80).map(i => ("x", i.toLong, 1.0, "2024-01-01 10:00:00")) ++
+      (0 until 80).map(i => ("y", i.toLong, 1.0, "2024-01-02 10:00:00"))
+    val vDep = Stats.cramersV(ev(dep)).collect().head.getAs[Double]("v")
+    assert(math.abs(vDep - 1.0) < 1e-12, s"determined v=$vDep")
+  }
+
+  test("linreg recovers a planted slope exactly (integral inputs)") {
+    // value = 2 cents/hour * x + 500 cents: y(x) = 5 + 0.02*x dollars
+    val rows = (0 until 200).map { i =>
+      val ts = java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(i.toLong)
+      ("a", i.toLong, 5.0 + 0.02 * i,
+        java.sql.Timestamp.valueOf(ts).toString.stripSuffix(".0"))
+    }
+    val r = Stats.groupLinReg(ev(rows)).collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9,
+      s"slope=${r.getAs[Double]("slope")}")
+    assert(math.abs(r.getAs[Double]("intercept") - 500.0) < 1e-6)
+  }
+
+  test("type diversity: single-type user scores 0, uniform 4-type ~750M ppb") {
+    val rows = (0 until 40).map(i => ("only", 1L, 1.0, "2024-01-01 00:00:00")) ++
+      (0 until 40).map(i => (Seq("a", "b", "c", "d")(i % 4), 2L, 1.0, "2024-01-01 00:00:00"))
+    val out = Stats.typeDiversity(ev(rows)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("simpson_ppb")).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 750000000L)
+  }
+
+  test("stats are deterministic under repartition (ordered chi2 fold)") {
+    val rows = (0 until 500).map(i =>
+      (Seq("a", "b", "c")(i % 3), (i % 29).toLong, (i % 13) + 0.25,
+        s"2024-01-${1 + i % 28} ${i % 24}:00:00"))
+    val base = ev(rows)
+    def all(df: org.apache.spark.sql.DataFrame) = Seq(
+      Stats.welchTTest(df).collect().toSeq,
+      Stats.cramersV(df).collect().toSeq,
+      Stats.groupLinReg(df).collect().toSeq,
+      Stats.typeDiversity(df).collect().toSeq)
+    assert(all(base) == all(base.repartition(11)))
+  }
+}
