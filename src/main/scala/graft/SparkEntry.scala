@@ -591,6 +591,11 @@ object SparkEntry {
     "q_type_diversity" -> ((s, dir) =>
       analytics.Stats.typeDiversity(Tables.events(s, dir))),
 
+    // WITH FILL INTERPOLATE analogue: hourly grid, linear interpolation
+    // between bracketing samples, trailing carry-forward
+    "q_gauge_fill" -> ((s, dir) =>
+      analytics.Gauge.hourlyInterpolated(Tables.events(s, dir))),
+
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
       ops.Sampling.splitCounts(Tables.documents(s, dir))),
@@ -1978,6 +1983,38 @@ object SparkEntry {
          |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
          |    AS intercept
          |FROM sl ORDER BY event_type""".stripMargin,
+
+    "q_gauge_fill" ->
+      s"""WITH ev AS ($EV),
+         |s AS (SELECT user_id, ts AS t, 0 AS g,
+         |        CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
+         |      FROM ev GROUP BY user_id, ts),
+         |b AS (SELECT date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1 FROM ev),
+         |gr AS (SELECT u.user_id, gs.t, 1 AS g, CAST(NULL AS BIGINT) AS c
+         |       FROM (SELECT DISTINCT user_id FROM ev) u
+         |       CROSS JOIN b, unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS gs(t)),
+         |al AS (SELECT user_id, t, g, c, epoch_ms(t) AS tms FROM
+         |        (SELECT * FROM s UNION ALL SELECT * FROM gr) z),
+         |f AS (SELECT user_id, t, g, tms,
+         |        last_value(c IGNORE NULLS) OVER wb AS pc,
+         |        last_value(CASE WHEN c IS NOT NULL THEN tms END IGNORE NULLS)
+         |          OVER wb AS pt,
+         |        first_value(c IGNORE NULLS) OVER wa AS nc,
+         |        first_value(CASE WHEN c IS NOT NULL THEN tms END IGNORE NULLS)
+         |          OVER wa AS nt
+         |      FROM al
+         |      WINDOW
+         |        wb AS (PARTITION BY user_id ORDER BY tms, g
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wa AS (PARTITION BY user_id ORDER BY tms, g
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, t AS hr,
+         |  CASE WHEN nc IS NULL OR nt = pt THEN CAST(pc AS DOUBLE)
+         |       ELSE CAST(pc AS DOUBLE) + (CAST(nc AS DOUBLE) - CAST(pc AS DOUBLE))
+         |         * (CAST(tms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END
+         |    AS value_cents
+         |FROM f WHERE g = 1 AND pc IS NOT NULL
+         |ORDER BY user_id, hr""".stripMargin,
 
     "q_type_diversity" ->
       s"""WITH ev AS ($EV),

@@ -40,4 +40,55 @@ object Gauge {
       .select(col("user_id"), col("hr"), col("s_value").as("value"))
       .orderBy(col("user_id"), col("hr"))
   }
+
+  /** Hourly LINEAR-INTERPOLATION resampling — the ClickHouse
+    * `ORDER BY ... WITH FILL INTERPOLATE` analogue: each grid hour takes
+    * the value lerped between its bracketing samples; hours past the last
+    * sample carry it forward; hours before the first emit nothing (the
+    * LOCF inner semantics).
+    *
+    * Construction: union the deduplicated samples with the generated grid
+    * rows, ONE shuffle+sort per key, then two frame windows — the last
+    * non-null sample at-or-before (samples sort before grid points at the
+    * same instant, so an exactly-aligned sample wins) and the first
+    * strictly-after. The lerp runs on exact integer cents/millis with a
+    * fixed double shape, so the oracle reproduces it bit-for-bit. No
+    * per-grid-point scans: each sample is touched once per window pass
+    * regardless of key cardinality or sample density. */
+  def hourlyInterpolated(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val samples = events
+      .groupBy(col("user_id"), col("ts"))
+      .agg(expr("max_by(value, event_id)").as("v"))
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("g"),
+        round(col("v") * 100).cast("long").as("c"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+    val grid = events.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("t"),
+        lit(1).as("g"), lit(null).cast("long").as("c"))
+    val all = samples.unionByName(grid)
+      .withColumn("tms", unix_millis(col("t")))
+    val before = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("g"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val framed = all
+      .withColumn("pc", last(col("c"), ignoreNulls = true).over(before))
+      .withColumn("pt", last(when(col("c").isNotNull, col("tms")), ignoreNulls = true).over(before))
+      .withColumn("nc", first(col("c"), ignoreNulls = true).over(after))
+      .withColumn("nt", first(when(col("c").isNotNull, col("tms")), ignoreNulls = true).over(after))
+    framed
+      .filter(col("g") === 1 && col("pc").isNotNull)
+      .select(col("user_id"), col("t").as("hr"),
+        when(col("nc").isNull || col("nt") === col("pt"), col("pc").cast("double"))
+          .otherwise(col("pc").cast("double") +
+            (col("nc").cast("double") - col("pc").cast("double")) *
+              ((col("tms") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")))
+          .as("value_cents"))
+      .orderBy(col("user_id"), col("hr"))
+  }
 }

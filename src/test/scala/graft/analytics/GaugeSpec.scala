@@ -31,4 +31,40 @@ class GaugeSpec extends AnyFunSuite {
     assert(u2.length == 5) // 01:00..05:00 (nothing at 00:00, before the first sample)
     assert(u2.forall(_._3 == 9.0)) // same-ts duplicate: max event_id wins
   }
+
+  test("hourlyInterpolated: lerps between samples, carries past the last") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: 100 cents at 01:00, 400 cents at 04:00 → grid hours 02:00/03:00
+    // sit exactly 1/3 and 2/3 along the segment; 05:00 carries 400
+    val ev = Seq(
+      (10L, 1L, ts("2024-03-01 01:00:00"), 1.0),
+      (11L, 1L, ts("2024-03-01 04:00:00"), 4.0),
+      (12L, 2L, ts("2024-03-01 05:00:00"), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Gauge.hourlyInterpolated(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("hr").toString,
+        r.getAs[Double]("value_cents")))
+    val u1 = out.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq
+    assert(u1 == Seq(
+      ("2024-03-01 01:00:00.0", 100.0), // sample exactly on the hour
+      ("2024-03-01 02:00:00.0", 200.0), // 1/3 of the way 100→400
+      ("2024-03-01 03:00:00.0", 300.0),
+      ("2024-03-01 04:00:00.0", 400.0),
+      ("2024-03-01 05:00:00.0", 400.0))) // carried past the last sample
+    // u2's first sample is at the grid's last hour: single emitted row
+    val u2 = out.filter(_._1 == 2L).map(x => (x._2, x._3)).toSeq
+    assert(u2 == Seq(("2024-03-01 05:00:00.0", 900.0)))
+  }
+
+  test("hourlyInterpolated: deterministic under repartition") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ev = (0 until 300).map(i =>
+      (i.toLong, (i % 7).toLong, ts(i * 4 % 1440), (i % 23) + 0.5))
+      .toDF("event_id", "user_id", "ts", "value")
+    val a = Gauge.hourlyInterpolated(ev).collect().toSeq
+    val b = Gauge.hourlyInterpolated(ev.repartition(9)).collect().toSeq
+    assert(a == b)
+  }
 }
