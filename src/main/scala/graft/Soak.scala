@@ -77,7 +77,12 @@ object Soak {
     "q_codec_stats", "q_top_journeys", "q_source_overlap",
     "q_cohort_triangle", "q_slo_burn", "q_rolling_dau", "q_char_trigrams",
     "q_split_leakage", "q_chunking", "q_eval_sample", "q_apdex",
-    "q_equidepth_hist")
+    "q_equidepth_hist",
+    // round-5 additions: retrieval/LM scoring, runtime-filter join,
+    // theta sketch, stats tests, interpolating gap fill
+    "q_bm25", "q_lm_score", "q_log_templates", "q_bloom_join",
+    "q_kmv_intersect", "q_welch_ttest", "q_cramers_v", "q_linreg",
+    "q_type_diversity", "q_gauge_fill")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
@@ -98,7 +103,12 @@ object Soak {
     "q_counter_increase_mv", "q_mad_anomaly", "q_value_bands",
     "q_codec_stats", "q_top_journeys",
     "q_cohort_triangle", "q_slo_burn", "q_rolling_dau", "q_chunking",
-    "q_eval_sample", "q_apdex", "q_equidepth_hist")
+    "q_eval_sample", "q_apdex", "q_equidepth_hist",
+    // round-5 additions (q_gauge_fill stays 10×-only: its OUTPUT is
+    // |users|×|hours| — linear in users but ~1e9 rows at 100×)
+    "q_bm25", "q_lm_score", "q_log_templates", "q_bloom_join",
+    "q_kmv_intersect", "q_welch_ttest", "q_cramers_v", "q_linreg",
+    "q_type_diversity")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one

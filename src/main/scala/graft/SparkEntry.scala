@@ -592,9 +592,14 @@ object SparkEntry {
       analytics.Stats.typeDiversity(Tables.events(s, dir))),
 
     // WITH FILL INTERPOLATE analogue: hourly grid, linear interpolation
-    // between bracketing samples, trailing carry-forward
+    // between bracketing samples, trailing carry-forward. Registered over
+    // a dashboard-shaped 48 h range — the unbounded grid is |users|×|hours|
+    // rows (10.8 M at sf0.1), which measures output volume, not the plan.
     "q_gauge_fill" -> ((s, dir) =>
-      analytics.Gauge.hourlyInterpolated(Tables.events(s, dir))),
+      analytics.Gauge.hourlyInterpolated(
+        Tables.events(s, dir).filter(
+          col("ts") >= ts("2024-01-10 00:00:00") &&
+            col("ts") < ts("2024-01-12 00:00:00")))),
 
     // ───────────────────────── sampling / splitting / mixing ──
     "q_data_split" -> ((s, dir) =>
@@ -1985,7 +1990,10 @@ object SparkEntry {
          |FROM sl ORDER BY event_type""".stripMargin,
 
     "q_gauge_fill" ->
-      s"""WITH ev AS ($EV),
+      s"""WITH ev0 AS ($EV),
+         |ev AS (SELECT * FROM ev0
+         |       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |         AND ts < TIMESTAMP '2024-01-12 00:00:00'),
          |s AS (SELECT user_id, ts AS t, 0 AS g,
          |        CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
          |      FROM ev GROUP BY user_id, ts),

@@ -49,7 +49,14 @@ val headline = Seq(
   "q_top_journeys" -> "path analysis: WindowGroupLimit pre-trims each partition to its local first-k rows per user before the exchange; paths count map-side; top-k as TakeOrderedAndProject",
   "q_source_overlap" -> "source overlap matrix: rare-shingle filter (df<=maxDf) shrinks the self-join input AND removes its hot keys; pair counts combine map-side",
   "q_rolling_dau" -> "trailing-24h distinct users: the DISTINCT (user,hour) frame explodes into its 24 visibility hours (group rows x window, never raw events) then re-counts per target hour",
-  "q_split_leakage" -> "leakage audit: LSH-banded pair frame (never all pairs) + two doc-keyed split joins; cell counts combine map-side")
+  "q_split_leakage" -> "leakage audit: LSH-banded pair frame (never all pairs) + two doc-keyed split joins; cell counts combine map-side",
+  "q_bm25" -> "BM25 retrieval: ONE tokenize+explode into a conditional-count aggregation (map-side partials); corpus stats fold to a single broadcast row; top-k is TakeOrderedAndProject",
+  "q_lm_score" -> "bigram LM scoring: corpus tokenizes once per split; context counts and vocabulary derive from the aggregated bigram-count frame (distinct-bigram-bounded); scoring is two equi-joins",
+  "q_bloom_join" -> "runtime-filter join: scalar subquery materializes the bloom ONCE; BloomFilterMightContain guards the fact scan BEFORE the shuffle, so the exchange carries only rows that can join",
+  "q_kmv_intersect" -> "KMV theta sketch: the one data-sized op is distinct(type,hash) with map-side dedup; per-type k-minimums via WindowGroupLimit; everything after is O(types^2 x k)",
+  "q_gauge_fill" -> "interpolating gap fill: samples+grid union rides ONE key exchange; bracketing samples found by two frame windows -- no per-grid-point rescan, each sample touched once per pass",
+  "q_log_templates" -> "log-template mining: per-row mask+prefix (codegen'd), one keyed aggregation whose map-side combine collapses each partition to its distinct templates before the exchange",
+  "q_welch_ttest" -> "statistical tests: one map-side-combinable moments aggregation (BIGINT sums); the t/df arithmetic runs on group-count-sized rows after a tiny pair join")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
