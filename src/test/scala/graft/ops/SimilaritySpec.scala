@@ -165,6 +165,38 @@ class SimilaritySpec extends AnyFunSuite {
     sem.foreach { case (a, b, c) => assert(exactMap.get((a, b)).contains(c)) }
   }
 
+  test("pqTopK: substantial recall, exact cosines, k rows per probe") {
+    import org.apache.spark.sql.functions._
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(emb, probes, 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val pq = Similarity.pqTopK(emb, probes, 5).collect()
+    val byProbe = pq.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet == probes.toSet)
+    byProbe.foreach { case (probe, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getAs[Long]("vec_id") == probe))
+    }
+    // returned cosines are EXACT (pass-2 re-rank), so each must equal the
+    // brute-force cosine for the same (probe, vec) when shared
+    val bf = Similarity.bruteForceTopK(emb, probes, 50).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))
+      bf.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    val approx = pq.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+  }
+
+  test("pqTopK: deterministic under repartition") {
+    val a = Similarity.pqTopK(emb, Seq(0L, 1L), 5).collect().toSeq
+    val b = Similarity.pqTopK(emb.repartition(7), Seq(0L, 1L), 5).collect().toSeq
+    assert(a == b)
+  }
+
   test("semanticDedupPairs: exact duplicates always share a cluster and are found") {
     import org.apache.spark.sql.functions._
     // assignment is a pure function of the embedding, so a verbatim copy
