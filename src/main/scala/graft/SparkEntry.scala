@@ -185,6 +185,11 @@ object SparkEntry {
       analytics.Behavior.windowFunnelLevels(Tables.events(s, dir),
         Seq("signup", "view", "purchase"), windowHours = 6)),
 
+    // sequenceNextNode: the event right after the chain completes
+    "q_sequence_next" -> ((s, dir) =>
+      analytics.Behavior.sequenceNextNode(Tables.events(s, dir),
+        Seq("signup", "purchase"))),
+
     // ClickHouse retention(): cohort-anchored condition flags
     "q_retention_cohort" -> ((s, dir) =>
       analytics.Behavior.retentionCohort(Tables.events(s, dir),
@@ -325,6 +330,10 @@ object SparkEntry {
     // reproducible per-language eval sample
     "q_eval_sample" -> ((s, dir) =>
       ops.Sampling.evalSample(Tables.documents(s, dir), k = 5)),
+
+    // domain balancing: hard per-source cap, quality-ranked
+    "q_domain_cap" -> ((s, dir) =>
+      ops.Sampling.domainCap(Tables.documents(s, dir), cap = 20)),
 
     // BPE first-merge candidate table: top adjacent-token pairs
     "q_bpe_merges" -> ((s, dir) =>
@@ -2152,6 +2161,38 @@ object SparkEntry {
          |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
          |       WHERE e.event_type = 'purchase' GROUP BY 1, 2, 3)
          |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
+
+    "q_sequence_next" ->
+      s"""WITH ev AS ($EV),
+         |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_end FROM ev e
+         |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+         |       WHERE e.event_type = 'purchase' GROUP BY 1),
+         |nx AS (SELECT user_id, t_end, event_type AS next_type, ts AS next_ts
+         |       FROM (SELECT e.user_id, s2.t_end, e.event_type, e.ts,
+         |               ROW_NUMBER() OVER (PARTITION BY e.user_id
+         |                 ORDER BY e.ts, e.event_id) AS rn
+         |             FROM ev e JOIN s2 ON e.user_id = s2.user_id
+         |               AND e.ts > s2.t_end) z
+         |       WHERE rn = 1)
+         |SELECT s2.user_id, s2.t_end, nx.next_type, nx.next_ts
+         |FROM s2 LEFT JOIN nx ON s2.user_id = nx.user_id
+         |ORDER BY s2.user_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS rnk
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, rnk FROM r WHERE rnk <= 20
+        |ORDER BY source, rnk""".stripMargin,
 
     "q_retention" ->
       s"""WITH ev AS ($EV),

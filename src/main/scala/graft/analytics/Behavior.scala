@@ -76,6 +76,36 @@ object Behavior {
     }.orderBy(col("user_id"))
   }
 
+  /** ClickHouse `sequenceNextNode` analogue: for every user who completed
+    * the `steps` chain (strictly-increasing timestamps, earliest
+    * completion — [[sequenceMatches]] semantics), the event that comes
+    * NEXT after the chain completes — the "what do users do after
+    * converting" question. Users whose chain completes on their last
+    * event are kept with a NULL next (ClickHouse returns NULL there too).
+    *
+    * Scale shape: the chain frame is one row per qualifying user; the
+    * next-event lookup is a user-keyed join filtered to `ts > t_end`
+    * reduced by a min-struct aggregate (map-side partial) — no per-user
+    * sort, no window over raw events. Ties at the same timestamp resolve
+    * by event_id, mirrored in the oracle. */
+  def sequenceNextNode(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val kEnd = s"t${steps.size}"
+    val chains = sequenceMatches(events, steps)
+      .select(col("user_id"), col(kEnd).as("t_end"))
+    val nxt = events
+      .join(chains.withColumnRenamed("user_id", "_u"),
+        col("user_id") === col("_u") && col("ts") > col("t_end"))
+      .groupBy(col("user_id"), col("t_end"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("nx"))
+      .select(col("user_id").as("_nu"), col("t_end").as("_nt"),
+        col("nx.event_type").as("next_type"), col("nx.ts").as("next_ts"))
+    chains
+      .join(nxt, col("user_id") === col("_nu") && col("t_end") === col("_nt"),
+        "left_outer")
+      .select(col("user_id"), col("t_end"), col("next_type"), col("next_ts"))
+      .orderBy(col("user_id"))
+  }
+
   /** ClickHouse-`sequenceCount`-style disjoint-match counting: per user,
     * the MAXIMUM number of non-overlapping "`a` then later `b`" pairs
     * (each event consumed by at most one pair). Note this is the

@@ -110,4 +110,26 @@ object Sampling {
       Seq(col("fp"), col("doc_id")), "pos")
       .select(col("doc_id"), col("fp"), col("pos"))
       .orderBy(col("pos"))
+
+  /** Domain balancing: cap each source's contribution at its `cap` best
+    * documents, ranked by whitespace token count (desc, doc_id tie) — the
+    * curation step that stops one crawl domain from dominating the mix
+    * (the complement of [[mixSources]]' rate-based downsampling: a hard
+    * per-domain ceiling with a quality order instead of a random keep).
+    *
+    * Scale shape: one (source)-keyed ranking window; WindowGroupLimit
+    * trims every partition to its local top-`cap` BEFORE the exchange, so
+    * the shuffle carries at most `cap` rows per (partition, source) no
+    * matter how many billions of documents a hot domain has. */
+  def domainCap(documents: DataFrame, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .orderBy(col("source"), col("rnk"))
+  }
 }

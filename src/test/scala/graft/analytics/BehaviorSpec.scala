@@ -223,4 +223,29 @@ class BehaviorSpec extends AnyFunSuite {
       (t(1), 0, 2L, 2L), (t(1), 1, 1L, 2L), (t(1), 2, 2L, 2L),
       (t(2), 0, 1L, 1L)))
   }
+
+  test("sequenceNextNode: next event after chain end; NULL when chain ends last") {
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      // u1: a@1 b@2 → next is c@3
+      (1L, 1L, "a", ts(1)), (2L, 1L, "b", ts(2)), (3L, 1L, "c", ts(3)),
+      // u2: a@1 b@5, nothing after → NULL next
+      (4L, 2L, "a", ts(1)), (5L, 2L, "b", ts(5)),
+      // u3: same-ts tie after chain: event_id decides (id 8 < id 9)
+      (6L, 3L, "a", ts(1)), (7L, 3L, "b", ts(2)),
+      (8L, 3L, "x", ts(4)), (9L, 3L, "y", ts(4)),
+      // u4: b before a only → no chain, absent
+      (10L, 4L, "b", ts(1)), (11L, 4L, "a", ts(2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+    val out = Behavior.sequenceNextNode(ev, Seq("a", "b")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[String]("next_type")),
+          Option(r.getAs[java.sql.Timestamp]("next_ts"))))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == (Some("c"), Some(ts(3))))
+    assert(out(2L) == (None, None))
+    assert(out(3L) == (Some("x"), Some(ts(4))))
+  }
 }

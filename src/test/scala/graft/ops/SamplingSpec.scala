@@ -106,4 +106,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.map(_.getAs[Long]("doc_id")).toSeq ==
       sorted.map(_.getAs[Long]("doc_id")).toSeq)
   }
+
+  test("domainCap: per-source ceiling, quality-ordered, small sources intact") {
+    import spark.implicits._
+    // srcA: 30 docs of growing length; srcB: 3 docs — cap 5 keeps the 5
+    // LONGEST of A and all of B
+    val rows = (0 until 30).map(i =>
+      (i.toLong, ("w " * (i + 1)).trim, "en", "srcA")) ++
+      (100 until 103).map(i => (i.toLong, "a b c", "en", "srcB"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val out = Sampling.domainCap(d, cap = 5).collect()
+    val byl = out.groupBy(_.getAs[String]("source"))
+    assert(byl("srcA").length == 5)
+    // the longest docs (ids 25..29) survive, rank 1 = longest
+    assert(byl("srcA").map(_.getAs[Long]("doc_id")).toSet == Set(25L, 26L, 27L, 28L, 29L))
+    assert(byl("srcA").minBy(_.getAs[Int]("rnk")).getAs[Long]("doc_id") == 29L)
+    assert(byl("srcB").length == 3)
+  }
 }
