@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "token_fingerprint64(tokens) - order-sensitive rolling-hash fingerprint"),
       args => { exact("token_fingerprint64", 1, args); TokenFingerprint64(args.head) }))
 
+    e.injectFunction((FunctionIdentifier("splitmix64"),
+      info("splitmix64", classOf[Splitmix64],
+        "splitmix64(key) - full-avalanche 64-bit value hash (KMV/order-statistic grade)"),
+      args => { exact("splitmix64", 1, args); Splitmix64(args.head) }))
+
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", classOf[WordShingles],
         "word_shingles(text, n) - n-word shingle set of a string"),

@@ -67,6 +67,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(desc.contains("simhash64"))
   }
 
+  test("splitmix64 is SQL-callable and matches the reference sequence") {
+    // splitmix64(0) is a published test vector of the Steele/Lea/Flood
+    // generator: first output from seed 0
+    val h = ext.sql("SELECT splitmix64(CAST(0 AS BIGINT)) AS h").collect()(0).getLong(0)
+    assert(h == 0xE220A8397B1DCDAFL)
+    assert(graft.functions.Splitmix64.hash(0L) == h)
+  }
+
   test("optimizer rule and planner strategy ride the extensions class") {
     assert(ext.sessionState.planner.strategies
       .exists(_.getClass.getName.contains("AsOfJoinStrategy")))
