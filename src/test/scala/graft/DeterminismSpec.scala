@@ -21,7 +21,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q_spend_ranks",       // range-partitioned rank family
     "q_embedding_quantize",// per-row IEEE quantization
     "q_sequence_count",    // window cumsums + min
-    "q_heavy_hitters"      // count-min cells + sandwich verdict
+    "q_heavy_hitters",     // count-min cells + sandwich verdict
+    "q_bm25",              // fixed-association IEEE score tree + top-k
+    "q_kmv_intersect",     // order-statistic sketch (k-minimums, theta)
+    "q_cramers_v"          // chi-square via the (rt,ct)-sorted fold
   )
 
   test("query results are invariant to the shuffle partition count") {
