@@ -280,6 +280,12 @@ object SparkEntry {
     "q_interval_union" -> ((s, dir) =>
       analytics.TimeSeries.intervalUnionSeconds(Tables.events(s, dir))),
 
+    // daily-partitioned layout read through a dynamic-partition-pruned
+    // join (top-revenue-day dim) — oracle is the same math on raw events
+    "q_partition_prune" -> ((s, dir) =>
+      sources.PartitionedLayout.countsOnTopRevenueDays(
+        s, dir, Tables.events(s, dir), k = 5)),
+
     "q_decayed_score" -> ((s, dir) =>
       analytics.TimeSeries.decayedScore(Tables.events(s, dir), horizonHours = 30)),
 
@@ -1926,6 +1932,20 @@ object SparkEntry {
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
 
     "q_kmv_intersect" -> OracleSql.kmvIntersectionsSql(EV, 64),
+
+    "q_partition_prune" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS d,
+         |        event_type, CAST(round(value * 100) AS BIGINT) AS cents
+         |      FROM ev),
+         |rev AS (SELECT d, CAST(SUM(cents) AS BIGINT) AS rev FROM c
+         |        WHERE event_type = 'purchase' GROUP BY d),
+         |top AS (SELECT d FROM (
+         |          SELECT d, ROW_NUMBER() OVER (ORDER BY rev DESC, d) AS rn
+         |          FROM rev) z WHERE rn <= 5)
+         |SELECT c.d, c.event_type, COUNT(*) AS n
+         |FROM c JOIN top USING (d)
+         |GROUP BY c.d, c.event_type ORDER BY c.d, c.event_type""".stripMargin,
 
     "q_welch_ttest" ->
       s"""WITH ev AS ($EV),

@@ -57,7 +57,8 @@ val headline = Seq(
   "q_gauge_fill" -> "interpolating gap fill: samples+grid union rides ONE key exchange; bracketing samples found by two frame windows -- no per-grid-point rescan, each sample touched once per pass",
   "q_log_templates" -> "log-template mining: per-row mask+prefix (codegen'd), one keyed aggregation whose map-side combine collapses each partition to its distinct templates before the exchange",
   "q_welch_ttest" -> "statistical tests: one map-side-combinable moments aggregation (BIGINT sums); the t/df arithmetic runs on group-count-sized rows after a tiny pair join",
-  "q_knn_pq" -> "PQ-ADC: codebook and per-probe LUTs broadcast; encode is m argmax rows/vector through map-side aggregation; ADC scan O(m)/pair with WindowGroupLimit pool trim, exact re-rank on id-lookups only")
+  "q_knn_pq" -> "PQ-ADC: codebook and per-probe LUTs broadcast; encode is m argmax rows/vector through map-side aggregation; ADC scan O(m)/pair with WindowGroupLimit pool trim, exact re-rank on id-lookups only",
+  "q_partition_prune" -> "daily hive layout + DPP: the top-days dim broadcasts and becomes a dynamicpruning PartitionFilter on the fact scan -- skipped day directories are never listed or opened")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
