@@ -82,7 +82,8 @@ object Soak {
     // theta sketch, stats tests, interpolating gap fill
     "q_bm25", "q_lm_score", "q_log_templates", "q_bloom_join",
     "q_kmv_intersect", "q_welch_ttest", "q_cramers_v", "q_linreg",
-    "q_type_diversity", "q_gauge_fill", "q_knn_pq", "q_partition_prune")
+    "q_type_diversity", "q_gauge_fill", "q_knn_pq", "q_partition_prune",
+    "q_trailing_window", "q_dedup_history")
 
   /** The subset whose work scales linearly in the data (excludes the
     * dedup tiers whose OUTPUT grows quadratically under replication) —
@@ -108,7 +109,8 @@ object Soak {
     // |users|×|hours| — linear in users but ~1e9 rows at 100×)
     "q_bm25", "q_lm_score", "q_log_templates", "q_bloom_join",
     "q_kmv_intersect", "q_welch_ttest", "q_cramers_v", "q_linreg",
-    "q_type_diversity", "q_knn_pq", "q_partition_prune")
+    "q_type_diversity", "q_knn_pq", "q_partition_prune",
+    "q_trailing_window", "q_dedup_history")
 
   /** End-to-end streaming soak: replay the events fixture `factor`× as
     * wire-shaped rows through [[graft.streaming.LogStream.ingest]] (one

@@ -410,6 +410,10 @@ object SparkEntry {
     "q_moving_avg" -> ((s, dir) =>
       Analytics2.movingAvg(Tables.events(s, dir))),
 
+    // RANGE (event-time) frame twin: trailing 30 min per user
+    "q_trailing_window" -> ((s, dir) =>
+      Analytics2.trailingWindow(Tables.events(s, dir), minutes = 30)),
+
     // counting-based exact percentile twin: same values as q_percentiles
     // from O(distinct values) per-task state instead of all-group-rows
     "q_percentiles_big" -> ((s, dir) =>
@@ -442,6 +446,14 @@ object SparkEntry {
 
     "q_dedup_drop" -> ((s, dir) =>
       Dedup.exactDropList(Tables.documents(s, dir))),
+
+    // incremental history dedup: bloom-negative rows bypass the anti-join
+    "q_dedup_history" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.historyDedupBloom(s,
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0))
+    }),
 
     "q_dedup_char_jaccard" -> ((s, dir) =>
       Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9)),
@@ -1095,6 +1107,17 @@ object SparkEntry {
         |SELECT d.doc_id, c.keep_id FROM documents d
         |JOIN c ON md5(d.text) = c.text_hash
         |WHERE d.doc_id <> c.keep_id ORDER BY d.doc_id""".stripMargin,
+
+    // the bloom is correctness-transparent (no false negatives + exact
+    // re-check), so the oracle is the plain anti-join
+    "q_dedup_history" ->
+      """WITH inc AS (SELECT doc_id, md5(text) AS text_hash FROM documents
+        |             WHERE doc_id % 3 = 0),
+        |hist AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |         WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, text_hash FROM inc
+        |WHERE text_hash NOT IN (SELECT h FROM hist)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_char_jaccard" ->
       """SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1932,6 +1955,19 @@ object SparkEntry {
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
 
     "q_kmv_intersect" -> OracleSql.kmvIntersectionsSql(EV, 64),
+
+    "q_trailing_window" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS tms,
+         |        CAST(round(value * 100) AS BIGINT) AS cents
+         |      FROM ev)
+         |SELECT user_id, event_id, ts,
+         |  COUNT(*) OVER w AS n_trailing,
+         |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing
+         |FROM c
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+         |  RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_partition_prune" ->
       s"""WITH ev AS ($EV),

@@ -82,6 +82,27 @@ object Analytics2 {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Trailing-30-minute per-user aggregate — the RANGE (event-time) frame
+    * complement to [[movingAvg]]'s ROWS frame: each event sees every
+    * event of the same user within the preceding 1800 s, however many
+    * that is (ClickHouse `RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW`
+    * over toUnixTimestamp ordering). Frame bounds are on epoch millis;
+    * timestamp ties include all peers on both engines (SQL RANGE
+    * semantics), and the aggregates are an integer cent sum + count, so
+    * the result is order-free and hash-exact. One user-keyed exchange. */
+  def trailingWindow(events: DataFrame, minutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+      .rangeBetween(-(minutes * 60000L), Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_millis(col("ts")).as("tms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("cents")).over(w).as("cents_trailing"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Exact interpolated percentiles of quantity per return flag. */
   def quantityPercentiles(lineitem: DataFrame): DataFrame =
     lineitem

@@ -55,6 +55,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental history dedup through a bloom runtime filter: keep every
+    * `incoming` document whose text does NOT already appear in `history` —
+    * the per-snapshot dedup a pipeline runs against its accumulated
+    * corpus. The bloom carries the economics: the history's text hashes
+    * fold into a KB–MB filter (scalar subquery — built once, broadcast
+    * with the plan); a bloom-NEGATIVE row is DEFINITELY unseen (blooms
+    * admit no false negatives) and bypasses the anti-join entirely, so
+    * only the maybe-seen minority re-checks exactly. Against 100 TB of
+    * history the exact anti-join processes a few percent of the batch
+    * instead of all of it; correctness never depends on the filter.
+    *
+    * Output: surviving (doc_id, text_hash), doc_id order. */
+  def historyDedupBloom(spark: org.apache.spark.sql.SparkSession,
+      incoming: DataFrame, history: DataFrame,
+      estItems: Long = 65536L): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    incoming.createOrReplaceTempView("bloom_dedup_inc")
+    history.createOrReplaceTempView("bloom_dedup_hist")
+    spark.sql(
+      s"""WITH inc AS (SELECT doc_id, md5(text) AS text_hash FROM bloom_dedup_inc),
+         |hist AS (SELECT DISTINCT md5(text) AS h FROM bloom_dedup_hist),
+         |flagged AS (
+         |  SELECT doc_id, text_hash,
+         |    bloom_might_contain(
+         |      (SELECT bloom_build(md5(text), ${estItems}L) FROM bloom_dedup_hist),
+         |      text_hash) AS maybe
+         |  FROM inc)
+         |SELECT doc_id, text_hash FROM flagged WHERE NOT maybe
+         |UNION ALL
+         |SELECT f.doc_id, f.text_hash
+         |FROM (SELECT * FROM flagged WHERE maybe) f
+         |LEFT ANTI JOIN hist ON f.text_hash = hist.h
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** MinHash signature column: array of `k` minhashes of the shingle set —
     * the [[graft.functions.MinHashSig]] native expression (one FNV hash
     * per shingle, k affine permutations derived in-register; the composed

@@ -137,4 +137,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1) == Set("a b")) // fewer tokens than n
     assert(got(2) == Set("x"))
   }
+
+  test("historyDedupBloom: keeps exactly the unseen texts; bloom is in the plan") {
+    import spark.implicits._
+    val history = Seq(
+      (100L, "seen text one", "en", "h"), (101L, "seen text two", "en", "h"))
+      .toDF("doc_id", "text", "lang", "source")
+    val incoming = Seq(
+      (1L, "seen text one", "en", "i"),   // duplicate of history → dropped
+      (2L, "brand new text a", "en", "i"),
+      (3L, "seen text two", "en", "i"),   // duplicate → dropped
+      (4L, "brand new text b", "en", "i"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.historyDedupBloom(spark, incoming, history)
+    assert(out.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
 }
