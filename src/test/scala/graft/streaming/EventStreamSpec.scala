@@ -63,4 +63,44 @@ class EventStreamSpec extends AnyFunSuite {
     val w0 = out.filter(_.getAs[Timestamp]("w_start") == t("2024-01-01T00:00:00Z"))
     assert(w0.length == 1 && w0.head.getAs[Long]("n") == 1L)
   }
+
+  test("live template mining: running counts match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    case class Msg(msg: String, group_key: Long, ts: Timestamp)
+    val rows = Seq(
+      ("conn from 10.0.0.1 port 443", 1L, t("2024-01-01T00:00:00Z")),
+      ("conn from 10.9.3.7 port 80", 2L, t("2024-01-01T00:01:00Z")),
+      ("disk full on /dev/sda1", 3L, t("2024-01-01T00:02:00Z")),
+      ("conn from 172.16.0.4 port 8080", 1L, t("2024-01-01T00:03:00Z")))
+    val mem = MemoryStream[(String, Long, Timestamp)]
+    val q = EventStream.templateCounts(
+        mem.toDF().toDF("msg", "group_key", "ts"))
+      .writeStream.format("memory").queryName("tpl").outputMode("complete").start()
+    // two micro-batches — the running counts must accumulate across them
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tpl").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_msgs"), r.getAs[Long]("n_keys_approx"))).toMap
+    assert(got.keySet == Set(
+      "conn from <num>.<num>.<num>.<num> port <num>", "disk full on /dev/sda<num>"))
+    assert(got("conn from <num>.<num>.<num>.<num> port <num>")._1 == 3L)
+    assert(got("disk full on /dev/sda<num>")._1 == 1L)
+    // approx distinct on 2 keys is exact at this cardinality
+    assert(got("conn from <num>.<num>.<num>.<num> port <num>")._2 == 2L)
+    // stream-vs-batch parity on (template, n_msgs, first/last seen)
+    val batch = EventStream.templateCounts(
+        rows.toDF("msg", "group_key", "ts"))
+      .orderBy(col("template")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_msgs"),
+        r.getAs[Timestamp]("first_seen"), r.getAs[Timestamp]("last_seen"))).toSeq
+    val streamed = spark.table("tpl")
+      .orderBy(col("template")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_msgs"),
+        r.getAs[Timestamp]("first_seen"), r.getAs[Timestamp]("last_seen"))).toSeq
+    assert(streamed == batch)
+  }
 }
