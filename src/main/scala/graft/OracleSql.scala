@@ -600,7 +600,10 @@ object OracleSql {
 
   /** Full replica of [[graft.ops.Sketches.kmvIntersections]]: the KMV
     * theta-sketch intersection estimate, recomputed end to end — the same
-    * FNV-1a user hash (signed-long order), per-type k-minimums, pairwise
+    * splitmix64 user hash (signed-long order; c1..c3 below are the
+    * splitmix constants — FNV-1a is documented unfit for KMV because its
+    * high bits are not uniform on short decimal strings), per-type
+    * k-minimums, pairwise
     * union rank, θ selection, and the IEEE θ-fraction arithmetic (2^63 and
     * 2^64 are exact double literals; +,/ are correctly rounded, so both
     * engines produce the identical double). */

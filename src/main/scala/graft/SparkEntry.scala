@@ -486,13 +486,14 @@ object SparkEntry {
     // mass sits at cosine ~0.4, so the bucketed candidate generation is
     // verified against 59 true pairs (sf0.01), not an empty set. bits=4/
     // tables=16 measures 0.93 recall there (deterministic hyperplanes);
-    // bound 0.8 asserts the floor
+    // bound 0.9 = measured floor minus noise, so a regression in the
+    // hyperplane family fails loudly instead of eroding to a slack bound
     "q_dedup_embedding_lsh_check" -> ((s, dir) =>
       pairRecallCheck(
         Similarity.embeddingNearDupPairsLsh(Tables.embeddings(s, dir), 0.4,
           bits = 4, tables = 16),
         Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4),
-        bound = 0.8)),
+        bound = 0.9)),
 
     // SemDeDup: cluster-local semantic dedup — within-cluster pairwise
     // work (Σ|c|² not n²), hash-exact oracle via the replicated IVF chain

@@ -117,7 +117,12 @@ object Stats {
     * catastrophically cancel. Output: (event_type, n, slope, intercept),
     * slope in cents/hour. */
   def groupLinReg(events: DataFrame): DataFrame = {
-    val x = expr("(unix_timestamp(ts) - 1704067200L) div 3600L")
+    // FLOOR division (pmod is non-negative), matching DuckDB `//` for any
+    // sign — Spark `div` truncates toward zero, which would put a pre-2024
+    // event one bin off the oracle. unix_timestamp(ts) on a TIMESTAMP
+    // column reads the stored UTC instant (no session-tz parse involved).
+    val x = expr("(unix_timestamp(ts) - 1704067200L" +
+      " - pmod(unix_timestamp(ts) - 1704067200L, 3600L)) div 3600L")
     val agg = events
       .select(col("event_type"), x.as("x"), cents.as("y"))
       .groupBy(col("event_type"))

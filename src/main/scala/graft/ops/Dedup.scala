@@ -66,6 +66,11 @@ object Dedup {
     * history the exact anti-join processes a few percent of the batch
     * instead of all of it; correctness never depends on the filter.
     *
+    * An empty history (or all-NULL texts) makes the bloom aggregate NULL;
+    * NULL means nothing was ever inserted — definitely unseen — so both
+    * branches coalesce `maybe` to false and the bootstrap batch survives
+    * intact instead of being silently dropped.
+    *
     * Output: surviving (doc_id, text_hash), doc_id order. */
   def historyDedupBloom(spark: org.apache.spark.sql.SparkSession,
       incoming: DataFrame, history: DataFrame,
@@ -82,10 +87,10 @@ object Dedup {
          |      (SELECT bloom_build(md5(text), ${estItems}L) FROM bloom_dedup_hist),
          |      text_hash) AS maybe
          |  FROM inc)
-         |SELECT doc_id, text_hash FROM flagged WHERE NOT maybe
+         |SELECT doc_id, text_hash FROM flagged WHERE NOT coalesce(maybe, false)
          |UNION ALL
          |SELECT f.doc_id, f.text_hash
-         |FROM (SELECT * FROM flagged WHERE maybe) f
+         |FROM (SELECT * FROM flagged WHERE coalesce(maybe, false)) f
          |LEFT ANTI JOIN hist ON f.text_hash = hist.h
          |ORDER BY doc_id""".stripMargin)
   }

@@ -325,10 +325,16 @@ object Similarity {
     * rank exchange. */
   def pqTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
       m: Int = 8, nCodes: Int = 16, poolFactor: Int = 4): DataFrame = {
-    val corpus = embeddings
-      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
     val dim = 64 // fixture embedding width; codebook slicing needs it fixed
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    // Fail loudly on width mismatch instead of slicing short/empty
+    // subvectors into wrong codes: assert_true throws per-row; on success
+    // it is NULL so the filter keeps every row, and it cannot be pruned
+    // away (it sits in a predicate, not an unused projection).
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
+      .filter(assert_true(size(col("embedding")) === lit(dim),
+        lit(s"pqTopK expects $dim-wide embeddings")).isNull)
     val sub = dim / m
     val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val seeds = corpus

@@ -39,8 +39,12 @@ object PartitionedLayout {
       events: => DataFrame): String = {
     val appId = spark.sparkContext.applicationId
     prepared.getOrElseUpdate((appId, dir), {
+      // the on-disk path carries the applicationId like the memo key does:
+      // two concurrent JVMs (parallel test runs) must not overwrite each
+      // other's layout mid-read
       val path = sys.props("java.io.tmpdir") +
-        s"/graft_daily_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        s"/graft_daily_${appId.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       events
         .withColumn("d", date_format(col("ts"), "yyyyMMdd").cast("int"))
         .repartition(col("d"))

@@ -153,4 +153,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("might_contain"))
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
   }
+
+  test("historyDedupBloom: empty history (NULL bloom) keeps the whole batch") {
+    import spark.implicits._
+    // bootstrap case: no accumulated corpus yet. The bloom aggregate over
+    // zero rows is NULL; NULL must read as "definitely unseen", not drop
+    // every row (the pre-fix behavior).
+    val history = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val incoming = Seq(
+      (1L, "first ever doc", "en", "i"), (2L, "second ever doc", "en", "i"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.historyDedupBloom(spark, incoming, history)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // all-NULL history texts behave the same (nothing was inserted)
+    val nullHist = Seq((9L, null: String, "en", "h"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out2 = Dedup.historyDedupBloom(spark, incoming, nullHist)
+    assert(out2.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
 }
