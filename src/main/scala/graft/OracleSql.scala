@@ -492,22 +492,35 @@ object OracleSql {
        |  false AS decoded
        |FROM media ORDER BY media_id""".stripMargin
 
-  /** [[graft.ops.Multimodal.sampleFrames]]: stub frame count from payload
-    * size, frame hash = payload FNV xor (idx · golden-ratio constant),
-    * wrapping — same modular machinery. */
+  /** [[graft.ops.Multimodal.sampleFrames]] over the
+    * [[graft.ops.Multimodal.videoGifMedia]] fixture: the decode is REAL
+    * (javax.imageio reader iteration over an actual animated GIF), and the
+    * fixture encodes `1 + doc_id % 7` frames per video doc — a pure
+    * function of doc_id, so the oracle predicts exactly what the container
+    * walk must find. Frame pixel hashes are deterministic but not
+    * SQL-expressible (DuckDB cannot decode GIF rasters); they are asserted
+    * stable/distinct in MultimodalSpec instead. */
   def multimodalFramesSql(stride: Int, maxFrames: Int): String =
     s"""WITH media AS (
-       |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,
-       |    octet_length(encode(text)) AS n_bytes
+       |  SELECT doc_id AS media_id, 1 + doc_id % 7 AS n_frames
        |  FROM documents WHERE doc_id % 3 = 2),
        |frames AS (
-       |  SELECT media_id, h, unnest(range(0, greatest(n_bytes // 4096, 1), $stride)) AS fi
+       |  SELECT media_id, unnest(range(0, n_frames, $stride)) AS fi
        |  FROM media)
-       |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
-       |  ${u2s(s"xor(h, ${mulmod64(s"CAST(fi AS UBIGINT)", ulit(-7046029254386353131L))})")} AS frame_hash
+       |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx, true AS decoded
        |FROM frames
        |WHERE fi / $stride < $maxFrames
        |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** [[graft.ops.Multimodal.sampleFrames]] quarantine branch over the
+    * text-payload fixture: no installed ImageIO reader recognizes UTF-8
+    * text, so every row must yield exactly one (-1, payload-FNV, false)
+    * row — byte-exact hash check of the undecodable path. */
+  def multimodalFramesQuarantineSql: String =
+    s"""SELECT doc_id AS media_id, CAST(-1 AS INTEGER) AS frame_idx,
+       |  ${u2s(fnv1a64("text"))} AS frame_hash, false AS decoded
+       |FROM documents WHERE doc_id % 3 = 2
+       |ORDER BY media_id""".stripMargin
 
   /** [[graft.ops.Multimodal.audioFeatures]]: the decode is REAL
     * (javax.sound.sampled header parse), and text payloads are not audio

@@ -752,12 +752,27 @@ object SparkEntry {
         .toDF().orderBy(col("media_id"))
     }),
 
+    // REAL container decode: the fixture's animated GIFs carry
+    // 1 + doc_id % 7 frames, so the oracle predicts what the ImageIO
+    // walk must find; pixel hashes (not SQL-expressible) are projected
+    // out here and asserted in MultimodalSpec
     "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.videoGifMedia(s, Tables.documents(s, dir)),
+        stride = 1, maxFrames = 4)
+        .toDF().select(col("media_id"), col("frame_idx"), col("decoded"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // quarantine branch: text payloads are not video containers — one
+    // (-1, payload-FNV, false) row each, hash-exact against the oracle
+    "q_multimodal_frames_quarantine" -> ((s, dir) => {
       import s.implicits._
       Multimodal.sampleFrames(
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)),
         stride = 1, maxFrames = 4)
-        .toDF().orderBy(col("media_id"), col("frame_idx"))
+        .toDF().orderBy(col("media_id"))
     }),
 
     "q_multimodal_audio" -> ((s, dir) => {
@@ -2439,6 +2454,7 @@ object SparkEntry {
 
     "q_multimodal_image" -> OracleSql.multimodalImageSql,
     "q_multimodal_frames" -> OracleSql.multimodalFramesSql(stride = 1, maxFrames = 4),
+    "q_multimodal_frames_quarantine" -> OracleSql.multimodalFramesQuarantineSql,
     "q_multimodal_audio" -> OracleSql.multimodalAudioSql,
 
     // ── approximate tier: exact sides recomputed, verdicts asserted ──

@@ -38,11 +38,14 @@ object Multimodal {
       content_hash: Long,
       decoded: Boolean)
 
-  /** Sampled video frame reference. */
+  /** Sampled video frame reference. `decoded` distinguishes a real
+    * multi-frame container parse from an undecodable payload (one
+    * quarantine row with frame_idx = -1, frame_hash = payload hash). */
   final case class FrameSample(
       media_id: Long,
       frame_idx: Int,
-      frame_hash: Long)
+      frame_hash: Long,
+      decoded: Boolean)
 
   /** Decoded audio envelope metadata. `decoded` distinguishes a real codec
     * parse from an undecodable payload (rate/samples/duration = -1). */
@@ -128,21 +131,59 @@ object Multimodal {
     }
   }
 
-  /** Video frame sampling: every `stride`-th frame up to `maxFrames`.
-    * Frame count is stub-derived from payload size (≈ one frame per 4 KiB);
-    * a real decoder would read container metadata. */
+  /** Video frame sampling: every `stride`-th frame up to `maxFrames`,
+    * decoded FOR REAL via `javax.imageio` reader iteration — plain JDK
+    * decodes multi-frame containers (animated GIF) frame by frame:
+    * `getNumImages(true)` reads the actual frame count from the container
+    * and `reader.read(i)` decodes frame i's pixels, which are hashed into
+    * `frame_hash`. A payload no installed reader recognizes (an MP4, say —
+    * native demuxers don't ship in plain JDK) yields ONE quarantine row
+    * (frame_idx = -1, frame_hash = payload hash, decoded = false) — the
+    * same keep-don't-throw contract as the image and audio paths. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int, maxFrames: Int): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
-        // STUB: replace with container demux + frame decode.
         val h = contentHash(r.payload)
-        val nFrames = math.max(1, r.payload.length / 4096)
-        (0 until nFrames by stride).take(maxFrames).iterator.map { i =>
-          FrameSample(r.media_id, i, h ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        val decodedFrames =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                // allowSearch = true: walk the container to the real count
+                val n = reader.getNumImages(true)
+                if (n >= 1)
+                  Some((0 until n by stride).take(maxFrames).map { i =>
+                    val img = reader.read(i)
+                    FrameSample(r.media_id, i, pixelHash(img), decoded = true)
+                  })
+                else None
+              } finally reader.dispose()
+            } else None
+          } catch { case _: Exception => None }
+        decodedFrames match {
+          case Some(fs) => fs.iterator
+          case None =>
+            Iterator.single(FrameSample(r.media_id, -1, h, decoded = false))
         }
       }
     }
+  }
+
+  /** Deterministic hash of a decoded frame's pixel content (ARGB
+    * row-major), independent of the BufferedImage's internal raster
+    * layout. */
+  private def pixelHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val argb = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
+    val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+    bb.asIntBuffer().put(argb)
+    graft.functions.SimHash64.fnv1a64(bb.array())
   }
 
   /** DataFrame-level metadata extraction over a binary payload column —
@@ -154,6 +195,60 @@ object Multimodal {
       col("kind"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("content_md5"))
+
+  /** Video fixture with REAL multi-frame payloads: every `video`-kind
+    * document (doc_id % 3 == 2) carries an actual animated GIF, encoded
+    * per-row with the JDK GIF writer's sequence API, with
+    * `1 + doc_id % 7` frames of 8×8 pixels. The frame count is a pure
+    * function of doc_id, so a SQL oracle can predict exactly what the
+    * REAL container decode must find — the decode is honest, the
+    * expectation is still hash-checkable. Frame pixels are flat
+    * GIF-palette-safe colors (web-safe cube, exactly representable in the
+    * encoder's palette) derived from (doc_id, frame), so frame hashes are
+    * deterministic too (asserted in MultimodalSpec, not SQL-predictable).
+    * Per-row encode work rides inside `mapPartitions` — embarrassingly
+    * parallel, no shuffle. */
+  def videoGifMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (docId, source) =>
+          val nFrames = (1 + docId % 7).toInt
+          MediaRow(docId, "video", animatedGif(docId, nFrames), source)
+        }
+      }
+  }
+
+  /** Encode an n-frame 8×8 animated GIF (JDK writer, sequence API). */
+  private def animatedGif(seed: Long, nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // web-safe color (6×6×6 cube, channel values k·51): survives GIF
+        // palette quantization bit-exactly, keeping frame hashes stable
+        val mix = seed * 31 + f
+        val rgb = ((mix % 6) * 51 << 16 | ((mix / 6) % 6) * 51 << 8 |
+          ((mix / 36) % 6) * 51).toInt
+        (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, rgb)))
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
 
   /** Build a synthetic media table from `documents` (text bytes as payload)
     * — fixture glue so multimodal plumbing is exercisable on the shipped

@@ -52,14 +52,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.n_bytes > 0))
   }
 
-  test("sampleFrames: stride and cap respected") {
+  test("sampleFrames: text payloads quarantine as one undecodable row each") {
     val frames = Multimodal.sampleFrames(media, stride = 2, maxFrames = 3).collect()
     assert(frames.nonEmpty)
+    // utf-8 text is not a video container: exactly one quarantine row per
+    // video doc, hash = payload FNV (the oracle-checkable branch)
+    assert(frames.forall(f => f.frame_idx == -1 && !f.decoded))
+    assert(frames.map(_.media_id).distinct.length == frames.length)
+  }
+
+  test("sampleFrames: REAL decode — animated GIF frame count, stride and cap") {
+    val gifs = Multimodal.videoGifMedia(
+      spark, Tables.documents(spark, SparkTestBase.sfDir))
+    val frames = Multimodal.sampleFrames(gifs, stride = 2, maxFrames = 3).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.decoded))
     val byMedia = frames.groupBy(_.media_id)
-    byMedia.values.foreach { fs =>
-      assert(fs.length <= 3)
-      assert(fs.map(_.frame_idx).forall(_ % 2 == 0))
+    byMedia.foreach { case (id, fs) =>
+      val nFrames = (1 + id % 7).toInt // fixture construction
+      val want = (0 until nFrames by 2).take(3).toSet
+      assert(fs.map(_.frame_idx).toSet == want, s"media $id")
     }
+    // pixel hashes: stable across runs, distinct across frames (each frame
+    // is a different web-safe color so palette quantization is exact)
+    val again = Multimodal.sampleFrames(gifs, stride = 2, maxFrames = 3).collect()
+    assert(frames.sortBy(f => (f.media_id, f.frame_idx)).toSeq ==
+      again.sortBy(f => (f.media_id, f.frame_idx)).toSeq)
+    val multi = byMedia.values.filter(_.length > 1)
+    assert(multi.nonEmpty)
+    multi.foreach(fs => assert(fs.map(_.frame_hash).distinct.length == fs.length))
   }
 
   test("audioFeatures: text payloads all quarantine (real codec, no audio headers)") {
