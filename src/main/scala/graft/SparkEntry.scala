@@ -222,6 +222,12 @@ object SparkEntry {
     "q_counter_increase" -> ((s, dir) =>
       analytics.TimeSeries.counterIncrease(Tables.events(s, dir))),
 
+    // streaming↔batch parity verdict for the counter operator: streamed
+    // per-sample increases summed by (user, hour) must equal the batch
+    // rollup exactly (see q_sessionize_stream_parity for the pattern)
+    "q_counter_increase_stream_parity" -> ((s, dir) =>
+      streaming.ParityCheck.counterIncreaseParity(s, dir)),
+
     // rollup-served twin: disjoint slice states merged then stitched
     "q_counter_increase_mv" -> ((s, dir) =>
       analytics.CounterRollup.increaseFromSlices(Tables.events(s, dir),
@@ -355,6 +361,14 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 30)),
+
+    // streaming↔batch parity verdict: the fixture replayed through the
+    // stateful streaming sessionizer (MemoryStream, 4 micro-batches,
+    // sentinel-flushed) must equal the batch operator's session set
+    // exactly — green here means the streaming path carries q_sessionize's
+    // DuckDB-oracle guarantee transitively
+    "q_sessionize_stream_parity" -> ((s, dir) =>
+      streaming.ParityCheck.sessionizeParity(s, dir, 30)),
 
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
@@ -970,6 +984,21 @@ object SparkEntry {
          |  COUNT(*) AS n_events
          |FROM s3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // parity verdict: n_batch recomputed independently by the sessionize
+    // replica; stream side must equal it with empty set-differences
+    "q_sessionize_stream_parity" ->
+      s"""WITH ev AS ($EV),
+         |s1 AS (SELECT user_id, event_id, ts,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+         |s2 AS (SELECT user_id,
+         |         CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+         |              THEN 1 ELSE 0 END AS new_session FROM s1),
+         |n AS (SELECT CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM s2)
+         |SELECT n_sessions AS n_batch, n_sessions AS n_stream,
+         |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
+         |  true AS parity_ok
+         |FROM n""".stripMargin,
+
     "q_distinct_users" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
 
@@ -1506,6 +1535,18 @@ object SparkEntry {
          |                ELSE cents END) AS BIGINT) AS increase_cents
          |FROM d GROUP BY user_id, date_trunc('hour', ts)
          |ORDER BY user_id, hr""".stripMargin,
+
+    // parity verdict: n_batch = (user, hour) group count recomputed by
+    // the counter replica; stream side must equal with empty differences
+    "q_counter_increase_stream_parity" ->
+      s"""WITH ev AS ($EV),
+         |n AS (SELECT COUNT(*) AS n_groups FROM
+         |  (SELECT DISTINCT user_id, date_trunc('hour', ts) FROM ev))
+         |SELECT CAST(n_groups AS BIGINT) AS n_batch,
+         |  CAST(n_groups AS BIGINT) AS n_stream,
+         |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
+         |  true AS parity_ok
+         |FROM n""".stripMargin,
 
     "q_interval_union" ->
       s"""WITH ev AS ($EV),

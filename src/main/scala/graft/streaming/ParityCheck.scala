@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming↔batch parity as a REGISTERED correctness row (not just a
+  * spec): the stateful streaming operator must produce, row for row, the
+  * answer of its batch twin — and the batch twin is DuckDB-oracle-checked,
+  * so a green parity row means the streaming path carries the oracle's
+  * guarantee transitively. Registered the way the ANN `*_check` verdicts
+  * are: the output is a one-row verdict whose expected value the oracle
+  * states independently.
+  *
+  * The runner is driver-orchestrated BY NATURE (a MemoryStream feed is a
+  * test harness — production streams arrive over readStream): the fixture
+  * is collected, replayed in chronological micro-batches, and closed-out
+  * with two far-future sentinel events so the event-time watermark passes
+  * every open session's gap deadline and forces final emission — the same
+  * end-of-stream flush a real pipeline gets from its next day of data.
+  */
+object ParityCheck {
+
+  private val SentinelUser = -1L
+
+  /** Feed `dir`'s events through [[StatefulOps.sessionize]] via a
+    * MemoryStream (4 chronological micro-batches — boundaries must not
+    * matter, that is part of what is verified), then compare the emitted
+    * sessions with [[graft.analytics.Analytics.sessionize]] as SETS
+    * (exceptAll both ways, so duplicate rows can't hide).
+    *
+    * Output: one row (n_batch, n_stream, n_only_batch, n_only_stream,
+    * parity_ok). The oracle recomputes n_batch with its own sessionize
+    * replica and asserts (n, n, 0, 0, true).
+    */
+  def sessionizeParity(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StatefulOps.EventIn]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    require(events.nonEmpty, s"no events in $dir")
+    val maxTs = events.last.ts.getTime
+    val yearMs = 365L * 24 * 3600 * 1000
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.EventIn]
+    val tbl = "parity_sessionize"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val q = StatefulOps.sessionize(mem.toDS(), gapMinutes)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try {
+      // chronological chunks: each batch's min ts is >= the previous
+      // batch's max, so nothing ever falls behind the watermark mid-replay
+      val batchSize = math.max(1, events.length / nBatches)
+      events.grouped(batchSize).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      // two sentinel generations: the first advances the watermark past
+      // every real session's gap deadline, the second triggers the timeout
+      // sweep under that watermark (timeouts fire in the batch AFTER the
+      // watermark moves)
+      Seq(1L, 2L).foreach { g =>
+        mem.addData(Seq(StatefulOps.EventIn(-g, new Timestamp(maxTs + g * yearMs),
+          SentinelUser, "sentinel", 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table(tbl)
+      .filter(col("user_id") =!= SentinelUser)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    val batch = graft.analytics.Analytics.sessionize(
+        graft.Tables.events(spark, dir), gapMinutes)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
+    val nBatch = batch.count()
+    val nStream = streamed.count()
+    val onlyBatch = batch.exceptAll(streamed).count()
+    val onlyStream = streamed.exceptAll(batch).count()
+    spark.createDataFrame(Seq(
+      (nBatch, nStream, onlyBatch, onlyStream,
+        nBatch == nStream && onlyBatch == 0L && onlyStream == 0L)))
+      .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
+  }
+
+  /** Same contract for [[StatefulOps.counterIncreaseStream]] vs
+    * [[graft.analytics.TimeSeries.counterIncrease]]: the streamed
+    * per-sample increases, summed by (user, hour) downstream, must equal
+    * the batch operator's hourly rollup exactly. No sentinel flush is
+    * needed — the counter operator emits on arrival (event-time timeouts
+    * only expire idle state). The idle TTL is set beyond the fixture's
+    * span: TTL is a RESOURCE bound, and under it a returning user's first
+    * sample deliberately counts in full (batch lag has no such horizon) —
+    * parity asserts the semantics, not the TTL compromise. */
+  def counterIncreaseParity(spark: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StatefulOps.EventIn]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    require(events.nonEmpty, s"no events in $dir")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.EventIn]
+    val tbl = "parity_counter"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val q = StatefulOps.counterIncreaseStream(mem.toDS(), idleHours = 24 * 365)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try {
+      val batchSize = math.max(1, events.length / nBatches)
+      events.grouped(batchSize).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table(tbl)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("increase_cents")).as("increase_cents"))
+      .select(col("user_id"), col("hr"), col("increase_cents"))
+    val batch = graft.analytics.TimeSeries.counterIncrease(
+        graft.Tables.events(spark, dir))
+      .select(col("user_id"), col("hr"), col("increase_cents"))
+
+    val nBatch = batch.count()
+    val nStream = streamed.count()
+    val onlyBatch = batch.exceptAll(streamed).count()
+    val onlyStream = streamed.exceptAll(batch).count()
+    spark.createDataFrame(Seq(
+      (nBatch, nStream, onlyBatch, onlyStream,
+        nBatch == nStream && onlyBatch == 0L && onlyStream == 0L)))
+      .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
+  }
+}

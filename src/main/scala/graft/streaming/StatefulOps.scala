@@ -224,7 +224,11 @@ object StatefulOps {
             var out = List.empty[IncreaseOut]
             rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
-              val cents = math.round(e.value * 100)
+              // HALF_UP away from zero — Catalyst round() semantics, so the
+              // streamed cents equal the batch operator's bit for bit
+              // (math.round rounds -0.5 UP to 0, Spark rounds it to -1)
+              val cents = java.math.BigDecimal.valueOf(e.value * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue
               cur match {
                 case Some(s) if t < s.lastTs || (t == s.lastTs && e.event_id <= s.lastId) =>
                   () // late duplicate/out-of-order: skip
