@@ -536,6 +536,13 @@ object SparkEntry {
     "q_knn_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
+    // same query off the PERSISTED index (build-once/query-many): probed
+    // buckets come off the cluster-partitioned assignment table via
+    // partition pruning; identical rows, same oracle as q_knn_ivf
+    "q_knn_ivf_idx" -> ((s, dir) =>
+      Similarity.ivfTopKPersisted(s, dir, Tables.embeddings(s, dir),
+        0L until 10L, 5)),
+
     // product-quantization ADC: m=8 subspaces × 16 codes, asymmetric
     // LUT scan + exact re-rank — deterministic, hash-compared end to end
     "q_knn_pq" -> ((s, dir) =>
@@ -2516,6 +2523,7 @@ object SparkEntry {
     // candidates and ranks all replicated bit-exactly in DuckDB
     "q_knn_lsh" -> OracleSql.knnLshSql(),
     "q_knn_ivf" -> OracleSql.knnIvfSql(),
+    "q_knn_ivf_idx" -> OracleSql.knnIvfSql(),
     "q_knn_pq" -> OracleSql.knnPqSql(),
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_lang_id" -> OracleSql.langIdSql,

@@ -265,6 +265,91 @@ object Similarity {
     (corpus, centroids, assigned)
   }
 
+  /** One-time-per-JVM PERSISTED IVF index — "build once, query many", the
+    * economics a real 100 TB ANN deployment has (the lazy [[ivfTopK]]
+    * subplan rebuilds centroids + assignments inside every query; a real
+    * index pays that once at ingest). Memoized per (app, dir, params) like
+    * [[graft.analytics.Bucketing.bucketedFacts]]:
+    *
+    *  - `centroids` persists as a small plain table (broadcast at query
+    *    time);
+    *  - `assignments` persists PARTITIONED BY cluster, so a probe query's
+    *    bucket join prunes to the probed clusters' directories — the scan
+    *    reads nProbe/nCentroids of the corpus instead of all of it
+    *    (dynamic partition pruning; asserted in SimilaritySpec).
+    *
+    * The persisted rows are the SAME deterministic centroids/assignments
+    * the lazy plan computes, so [[ivfTopKPersisted]] hash-matches
+    * q_knn_ivf's oracle. */
+  private val preparedIvf =
+    scala.collection.concurrent.TrieMap[(String, String, Int, Int), (String, String)]()
+
+  def ivfIndexPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2)
+      : (DataFrame, DataFrame) = {
+    val appId = spark.sparkContext.applicationId
+    val (cName, aName) = preparedIvf.getOrElseUpdate(
+      (appId, dir, nCentroids, lloydIters), {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val c = s"ivf_centroids_${nCentroids}_${lloydIters}_$tag"
+        val a = s"ivf_assign_${nCentroids}_${lloydIters}_$tag"
+        val (_, centroids, assigned) = ivfIndex(embeddings, nCentroids, lloydIters)
+        writeManaged(centroids, c, partitionCol = None)
+        writeManaged(assigned, a, partitionCol = Some("cluster"))
+        (c, a)
+      })
+    (spark.table(cName), spark.table(aName))
+  }
+
+  /** Managed-parquet write with the stale-location guard
+    * ([[graft.analytics.Bucketing.writeBucketed]]'s contract). */
+  private def writeManaged(df: DataFrame, table: String,
+      partitionCol: Option[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+    partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
+  }
+
+  /** [[ivfTopK]] reading the PERSISTED index: centroids broadcast from the
+    * index table, probed buckets scanned off the cluster-partitioned
+    * assignment table (partition pruning does the nProbe/nCentroids cut),
+    * exact cosine re-rank. Same parameters → same rows as [[ivfTopK]],
+    * same oracle — only the build cost moved out of the query. */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      embeddings: => DataFrame, probeIds: Seq[Long], k: Int,
+      nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
+    val (centroids, assigned) = ivfIndexPersisted(
+      spark, dir, embeddings, nCentroids, lloydIters)
+    val probes = assigned
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding"), col("nsq"))
+      .join(broadcast(centroids))
+      .withColumn("c_sim",
+        cosinePrenormed(dot(col("embedding"), col("c_emb")), col("nsq"), col("c_nsq")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))))
+      .filter(col("r") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"), col("c_id").as("cluster"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("embedding"), col("p_emb")), col("nsq"), col("p_nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
       nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
     val (corpus, centroids, assigned) = ivfIndex(embeddings, nCentroids, lloydIters)

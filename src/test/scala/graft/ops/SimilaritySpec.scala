@@ -197,6 +197,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ivfTopKPersisted: identical rows to the lazy plan; probed buckets partition-pruned") {
+    val dir = graft.SparkTestBase.sfDir
+    val persisted = Similarity.ivfTopKPersisted(
+      spark, dir, graft.Tables.embeddings(spark, dir), 0L until 10L, 5)
+    val lazyRows = Similarity.ivfTopK(
+      graft.Tables.embeddings(spark, dir), 0L until 10L, 5).collect().toSeq
+    assert(persisted.collect().toSeq == lazyRows)
+    // the bucket scan must reach the corpus through a dynamic partition
+    // filter on `cluster` — the nProbe/nCentroids read cut is the point
+    // of persisting the index
+    assert(persisted.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+    // second call hits the memo — no rebuild (same table objects)
+    val again = Similarity.ivfTopKPersisted(
+      spark, dir, graft.Tables.embeddings(spark, dir), 0L until 10L, 5)
+    assert(again.collect().toSeq == lazyRows)
+  }
+
   test("semanticDedupPairs: exact duplicates always share a cluster and are found") {
     import org.apache.spark.sql.functions._
     // assignment is a pure function of the embedding, so a verbatim copy
