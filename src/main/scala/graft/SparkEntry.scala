@@ -402,14 +402,17 @@ object SparkEntry {
     "q_customer_ltv" -> ((s, dir) =>
       Analytics2.customerOrderStats(Tables.customer(s, dir), Tables.orders(s, dir))),
 
-    // salted fact-to-dim join: same result as the plain equi-join (the
-    // salt only re-scatters the hot keys), verified against the unsalted
-    // oracle SQL
+    // ADAPTIVELY salted fact-to-dim join: per-key fan-out derived from
+    // observed counts (g = ceil(|key|/target); keys at/under the target
+    // pay no replication), same result as the plain equi-join, verified
+    // against the unsalted oracle SQL. target=64 makes the fixture's
+    // hotter users actually engage the salt path (g=2) so the gate
+    // exercises it, while a uniform corpus at scale runs salt-free
     "q_skew_join" -> ((s, dir) => {
       val dim = Tables.customer(s, dir)
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
-      analytics.SkewJoin.saltedJoin(Tables.events(s, dir), dim,
-        key = "user_id", idCol = "event_id", saltFactor = 8)
+      analytics.SkewJoin.saltedJoinAdaptive(Tables.events(s, dir), dim,
+        key = "user_id", idCol = "event_id", targetPerKey = 64)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_events"), Cols.dsum(col("value")).as("sum_value"))
         .orderBy(col("c_nationkey"))

@@ -33,4 +33,41 @@ object SkewJoin {
       .join(saltedSmall, Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** [[saltedJoin]] with the salt factor derived PER KEY from observed
+    * counts — the broadcast-stats pattern
+    * [[graft.ops.Dedup.charJaccardPairs]] uses for its sub-block grid. A
+    * constant factor gets both regimes wrong: uniform keys pay
+    * factor-fold dim replication for nothing, and a truly hot key still
+    * lands |key|/factor rows on one task (unbounded as data grows). Here
+    * each key's salt fan-out is g = ceil(|key| / targetPerKey), so
+    * per-task rows for ANY key are bounded by ~targetPerKey at any scale,
+    * and keys at or under the target pay no replication at all (g = 1).
+    *
+    * The stats pass keeps only keys OVER the target — with zipfian skew
+    * that is a handful of rows however large the corpus, so it broadcasts;
+    * the count aggregation itself is map-side combinable. Everything else
+    * (deterministic hash scatter, small-side explode) matches
+    * [[saltedJoin]]; the join result is identical for any g. */
+  def saltedJoinAdaptive(large: DataFrame, small: DataFrame, key: String,
+      idCol: String, targetPerKey: Long = 1L << 20): DataFrame = {
+    require(targetPerKey >= 1, s"targetPerKey must be positive: $targetPerKey")
+    val hot = large.groupBy(col(key))
+      .agg(count(lit(1)).as("_kc"))
+      .filter(col("_kc") > targetPerKey)
+      .select(col(key),
+        ceil(col("_kc").cast("double") / targetPerKey).cast("long").as("_g"))
+    val saltedLarge = large.join(broadcast(hot), Seq(key), "left_outer")
+      .withColumn("_gl", coalesce(col("_g"), lit(1L)))
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), col("_gl")).cast("int"))
+      .drop("_g", "_gl")
+    val saltedSmall = small.join(broadcast(hot), Seq(key), "left_outer")
+      .withColumn("_gs", coalesce(col("_g"), lit(1L)))
+      .withColumn("_salt",
+        explode(sequence(lit(0), (col("_gs") - 1L).cast("int"))))
+      .drop("_g", "_gs")
+    saltedLarge
+      .join(saltedSmall, Seq(key, "_salt"))
+      .drop("_salt")
+  }
 }
