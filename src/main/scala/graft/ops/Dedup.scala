@@ -175,57 +175,88 @@ object Dedup {
     * per cluster" is a filter, and transitive duplicates A~B~C collapse
     * even when A~C was never emitted as a pair).
     *
-    * Min-label propagation (the dataflow form of connected components,
-    * cf. Rastogi et al. 2013 "Finding connected components in MapReduce"):
-    * every iteration each node takes the min of its own and its
-    * neighbors' labels; converges in O(component diameter) rounds —
-    * near-dup clusters are shallow, so a handful. Each round is one
-    * edge-key shuffle; `localCheckpoint` cuts the growing lineage so the
-    * plan stays O(1) per round. Deterministic (min is order-free).
+    * Alternating LARGE-STAR / SMALL-STAR (Kiveris et al. 2014, "Connected
+    * components in MapReduce and beyond", two-phase algorithm): each
+    * round re-wires edges toward neighborhood minima —
+    *
+    *  - large-star, per center c over the undirected adjacency: attach
+    *    every strictly-larger neighbor to m = min(Γ(c) ∪ {c});
+    *  - small-star, per larger-endpoint c (all neighbors smaller):
+    *    attach c and its other neighbors to m = min(Γ(c)).
+    *
+    * Connectivity is preserved by both phases, labels only decrease, and
+    * the fixed point is one STAR per component centered at its minimum —
+    * O(log n) rounds regardless of component diameter (label propagation
+    * needs O(diameter), pointer-jumped O(log diameter), and both carry a
+    * full |docs| label frame through every round; the star rounds carry
+    * only the shrinking edge set). Per round: two keyed aggregations +
+    * two joins over edges, one eager checkpoint, one 1-row convergence
+    * agg. Deterministic (min is order-free).
     */
   def nearDupClusters(documents: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // materialize the pair frame ONCE — candidate generation is the
-    // expensive part and must not re-run per union branch or per iteration
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var changed = 1L
+    // canonical undirected edge set (u < v), materialized ONCE — candidate
+    // generation is the expensive part and must not re-run per iteration
+    var edges = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // (count, Σu, Σv) fingerprint: both phases only ever move endpoints
+    // DOWN, so an unchanged fingerprint on a monotone sequence means an
+    // unchanged edge set — a 1-row agg instead of a set-difference join.
+    // The final star-shape assertion below backstops it regardless.
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(col("u")), lit(0L)),
+        coalesce(sum(col("v")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var fp = fingerprint(edges)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id").as("nbr"))
-        .groupBy(col("doc_id")).agg(min(col("nbr")).as("nbr"))
-      val propagated = labels.join(nbrMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id"))).as("cluster_id"))
-      // pointer jumping: follow each label to ITS label (labels are always
-      // member doc_ids, so the self-join hits a row; min-monotone, and it
-      // cannot undershoot the component minimum). Doubles the reach per
-      // round — O(log diameter) rounds instead of O(diameter), one extra
-      // keyed join per round.
-      val updated = propagated.join(
-          propagated.select(col("doc_id").as("_jd"), col("cluster_id").as("_jc")),
-          col("cluster_id") === col("_jd"), "left_outer")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("_jc"), col("cluster_id"))).as("cluster_id"))
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the undirected adjacency
+      val adj = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val mins = adj.groupBy(col("c"))
+        .agg(least(min(col("n")), first(col("c"))).as("m"))
+      val ls = adj.join(mins, "c")
+        .filter(col("n") > col("c"))
+        .select(col("m").as("u"), col("n").as("v")) // m <= c < n
+        .distinct()
+      // SMALL-STAR grouped by the larger endpoint (neighbors all smaller)
+      val byLarger = ls.select(col("v").as("c"), col("u").as("n"))
+      val mins2 = byLarger.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val ss = byLarger.join(mins2, "c")
+        .select(col("m").as("u"),
+          when(col("n") === col("m"), col("c")).otherwise(col("n")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint(true)
-      changed = updated.join(
-          labels.withColumnRenamed("cluster_id", "_old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("_old")).count()
-      labels = updated
+      val fp2 = fingerprint(ss)
+      converged = fp2 == fp
+      fp = fp2
+      edges = ss
       i += 1
     }
-    // Partially-propagated labels would silently diverge from the oracle's
-    // full transitive closure — non-convergence must be a visible failure,
-    // not a wrong answer. (Components with diameter > maxIter only; the
-    // default 20 covers any realistic near-dup cluster.)
-    if (changed > 0)
+    // The fixed point must be stars: every non-center node hangs off
+    // exactly one center and no node is on both sides. A violated shape
+    // means non-convergence — fail loudly rather than hand the caller a
+    // partially-collapsed labeling the oracle's transitive closure would
+    // refute.
+    if (!converged || edges.groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") > 1).limit(1).count() > 0 ||
+        edges.select(col("u")).intersect(edges.select(col("v"))).limit(1).count() > 0)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge after $maxIter iterations " +
-          s"($changed labels still changing); raise maxIter")
-    labels.orderBy(col("doc_id"))
+        s"nearDupClusters did not converge to stars after $maxIter " +
+          "iterations; raise maxIter")
+    val stars = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+    documents.select(col("doc_id"))
+      .join(stars, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Dedup KEEP LIST — the actual output corpus of a near-dup pass: one
