@@ -144,6 +144,21 @@ object Soak {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
+    // per-month-partition file counts — the MergeTree "parts per
+    // partition" health metric; compaction must bound EVERY partition,
+    // not just the total
+    def filesPerMonth(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(table), true)
+      val m = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) {
+          val month = p.getParent.getName
+          if (month.startsWith("month=")) m(month.stripPrefix("month=")) += 1
+        }
+      }
+      m.toMap
+    }
     // events fixture → wire rows (ts rendered RFC3339 so ingest re-parses)
     val wire = spark.read.parquet(s"$baseDir/events.parquet") // raw nanos long
       .select(
@@ -163,9 +178,12 @@ object Soak {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Wire]
     val q = graft.streaming.LogStream.ingest(mem.toDF(), table, ckpt)
     val t0 = System.nanoTime()
-    for (_ <- 1 to factor) {
+    for (i <- 1 to factor) {
       mem.addData(rows.toSeq)
       q.processAllAvailable() // force a micro-batch boundary per replay
+      // growth curve: small files accumulate linearly with micro-batches —
+      // the curve SCALE.md plots against the post-compaction bound
+      println(s"""SOAK {"phase":"ingest_curve","replay":$i,"files":${parquetFiles()}}""")
     }
     q.stop()
     val ingestSec = (System.nanoTime() - t0) / 1e9
@@ -185,29 +203,44 @@ object Soak {
     val nIngested = assertParity("post-ingest")
     println(f"""SOAK {"phase":"ingest","factor":$factor,"rows":$nIngested,"files":$filesBefore,"sec":$ingestSec%.2f}""")
 
+    def timeFlagship(): (Int, Double) = {
+      val t = System.nanoTime()
+      val got = graft.logs.LogQuery.flagship(
+        graft.logs.LogTable.read(spark, table),
+        graft.logs.LogQueryParams("svc0",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-12-31 00:00:00"),
+          level = None, user = None, limit = 100)).collect()
+      (got.length, (System.nanoTime() - t) / 1e9)
+    }
+    // flagship latency ON THE SMALL-FILE LAYOUT — what a dashboard pays
+    // when queries race ingest between merges
+    val (rowsPre, secPre) = timeFlagship()
+    require(rowsPre == 100, s"flagship (pre-compact) returned $rowsPre rows")
+    println(f"""SOAK {"phase":"flagship_precompact","rows":$rowsPre,"files":$filesBefore,"sec":$secPre%.2f}""")
+
     val t1 = System.nanoTime()
     graft.logs.LogTable.compact(spark, table, filesPerMonth = 1)
     val compactSec = (System.nanoTime() - t1) / 1e9
     val filesAfter = parquetFiles()
+    val perMonth = filesPerMonth()
     val months = graft.logs.LogTable.read(spark, table)
       .select(col("month")).distinct().count()
     require(filesAfter <= months,
       s"compaction left $filesAfter files for $months months")
+    // the bound must hold per PARTITION, not just in aggregate — one
+    // unmerged month is exactly the straggler MergeTree merges prevent
+    perMonth.foreach { case (m, n) =>
+      require(n <= 1L, s"month $m has $n files after compact(filesPerMonth=1)")
+    }
     require(filesBefore > filesAfter,
       s"streaming left no small files to compact ($filesBefore -> $filesAfter)")
     assertParity("post-compact")
     println(f"""SOAK {"phase":"compact","files_before":$filesBefore,"files_after":$filesAfter,"months":$months,"sec":$compactSec%.2f}""")
 
-    val t2 = System.nanoTime()
-    val flagship = graft.logs.LogQuery.flagship(
-      graft.logs.LogTable.read(spark, table),
-      graft.logs.LogQueryParams("svc0",
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-12-31 00:00:00"),
-        level = None, user = None, limit = 100)).collect()
-    val querySec = (System.nanoTime() - t2) / 1e9
-    require(flagship.length == 100, s"flagship returned ${flagship.length} rows")
-    println(f"""SOAK {"phase":"flagship_query","rows":${flagship.length},"sec":$querySec%.2f}""")
+    val (rowsPost, secPost) = timeFlagship()
+    require(rowsPost == 100, s"flagship (post-compact) returned $rowsPost rows")
+    println(f"""SOAK {"phase":"flagship_query","rows":$rowsPost,"files":$filesAfter,"sec":$secPost%.2f}""")
 
     // phase 4: materialized-rollup upkeep under the same replay regime —
     // one additive upsertDelta per micro-batch, then assert the
@@ -282,7 +315,11 @@ object Soak {
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(2).getOrElse("target/scale")
     val streaming = args.lift(3).contains("streaming")
-    val queries = if (args.lift(3).contains("linear")) linearHeadline else headline
+    // SPARK_GRAFT_SOAK_QUERIES=q_a,q_b narrows a run to specific rows —
+    // re-measuring one family's scale curve without paying the full sweep
+    val queries = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(if (args.lift(3).contains("linear")) linearHeadline else headline)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -535,6 +535,13 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) =>
       Similarity.semanticDedupPairs(Tables.embeddings(s, dir), 0.4)),
 
+    // SemDeDup off the persisted IVF index: assignment read, not rebuilt
+    // (re-running dedup at a new threshold re-pays only the pair scan);
+    // identical rows, same oracle as q_semdedup
+    "q_semdedup_idx" -> ((s, dir) =>
+      Similarity.semanticDedupPairsPersisted(s, dir,
+        Tables.embeddings(s, dir), 0.4)),
+
     "q_embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(Tables.embeddings(s, dir))),
 
@@ -2547,6 +2554,7 @@ object SparkEntry {
     "q_knn_ivf_idx" -> OracleSql.knnIvfSql(),
     "q_knn_pq" -> OracleSql.knnPqSql(),
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
+    "q_semdedup_idx" -> OracleSql.semDedupPairsSql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),

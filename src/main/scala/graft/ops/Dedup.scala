@@ -196,13 +196,20 @@ object Dedup {
   def nearDupClusters(documents: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // canonical undirected edge set (u < v), materialized ONCE — candidate
-    // generation is the expensive part and must not re-run per iteration
+    // generation is the expensive part and must not re-run per iteration.
+    // Checkpoints go DISK_ONLY: at 10×+ the edge set is tens of millions
+    // of rows, and memory-cached blocks from round r compete with round
+    // r+1's 32 concurrent hash aggregates for execution memory
+    // (UNABLE_TO_ACQUIRE_MEMORY in an 8 GB driver); disk blocks cost a
+    // sequential re-read and nothing else, and unreferenced rounds are
+    // reaped by the context cleaner.
+    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     var edges = pairs
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, diskOnly)
     // (count, Σu, Σv) fingerprint: both phases only ever move endpoints
     // DOWN, so an unchanged fingerprint on a monotone sequence means an
     // unchanged edge set — a 1-row agg instead of a set-difference join.
@@ -233,7 +240,7 @@ object Dedup {
           when(col("n") === col("m"), col("c")).otherwise(col("n")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true, diskOnly)
       val fp2 = fingerprint(ss)
       converged = fp2 == fp
       fp = fp2

@@ -523,8 +523,24 @@ object Similarity {
     * same-cluster pairs over the threshold", which the oracle recomputes
     * independently — hash-exact, not recall-bounded. */
   def semanticDedupPairs(embeddings: DataFrame, threshold: Double,
-      nCentroids: Int = 32, lloydIters: Int = 2): DataFrame = {
-    val (_, _, assigned) = ivfIndex(embeddings, nCentroids, lloydIters)
+      nCentroids: Int = 32, lloydIters: Int = 2): DataFrame =
+    semanticDedupOverAssigned(ivfIndex(embeddings, nCentroids, lloydIters)._3,
+      threshold)
+
+  /** [[semanticDedupPairs]] off the PERSISTED index
+    * ([[ivfIndexPersisted]]): the cluster assignment is read, not rebuilt
+    * — SemDeDup over a standing corpus re-runs per threshold/policy, and
+    * the expensive part (Lloyd + assignment) is the same every time. Same
+    * rows, same oracle. */
+  def semanticDedupPairsPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, embeddings: => DataFrame, threshold: Double,
+      nCentroids: Int = 32, lloydIters: Int = 2): DataFrame =
+    semanticDedupOverAssigned(
+      ivfIndexPersisted(spark, dir, embeddings, nCentroids, lloydIters)._2,
+      threshold)
+
+  private def semanticDedupOverAssigned(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -534,7 +550,10 @@ object Similarity {
       .withColumn("cosine",
         cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
+      // explicit long: the persisted index reads `cluster` back through
+      // partition-column type inference (int for small ids)
+      .select(col("id_a"), col("id_b"),
+        col("cluster").cast("long").as("cluster"), col("cosine"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
