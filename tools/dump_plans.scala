@@ -28,7 +28,8 @@ val headline = Seq(
   "q_range_join" -> "interval join with NO equi key: time-bucket co-location turns the nested-loop predicate into a hash join on the bucket (broadcast at this SF, shuffled equi-join at scale) with the range residual as join condition -- no BroadcastNestedLoopJoin/CartesianProduct",
   "q_knn_int8" -> "quantized-scan kNN: pass 1 ranks candidates on int8 codes only (integer dots, scales cancel), WindowGroupLimit cuts the pool, pass 2 re-attaches float embeddings to survivors by id and exact cosine decides -- the SQ8 two-pass shape",
   "q_sequence_match" -> "sequenceMatch chain: one keyed min-aggregation per step joined user-keyed to the one-row-per-user previous chain; no per-user sort or data-sized window",
-  "q_skew_join" -> "salted fact-to-dim join: dim explodes saltFactor-fold, fact scatters by row-identity hash -- the hot key occupies saltFactor shuffle partitions instead of one",
+  "q_skew_join" -> "ADAPTIVE salted fact-to-dim join: hot-key stats (count > target) broadcast onto both sides; each key's fan-out g = ceil(count/target), so uniform keys join salt-free and a hot key occupies g shuffle partitions bounded by ~target rows each",
+  "q_knn_ivf_idx" -> "persisted IVF index read: centroids broadcast from the index table; the bucket scan reads the cluster-partitioned assignment table through a dynamicpruning partition filter -- nProbe/nCentroids of the corpus, not all of it",
   "q_embedding_quantize" -> "int8 quantization at scan speed: higher-order array ops, per-row, zero exchanges before the final sort",
   "q_gauge_locf" -> "gauge LOCF resampling: generated (key x hour) grid + the AsOfJoin merge-walk operator -- samples shuffle once, grid never stored, no per-grid-point rescan",
   "q_rate_anomaly" -> "z-score alerting: raw events reduce at the FIRST aggregation; per-key moment stats broadcast back onto group-cardinality-sized rows",
