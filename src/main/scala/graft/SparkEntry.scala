@@ -77,7 +77,8 @@ object SparkEntry {
     * samples corrupts the median (r5: q21_bkt median 3.3× its min). */
   val layoutQueries: Seq[String] = Seq(
     "q5_local_supplier_bkt", "q21_waiting_suppliers_bkt",
-    "q_zorder_slice", "q_partition_prune", "q_knn_ivf_idx")
+    "q_zorder_slice", "q_partition_prune", "q_knn_ivf_idx",
+    "q_dedup_clusters_idx")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -490,6 +491,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0))
     }),
 
+    // bootstrap case: EMPTY history → NULL bloom must read as "definitely
+    // unseen" and pass the whole first batch (the r5-advice defect, now a
+    // gate row, not just a spec)
+    "q_dedup_history_bootstrap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.historyDedupBloom(s, docs, docs.filter(lit(false)))
+    }),
+
     "q_dedup_char_jaccard" -> ((s, dir) =>
       Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9)),
 
@@ -510,6 +519,16 @@ object SparkEntry {
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.nearDupSurvivors(Tables.documents(s, dir),
         Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9))),
+
+    // same closures off the PERSISTED pair table (pair generation is the
+    // expensive artifact; clusters/survivors/audits are cheap queries
+    // over it) — identical rows, same recursive-CTE oracles
+    "q_dedup_clusters_idx" -> ((s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir),
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+    "q_dedup_survivors_idx" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(Tables.documents(s, dir),
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
 
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
@@ -1197,6 +1216,11 @@ object SparkEntry {
         |         WHERE doc_id % 3 <> 0)
         |SELECT doc_id, text_hash FROM inc
         |WHERE text_hash NOT IN (SELECT h FROM hist)
+        |ORDER BY doc_id""".stripMargin,
+
+    // empty history → everything survives
+    "q_dedup_history_bootstrap" ->
+      """SELECT doc_id, md5(text) AS text_hash FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_char_jaccard" ->
@@ -2786,6 +2810,9 @@ object SparkEntry {
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),
     "q21_waiting_suppliers_bkt" -> baseOracleSql("q21_waiting_suppliers"),
+    // persisted-pair-table twins: same closure, same transitive oracle
+    "q_dedup_clusters_idx" -> baseOracleSql("q_dedup_clusters"),
+    "q_dedup_survivors_idx" -> baseOracleSql("q_dedup_survivors"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),

@@ -280,6 +280,30 @@ object Dedup {
       .select(col("cluster_id").as("doc_id"), col("n_members"))
       .orderBy(col("doc_id"))
 
+  /** One-time-per-JVM PERSISTED near-dup pair table, memoized per
+    * (app, dir, threshold) — the [[graft.ops.Similarity.ivfIndexPersisted]]
+    * economics applied to dedup: candidate-pair generation is the
+    * expensive artifact of a near-dup pass, and a real pipeline
+    * materializes it once, then runs clusters, survivor lists, drop
+    * lists, and audits as cheap queries over it. The persisted rows are
+    * exactly [[charJaccardPairs]]' output, so downstream queries share
+    * the lazy twins' oracles. */
+  private val preparedPairs =
+    scala.collection.concurrent.TrieMap[(String, String, Long), String]()
+
+  def charJaccardPairsPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, threshold: Double): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    val name = preparedPairs.getOrElseUpdate(
+      (appId, dir, math.round(threshold * 1000)), {
+        val t = s"neardup_pairs_${math.round(threshold * 1000)}_" +
+          graft.sources.ManagedTable.tag(dir)
+        graft.sources.ManagedTable.write(charJaccardPairs(documents, threshold), t)
+        t
+      })
+    spark.table(name)
+  }
+
   /** Character-set jaccard pairs within each source group — exact pairwise
     * inside small groups (source is a natural blocking key). Matches
     * DuckDB's `jaccard()` text-similarity function (distinct code points

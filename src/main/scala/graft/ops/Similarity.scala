@@ -290,30 +290,15 @@ object Similarity {
     val appId = spark.sparkContext.applicationId
     val (cName, aName) = preparedIvf.getOrElseUpdate(
       (appId, dir, nCentroids, lloydIters), {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tag = graft.sources.ManagedTable.tag(dir)
         val c = s"ivf_centroids_${nCentroids}_${lloydIters}_$tag"
         val a = s"ivf_assign_${nCentroids}_${lloydIters}_$tag"
         val (_, centroids, assigned) = ivfIndex(embeddings, nCentroids, lloydIters)
-        writeManaged(centroids, c, partitionCol = None)
-        writeManaged(assigned, a, partitionCol = Some("cluster"))
+        graft.sources.ManagedTable.write(centroids, c)
+        graft.sources.ManagedTable.write(assigned, a, partitionCol = Some("cluster"))
         (c, a)
       })
     (spark.table(cName), spark.table(aName))
-  }
-
-  /** Managed-parquet write with the stale-location guard
-    * ([[graft.analytics.Bucketing.writeBucketed]]'s contract). */
-  private def writeManaged(df: DataFrame, table: String,
-      partitionCol: Option[String]): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(warehouse), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
-    partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
   }
 
   /** [[ivfTopK]] reading the PERSISTED index: centroids broadcast from the

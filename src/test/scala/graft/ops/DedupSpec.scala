@@ -154,6 +154,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
   }
 
+  test("charJaccardPairsPersisted: identical rows to the lazy pairs; memoized") {
+    val dir = graft.SparkTestBase.sfDir
+    val docs = graft.Tables.documents(spark, dir)
+    val lazyRows = Dedup.charJaccardPairs(docs, 0.9).collect().toSeq
+    val persisted = Dedup.charJaccardPairsPersisted(spark, dir, docs, 0.9)
+    assert(persisted.orderBy(col("source"), col("id_a"), col("id_b"))
+      .collect().toSeq == lazyRows)
+    // downstream closure over the persisted table = closure over lazy pairs
+    val viaTable = Dedup.nearDupClusters(docs,
+      Dedup.charJaccardPairsPersisted(spark, dir, docs, 0.9)).collect().toSeq
+    val viaLazy = Dedup.nearDupClusters(docs,
+      Dedup.charJaccardPairs(docs, 0.9)).collect().toSeq
+    assert(viaTable == viaLazy)
+  }
+
   test("historyDedupBloom: empty history (NULL bloom) keeps the whole batch") {
     import spark.implicits._
     // bootstrap case: no accumulated corpus yet. The bloom aggregate over
