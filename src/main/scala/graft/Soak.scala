@@ -70,6 +70,8 @@ object Soak {
     // copy's shipments — real growth extends the time axis instead)
     "q_range_join", "q_knn_int8", "q_embedding_quantize",
     "q_sequence_match", "q_skew_join",
+    // round-6: persisted-layout twins (index read, not rebuilt)
+    "q_knn_ivf_idx", "q_semdedup_idx", "q_dedup_clusters_idx",
     // round-5 additions: time-series kernels + tokenizer/training-prep
     "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
     "q_train_order", "q_bpe_merges",
