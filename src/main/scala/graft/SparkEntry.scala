@@ -78,7 +78,7 @@ object SparkEntry {
   val layoutQueries: Seq[String] = Seq(
     "q5_local_supplier_bkt", "q21_waiting_suppliers_bkt",
     "q_zorder_slice", "q_partition_prune", "q_knn_ivf_idx",
-    "q_dedup_clusters_idx")
+    "q_dedup_clusters_idx", "q_bm25_idx")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -86,7 +86,8 @@ object SparkEntry {
     * harness, not the engine. They remain full members of the
     * CORRECTNESS gate. */
   val verificationOnly: Set[String] = Set(
-    "q_sessionize_stream_parity", "q_counter_increase_stream_parity")
+    "q_sessionize_stream_parity", "q_counter_increase_stream_parity",
+    "q_dedup_stream_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -389,6 +390,11 @@ object SparkEntry {
     "q_sessionize_stream_parity" -> ((s, dir) =>
       streaming.ParityCheck.sessionizeParity(s, dir, 30)),
 
+    // streaming dropDuplicates vs batch dedup over the same
+    // duplicate-injected replay (in-batch + cross-batch copies)
+    "q_dedup_stream_parity" -> ((s, dir) =>
+      streaming.ParityCheck.dedupParity(s, dir)),
+
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
       Analytics.sessionLengthPercentiles(Tables.events(s, dir), 30)),
@@ -530,6 +536,13 @@ object SparkEntry {
       Dedup.nearDupSurvivors(Tables.documents(s, dir),
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
 
+    // centrality over the near-dup graph (5 fixed ppb PageRank rounds off
+    // the persisted pair table): which member of a duplicate family is
+    // most corroborated — the canonical-representative signal
+    "q_pagerank" -> ((s, dir) =>
+      analytics.Graph.pageRankPpb(Tables.documents(s, dir),
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
@@ -638,6 +651,19 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       ops.Search.bm25TopK(Tables.documents(s, dir),
         Seq("spark", "vector", "merge"), k = 50)),
+
+    // BM25 off the persisted term-sharded inverted index: partition
+    // pruning on the query terms' shards, zero corpus tokenization
+    "q_bm25_idx" -> ((s, dir) =>
+      ops.Search.bm25TopKIndexed(s, dir, Tables.documents(s, dir),
+        Seq("spark", "vector", "merge"), k = 50)),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
+    // dense cosine-kNN leg (ppb integer contributions, full-outer fuse)
+    "q_hybrid_rrf" -> ((s, dir) =>
+      ops.Search.hybridRrfTopK(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), Seq("spark", "vector", "merge"),
+        probeId = 7L, nCand = 100, k = 20)),
 
     // bigram-LM perplexity filter: train on doc_id%5!=0, score the rest
     "q_lm_score" -> ((s, dir) =>
@@ -1053,6 +1079,18 @@ object SparkEntry {
          |  true AS parity_ok
          |FROM n""".stripMargin,
 
+    // dedup parity: the independently-stated expectation is the DISTINCT
+    // (user_id, event_id) count — what both dedup legs must converge to
+    // regardless of how many duplicate copies the replay injected
+    "q_dedup_stream_parity" ->
+      s"""WITH ev AS ($EV),
+         |n AS (SELECT COUNT(*) AS n FROM
+         |        (SELECT DISTINCT user_id, event_id FROM ev) t)
+         |SELECT n AS n_batch, n AS n_stream,
+         |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
+         |  true AS parity_ok
+         |FROM n""".stripMargin,
+
     "q_distinct_users" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
 
@@ -1248,6 +1286,44 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // 5 fixed ppb-fixed-point PageRank rounds, unrolled as plain CTE
+    // levels (no recursion, no convergence test — mirrors the Spark
+    // loop exactly). SUM(BIGINT) is HUGEINT in DuckDB → cast back.
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r0.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r1.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r2.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r4 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r3.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r3 ON e.src = r3.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r5 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r4.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM e JOIN r4 ON e.src = r4.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |ranks AS (SELECT d.doc_id,
+        |            CAST(COALESCE(r5.pr, 150000000) AS BIGINT) AS rank_ppb
+        |          FROM documents d LEFT JOIN r5 ON d.doc_id = r5.node)
+        |SELECT doc_id, rank_ppb FROM ranks ORDER BY doc_id""".stripMargin,
 
     "q_dedup_survivors" ->
       """WITH RECURSIVE pairs AS (
@@ -2005,6 +2081,64 @@ object SparkEntry {
         |SELECT doc_id, dl, tf_spark, tf_vector, tf_merge, score
         |FROM sc WHERE score > 0.0
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    // RRF fusion: the proven q_bm25 scoring tree (top-100 + rank) fused
+    // with the proven brute-force cosine tree (probe 7, top-100) by
+    // integer ppb reciprocal ranks — FULL OUTER on doc_id, 0 for a
+    // missing leg, top-20.
+    "q_hybrid_rrf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS dl,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM documents),
+        |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |        SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |        SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |        SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |      FROM d),
+        |sc AS (SELECT doc_id,
+        |    ((n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |      * (CAST(tf_spark AS DOUBLE) * 1.2 + CAST(tf_spark AS DOUBLE))
+        |      / (CAST(tf_spark AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))
+        |  + ((n_docs - df_vector + 0.5) / (df_vector + 0.5))
+        |      * (CAST(tf_vector AS DOUBLE) * 1.2 + CAST(tf_vector AS DOUBLE))
+        |      / (CAST(tf_vector AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))
+        |  + ((n_docs - df_merge + 0.5) / (df_merge + 0.5))
+        |      * (CAST(tf_merge AS DOUBLE) * 1.2 + CAST(tf_merge AS DOUBLE))
+        |      / (CAST(tf_merge AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * (CAST(dl * n_docs AS DOUBLE) / sum_dl)))
+        |  AS score
+        |  FROM d, s),
+        |tl AS (SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+        |       FROM (SELECT doc_id, score FROM sc WHERE score > 0.0
+        |             ORDER BY score DESC, doc_id LIMIT 100)),
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |pv AS (SELECT e AS pe FROM base WHERE vec_id = 7),
+        |sims AS (SELECT b.vec_id,
+        |    list_dot_product(b.e, pv.pe) /
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(pv.pe, pv.pe))) AS cosine
+        |  FROM base b CROSS JOIN pv WHERE b.vec_id <> 7),
+        |vl AS (SELECT doc_id, rank_vec FROM (
+        |         SELECT vec_id AS doc_id,
+        |           CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank_vec
+        |         FROM sims)
+        |       WHERE rank_vec <= 100),
+        |f AS (SELECT COALESCE(tl.doc_id, vl.doc_id) AS doc_id, rank_text, rank_vec,
+        |        COALESCE(1000000000 // (60 + rank_text), 0)
+        |          + COALESCE(1000000000 // (60 + rank_vec), 0) AS rrf_ppb
+        |      FROM tl FULL OUTER JOIN vl ON tl.doc_id = vl.doc_id)
+        |SELECT doc_id, rank_text, rank_vec, CAST(rrf_ppb AS BIGINT) AS rrf_ppb
+        |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
 
     // fixed-point ppb probabilities (integer floor division) — order-free
     // sums, so the distributed aggregation hash-matches exactly
@@ -2813,6 +2947,8 @@ object SparkEntry {
     // persisted-pair-table twins: same closure, same transitive oracle
     "q_dedup_clusters_idx" -> baseOracleSql("q_dedup_clusters"),
     "q_dedup_survivors_idx" -> baseOracleSql("q_dedup_survivors"),
+    // inverted-index twin: same tokenizer, same score expression
+    "q_bm25_idx" -> baseOracleSql("q_bm25"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),

@@ -91,6 +91,66 @@ object ParityCheck {
       .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
   }
 
+  /** Same contract for [[StatefulOps.dedupStream]] vs batch
+    * `dropDuplicates`: the fixture is replayed WITH deterministic
+    * duplicates injected — an adjacent copy of every 50th event (same
+    * micro-batch) and the last 3 events of each batch re-sent at the head
+    * of the next (cross-batch replay, still inside the 1 h watermark
+    * horizon since chunks are chronological) — and the streaming dedup
+    * must keep exactly the rows the batch `dropDuplicates` over the SAME
+    * duplicated input keeps. Duplicate copies are bit-identical rows, so
+    * "which copy wins" cannot blur the set comparison. */
+  def dedupParity(spark: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StatefulOps.EventIn]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    require(events.nonEmpty, s"no events in $dir")
+    val batchSize = math.max(1, events.length / nBatches)
+    val chunks = events.grouped(batchSize).toVector
+    val fed: Vector[Seq[StatefulOps.EventIn]] = chunks.zipWithIndex.map {
+      case (b, i) =>
+        val replayed = if (i == 0) Seq.empty else chunks(i - 1).takeRight(3).toSeq
+        replayed ++ b.flatMap(e =>
+          if (e.event_id % 50 == 0) Seq(e, e) else Seq(e)).toSeq
+    }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.EventIn]
+    val tbl = "parity_dedup"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val q = StatefulOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try fed.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    // materialized before exceptAll: the Deduplicate-under-RewriteExceptAll
+    // plan trips ATTRIBUTE_NOT_FOUND binding in Spark 4.1 (both legs are
+    // harness-sized — this is the driver-orchestrated check, not a query)
+    val streamed = spark.table(tbl)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .localCheckpoint(true)
+    val batch = spark.createDataset(fed.flatten)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .dropDuplicates("user_id", "event_id")
+      .localCheckpoint(true)
+
+    val nBatch = batch.count()
+    val nStream = streamed.count()
+    val onlyBatch = batch.exceptAll(streamed).count()
+    val onlyStream = streamed.exceptAll(batch).count()
+    spark.createDataFrame(Seq(
+      (nBatch, nStream, onlyBatch, onlyStream,
+        nBatch == nStream && onlyBatch == 0L && onlyStream == 0L)))
+      .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
+  }
+
   /** Same contract for [[StatefulOps.counterIncreaseStream]] vs
     * [[graft.analytics.TimeSeries.counterIncrease]]: the streamed
     * per-sample increases, summed by (user, hour) downstream, must equal

@@ -24,7 +24,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q_heavy_hitters",     // count-min cells + sandwich verdict
     "q_bm25",              // fixed-association IEEE score tree + top-k
     "q_kmv_intersect",     // order-statistic sketch (k-minimums, theta)
-    "q_cramers_v"          // chi-square via the (rt,ct)-sorted fold
+    "q_cramers_v",         // chi-square via the (rt,ct)-sorted fold
+    "q_pagerank",          // iterative integer Pregel rounds
+    "q_hybrid_rrf"         // two ranked legs + integer fusion
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -1,0 +1,57 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def frame(docIds: Seq[Long], pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    (docIds.map(id => (id, s"t$id", "en", "s")).toDF("doc_id", "text", "lang", "source"),
+      pairs.toDF("id_a", "id_b"))
+  }
+
+  /** Reference replica of the integer recurrence (adjacency maps on the
+    * driver) — the Spark result must equal this bit-for-bit. */
+  private def refRanks(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var pr = adj.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, ns) <- adj; v <- ns) in(v) += pr(u) / deg(u)
+      pr = adj.keys.map(n => n -> (150000000L + 85L * in(n) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pageRankPpb: matches the driver replica of the integer recurrence") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val (docs, pdf) = frame(Seq(1L, 2L, 3L, 4L, 5L, 6L), pairs)
+    val out = Graph.pageRankPpb(docs, pdf, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = refRanks(pairs, 5)
+    for ((n, r) <- ref) assert(out(n) == r, s"node $n")
+    // the hub of the path 1-2-3 is strictly more central than its leaves
+    assert(out(2L) > out(1L) && out(1L) == out(3L))
+    // isolated doc 6 takes the dangling rank
+    assert(out(6L) == 150000000L)
+    assert(out.size == 6)
+  }
+
+  test("pageRankPpb: symmetric pair ranks are equal; rank mass stays bounded") {
+    val pairs = Seq((10L, 20L))
+    val (docs, pdf) = frame(Seq(10L, 20L), pairs)
+    val out = Graph.pageRankPpb(docs, pdf, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deg-1 twins exchange their full rank every round → fixed point is
+    // 150_000_000 + 85% of the previous rank; after 5 rounds from 1e9:
+    // r = 0.85^5 + 0.15 * (1 + .85 + .85^2 + .85^3 + .85^4), in exact ppb
+    var r = 1000000000L
+    for (_ <- 1 to 5) r = 150000000L + 85L * r / 100L
+    assert(out(10L) == r && out(20L) == r)
+  }
+}

@@ -124,4 +124,67 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getString(0) == "a b c d e f g h")
     assert(out.head.getLong(1) == 2L)
   }
+
+  // ── persisted inverted index ──────────────────────────────────────
+
+  test("bm25TopKIndexed: identical rows to the scan path; shard-pruned scan") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val terms = Seq("spark", "vector", "merge")
+    val scan = Search.bm25TopK(d, terms, k = 50).collect().toSeq
+    val indexed = Search.bm25TopKIndexed(spark, dir, d, terms, k = 50)
+    assert(indexed.collect().toSeq == scan)
+    // the postings scan must carry the shard partition filter — the
+    // whole point of the term-sharded layout is pruning 64 → ≤ |terms|
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("shard"), s"no shard pruning in plan:\n$plan")
+  }
+
+  test("hybridRrfTopK: fusion equals driver recomputation from the two legs") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val e = graft.Tables.embeddings(spark, dir)
+    val terms = Seq("spark", "vector", "merge")
+    // independent legs, ranked the same way the fusion ranks them
+    val text = Search.bm25TopK(d, terms, k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val vec = Similarity.bruteForceTopK(e, Seq(7L), 100)
+      .select("vec_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (text.keySet ++ vec.keySet).toSeq.map { id =>
+      val s = text.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+        vec.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val out = Search.hybridRrfTopK(d, e, terms, probeId = 7L,
+      nCand = 100, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(out == expected)
+  }
+
+  test("hybridRrfTopK: a doc missing from one leg carries a null rank there") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val e = graft.Tables.embeddings(spark, dir)
+    val rows = Search.hybridRrfTopK(d, e, Seq("spark", "vector", "merge"),
+      probeId = 7L, nCand = 100, k = 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val contrib =
+        (if (r.isNullAt(1)) 0L else 1000000000L / (60L + r.getLong(1))) +
+          (if (r.isNullAt(2)) 0L else 1000000000L / (60L + r.getLong(2)))
+      assert(r.getLong(3) == contrib, s"row $r")
+    }
+  }
+
+  test("bm25TopKIndexed: term matching no document scores like the scan path") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val terms = Seq("spark", "zzz_no_such_token_zzz")
+    val scan = Search.bm25TopK(d, terms, k = 10).collect().toSeq
+    val indexed =
+      Search.bm25TopKIndexed(spark, dir, d, terms, k = 10).collect().toSeq
+    assert(indexed == scan && scan.nonEmpty)
+  }
 }
