@@ -543,6 +543,12 @@ object SparkEntry {
       analytics.Graph.pageRankPpb(Tables.documents(s, dir),
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
 
+    // triangle counts + ppb clustering coefficient over the same graph:
+    // template-family density vs drift-chain sparsity
+    "q_triangles" -> ((s, dir) =>
+      analytics.Graph.triangleStats(Tables.documents(s, dir),
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
@@ -657,6 +663,12 @@ object SparkEntry {
     "q_bm25_idx" -> ((s, dir) =>
       ops.Search.bm25TopKIndexed(s, dir, Tables.documents(s, dir),
         Seq("spark", "vector", "merge"), k = 50)),
+
+    // conjunctive retrieval off the same inverted index: docs containing
+    // ALL query terms, shard-pruned posting-list intersection
+    "q_boolean_and" -> ((s, dir) =>
+      ops.Search.booleanAndIndexed(s, dir, Tables.documents(s, dir),
+        Seq("spark", "vector", "merge"))),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
     // dense cosine-kNN leg (ppb integer contributions, full-outer fuse)
@@ -1286,6 +1298,53 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // compact-forward triangle enumeration (a<b<c wedges closed by an
+    // EXISTS probe) credited to each corner; ppb clustering coefficient
+    "q_triangles" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+        |        GROUP BY node),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        WHERE EXISTS (SELECT 1 FROM e e3
+        |                      WHERE e3.u = e1.u AND e3.v = e2.v)),
+        |pn AS (SELECT node, COUNT(*) AS n_triangles FROM (
+        |         SELECT a AS node FROM tri
+        |         UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) t
+        |       GROUP BY node)
+        |SELECT d.doc_id, deg.deg,
+        |  CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.deg < 2 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((2 * COALESCE(pn.n_triangles, 0) * 1000000000)
+        |                 // (deg.deg * (deg.deg - 1)) AS BIGINT) END AS coeff_ppb
+        |FROM documents d JOIN deg ON d.doc_id = deg.node
+        |LEFT JOIN pn ON d.doc_id = pn.node
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // posting-list AND: same tokenizer CTE as q_bm25, conjunctive filter
+    "q_boolean_and" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS dl,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM documents)
+        |SELECT doc_id, dl FROM d
+        |WHERE tf_spark > 0 AND tf_vector > 0 AND tf_merge > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // 5 fixed ppb-fixed-point PageRank rounds, unrolled as plain CTE
     // levels (no recursion, no convergence test — mirrors the Spark

@@ -56,4 +56,50 @@ object Graph {
         coalesce(col("pr"), lit(150000000L)).as("rank_ppb"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * near-dup pair graph — the density signal that separates a "template
+    * family" (everyone near-duplicates everyone: coefficient → 1) from a
+    * "chain of drift" (A~B~C but A!~C: coefficient → 0), which changes
+    * what a dedup pass should keep.
+    *
+    * Triangles are enumerated once in canonical orientation a < b < c
+    * (two self-equi-joins of the u<v edge list — the standard
+    * compact-forward shape: every wedge b via (a,b),(b,c) is closed by
+    * probing (a,c), so no triangle is counted twice and no orientation
+    * explosion happens), then credited to each corner by an explode +
+    * keyed count. The coefficient is ppb fixed point:
+    * `(2·t·1e9) div (deg·(deg−1))` — integer floor division, exact in
+    * both engines; deg ≥ 2 whenever t > 0, and deg-1 nodes emit 0.
+    *
+    * Scale shape: the wedge join shuffles on the shared endpoint, the
+    * closing probe is an equi-join on (a, c) — both standard hash joins
+    * over the bounded near-dup edge set (already blocked per source by
+    * candidate generation), nothing quadratic in the corpus. */
+  def triangleStats(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(e.as("e3"),
+        col("a") === col("e3.u") && col("c") === col("e3.v"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    documents.select(col("doc_id"))
+      .join(deg, col("doc_id") === col("node"), "inner")
+      .drop("node")
+      .join(perNode, col("doc_id") === col("node"), "left_outer")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_ppb",
+        when(col("deg") < 2, lit(0L)).otherwise(
+          expr("(2 * n_triangles * 1000000000L) div (deg * (deg - 1))")))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -167,6 +167,30 @@ object Search {
       .limit(k)
   }
 
+  /** Conjunctive (AND) retrieval off the persisted inverted index: the
+    * documents containing EVERY query term, with their lengths — the
+    * other classic posting-list operation (BM25 is the ranked OR). The
+    * pruned posting rows are grouped by document and a distinct-term
+    * count equal to |terms| is the AND; dl comes from the doclen table.
+    * Same shard pruning as [[bm25TopKIndexed]]: the scan touches the
+    * query terms' partitions, never the corpus. */
+  def booleanAndIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 terms: $terms")
+    val (postings, doclen) = invertedIndexPersisted(spark, dir, documents)
+    val shardIds = spark.range(1)
+      .select(terms.map(t => pmod(xxhash64(lit(t)), lit(64L))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    postings
+      .filter(col("shard").isin(shardIds: _*) && col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_terms"))
+      .filter(col("n_terms") === terms.size.toLong)
+      .join(doclen, Seq("doc_id"))
+      .select(col("doc_id"), col("dl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
     * 2009) of a lexical BM25 leg and a dense cosine-kNN leg, the standard
     * two-tower retrieval mix in RAG / eval-mining pipelines.

@@ -42,6 +42,20 @@ class GraphSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("triangleStats: hand-checked triangle + pendant node") {
+    // triangle 1-2-3, pendant 4 hanging off 3, isolated doc 5
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val (docs, pdf) = frame(Seq(1L, 2L, 3L, 4L, 5L), pairs)
+    val out = Graph.triangleStats(docs, pdf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1000000000L)))
+    assert(out(2L) == ((2L, 1L, 1000000000L)))
+    assert(out(3L) == ((3L, 1L, 333333333L))) // 2*1e9 / (3*2), floored
+    assert(out(4L) == ((1L, 0L, 0L)))         // pendant: deg 1, no triangle
+    assert(!out.contains(5L))                 // isolated docs are not nodes
+  }
+
   test("pageRankPpb: symmetric pair ranks are equal; rank mass stays bounded") {
     val pairs = Seq((10L, 20L))
     val (docs, pdf) = frame(Seq(10L, 20L), pairs)

@@ -140,6 +140,25 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("shard"), s"no shard pruning in plan:\n$plan")
   }
 
+  test("booleanAndIndexed: equals the direct conjunctive scan") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val terms = Seq("spark", "vector", "merge")
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val cols = col("doc_id") ::
+      coalesce(size(toks), lit(0)).cast("long").as("dl") ::
+      terms.map(t => size(filter(toks, tk => tk === t)).as(s"n_$t")).toList
+    val direct = d
+      .select(cols: _*)
+      .filter(terms.map(t => col(s"n_$t") > 0).reduce(_ && _))
+      .select(col("doc_id"), col("dl"))
+      .orderBy(col("doc_id"))
+      .collect().toSeq
+    val indexed = Search.booleanAndIndexed(spark, dir, d, terms)
+      .collect().toSeq
+    assert(indexed == direct && direct.nonEmpty)
+  }
+
   test("hybridRrfTopK: fusion equals driver recomputation from the two legs") {
     val dir = graft.SparkTestBase.sfDir
     val d = graft.Tables.documents(spark, dir)
