@@ -61,7 +61,12 @@ val headline = Seq(
   "q_knn_pq" -> "PQ-ADC: codebook and per-probe LUTs broadcast; encode is m argmax rows/vector through map-side aggregation; ADC scan O(m)/pair with WindowGroupLimit pool trim, exact re-rank on id-lookups only",
   "q_partition_prune" -> "daily hive layout + DPP: the top-days dim broadcasts and becomes a dynamicpruning PartitionFilter on the fact scan -- skipped day directories are never listed or opened",
   "q_trailing_window" -> "event-time RANGE frame: trailing-30-min per-user aggregate on ONE user-keyed exchange; integer cent sums keep SQL peer semantics hash-exact",
-  "q_dedup_history" -> "bloom-gated incremental dedup: history hashes fold into a scalar-subquery bloom; bloom-negative rows bypass the anti-join (union branch), only maybe-seen rows re-check exactly")
+  "q_dedup_history" -> "bloom-gated incremental dedup: history hashes fold into a scalar-subquery bloom; bloom-negative rows bypass the anti-join (union branch), only maybe-seen rows re-check exactly",
+  "q_bm25_idx" -> "persisted inverted index: the postings scan carries PartitionFilters on the query terms' shard ids (64 -> <=|terms| partitions listed); corpus stats come from the narrow doclen table; the corpus text never appears in the plan",
+  "q_boolean_and" -> "posting-list AND: same shard-pruned postings scan, distinct-term count per doc, doclen equi-join -- conjunctive retrieval without tokenizing anything",
+  "q_hybrid_rrf" -> "RRF fusion: the two ranked legs are bounded (<=nCand rows each) and full-outer join on doc_id; integer ppb contributions; top-20 via TakeOrderedAndProject",
+  "q_pagerank" -> "5 Pregel rounds off the persisted pair table: per round one hash join of the rank frame onto the checkpointed symmetric edge list + one keyed BIGINT sum; pair GENERATION is absent from the plan (reads neardup_pairs_900)",
+  "q_triangles" -> "compact-forward triangles: wedge equi-join on the shared endpoint, closing (a,c) probe as left-semi hash join, per-corner credit via explode + keyed count -- no orientation explosion, nothing corpus-quadratic")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
