@@ -670,6 +670,12 @@ object SparkEntry {
       ops.Search.booleanAndIndexed(s, dir, Tables.documents(s, dir),
         Seq("spark", "vector", "merge"))),
 
+    // exact phrase search off the POSITIONAL postings: consecutive
+    // occurrence counts via position-list intersection
+    "q_phrase" -> ((s, dir) =>
+      ops.Search.phraseIndexed(s, dir, Tables.documents(s, dir),
+        Seq("query", "key"))),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
     // dense cosine-kNN leg (ppb integer contributions, full-outer fuse)
     "q_hybrid_rrf" -> ((s, dir) =>
@@ -1328,6 +1334,20 @@ object SparkEntry {
         |FROM documents d JOIN deg ON d.doc_id = deg.node
         |LEFT JOIN pn ON d.doc_id = pn.node
         |ORDER BY d.doc_id""".stripMargin,
+
+    // phrase scan replica: every start offset i with tk[i..i+1] matching;
+    // overlaps count in both engines, 1-based list indexing in DuckDB
+    "q_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST(len(list_filter(range(1, len(tk)),
+        |          i -> tk[i] = 'query' AND tk[i + 1] = 'key')) AS BIGINT) AS n_occ
+        |      FROM t)
+        |SELECT doc_id, n_occ FROM c WHERE n_occ > 0 ORDER BY doc_id""".stripMargin,
 
     // posting-list AND: same tokenizer CTE as q_bm25, conjunctive filter
     "q_boolean_and" ->

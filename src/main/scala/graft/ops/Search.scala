@@ -111,14 +111,20 @@ object Search {
       val p = s"bm25_postings_$tag"
       val d = s"bm25_doclen_$tag"
       // SAME tokenizer as bm25TopK — the index must observe the exact
-      // token stream the scan path counts.
+      // token stream the scan path counts. Postings are POSITIONAL
+      // (sorted 0-based offsets per (tok, doc)): tf queries read the tf
+      // column, phrase queries intersect the position lists.
       val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
-      val exploded =
-        documents.select(col("doc_id"), explode_outer(toks).as("tok"))
+      val exploded = documents.select(col("doc_id"),
+        posexplode_outer(toks).as(Seq("pos", "tok")))
       val doclen = exploded.groupBy(col("doc_id"))
         .agg(sum(when(col("tok").isNotNull, 1L).otherwise(0L)).as("dl"))
       val postings = exploded.filter(col("tok").isNotNull)
-        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          // collect_list order is partition-dependent — sort_array makes
+          // the stored posting list canonical
+          sort_array(collect_list(col("pos"))).as("positions"))
         .withColumn("shard", pmod(xxhash64(col("tok")), lit(64L)))
       graft.sources.ManagedTable.write(postings, p, partitionCol = Some("shard"))
       graft.sources.ManagedTable.write(doclen, d)
@@ -188,6 +194,42 @@ object Search {
       .filter(col("n_terms") === terms.size.toLong)
       .join(doclen, Seq("doc_id"))
       .select(col("doc_id"), col("dl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact phrase search off the positional postings: documents where
+    * `phrase`'s tokens occur CONSECUTIVELY, with the occurrence count —
+    * the operation a tf-only index cannot answer. Each phrase term's
+    * (pruned) posting row contributes its position list; an occurrence is
+    * a start offset x with term i's list containing x+i for every i, so
+    * the match is |phrase|−1 broadcast-joinable equi-joins on doc_id plus
+    * one higher-order filter over the FIRST term's list — no text, no
+    * explode, nothing corpus-sized. Overlapping occurrences count (both
+    * engines scan every start offset). Repeated phrase terms reuse the
+    * same posting row at different offsets. */
+  def phraseIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      documents: => DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 8, s"2..8 terms: $phrase")
+    val terms = phrase.distinct
+    val (postings, _) = invertedIndexPersisted(spark, dir, documents)
+    val shardIds = spark.range(1)
+      .select(terms.map(t => pmod(xxhash64(lit(t)), lit(64L))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val hit = postings
+      .filter(col("shard").isin(shardIds: _*) && col("tok").isin(terms: _*))
+    val joined = terms.zipWithIndex.map { case (t, i) =>
+        hit.filter(col("tok") === t)
+          .select(col("doc_id"), col("positions").as(s"pos_$i"))
+      }.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
+    val posCol = (t: String) => col(s"pos_${terms.indexOf(t)}")
+    val starts = filter(posCol(phrase.head), x =>
+      phrase.zipWithIndex.tail
+        .map { case (t, i) => array_contains(posCol(t), x + i) }
+        .reduce(_ && _))
+    joined
+      .withColumn("n_occ", size(starts).cast("long"))
+      .filter(col("n_occ") > 0L)
+      .select(col("doc_id"), col("n_occ"))
       .orderBy(col("doc_id"))
   }
 

@@ -159,6 +159,41 @@ class SearchSpec extends AnyFunSuite {
     assert(indexed == direct && direct.nonEmpty)
   }
 
+  test("phraseIndexed: hand-checked occurrences, overlaps and repeated terms") {
+    val d = docs(Seq(
+      (1L, "a b a b a"),   // "a b" at 0,2 -> 2; "a b a" at 0,2 -> 2 (overlap)
+      (2L, "b a b"),        // "a b" at 1 -> 1
+      (3L, "a a b"),        // "a b" at 1 -> 1
+      (4L, "b b b"),        // no "a b"
+      (5L, "a")))           // too short
+    val dir = "/tmp/phrasespec_fixture"
+    val ab = Search.phraseIndexed(spark, dir, d, Seq("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val aba = Search.phraseIndexed(spark, dir, d, Seq("a", "b", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aba == Map(1L -> 2L)) // overlapping starts 0 and 2 both count
+  }
+
+  test("phraseIndexed: matches the direct consecutive-token scan on the fixture") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val direct = d
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_occ", size(filter(
+        expr("sequence(1, greatest(size(t) - 1, 0))"),
+        i => expr("t")(i - 1) === "query" && expr("t")(i) === "key"))
+        .cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("n_occ"))
+      .orderBy(col("doc_id"))
+      .collect().toSeq
+    val indexed = Search.phraseIndexed(spark, dir, d, Seq("query", "key"))
+      .collect().toSeq
+    assert(indexed == direct && direct.nonEmpty)
+  }
+
   test("hybridRrfTopK: fusion equals driver recomputation from the two legs") {
     val dir = graft.SparkTestBase.sfDir
     val d = graft.Tables.documents(spark, dir)
