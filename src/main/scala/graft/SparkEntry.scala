@@ -543,6 +543,12 @@ object SparkEntry {
       analytics.Graph.pageRankPpb(Tables.documents(s, dir),
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
 
+    // the composite keep list: each duplicate family's most-central
+    // member (PageRank argmax, min-id ties) with its member count
+    "q_central_survivors" -> ((s, dir) =>
+      analytics.Graph.centralSurvivors(Tables.documents(s, dir),
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+
     // triangle counts + ppb clustering coefficient over the same graph:
     // template-family density vs drift-chain sparsity
     "q_triangles" -> ((s, dir) =>
@@ -1304,6 +1310,60 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // composite of the two proven graph fragments: recursive-CTE
+    // transitive closure labels + the unrolled integer PageRank, fused by
+    // a per-cluster (rank DESC, doc_id) row_number argmax
+    "q_central_survivors" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r0.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r1.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r2.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r4 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r3.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN r3 ON e.src = r3.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r5 AS (SELECT e.dst AS node,
+        |         CAST(150000000 + (85 * SUM(r4.pr // deg.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN r4 ON e.src = r4.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |ranks AS (SELECT d.doc_id,
+        |            CAST(COALESCE(r5.pr, 150000000) AS BIGINT) AS rank_ppb
+        |          FROM documents d LEFT JOIN r5 ON d.doc_id = r5.node),
+        |j AS (SELECT l.doc_id, l.cluster_id, r.rank_ppb
+        |      FROM labels l JOIN ranks r ON l.doc_id = r.doc_id),
+        |m AS (SELECT cluster_id, COUNT(*) AS n_members FROM j GROUP BY 1),
+        |w AS (SELECT cluster_id, doc_id AS rep_doc_id, rank_ppb AS rep_rank_ppb,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY rank_ppb DESC, doc_id) AS rn
+        |      FROM j)
+        |SELECT w.cluster_id, w.rep_doc_id, w.rep_rank_ppb, m.n_members
+        |FROM w JOIN m ON w.cluster_id = m.cluster_id
+        |WHERE w.rn = 1 ORDER BY w.cluster_id""".stripMargin,
 
     // compact-forward triangle enumeration (a<b<c wedges closed by an
     // EXISTS probe) credited to each corner; ppb clustering coefficient

@@ -57,6 +57,31 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** Centrality-weighted survivor selection — the composite the two graph
+    * passes exist for: [[graft.ops.Dedup.nearDupClusters]] labels each
+    * duplicate family, [[pageRankPpb]] scores how corroborated each member
+    * is, and the keep list takes each family's MOST CENTRAL member (ties
+    * to the smaller doc_id) instead of the arbitrary minimum id — at
+    * pipeline scale, the copy every mirror agrees on, not the one with
+    * the lowest key.
+    *
+    * The per-cluster argmax is ONE grouped max(struct(rank, −doc_id)) —
+    * the span-dedup first-owner idiom, map-side combinable, no per-cluster
+    * window sort; member counts ride the same aggregation. Singleton docs
+    * survive as their own family at the dangling rank. */
+  def centralSurvivors(documents: DataFrame, pairs: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val labels = graft.ops.Dedup.nearDupClusters(documents, pairs)
+    val ranks = pageRankPpb(documents, pairs, iters)
+    labels.join(ranks, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("rank_ppb").as("r"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nd")).as("rep_doc_id"),
+        col("m.r").as("rep_rank_ppb"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * near-dup pair graph — the density signal that separates a "template
     * family" (everyone near-duplicates everyone: coefficient → 1) from a

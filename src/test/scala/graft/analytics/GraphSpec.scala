@@ -56,6 +56,20 @@ class GraphSpec extends AnyFunSuite {
     assert(!out.contains(5L))                 // isolated docs are not nodes
   }
 
+  test("centralSurvivors: hub wins its family; singleton survives itself") {
+    // path 1-2-3: one family labeled min=1, hub 2 is most central;
+    // doc 9 is isolated -> its own family at the dangling rank
+    val pairs = Seq((1L, 2L), (2L, 3L))
+    val (docs, pdf) = frame(Seq(1L, 2L, 3L, 9L), pairs)
+    val out = Graph.centralSurvivors(docs, pdf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ref = refRanks(pairs, 5)
+    assert(out(1L) == ((2L, ref(2L), 3L))) // family rep = hub 2, 3 members
+    assert(out(9L) == ((9L, 150000000L, 1L)))
+    assert(out.size == 2)
+  }
+
   test("pageRankPpb: symmetric pair ranks are equal; rank mass stays bounded") {
     val pairs = Seq((10L, 20L))
     val (docs, pdf) = frame(Seq(10L, 20L), pairs)
