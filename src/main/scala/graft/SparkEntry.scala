@@ -682,6 +682,12 @@ object SparkEntry {
       ops.Search.phraseIndexed(s, dir, Tables.documents(s, dir),
         Seq("query", "key"))),
 
+    // NEAR operator: spark/merge within 5 tokens, pair counts from the
+    // same positional posting lists
+    "q_proximity" -> ((s, dir) =>
+      ops.Search.proximityIndexed(s, dir, Tables.documents(s, dir),
+        "spark", "merge", window = 5)),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
     // dense cosine-kNN leg (ppb integer contributions, full-outer fuse)
     "q_hybrid_rrf" -> ((s, dir) =>
@@ -1408,6 +1414,24 @@ object SparkEntry {
         |          i -> tk[i] = 'query' AND tk[i + 1] = 'key')) AS BIGINT) AS n_occ
         |      FROM t)
         |SELECT doc_id, n_occ FROM c WHERE n_occ > 0 ORDER BY doc_id""".stripMargin,
+
+    // NEAR replica: 1-based position lists; only position DIFFERENCES
+    // enter the predicate so the indexing basis cancels
+    "q_proximity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(tk) + 1), i -> tk[i] = 'spark') AS pa,
+        |        list_filter(range(1, len(tk) + 1), i -> tk[i] = 'merge') AS pb
+        |      FROM t),
+        |c AS (SELECT doc_id,
+        |        CAST(COALESCE(list_sum(list_transform(pa,
+        |          x -> len(list_filter(pb, y -> abs(y - x) <= 5)))), 0) AS BIGINT) AS n_pairs
+        |      FROM p)
+        |SELECT doc_id, n_pairs FROM c WHERE n_pairs > 0 ORDER BY doc_id""".stripMargin,
 
     // posting-list AND: same tokenizer CTE as q_bm25, conjunctive filter
     "q_boolean_and" ->

@@ -233,6 +233,36 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
+  /** Proximity search off the positional postings — [[phraseIndexed]]'s
+    * relaxation: the pair count of `a`/`b` occurrences within `window`
+    * tokens of each other (order-free), the classic NEAR operator. Same
+    * shard-pruned posting scan and doc_id equi-join; the pair count is
+    * one higher-order fold over the two position lists (positions are
+    * 0-based in the index, 1-based in the oracle — only DIFFERENCES
+    * enter the predicate, so the basis cancels). */
+  def proximityIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      documents: => DataFrame, a: String, b: String,
+      window: Int = 5): DataFrame = {
+    require(a != b, "distinct terms")
+    val (postings, _) = invertedIndexPersisted(spark, dir, documents)
+    val shardIds = spark.range(1)
+      .select(Seq(a, b).map(t => pmod(xxhash64(lit(t)), lit(64L))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val hit = postings
+      .filter(col("shard").isin(shardIds: _*) && col("tok").isin(a, b))
+    val pa = hit.filter(col("tok") === a)
+      .select(col("doc_id"), col("positions").as("pos_a"))
+    val pb = hit.filter(col("tok") === b)
+      .select(col("doc_id"), col("positions").as("pos_b"))
+    pa.join(pb, Seq("doc_id"))
+      .withColumn("n_pairs", aggregate(col("pos_a"), lit(0L),
+        (acc, x) => acc +
+          size(filter(col("pos_b"), y => abs(y - x) <= window)).cast("long")))
+      .filter(col("n_pairs") > 0L)
+      .select(col("doc_id"), col("n_pairs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
     * 2009) of a lexical BM25 leg and a dense cosine-kNN leg, the standard
     * two-tower retrieval mix in RAG / eval-mining pipelines.

@@ -175,6 +175,19 @@ class SearchSpec extends AnyFunSuite {
     assert(aba == Map(1L -> 2L)) // overlapping starts 0 and 2 both count
   }
 
+  test("proximityIndexed: hand-checked pair counts, symmetric window") {
+    val d = docs(Seq(
+      (1L, "a x x b"),       // |3-0|=3 <= 3 -> 1 pair
+      (2L, "a x x x b"),     // |4-0|=4 >  3 -> 0 pairs
+      (3L, "b a b"),          // a@1: b@0 (1), b@2 (1) -> 2 pairs
+      (4L, "a a b"),          // a@0,a@1 vs b@2 -> 2 pairs
+      (5L, "a only here")))
+    val dir = "/tmp/proximityspec_fixture"
+    val out = Search.proximityIndexed(spark, dir, d, "a", "b", window = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("phraseIndexed: matches the direct consecutive-token scan on the fixture") {
     val dir = graft.SparkTestBase.sfDir
     val d = graft.Tables.documents(spark, dir)
