@@ -66,7 +66,9 @@ val headline = Seq(
   "q_boolean_and" -> "posting-list AND: same shard-pruned postings scan, distinct-term count per doc, doclen equi-join -- conjunctive retrieval without tokenizing anything",
   "q_hybrid_rrf" -> "RRF fusion: the two ranked legs are bounded (<=nCand rows each) and full-outer join on doc_id; integer ppb contributions; top-20 via TakeOrderedAndProject",
   "q_pagerank" -> "5 Pregel rounds off the persisted pair table: per round one hash join of the rank frame onto the checkpointed symmetric edge list + one keyed BIGINT sum; pair GENERATION is absent from the plan (reads neardup_pairs_900)",
-  "q_triangles" -> "compact-forward triangles: wedge equi-join on the shared endpoint, closing (a,c) probe as left-semi hash join, per-corner credit via explode + keyed count -- no orientation explosion, nothing corpus-quadratic")
+  "q_triangles" -> "compact-forward triangles: wedge equi-join on the shared endpoint, closing (a,c) probe as left-semi hash join, per-corner credit via explode + keyed count -- no orientation explosion, nothing corpus-quadratic",
+  "q_phrase" -> "positional phrase match: each term's pruned posting row joins on doc_id; occurrences are one higher-order filter over the first term's position list -- no text, no explode, nothing corpus-sized",
+  "q_central_survivors" -> "composite keep list: CC labels join PageRank ranks; the per-family argmax is ONE grouped max(struct(rank,-id)) with map-side partials -- no per-cluster window sort")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
