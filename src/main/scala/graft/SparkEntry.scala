@@ -682,6 +682,12 @@ object SparkEntry {
       ops.Search.phraseIndexed(s, dir, Tables.documents(s, dir),
         Seq("query", "key"))),
 
+    // result snippets: +-3-token context around the first phrase hit,
+    // text re-attached only for the bounded match frame
+    "q_snippets" -> ((s, dir) =>
+      ops.Search.snippetsIndexed(s, dir, Tables.documents(s, dir),
+        Seq("query", "key"), context = 3)),
+
     // NEAR operator: spark/merge within 5 tokens, pair counts from the
     // same positional posting lists
     "q_proximity" -> ((s, dir) =>
@@ -1414,6 +1420,22 @@ object SparkEntry {
         |          i -> tk[i] = 'query' AND tk[i + 1] = 'key')) AS BIGINT) AS n_occ
         |      FROM t)
         |SELECT doc_id, n_occ FROM c WHERE n_occ > 0 ORDER BY doc_id""".stripMargin,
+
+    // snippet replica: 1-based start ss[1]; the window bounds map to the
+    // Spark 0-based slice exactly (checked at both clamp edges)
+    "q_snippets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        list_filter(range(1, len(tk)),
+        |          i -> tk[i] = 'query' AND tk[i + 1] = 'key') AS ss
+        |      FROM t)
+        |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_occ,
+        |  array_to_string(list_slice(tk, greatest(ss[1] - 3, 1), ss[1] + 4), ' ') AS snippet
+        |FROM c WHERE len(ss) > 0 ORDER BY doc_id""".stripMargin,
 
     // NEAR replica: 1-based position lists; only position DIFFERENCES
     // enter the predicate so the indexing basis cancels

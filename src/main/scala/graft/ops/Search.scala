@@ -208,7 +208,18 @@ object Search {
     * engines scan every start offset). Repeated phrase terms reuse the
     * same posting row at different offsets. */
   def phraseIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
-      documents: => DataFrame, phrase: Seq[String]): DataFrame = {
+      documents: => DataFrame, phrase: Seq[String]): DataFrame =
+    phraseStarts(spark, dir, documents, phrase)
+      .select(col("doc_id"), size(col("starts")).cast("long").as("n_occ"))
+      .orderBy(col("doc_id"))
+
+  /** Shared phrase-match core: (doc_id, starts) with the SORTED 0-based
+    * start offsets of every occurrence — [[phraseIndexed]] counts them,
+    * [[snippetsIndexed]] slices context windows around them. Only docs
+    * with >= 1 occurrence survive. */
+  private def phraseStarts(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame,
+      phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2 && phrase.size <= 8, s"2..8 terms: $phrase")
     val terms = phrase.distinct
     val (postings, _) = invertedIndexPersisted(spark, dir, documents)
@@ -227,9 +238,30 @@ object Search {
         .map { case (t, i) => array_contains(posCol(t), x + i) }
         .reduce(_ && _))
     joined
-      .withColumn("n_occ", size(starts).cast("long"))
-      .filter(col("n_occ") > 0L)
-      .select(col("doc_id"), col("n_occ"))
+      .withColumn("starts", starts)
+      .filter(size(col("starts")) > 0)
+      .select(col("doc_id"), col("starts"))
+  }
+
+  /** Search-result snippets: for each phrase-matching document, the
+    * occurrence count and a `context`-token window around the FIRST
+    * occurrence, re-materialized from the document text — the one
+    * retrieval step that genuinely needs the text back, so it joins the
+    * bounded match frame TO the corpus (broadcastable at any corpus
+    * size: |matches| ≤ |docs with the rarest term|) and re-tokenizes
+    * only the matching documents. */
+  def snippetsIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      documents: => DataFrame, phrase: Seq[String],
+      context: Int = 3): DataFrame = {
+    val st = phraseStarts(spark, dir, documents, phrase)
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val first = element_at(col("starts"), 1)
+    val from0 = greatest(first - context, lit(0))
+    val len = first + lit(phrase.size + context) - from0
+    st.join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_occ"),
+        concat_ws(" ", slice(toks, from0 + 1, len)).as("snippet"))
       .orderBy(col("doc_id"))
   }
 

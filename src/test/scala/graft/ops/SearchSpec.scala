@@ -175,6 +175,22 @@ class SearchSpec extends AnyFunSuite {
     assert(aba == Map(1L -> 2L)) // overlapping starts 0 and 2 both count
   }
 
+  test("snippetsIndexed: window slicing at both clamp edges") {
+    val d = docs(Seq(
+      (1L, "a b x y z"),            // hit at 0: left clamp -> "a b x y z"
+      (2L, "p q r s a b t u v w"),  // hit at 4: full window p+1..s+b+3
+      (3L, "x a b"),                // right clamp -> "x a b"
+      (4L, "a b c a b")))           // two hits -> first one snips
+    val dir = "/tmp/snippetspec_fixture"
+    val out = Search.snippetsIndexed(spark, dir, d, Seq("a", "b"), context = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (1L, 1L, "a b x y z"),
+      (2L, 1L, "q r s a b t u v"),
+      (3L, 1L, "x a b"),
+      (4L, 2L, "a b c a b")))
+  }
+
   test("proximityIndexed: hand-checked pair counts, symmetric window") {
     val d = docs(Seq(
       (1L, "a x x b"),       // |3-0|=3 <= 3 -> 1 pair
