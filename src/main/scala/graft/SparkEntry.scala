@@ -532,6 +532,12 @@ object SparkEntry {
     "q_dedup_clusters_idx" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.documents(s, dir),
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+
+    // degree histogram of the near-dup graph off the persisted pair
+    // table: clique-tail diagnostic, two integer aggs over the edge set
+    "q_degree_dist" -> ((s, dir) =>
+      Dedup.degreeDistribution(
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
     "q_dedup_survivors_idx" -> ((s, dir) =>
       Dedup.nearDupSurvivors(Tables.documents(s, dir),
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
@@ -650,6 +656,11 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       TextAnalysis.spanDedup(Tables.documents(s, dir), 5)),
 
+    // Lee et al. repeated-span signal: sliding 5-gram windows duplicated
+    // anywhere in the corpus, per-doc count + exact ppb fraction
+    "q_repeated_ngrams" -> ((s, dir) =>
+      TextAnalysis.repeatedNgramStats(Tables.documents(s, dir), 5)),
+
     // Gopher rule-based quality flags (word count, mean word length,
     // alpha-word fraction, stopword floor)
     "q_gopher_quality" -> ((s, dir) =>
@@ -693,6 +704,11 @@ object SparkEntry {
     "q_proximity" -> ((s, dir) =>
       ops.Search.proximityIndexed(s, dir, Tables.documents(s, dir),
         "spark", "merge", window = 5)),
+
+    // wildcard `s*` term-dictionary lookup: vocabulary scan over the
+    // postings table (hash shards can't prune a prefix range), df + ctf
+    "q_prefix_search" -> ((s, dir) =>
+      ops.Search.prefixTermsIndexed(s, dir, Tables.documents(s, dir), "s")),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
     // dense cosine-kNN leg (ppb integer contributions, full-outer fuse)
@@ -753,6 +769,16 @@ object SparkEntry {
 
     "q_type_diversity" -> ((s, dir) =>
       analytics.Stats.typeDiversity(Tables.events(s, dir))),
+
+    // two-sample KS distance purchase-vs-click in exact ppb (floor-div
+    // ECDFs over the distinct value domain)
+    "q_ks_test" -> ((s, dir) =>
+      analytics.Stats.ksTest(Tables.events(s, dir), "purchase", "click")),
+
+    // Mann-Whitney U for the same two samples, tie-midranks kept integer
+    // by doubling
+    "q_mannwhitney" -> ((s, dir) =>
+      analytics.Stats.mannWhitneyU(Tables.events(s, dir), "purchase", "click")),
 
     // WITH FILL INTERPOLATE analogue: hourly grid, linear interpolation
     // between bracketing samples, trailing carry-forward. Registered over
@@ -1323,6 +1349,21 @@ object SparkEntry {
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // degree histogram over the same edge set as the clusters oracle
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM edges GROUP BY src)
+        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
     // composite of the two proven graph fragments: recursive-CTE
     // transitive closure labels + the unrolled integer PageRank, fused by
     // a per-cluster (rank DESC, doc_id) row_number argmax
@@ -1454,6 +1495,18 @@ object SparkEntry {
         |          x -> len(list_filter(pb, y -> abs(y - x) <= 5)))), 0) AS BIGINT) AS n_pairs
         |      FROM p)
         |SELECT doc_id, n_pairs FROM c WHERE n_pairs > 0 ORDER BY doc_id""".stripMargin,
+
+    // term-dictionary prefix scan: df = distinct docs, ctf = occurrences
+    "q_prefix_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(tk) AS tok FROM t)
+        |SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(COUNT(*) AS BIGINT) AS total_tf
+        |FROM s WHERE tok LIKE 's%' GROUP BY tok ORDER BY tok""".stripMargin,
 
     // posting-list AND: same tokenizer CTE as q_bm25, conjunctive filter
     "q_boolean_and" ->
@@ -2540,6 +2593,44 @@ object SparkEntry {
          |    AS simpson_ppb
          |FROM g ORDER BY user_id""".stripMargin,
 
+    // floor-div ECDFs over the distinct value domain; same window frame
+    // both engines, BIGINT throughout
+    "q_ks_test" ->
+      s"""WITH ev AS ($EV),
+         |v AS (SELECT value,
+         |        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM ev WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+         |      GROUP BY value),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM v),
+         |c AS (SELECT
+         |        CAST(SUM(ca) OVER (ORDER BY value
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cca,
+         |        CAST(SUM(cb) OVER (ORDER BY value
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccb
+         |      FROM v)
+         |SELECT t.n_a, t.n_b,
+         |  CAST(MAX(ABS((cca * 1000000000) // t.n_a - (ccb * 1000000000) // t.n_b)) AS BIGINT) AS d_ppb
+         |FROM c CROSS JOIN t GROUP BY t.n_a, t.n_b""".stripMargin,
+
+    // doubled midranks (2p + t + 1) keep tie handling integral
+    "q_mannwhitney" ->
+      s"""WITH ev AS ($EV),
+         |v AS (SELECT value,
+         |        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM ev WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+         |      GROUP BY value),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM v),
+         |c AS (SELECT ca, (ca + cb) AS tt,
+         |        CAST(SUM(ca + cb) OVER (ORDER BY value
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (ca + cb) AS BIGINT) AS p
+         |      FROM v)
+         |SELECT t.n_a, t.n_b,
+         |  CAST(SUM(ca * (2 * p + tt + 1)) AS BIGINT) AS r2_a,
+         |  CAST(SUM(ca * (2 * p + tt + 1)) - t.n_a * (t.n_a + 1) AS BIGINT) AS u2_a
+         |FROM c CROSS JOIN t GROUP BY t.n_a, t.n_b""".stripMargin,
+
     "q_retention_cohort" ->
       s"""WITH ev AS ($EV),
          |d0 AS (SELECT date_trunc('day', MIN(ts)) AS d0 FROM ev),
@@ -2714,6 +2805,22 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(n_spans, 0) AS n_spans, COALESCE(n_kept, 0) AS n_kept,
         |  COALESCE(n_spans, 0) - COALESCE(n_kept, 0) AS n_dropped
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // sliding windows (overlapping), duplicated = >= 2 positions corpus-wide
+    "q_repeated_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, array_to_string(tk[(i + 1):(i + 5)], ' ') AS ng
+        |  FROM t, unnest(range(0, greatest(len(tk) - 4, 0))) AS u(i)),
+        |c AS (SELECT ng, COUNT(*) AS c FROM s GROUP BY ng)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST((SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) * 1000000000) // COUNT(*) AS BIGINT) AS dup_ppb
+        |FROM s JOIN c USING (ng) GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pack" ->
       """WITH t AS (

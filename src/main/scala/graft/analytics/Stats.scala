@@ -140,6 +140,75 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two event types (Kolmogorov 1933; Smirnov 1939),
+    * in exact parts-per-billion: `D = max_v |F_a(v) − F_b(v)|` where each
+    * ECDF is evaluated as `c·1e9 div n` (BIGINT floor division on exact
+    * cumulative counts — order-free, engine-exact, within 2·10⁻⁹ of the
+    * real-valued D; exact for n ≤ 9.2·10⁹ per sample at the BIGINT
+    * ceiling). One row: (n_a, n_b, d_ppb).
+    *
+    * Scale shape: one keyed aggregation folds the events to the DISTINCT
+    * value domain (per value: a-count, b-count); the cumulative sums run
+    * in a value-domain-sized window — the same bounded-domain frame class
+    * as the counting-percentile queries (values are prices/latencies, a
+    * domain that does not grow with row count). The totals attach as a
+    * broadcast 1-row aggregate; the max is a 1-row fold. */
+  def ksTest(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val perValue = twoSampleCounts(events, typeA, typeB)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = perValue.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    perValue
+      .select(sum(col("ca")).over(w).as("cca"),
+        sum(col("cb")).over(w).as("ccb"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(expr("cca * 1000000000L div n_a") -
+        expr("ccb * 1000000000L div n_b"))).as("d_ppb"))
+      .select(col("n_a"), col("n_b"), col("d_ppb"))
+  }
+
+  /** Mann–Whitney U (Mann & Whitney 1947) for the same two samples, with
+    * the standard midrank treatment of ties kept INTEGER by working in
+    * DOUBLED ranks: a distinct value preceded by `p` observations with
+    * `t` ties has midrank `p + (t+1)/2`, i.e. doubled midrank
+    * `2p + t + 1` — always integral. One row:
+    * (n_a, n_b, r2_a = Σ doubled ranks of sample a,
+    * u2_a = 2·U_a = r2_a − n_a·(n_a+1)). Same distinct-value fold and
+    * bounded-domain cumulative frame as [[ksTest]]; every quantity is an
+    * exact BIGINT. */
+  def mannWhitneyU(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val perValue = twoSampleCounts(events, typeA, typeB)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = perValue.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    perValue
+      .withColumn("t", col("ca") + col("cb"))
+      .select(col("ca"), col("t"),
+        (sum(col("t")).over(w) - col("t")).as("p"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("ca") * (lit(2L) * col("p") + col("t") + lit(1L)))
+        .as("r2_a"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + lit(1L)))
+      .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"))
+  }
+
+  /** Shared two-sample fold: the events of `typeA`/`typeB` reduced to the
+    * distinct `value` domain with per-value counts of each sample. */
+  private def twoSampleCounts(events: DataFrame, typeA: String,
+      typeB: String): DataFrame =
+    events
+      .filter(col("event_type").isin(typeA, typeB) && col("value").isNotNull)
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+
   /** Per-user behavioral diversity over event types: Simpson index in
     * exact parts-per-billion — `1e9 − Σc_t²·1e9 div n²` with BIGINT floor
     * division, the rational-arithmetic stand-in for Shannon entropy (a

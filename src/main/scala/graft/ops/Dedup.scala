@@ -193,6 +193,29 @@ object Dedup {
     * two joins over edges, one eager checkpoint, one 1-row convergence
     * agg. Deterministic (min is order-free).
     */
+  /** Degree distribution of the near-duplicate graph: for each degree
+    * value, how many nodes have it — the one-glance shape diagnostic for
+    * a dedup run (a heavy right tail = template/boilerplate cliques that
+    * [[nearDupSurvivors]] will collapse; mass at degree 1 = genuine
+    * pairwise near-dups). Nodes appear with their full undirected degree;
+    * isolated documents (no near-dup edge) are not graph nodes and are
+    * excluded, matching the edge-derived oracle.
+    *
+    * Scale shape: two keyed integer aggregations over the (already
+    * bounded) pair set — degree per node, then node-count per degree.
+    * Nothing document-sized is touched; feed it
+    * [[charJaccardPairsPersisted]] and the query never re-runs candidate
+    * generation. */
+  def degreeDistribution(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("id_a").as("node"))
+      .unionByName(pairs.select(col("id_b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
   def nearDupClusters(documents: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // canonical undirected edge set (u < v), materialized ONCE — candidate

@@ -295,6 +295,30 @@ object Search {
       .orderBy(col("doc_id"))
   }
 
+  /** Prefix (wildcard `pre*`) term lookup off the persisted inverted
+    * index: every vocabulary term starting with `prefix`, with its
+    * document frequency and corpus-wide term frequency — the
+    * term-dictionary operation behind autocomplete and wildcard search.
+    *
+    * Unlike the exact-term paths, shard pruning cannot apply (shards key
+    * on `xxhash64(tok)`, which scatters a prefix range over all 64
+    * shards), so the query scans the POSTINGS table — but that is the
+    * point of the index: the postings table is |vocabulary|·|docs-per-term|
+    * rows of a few bytes, orders of magnitude smaller than re-tokenizing
+    * corpus text, and the `StartsWith` filter pushes into its parquet
+    * scan. (tok, doc_id) is unique, so `count(*)` IS the document
+    * frequency. */
+  def prefixTermsIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "non-empty prefix")
+    val (postings, _) = invertedIndexPersisted(spark, dir, documents)
+    postings
+      .filter(col("tok").startsWith(prefix))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("tok"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
     * 2009) of a lexical BM25 leg and a dense cosine-kNN leg, the standard
     * two-tower retrieval mix in RAG / eval-mining pipelines.

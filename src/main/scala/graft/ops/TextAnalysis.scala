@@ -265,6 +265,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window repeated-n-gram contamination (the per-document
+    * signal behind exact-substring dedup, Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): for every
+    * document, the count of its sliding `n`-token windows whose n-gram
+    * occurs at ≥ 2 positions corpus-wide (any document, including another
+    * offset of the same one), plus that count as an exact ppb fraction.
+    * Complements [[spanDedup]] (non-overlapping blocks, first-owner
+    * dedup) with the OVERLAPPING-window view a substring deduper needs.
+    *
+    * Scale shape: one tokenize + explode (≈ one row per corpus token,
+    * the same volume as the inverted-index build), one map-side-combinable
+    * count keyed by n-gram, one equi-join of the span stream back to
+    * those counts (shuffle on the n-gram key; AQE handles hot n-grams),
+    * one keyed rollup per document. `n_dup · 1e9 div n_ngrams` is BIGINT
+    * floor division — order-free and engine-exact. Documents with fewer
+    * than `n` tokens have no windows and are dropped. */
+  def repeatedNgramStats(documents: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2 && n <= 16, s"2..16-token windows: $n")
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    // sequence(0, size-n) DESCENDS when size < n — guard to an empty list
+    val ngrams = documents
+      .withColumn("_tk", toks)
+      .filter(size(col("_tk")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("_tk")) - n),
+        i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("ng"))
+    val counts = ngrams.groupBy(col("ng")).agg(count(lit(1)).as("c"))
+    ngrams
+      .join(counts, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppb", expr("n_dup * 1000000000L div n_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher rule-based quality flags (Rae et al. 2021, §A1.1): the
     * document-level filters a pretraining pipeline applies before any
     * model-based scoring —

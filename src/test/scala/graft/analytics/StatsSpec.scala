@@ -82,4 +82,38 @@ class StatsSpec extends AnyFunSuite {
       Stats.typeDiversity(df).collect().toSeq)
     assert(all(base) == all(base.repartition(11)))
   }
+  test("ks: half-shifted samples give D = 1/2 ppb; disjoint give 1e9") {
+    val mk = (vs: Seq[(String, Double)]) =>
+      ev(vs.zipWithIndex.map { case ((t, v), i) => (t, i.toLong, v, "2024-01-01 00:00:00") })
+    val half = mk(Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++ Seq(3.0, 4.0, 5.0, 6.0).map(("b", _)))
+    val r = Stats.ksTest(half, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 500000000L)))
+    val disj = mk(Seq(1.0, 2.0).map(("a", _)) ++ Seq(3.0, 4.0).map(("b", _)))
+    assert(Stats.ksTest(disj, "a", "b").collect().head.getLong(2) == 1000000000L)
+  }
+
+  test("mann-whitney: separated samples give U = 0; ties use doubled midranks") {
+    val mk = (vs: Seq[(String, Double)]) =>
+      ev(vs.zipWithIndex.map { case ((t, v), i) => (t, i.toLong, v, "2024-01-01 00:00:00") })
+    val sep = mk(Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)))
+    val r = Stats.mannWhitneyU(sep, "a", "b").collect().head
+    // ranks of a = {1,2} -> r2_a = 6, u2_a = 6 - 2*3 = 0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 6L, 0L)))
+    val tied = mk(Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)))
+    val t = Stats.mannWhitneyU(tied, "a", "b").collect().head
+    // value 1: doubled midrank 2p+t+1 = 4 (x2 for a) -> r2_a = 8; u2_a = 2 (U_a = 1)
+    assert((t.getLong(2), t.getLong(3)) == ((8L, 2L)))
+  }
+
+  test("ks/mwu deterministic under repartition") {
+    val rows = (0 until 500).map(i =>
+      (Seq("a", "b", "c")(i % 3), (i % 29).toLong, (i % 13) + 0.25,
+        s"2024-01-01 00:00:00"))
+    val base = ev(rows)
+    def both(df: org.apache.spark.sql.DataFrame) = Seq(
+      Stats.ksTest(df, "a", "b").collect().toSeq,
+      Stats.mannWhitneyU(df, "a", "b").collect().toSeq)
+    assert(both(base) == both(base.repartition(11)))
+  }
+
 }

@@ -187,4 +187,13 @@ class DedupSpec extends AnyFunSuite {
     val out2 = Dedup.historyDedupBloom(spark, incoming, nullHist)
     assert(out2.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
+  test("degreeDistribution: hand-checked degree histogram") {
+    import spark.implicits._
+    // edges 1-2, 1-3, 4-5: degrees 1->2, {2,3,4,5}->1
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.degreeDistribution(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(out == Seq(1L -> 4L, 2L -> 1L))
+  }
+
 }

@@ -270,4 +270,30 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopKIndexed(spark, dir, d, terms, k = 10).collect().toSeq
     assert(indexed == scan && scan.nonEmpty)
   }
+  test("prefixTermsIndexed: df and corpus tf per matching vocabulary term") {
+    val d = docs(Seq(
+      (1L, "spark spark sort noise"),
+      (2L, "sort stream noise"),
+      (3L, "noise only")))
+    val dir = "/tmp/prefixspec_fixture"
+    val out = Search.prefixTermsIndexed(spark, dir, d, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("sort", 2L, 2L), ("spark", 1L, 2L), ("stream", 1L, 1L)))
+  }
+
+  test("prefixTermsIndexed: matches a direct tokenize scan on the fixture") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val direct = d
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").startsWith("s"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("total_tf"))
+      .orderBy(col("tok"))
+      .collect().toSeq
+    val indexed = Search.prefixTermsIndexed(spark, dir, d, "s").collect().toSeq
+    assert(indexed == direct && direct.nonEmpty)
+  }
+
 }

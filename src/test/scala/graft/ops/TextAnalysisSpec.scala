@@ -186,4 +186,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1)._2 == 1L && Set("b a", "b c")(r(1)._1))
     assert(r(1)._1 == "b a") // cnt tie 1==1 → lexicographic
   }
+  test("repeatedNgramStats: duplicated windows counted, short docs dropped") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z"),   // bigrams: "x y" (dup with doc 2), "y z"
+      (2L, "x y q"),   // bigrams: "x y" (dup), "y q"
+      (3L, "a"),        // < n tokens -> no windows -> dropped
+      (4L, "m m m"))   // "m m" twice WITHIN the doc -> both dup
+      .map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.repeatedNgramStats(d, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 500000000L),
+      (2L, 2L, 1L, 500000000L),
+      (4L, 2L, 2L, 1000000000L)))
+  }
+
+  test("repeatedNgramStats is deterministic under repartition") {
+    import spark.implicits._
+    val d = (0L until 80L).map(i => (i, s"w${i % 9} w${(i + 1) % 9} w${(i + 2) % 9} tail$i", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TextAnalysis.repeatedNgramStats(d, 2).collect().toSeq ==
+      TextAnalysis.repeatedNgramStats(d.repartition(13), 2).collect().toSeq)
+  }
+
 }
