@@ -538,6 +538,11 @@ object SparkEntry {
     "q_degree_dist" -> ((s, dir) =>
       Dedup.degreeDistribution(
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+
+    // asymmetric 3-shingle containment >= 0.05 within source blocks: the
+    // quote-inclusion detector symmetric jaccard misses
+    "q_containment" -> ((s, dir) =>
+      Dedup.shingleContainment(Tables.documents(s, dir), 3, 50000000L)),
     "q_dedup_survivors_idx" -> ((s, dir) =>
       Dedup.nearDupSurvivors(Tables.documents(s, dir),
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
@@ -710,6 +715,12 @@ object SparkEntry {
     "q_prefix_search" -> ((s, dir) =>
       ops.Search.prefixTermsIndexed(s, dir, Tables.documents(s, dir), "s")),
 
+    // more-like-this: docs sharing vocabulary with probe doc 7, each
+    // shared term scored 1e9 div df off the postings (broadcast probe)
+    "q_more_like_this" -> ((s, dir) =>
+      ops.Search.moreLikeThisIndexed(s, dir, Tables.documents(s, dir),
+        probeId = 7L, k = 20)),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
     // dense cosine-kNN leg (ppb integer contributions, full-outer fuse)
     "q_hybrid_rrf" -> ((s, dir) =>
@@ -779,6 +790,10 @@ object SparkEntry {
     // by doubling
     "q_mannwhitney" -> ((s, dir) =>
       analytics.Stats.mannWhitneyU(Tables.events(s, dir), "purchase", "click")),
+
+    // hourly error-rate Wilson 95% bounds (mirrored double tree)
+    "q_wilson_ci" -> ((s, dir) =>
+      analytics.Stats.wilsonErrorBounds(Tables.events(s, dir))),
 
     // WITH FILL INTERPOLATE analogue: hourly grid, linear interpolation
     // between bracketing samples, trailing carry-forward. Registered over
@@ -1349,6 +1364,29 @@ object SparkEntry {
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // ordered-pair containment over distinct 3-shingles, source-blocked
+    "q_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         array_to_string(tk[(i + 1):(i + 3)], ' ') AS sh
+        |       FROM t, unnest(range(0, greatest(len(tk) - 2, 0))) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b
+        |            ON a.source = b.source AND a.sh = b.sh
+        |               AND a.doc_id != b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(n_a AS BIGINT) AS n_a,
+        |  CAST((n_inter * 1000000000) // n_a AS BIGINT) AS containment_ppb
+        |FROM inter JOIN sizes ON sizes.doc_id = inter.id_a
+        |WHERE (n_inter * 1000000000) // n_a >= 50000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // degree histogram over the same edge set as the clusters oracle
     "q_degree_dist" ->
       """WITH pairs AS (
@@ -1507,6 +1545,25 @@ object SparkEntry {
         |SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
         |  CAST(COUNT(*) AS BIGINT) AS total_tf
         |FROM s WHERE tok LIKE 's%' GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // probe doc 7's distinct terms, rarity-weighted (1e9 // df) overlap
+    "q_more_like_this" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |s AS (SELECT DISTINCT doc_id, tok
+        |      FROM (SELECT doc_id, unnest(tk) AS tok FROM t)),
+        |probe AS (SELECT tok FROM s WHERE doc_id = 7),
+        |hits AS (SELECT s.tok, s.doc_id FROM s JOIN probe USING (tok)),
+        |dfs AS (SELECT tok, COUNT(*) AS df FROM hits GROUP BY tok)
+        |SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  CAST(SUM(1000000000 // df) AS BIGINT) AS score_ppb
+        |FROM hits h JOIN dfs USING (tok)
+        |WHERE h.doc_id != 7
+        |GROUP BY h.doc_id
+        |ORDER BY score_ppb DESC, doc_id LIMIT 20""".stripMargin,
 
     // posting-list AND: same tokenizer CTE as q_bm25, conjunctive filter
     "q_boolean_and" ->
@@ -2630,6 +2687,27 @@ object SparkEntry {
          |  CAST(SUM(ca * (2 * p + tt + 1)) AS BIGINT) AS r2_a,
          |  CAST(SUM(ca * (2 * p + tt + 1)) - t.n_a * (t.n_a + 1) AS BIGINT) AS u2_a
          |FROM c CROSS JOIN t GROUP BY t.n_a, t.n_b""".stripMargin,
+
+    // the Spark-side double tree mirrored token-for-token
+    "q_wilson_ci" ->
+      s"""WITH ev AS ($EV),
+         |a AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+         |        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+         |      FROM ev GROUP BY 1)
+         |SELECT hr, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         |  ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         |      + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+         |    - 1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+         |        + 3.8416 / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+         |  / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lo,
+         |  ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         |      + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+         |    + 1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+         |        + 3.8416 / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+         |  / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_hi
+         |FROM a ORDER BY hr""".stripMargin,
 
     "q_retention_cohort" ->
       s"""WITH ev AS ($EV),

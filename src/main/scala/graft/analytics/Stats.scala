@@ -199,6 +199,33 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"))
   }
 
+  /** Hourly error-rate Wilson score interval (Wilson, JASA 1927) at 95%
+    * (z = 1.96, z² = 3.8416 — decimal literals both engines parse to the
+    * same doubles): per hour, trials n = all events, successes k =
+    * `error` events, and the interval
+    * `(p̂ + z²/2n ∓ z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)` — the bound a
+    * burn-rate alert should use instead of the raw ratio when n is small.
+    * The double tree is written ONCE and mirrored token-for-token in the
+    * oracle: every op is IEEE +,−,*,/,√ (correctly rounded), so the
+    * bounds hash-match. One keyed integer aggregation; the double math
+    * runs on hour-count-sized rows. */
+  def wilsonErrorBounds(events: DataFrame): DataFrame = {
+    val agg = events
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val denom = lit(1.0) + lit(3.8416) / nD
+    val center = p + lit(3.8416) / (lit(2.0) * nD)
+    val half = lit(1.96) *
+      sqrt((p * (lit(1.0) - p) + lit(3.8416) / (lit(4.0) * nD)) / nD)
+    agg.select(col("hr"), col("n"), col("k"),
+        ((center - half) / denom).as("wilson_lo"),
+        ((center + half) / denom).as("wilson_hi"))
+      .orderBy(col("hr"))
+  }
+
   /** Shared two-sample fold: the events of `typeA`/`typeB` reduced to the
     * distinct `value` domain with per-value counts of each sample. */
   private def twoSampleCounts(events: DataFrame, typeA: String,

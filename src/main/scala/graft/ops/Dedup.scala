@@ -193,6 +193,44 @@ object Dedup {
     * two joins over edges, one eager checkpoint, one 1-row convergence
     * agg. Deterministic (min is order-free).
     */
+  /** Asymmetric shingle CONTAINMENT (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES 1997): for ordered pairs
+    * (a, b) within a source block, `|S(a) ∩ S(b)| · 1e9 div |S(a)|` over
+    * distinct token `n`-shingles — the quote-inclusion detector that
+    * symmetric Jaccard structurally misses (a short document wholly
+    * quoted inside a long one has high containment but low resemblance).
+    * Emits pairs at or above `thresholdPpb`, both directions scored
+    * independently (a⊂b and b⊂a differ).
+    *
+    * Scale shape: shingling is per-row map work; candidates come from the
+    * (source, shingle) equi-join — the same banded-candidate class as the
+    * n-gram/MinHash tiers, map-side combinable counts on both sides of
+    * it, AQE splitting hot shingle keys. Integer-only arithmetic. */
+  def shingleContainment(documents: DataFrame, n: Int = 3,
+      thresholdPpb: Long = 500000000L): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val sh = documents
+      .withColumn("_tk", toks)
+      .filter(size(col("_tk")) >= n)
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(0), size(col("_tk")) - n),
+        i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    sh.select(col("source"), col("sh"), col("doc_id").as("id_a"))
+      .join(sh.select(col("source"), col("sh"), col("doc_id").as("id_b")),
+        Seq("source", "sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .withColumn("containment_ppb", expr("n_inter * 1000000000L div n_a"))
+      .filter(col("containment_ppb") >= thresholdPpb)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+        col("containment_ppb"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Degree distribution of the near-duplicate graph: for each degree
     * value, how many nodes have it — the one-glance shape diagnostic for
     * a dedup run (a heavy right tail = template/boilerplate cliques that

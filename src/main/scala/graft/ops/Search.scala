@@ -319,6 +319,36 @@ object Search {
       .orderBy(col("tok"))
   }
 
+  /** More-like-this: the top-`k` documents sharing vocabulary with a
+    * probe DOCUMENT (not a term list), scored by rarity-weighted overlap —
+    * each shared distinct term contributes `1e9 div df` (BIGINT floor
+    * division of the inverse document frequency; integer, order-free,
+    * engine-exact). The Lucene MoreLikeThis shape re-expressed on the
+    * persisted postings: the probe's term row-set is a broadcast (one
+    * document's vocabulary), the candidate scan is a broadcast-hash join
+    * against it — the postings table never shuffles; only the matched
+    * rows (Σ df over the probe's terms) reach the doc-keyed rollup.
+    * `df` counts the probe itself, as Lucene does. Ties break on doc_id,
+    * so the top-k is total-ordered and hash-stable. */
+  def moreLikeThisIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, probeId: Long,
+      k: Int = 20): DataFrame = {
+    val (postings, _) = invertedIndexPersisted(spark, dir, documents)
+    val probeToks = postings.filter(col("doc_id") === probeId)
+      .select(col("tok"))
+    val hits = postings.join(broadcast(probeToks), "tok")
+      .select(col("tok"), col("doc_id"))
+    val dfPerTok = hits.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(dfPerTok), "tok")
+      .filter(col("doc_id") =!= probeId)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(expr("1000000000L div df")).as("score_ppb"))
+      .orderBy(col("score_ppb").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., SIGIR
     * 2009) of a lexical BM25 leg and a dense cosine-kNN leg, the standard
     * two-tower retrieval mix in RAG / eval-mining pipelines.

@@ -116,4 +116,20 @@ class StatsSpec extends AnyFunSuite {
     assert(both(base) == both(base.repartition(11)))
   }
 
+  test("wilson bounds: bracket the point estimate, clamp sanely at k=0") {
+    val rows = (0 until 40).map { i =>
+      val t = if (i % 4 == 0 && i < 20) "error" else "view"
+      (t, i.toLong, 1.0, if (i < 20) "2024-01-01 10:00:00" else "2024-01-01 11:00:00")
+    }
+    val out = Stats.wilsonErrorBounds(ev(rows)).collect()
+    assert(out.length == 2)
+    val h1 = out(0); val h2 = out(1)
+    // hour 1: n=20, k=5 -> p=0.25 inside (lo, hi); hour 2: k=0 -> lo=0
+    assert(h1.getAs[Long]("n") == 20L && h1.getAs[Long]("k") == 5L)
+    assert(h1.getAs[Double]("wilson_lo") < 0.25 && 0.25 < h1.getAs[Double]("wilson_hi"))
+    assert(h1.getAs[Double]("wilson_lo") > 0.0 && h1.getAs[Double]("wilson_hi") < 1.0)
+    assert(h2.getAs[Long]("k") == 0L && h2.getAs[Double]("wilson_lo") == 0.0)
+    assert(h2.getAs[Double]("wilson_hi") > 0.0)
+  }
+
 }

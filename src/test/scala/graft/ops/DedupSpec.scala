@@ -196,4 +196,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq(1L -> 4L, 2L -> 1L))
   }
 
+  test("shingleContainment: short-in-long quote scores asymmetrically") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c", "s0"),          // 2-shingles: {a b, b c}
+      (2L, "a b c d e f", "s0"),    // {a b, b c, c d, d e, e f}
+      (3L, "a b c", "s1"))           // other source block -> no pair
+      .map { case (id, t, src) => (id, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.shingleContainment(d, 2, 300000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 2L, 1000000000L),   // doc 1 fully contained in doc 2
+      (2L, 1L, 2L, 5L, 400000000L)))   // reverse direction is weak
+  }
+
 }

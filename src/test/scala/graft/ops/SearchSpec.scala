@@ -296,4 +296,19 @@ class SearchSpec extends AnyFunSuite {
     assert(indexed == direct && direct.nonEmpty)
   }
 
+  test("moreLikeThisIndexed: rarity-weighted shared-term scores, probe excluded") {
+    val d = docs(Seq(
+      (1L, "rare common x"),
+      (2L, "rare common y"),
+      (3L, "common z w"),
+      (4L, "q r s")))
+    val dir = "/tmp/mltspec_fixture"
+    val out = Search.moreLikeThisIndexed(spark, dir, d, probeId = 1L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // df(rare)=2, df(common)=3, df(x)=1 (counts include the probe)
+    assert(out == Seq(
+      (2L, 2L, 500000000L + 333333333L),
+      (3L, 1L, 333333333L)))
+  }
+
 }
