@@ -257,6 +257,11 @@ object SparkEntry {
     "q_mad_anomaly" -> ((s, dir) =>
       analytics.Anomaly.madAnomalies(Tables.events(s, dir), k = 3)),
 
+    // CUSUM level-shift per type over hourly counts: exact-integer
+    // prefix-sum-minus-running-min, peak hour earliest-on-ties
+    "q_cusum" -> ((s, dir) =>
+      analytics.Anomaly.cusumShift(Tables.events(s, dir))),
+
     // top first-3-step user journeys (path analysis)
     "q_top_journeys" -> ((s, dir) =>
       analytics.Behavior.topJourneys(Tables.events(s, dir), steps = 3, k = 10)),
@@ -2165,6 +2170,32 @@ object SparkEntry {
         |  COUNT(*) AS shared_shingles
         |FROM rare a JOIN rare b ON a.s = b.s AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // scaled deviations m*x - T keep the prefix sums integral
+    "q_cusum" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |        CAST(COUNT(*) AS BIGINT) AS x
+         |      FROM ev GROUP BY 1, 2),
+         |w AS (SELECT event_type, hr, x,
+         |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+         |        CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS t
+         |      FROM h),
+         |s AS (SELECT event_type, hr, m,
+         |        CAST(SUM(m * x - t) OVER (PARTITION BY event_type ORDER BY hr
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+         |      FROM w),
+         |c AS (SELECT event_type, hr, m,
+         |        s - MIN(s) OVER (PARTITION BY event_type ORDER BY hr
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+         |      FROM s),
+         |r AS (SELECT event_type, m AS n_hours, cusum, hr,
+         |        ROW_NUMBER() OVER (PARTITION BY event_type
+         |          ORDER BY cusum DESC, hr) AS rn
+         |      FROM c)
+         |SELECT event_type, n_hours, CAST(cusum AS BIGINT) AS max_cusum,
+         |  hr AS peak_hr
+         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q_mad_anomaly" ->
       s"""WITH ev AS ($EV),

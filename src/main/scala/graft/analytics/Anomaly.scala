@@ -61,6 +61,45 @@ object Anomaly {
   /** Exact lower median of `valueCol` per `key` by counting: one keyed
     * (key, value) reduction, cumulative windows over DISTINCT values only
     * (value-domain-bounded, never group-row count). */
+  /** CUSUM level-shift detection (Page, Biometrika 1954) over each key's
+    * hourly count series, kept EXACT-INTEGER by scaling deviations by the
+    * hour count: with hourly counts x₁..x_m and T = Σx, the scaled
+    * deviation of hour i is `m·x_i − T` (integer, sums to zero), its
+    * prefix sum S_i is an exact BIGINT, and the classic one-sided CUSUM
+    * `C_i = S_i − min_{j≤i} S_j` falls out of two per-key running
+    * windows — no recursion, no doubles. Output per key: the series
+    * length, the maximum CUSUM (in count·m units — divide by m for
+    * counts), and the hour where it peaks (earliest on ties, so the row
+    * is total-ordered and hash-stable).
+    *
+    * Scale shape: one keyed agg to (key, hour) counts, then per-key
+    * windows over hour-count-sized partitions (a year is 8 760 rows per
+    * key), then a per-key 1-row argmax — nothing event-sized passes the
+    * first aggregation. Hours with no events are absent from the series
+    * (pair with the gauge-fill grid when a dense series is needed). */
+  def cusumShift(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val per = Window.partitionBy(col("event_type"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withC = hourly
+      .withColumn("m", count(lit(1)).over(per))
+      .withColumn("t", sum(col("x")).over(per))
+      .withColumn("s", sum(col("m") * col("x") - col("t")).over(ord))
+      .withColumn("cusum", col("s") - min(col("s")).over(ord))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("cusum").desc, col("hr"))
+    withC
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("m").as("n_hours"),
+        col("cusum").as("max_cusum"), col("hr").as("peak_hr"))
+      .orderBy(col("event_type"))
+  }
+
   private def lowerMedian(df: DataFrame, key: String, valueCol: String,
       out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

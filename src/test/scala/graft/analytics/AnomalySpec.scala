@@ -81,4 +81,19 @@ class AnomalySpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getAs[Long]("n") == 11L &&
       r(0).getAs[Long]("mad") == 0L)
   }
+  test("cusumShift: level shift accumulates to the hand-computed peak") {
+    // counts 2,2,2,8,8,8: m=6, T=30, scaled devs -18 x3 then +18 x3;
+    // cusum ramps 0,0,0,18,36,54 -> peak 54 at hour 5
+    val r = Anomaly.cusumShift(hourly(Seq(2, 2, 2, 8, 8, 8))).collect().head
+    assert(r.getAs[Long]("n_hours") == 6L)
+    assert(r.getAs[Long]("max_cusum") == 54L)
+    assert(r.getAs[java.sql.Timestamp]("peak_hr").toString.startsWith("2024-01-01 05:00"))
+  }
+
+  test("cusumShift: flat series peaks at zero, earliest hour on ties") {
+    val r = Anomaly.cusumShift(hourly(Seq(5, 5, 5))).collect().head
+    assert(r.getAs[Long]("max_cusum") == 0L)
+    assert(r.getAs[java.sql.Timestamp]("peak_hr").toString.startsWith("2024-01-01 00:00"))
+  }
+
 }
