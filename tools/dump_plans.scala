@@ -68,7 +68,17 @@ val headline = Seq(
   "q_pagerank" -> "5 Pregel rounds off the persisted pair table: per round one hash join of the rank frame onto the checkpointed symmetric edge list + one keyed BIGINT sum; pair GENERATION is absent from the plan (reads neardup_pairs_900)",
   "q_triangles" -> "compact-forward triangles: wedge equi-join on the shared endpoint, closing (a,c) probe as left-semi hash join, per-corner credit via explode + keyed count -- no orientation explosion, nothing corpus-quadratic",
   "q_phrase" -> "positional phrase match: each term's pruned posting row joins on doc_id; occurrences are one higher-order filter over the first term's position list -- no text, no explode, nothing corpus-sized",
-  "q_central_survivors" -> "composite keep list: CC labels join PageRank ranks; the per-family argmax is ONE grouped max(struct(rank,-id)) with map-side partials -- no per-cluster window sort")
+  "q_central_survivors" -> "composite keep list: CC labels join PageRank ranks; the per-family argmax is ONE grouped max(struct(rank,-id)) with map-side partials -- no per-cluster window sort",
+  "q_snippets" -> "snippet generation: the bounded phrase-match frame (matches only) joins TO the corpus and re-tokenizes just those documents; the corpus-sized side never shuffles",
+  "q_prefix_search" -> "term-dictionary prefix scan: StartsWith pushes into the postings parquet scan (PushedFilters); df/ctf are one keyed agg over posting rows -- the corpus text never appears in the plan",
+  "q_more_like_this" -> "more-like-this: probe vocabulary and its df counts fold to broadcasts; the postings scan joins them broadcast-hash (no postings shuffle); only matched rows reach the doc-keyed rollup; top-k via TakeOrderedAndProject",
+  "q_repeated_ngrams" -> "repeated n-grams: one tokenize+explode, map-side-combined n-gram counts, one n-gram-keyed equi-join back, per-doc rollup -- the same volume class as the inverted-index build, AQE on hot n-grams",
+  "q_containment" -> "shingle containment: distinct (doc,source,shingle) reduction, candidates from the (source,shingle) equi-join (banded class, no all-pairs), integer count rollups on both sides",
+  "q_degree_dist" -> "degree histogram: two keyed BIGINT aggregations over the persisted pair table; candidate generation absent from the plan (reads neardup_pairs_900)",
+  "q_ks_test" -> "KS test: events reduce to the DISTINCT value domain at the first aggregation; cumulative windows run over value-domain rows only; totals attach as a broadcast 1-row aggregate",
+  "q_mannwhitney" -> "Mann-Whitney U: same distinct-value fold and bounded cumulative frame as q_ks_test; doubled midranks keep every quantity BIGINT",
+  "q_wilson_ci" -> "Wilson bounds: one map-side-combinable integer aggregation to hours; the mirrored double tree runs on hour-count-sized rows",
+  "q_cusum" -> "CUSUM shift: (type,hour) reduction first; running prefix-sum/min windows over hour-count-sized per-key partitions; the peak row is a per-key row_number argmax")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
