@@ -87,7 +87,7 @@ object SparkEntry {
     * CORRECTNESS gate. */
   val verificationOnly: Set[String] = Set(
     "q_sessionize_stream_parity", "q_counter_increase_stream_parity",
-    "q_dedup_stream_parity")
+    "q_dedup_stream_parity", "q_funnel_stream_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -262,6 +262,11 @@ object SparkEntry {
     "q_cusum" -> ((s, dir) =>
       analytics.Anomaly.cusumShift(Tables.events(s, dir))),
 
+    // lag-24h autocorrelation of hourly counts: the daily-seasonality
+    // detector, BIGINT moments + a 3-op mirrored double tail
+    "q_autocorr" -> ((s, dir) =>
+      analytics.TimeSeries.lagAutocorr(Tables.events(s, dir), 24)),
+
     // top first-3-step user journeys (path analysis)
     "q_top_journeys" -> ((s, dir) =>
       analytics.Behavior.topJourneys(Tables.events(s, dir), steps = 3, k = 10)),
@@ -399,6 +404,10 @@ object SparkEntry {
     // duplicate-injected replay (in-batch + cross-batch copies)
     "q_dedup_stream_parity" -> ((s, dir) =>
       streaming.ParityCheck.dedupParity(s, dir)),
+
+    // streaming funnel completions vs the batch min-chain final count
+    "q_funnel_stream_parity" -> ((s, dir) =>
+      streaming.ParityCheck.funnelParity(s, dir)),
 
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
@@ -1172,6 +1181,20 @@ object SparkEntry {
          |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
          |  true AS parity_ok
          |FROM n""".stripMargin,
+
+    // funnel parity: the independently-stated expectation is the batch
+    // min-chain funnel's final-step user count
+    "q_funnel_stream_parity" ->
+      s"""WITH ev AS ($EV),
+         |s0 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+         |s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s0 ON e.user_id = s0.user_id
+         |       WHERE e.event_type = 'view' AND e.ts >= s0.t
+         |         AND e.ts < s0.t + INTERVAL 6 HOUR GROUP BY e.user_id),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+         |         AND e.ts < s1.t + INTERVAL 6 HOUR GROUP BY e.user_id),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s2)
+         |SELECT n AS n_batch, n AS n_stream, true AS parity_ok FROM n""".stripMargin,
 
     "q_distinct_users" ->
       "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1",
@@ -2170,6 +2193,30 @@ object SparkEntry {
         |  COUNT(*) AS shared_shingles
         |FROM rare a JOIN rare b ON a.s = b.s AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // integer moments, then num / (sqrt(d1) * sqrt(d2)) — 3 IEEE ops
+    "q_autocorr" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |        CAST(COUNT(*) AS BIGINT) AS x
+         |      FROM ev GROUP BY 1, 2),
+         |p AS (SELECT a.event_type, a.x, b.x AS y
+         |      FROM h a JOIN h b
+         |        ON a.event_type = b.event_type
+         |           AND a.hr = b.hr - INTERVAL 24 HOUR),
+         |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |        CAST(SUM(y * y) AS BIGINT) AS syy,
+         |        CAST(SUM(x * y) AS BIGINT) AS sxy
+         |      FROM p GROUP BY event_type),
+         |d AS (SELECT event_type, n,
+         |        n * sxy - sx * sy AS num,
+         |        n * sxx - sx * sx AS d1, n * syy - sy * sy AS d2
+         |      FROM m)
+         |SELECT event_type, n AS n_pairs,
+         |  CAST(num AS DOUBLE) / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))) AS r
+         |FROM d WHERE d1 > 0 AND d2 > 0 ORDER BY event_type""".stripMargin,
 
     // scaled deviations m*x - T keep the prefix sums integral
     "q_cusum" ->

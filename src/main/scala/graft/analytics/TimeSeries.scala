@@ -31,6 +31,46 @@ object TimeSeries {
     * upward movement of a gauge, immune to dips. One shuffle on user_id;
     * the lag window and the final sum both ride the same partitioning.
     * Ref semantics: ClickHouse deltaSum docs (negative deltas ignored). */
+  /** Lag-`lagHours` autocorrelation of each key's hourly count series —
+    * the daily-seasonality detector at lag 24: Pearson r between count(t)
+    * and count(t + lag), computed over hours where BOTH ends exist (gaps
+    * contribute no pair; pair with the gauge-fill grid for a dense
+    * series). Every sum (n, Σx, Σy, Σx², Σy², Σxy) is an exact BIGINT;
+    * the numerator `n·Σxy − Σx·Σy` and both variance terms are computed
+    * IN INTEGERS and cast once, so `r = num / (√d1 · √d2)` is three
+    * correctly-rounded IEEE ops — engine-exact. Keys whose either end is
+    * constant (zero variance) are dropped rather than emitting NaN/Inf.
+    *
+    * Scale shape: events reduce to (key, hour) at the first aggregation;
+    * the lag pairing is a self equi-join on (key, shifted hour) over
+    * hour-count-sized frames; the moment rollup is map-side combinable.
+    * BIGINT bound: n·Σxy needs hourly counts · series length² under
+    * ~9·10¹⁸ — 10⁶ rows/hour over a decade sits at ~10¹⁶. */
+  def lagAutocorr(events: DataFrame, lagHours: Int = 24): DataFrame = {
+    val h = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val shifted = h.select(col("event_type"),
+      (col("hr") - expr(s"INTERVAL $lagHours HOURS")).as("hr"),
+      col("x").as("y"))
+    val m = h.join(shifted, Seq("event_type", "hr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("d1") > 0L && col("d2") > 0L)
+    m.select(col("event_type"), col("n").as("n_pairs"),
+        (col("num").cast("double") /
+          (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))))
+          .as("r"))
+      .orderBy(col("event_type"))
+  }
+
   def deltaSum(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events

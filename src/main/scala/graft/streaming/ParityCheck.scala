@@ -151,6 +151,49 @@ object ParityCheck {
       .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
   }
 
+  /** Same contract for [[StatefulOps.funnelStream]] vs
+    * [[graft.analytics.Behavior.funnelCounts]]: the streamed completion
+    * count must equal the batch funnel's final-step user count — the
+    * Soak assertion promoted to a registered gate row. Completions emit
+    * on arrival (append mode), so no sentinel flush is needed; the
+    * per-user state machine must neither cross-talk between users nor
+    * lose chains across micro-batch boundaries. Output: one row
+    * (n_batch, n_stream, parity_ok); the oracle recomputes the batch
+    * count with its own min-chain replica. */
+  def funnelParity(spark: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val steps = Seq("signup", "view", "purchase")
+
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StatefulOps.EventIn]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    require(events.nonEmpty, s"no events in $dir")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.EventIn]
+    val tbl = "parity_funnel"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val q = StatefulOps.funnelStream(mem.toDS(), steps, horizonHours = 6)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try {
+      val batchSize = math.max(1, events.length / nBatches)
+      events.grouped(batchSize).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val nStream = spark.table(tbl).count()
+    val nBatch = graft.analytics.Behavior.funnelCounts(
+        graft.Tables.events(spark, dir), steps, horizonHours = 6)
+      .collect().last.getAs[Long]("n_users")
+    spark.createDataFrame(Seq((nBatch, nStream, nBatch == nStream)))
+      .toDF("n_batch", "n_stream", "parity_ok")
+  }
+
   /** Same contract for [[StatefulOps.counterIncreaseStream]] vs
     * [[graft.analytics.TimeSeries.counterIncrease]]: the streamed
     * per-sample increases, summed by (user, hour) downstream, must equal

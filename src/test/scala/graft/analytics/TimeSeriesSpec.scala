@@ -99,4 +99,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     // the age-0 (zero-value) sample still has positive weight → active
     assert(r(0).getAs[Boolean]("active"))
   }
+  /** `counts(i)` events in hour i of 2024-01-01, single type. */
+  private def hourlyCounts(counts: Seq[Int]) = {
+    import spark.implicits._
+    counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(j => ((h * 1000 + j).toLong,
+        ts(f"2024-01-01 $h%02d:00:${j % 60}%02d"), 1L, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("lagAutocorr: period-2 series gives r = 1 at lag 2, r = -1 at lag 1") {
+    val d = hourlyCounts(Seq(1, 2, 1, 2, 1, 2))
+    val at2 = TimeSeries.lagAutocorr(d, 2).collect().head
+    assert(at2.getAs[Long]("n_pairs") == 4L)
+    assert(at2.getAs[Double]("r") == 1.0)
+    val at1 = TimeSeries.lagAutocorr(d, 1).collect().head
+    // sqrt(d1)*sqrt(d2) rounds once, so r sits within 1 ulp of -1 — the
+    // VALUE is still engine-exact (the oracle computes the identical tree)
+    assert(math.abs(at1.getAs[Double]("r") + 1.0) < 1e-12)
+  }
+
+  test("lagAutocorr: constant series is dropped (zero variance), gaps pair nothing") {
+    val flat = TimeSeries.lagAutocorr(hourlyCounts(Seq(3, 3, 3, 3)), 1)
+    assert(flat.collect().isEmpty)
+    // hours 0 and 2 only: no lag-1 pair exists
+    val gappy = hourlyCounts(Seq(2, 0, 5))
+    assert(TimeSeries.lagAutocorr(gappy, 1).collect().isEmpty)
+  }
+
 }
