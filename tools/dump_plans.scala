@@ -78,7 +78,8 @@ val headline = Seq(
   "q_ks_test" -> "KS test: events reduce to the DISTINCT value domain at the first aggregation; cumulative windows run over value-domain rows only; totals attach as a broadcast 1-row aggregate",
   "q_mannwhitney" -> "Mann-Whitney U: same distinct-value fold and bounded cumulative frame as q_ks_test; doubled midranks keep every quantity BIGINT",
   "q_wilson_ci" -> "Wilson bounds: one map-side-combinable integer aggregation to hours; the mirrored double tree runs on hour-count-sized rows",
-  "q_cusum" -> "CUSUM shift: (type,hour) reduction first; running prefix-sum/min windows over hour-count-sized per-key partitions; the peak row is a per-key row_number argmax")
+  "q_cusum" -> "CUSUM shift: (type,hour) reduction first; running prefix-sum/min windows over hour-count-sized per-key partitions; the peak row is a per-key row_number argmax",
+  "q_autocorr" -> "lag autocorrelation: events reduce to (key,hour) at the first aggregation; the lag pairing is a self equi-join on the shifted hour over hour-count frames; BIGINT moments combine map-side")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
