@@ -267,6 +267,11 @@ object SparkEntry {
     "q_autocorr" -> ((s, dir) =>
       analytics.TimeSeries.lagAutocorr(Tables.events(s, dir), 24)),
 
+    // ANOVA eta-squared of the hour-of-day factor: variance fraction the
+    // daily profile explains (ordered 24-cell fold, cramersV discipline)
+    "q_hod_seasonality" -> ((s, dir) =>
+      analytics.TimeSeries.hourOfDaySeasonality(Tables.events(s, dir))),
+
     // top first-3-step user journeys (path analysis)
     "q_top_journeys" -> ((s, dir) =>
       analytics.Behavior.topJourneys(Tables.events(s, dir), steps = 3, k = 10)),
@@ -808,6 +813,11 @@ object SparkEntry {
     // hourly error-rate Wilson 95% bounds (mirrored double tree)
     "q_wilson_ci" -> ((s, dir) =>
       analytics.Stats.wilsonErrorBounds(Tables.events(s, dir))),
+
+    // Benford first-digit screen over positive cent amounts: observed
+    // ppb vs pre-computed log-table literals, zero-filled 9-digit grid
+    "q_benford" -> ((s, dir) =>
+      analytics.Stats.benfordProfile(Tables.events(s, dir))),
 
     // WITH FILL INTERPOLATE analogue: hourly grid, linear interpolation
     // between bracketing samples, trailing carry-forward. Registered over
@@ -2193,6 +2203,56 @@ object SparkEntry {
         |  COUNT(*) AS shared_shingles
         |FROM rare a JOIN rare b ON a.s = b.s AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // nine pre-computed log-table literals; all counting exact-integer
+    "q_benford" ->
+      s"""WITH ev AS ($EV),
+         |c AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM ev),
+         |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |      FROM c WHERE c > 0),
+         |k AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY digit),
+         |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM k),
+         |g AS (SELECT CAST(i AS INTEGER) AS digit FROM unnest(range(1, 10)) AS u(i))
+         |SELECT g.digit, CAST(COALESCE(k.n_d, 0) AS BIGINT) AS n_d,
+         |  CAST((COALESCE(k.n_d, 0) * 1000000000) // t.n AS BIGINT) AS observed_ppb,
+         |  CAST(CASE g.digit
+         |    WHEN 1 THEN 301029995 WHEN 2 THEN 176091259 WHEN 3 THEN 124938736
+         |    WHEN 4 THEN 96910013  WHEN 5 THEN 79181246  WHEN 6 THEN 66946789
+         |    WHEN 7 THEN 57991946  WHEN 8 THEN 51152522  ELSE 45757490 END AS BIGINT)
+         |    AS benford_ppb,
+         |  CAST(ABS((COALESCE(k.n_d, 0) * 1000000000) // t.n - CASE g.digit
+         |    WHEN 1 THEN 301029995 WHEN 2 THEN 176091259 WHEN 3 THEN 124938736
+         |    WHEN 4 THEN 96910013  WHEN 5 THEN 79181246  WHEN 6 THEN 66946789
+         |    WHEN 7 THEN 57991946  WHEN 8 THEN 51152522  ELSE 45757490 END) AS BIGINT)
+         |    AS dev_ppb
+         |FROM g LEFT JOIN k USING (digit) CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // ordered 24-cell fold, then (ssb_raw - cm) / (sxx - cm)
+    "q_hod_seasonality" ->
+      s"""WITH ev AS ($EV),
+         |h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+         |        CAST(COUNT(*) AS BIGINT) AS x
+         |      FROM ev GROUP BY 1, 2),
+         |h2 AS (SELECT event_type, x, CAST(hour(hr) AS INTEGER) AS hod FROM h),
+         |g AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_g,
+         |        CAST(SUM(x) AS BIGINT) AS s_g FROM h2 GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+         |      FROM h2 GROUP BY 1),
+         |cc AS (SELECT g.event_type, n, sx, sxx, hod,
+         |         CAST(s_g * s_g AS DOUBLE) / n_g AS cell
+         |       FROM g JOIN t USING (event_type)),
+         |f AS (SELECT event_type, n, sx, sxx,
+         |        CAST(COUNT(*) AS BIGINT) AS n_hods,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(cell ORDER BY hod)), (acc, x) -> acc + x) AS ssb_raw
+         |      FROM cc GROUP BY 1, 2, 3, 4)
+         |SELECT event_type, n AS n_hours, n_hods,
+         |  (ssb_raw - CAST(sx * sx AS DOUBLE) / n) /
+         |  (CAST(sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE) / n) AS eta2
+         |FROM f
+         |WHERE (CAST(sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE) / n) > 0.0
+         |ORDER BY event_type""".stripMargin,
 
     // integer moments, then num / (sqrt(d1) * sqrt(d2)) — 3 IEEE ops
     "q_autocorr" ->

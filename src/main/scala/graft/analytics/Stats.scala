@@ -226,6 +226,41 @@ object Stats {
       .orderBy(col("hr"))
   }
 
+  /** Benford first-digit profile of the value column (Benford, Proc. Am.
+    * Phil. Soc. 1938; Newcomb 1881) — the classic bulk data-quality /
+    * fabrication screen: leading-digit frequencies of positive cent
+    * amounts against the Benford expectation `log10(1 + 1/d)`. The
+    * expectations are PRE-COMPUTED ppb literals (no transcendental is
+    * evaluated at query time — both engines parse the same nine integer
+    * constants), observed frequencies are exact `n_d·1e9 div n`, and the
+    * deviation is an integer difference, so the whole profile
+    * hash-matches. All nine digits are emitted (zero-filled), one keyed
+    * integer aggregation over the data. */
+  def benfordProfile(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val counts = events
+      .select(cents.as("c"))
+      .filter(col("c") > 0L)
+      .select(expr("CAST(substring(CAST(c AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_d"))
+    val grid = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    // floor(log10(1 + 1/d) * 1e9), d = 1..9 — constants, not computed
+    val benford = expr("""CASE digit
+      WHEN 1 THEN 301029995L WHEN 2 THEN 176091259L WHEN 3 THEN 124938736L
+      WHEN 4 THEN 96910013L  WHEN 5 THEN 79181246L  WHEN 6 THEN 66946789L
+      WHEN 7 THEN 57991946L  WHEN 8 THEN 51152522L  ELSE 45757490L END""")
+    grid.join(counts, Seq("digit"), "left_outer")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .crossJoin(broadcast(counts.agg(sum(col("n_d")).as("n"))))
+      .withColumn("observed_ppb", expr("n_d * 1000000000L div n"))
+      .withColumn("benford_ppb", benford)
+      .withColumn("dev_ppb", abs(col("observed_ppb") - col("benford_ppb")))
+      .select(col("digit"), col("n_d"), col("observed_ppb"),
+        col("benford_ppb"), col("dev_ppb"))
+      .orderBy(col("digit"))
+  }
+
   /** Shared two-sample fold: the events of `typeA`/`typeB` reduced to the
     * distinct `value` domain with per-value counts of each sample. */
   private def twoSampleCounts(events: DataFrame, typeA: String,

@@ -71,6 +71,48 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** Hour-of-day seasonality strength per key: the one-way-ANOVA η² of
+    * the hour-of-day factor over the key's hourly count series —
+    * `SS_between / SS_total`, i.e. the fraction of hourly-count variance
+    * the time-of-day profile explains (1 = perfectly periodic daily
+    * shape, 0 = no daily structure). Complements [[lagAutocorr]]: η²
+    * measures the WHOLE 24-slot profile, not one lag.
+    *
+    * Exactness: group aggregates (n_g, S_g) and totals (n, Σx, Σx²) are
+    * exact BIGINTs; each `S_g²/n_g` cell is one double rounding, and the
+    * 24-cell sum is folded LEFT-TO-RIGHT over hod order (the
+    * [[Stats.cramersV]] ordered-fold discipline) so the double result is
+    * partition-order-free and engine-exact. Zero-variance keys are
+    * dropped. Scale shape: events reduce to (key, hour) first; everything
+    * after runs on ≤ 24 rows per key. */
+  def hourOfDaySeasonality(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("hod", hour(col("hr")))
+    val g = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    g.join(tot, "event_type")
+      .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+        struct(col("hod"),
+          ((col("s_g") * col("s_g")).cast("double") / col("n_g")).as("cell"))
+          .as("kc"))
+      .groupBy(col("event_type"), col("n"), col("sx"), col("sxx"))
+      .agg(sort_array(collect_list(col("kc"))).as("cells"))
+      .withColumn("n_hods", size(col("cells")).cast("long"))
+      .withColumn("cm", (col("sx") * col("sx")).cast("double") / col("n"))
+      .withColumn("ssb", aggregate(col("cells"), lit(0.0),
+        (acc, x) => acc + x.getField("cell")) - col("cm"))
+      .withColumn("sst", col("sxx").cast("double") - col("cm"))
+      .filter(col("sst") > 0.0)
+      .select(col("event_type"), col("n").as("n_hours"), col("n_hods"),
+        (col("ssb") / col("sst")).as("eta2"))
+      .orderBy(col("event_type"))
+  }
+
   def deltaSum(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events

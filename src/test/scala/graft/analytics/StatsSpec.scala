@@ -132,4 +132,17 @@ class StatsSpec extends AnyFunSuite {
     assert(h2.getAs[Double]("wilson_hi") > 0.0)
   }
 
+  test("benford: hand-checked digit counts, zero-filled grid, literal expectations") {
+    val rows = Seq.fill(3)(("a", 1L, 1.0, "2024-01-01 00:00:00")) ++  // 100 cents -> digit 1
+      Seq(("a", 1L, 2.5, "2024-01-01 00:00:00"))                       // 250 cents -> digit 2
+    val out = Stats.benfordProfile(ev(rows)).collect()
+    assert(out.length == 9)
+    val d1 = out(0); val d2 = out(1); val d9 = out(8)
+    assert(d1.getAs[Long]("n_d") == 3L && d1.getAs[Long]("observed_ppb") == 750000000L)
+    assert(d1.getAs[Long]("benford_ppb") == 301029995L)
+    assert(d1.getAs[Long]("dev_ppb") == 750000000L - 301029995L)
+    assert(d2.getAs[Long]("n_d") == 1L && d2.getAs[Long]("observed_ppb") == 250000000L)
+    assert(d9.getAs[Long]("n_d") == 0L && d9.getAs[Long]("observed_ppb") == 0L)
+  }
+
 }

@@ -127,4 +127,14 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.lagAutocorr(gappy, 1).collect().isEmpty)
   }
 
+  test("hourOfDaySeasonality: exact daily periodicity gives eta2 = 1, flat is dropped") {
+    // two identical days: every hod group has zero within-group variance
+    val periodic = hourlyCounts((0 until 48).map(h => (h % 24) + 1))
+    val r = TimeSeries.hourOfDaySeasonality(periodic).collect().head
+    assert(r.getAs[Long]("n_hours") == 48L && r.getAs[Long]("n_hods") == 24L)
+    assert(r.getAs[Double]("eta2") == 1.0)
+    val flat = TimeSeries.hourOfDaySeasonality(hourlyCounts(Seq.fill(48)(3)))
+    assert(flat.collect().isEmpty)
+  }
+
 }
