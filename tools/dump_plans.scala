@@ -79,7 +79,9 @@ val headline = Seq(
   "q_mannwhitney" -> "Mann-Whitney U: same distinct-value fold and bounded cumulative frame as q_ks_test; doubled midranks keep every quantity BIGINT",
   "q_wilson_ci" -> "Wilson bounds: one map-side-combinable integer aggregation to hours; the mirrored double tree runs on hour-count-sized rows",
   "q_cusum" -> "CUSUM shift: (type,hour) reduction first; running prefix-sum/min windows over hour-count-sized per-key partitions; the peak row is a per-key row_number argmax",
-  "q_autocorr" -> "lag autocorrelation: events reduce to (key,hour) at the first aggregation; the lag pairing is a self equi-join on the shifted hour over hour-count frames; BIGINT moments combine map-side")
+  "q_autocorr" -> "lag autocorrelation: events reduce to (key,hour) at the first aggregation; the lag pairing is a self equi-join on the shifted hour over hour-count frames; BIGINT moments combine map-side",
+  "q_benford" -> "Benford screen: one map-side-combinable digit aggregation; the 9-row grid and log-table literals are plan constants; totals attach as a broadcast 1-row aggregate",
+  "q_hod_seasonality" -> "hour-of-day eta^2: (key,hour) reduction, then group/total aggregates over <=24 rows per key; the 24-cell fold is an ordered array aggregate, no window over raw events")
 
 val sb = new StringBuilder
 sb.append("# PLANS -- physical plans of headline queries (sf0.01, auto-generated)\n\n")
