@@ -85,4 +85,36 @@ object InvertedIndexProps extends Properties("InvertedIndex") {
       }.toMap
       got == want
     }
+  property("prefixTermsIndexed == direct tokenize scan") =
+    forAll(Gen.listOfN(12, genDoc)) { texts =>
+      val dir = s"/tmp/iiprop_${caseId.incrementAndGet()}"
+      // vocab is a..d; prefix "a" matches exactly the term "a"
+      val got = Search.prefixTermsIndexed(spark, dir, mkDocs(texts), "a")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      val perDoc = texts.map(toks)
+      val df = perDoc.count(_.contains("a")).toLong
+      val ctf = perDoc.map(_.count(_ == "a").toLong).sum
+      val want = if (df > 0) List(("a", df, ctf)) else Nil
+      got == want
+    }
+
+  property("moreLikeThisIndexed == brute-force rarity-weighted overlap") =
+    forAll(Gen.listOfN(10, genDoc)) { texts =>
+      val dir = s"/tmp/iiprop_${caseId.incrementAndGet()}"
+      val probe = 1L
+      val got = Search.moreLikeThisIndexed(spark, dir, mkDocs(texts), probe, k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val sets = texts.zipWithIndex.map { case (s, i) => (i + 1L, toks(s).toSet) }.toMap
+      val probeSet = sets(probe)
+      val df = probeSet.map(t => t -> sets.values.count(_.contains(t)).toLong).toMap
+      val want = sets.toList
+        .filter { case (id, s) => id != probe && (s & probeSet).nonEmpty }
+        .map { case (id, s) =>
+          val shared = (s & probeSet).toList
+          (id, shared.size.toLong, shared.map(t => 1000000000L / df(t)).sum)
+        }
+        .sortBy { case (id, _, score) => (-score, id) }
+      got == want
+    }
+
 }

@@ -101,4 +101,30 @@ object RankAndDedupProps extends Properties("RankAndDedup") {
       }.sortBy(_._1)
       got.map(t => (t._1, t._2, t._3)).sameElements(want)
     }
+  property("shingleContainment == brute-force distinct-shingle sets") =
+    forAll(Gen.listOfN(8, for {
+      n <- Gen.choose(0, 7)
+      ws <- Gen.listOfN(n, Gen.oneOf("p", "q", "r"))
+    } yield ws.mkString(" "))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i + 1L, t, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      def sh(s: String): Set[String] = {
+        val t = s.trim.split("\\s+").filter(_.nonEmpty)
+        if (t.length < 2) Set.empty
+        else t.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.zipWithIndex.map { case (s, i) => (i + 1L, sh(s)) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sets; (ib, sbb) <- sets if ia != ib
+        inter = (sa & sbb).size.toLong if inter > 0
+        ppb = inter * 1000000000L / sa.size if ppb >= 300000000L
+      } yield (ia, ib, inter, sa.size.toLong, ppb)).toList.sortBy(t => (t._1, t._2))
+      val got = graft.ops.Dedup.shingleContainment(df, 2, 300000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toList
+      got == want
+    }
+
 }
