@@ -51,7 +51,7 @@ object Bench {
     for (name <- SparkEntry.layoutQueries)
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
+      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.toString.linesIterator.next()}") }
     // Parity/harness rows stay in the correctness gate but out of the
     // timing loop (their wall time is MemoryStream replay, not a query).
     val names = (SparkEntry.queries.keySet -- SparkEntry.verificationOnly)
@@ -71,7 +71,9 @@ object Bench {
       } catch {
         case e: Throwable =>
           failures(name) += 1
-          System.err.println(s"[bench] $name failed: $e")
+          // first line only: analysis errors embed multi-line plan trees,
+          // and anything beyond one line risks polluting the captured tail
+          System.err.println(s"[bench] $name failed: ${e.toString.linesIterator.next()}")
       }
     }
     def median(v: Vector[Double]): Double = {

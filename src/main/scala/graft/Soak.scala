@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * N identical copies of each row — selectivities and group counts scale
   * the way a bigger dataset's would, which is what the curves are supposed
   * to measure. Dimension tables (region, nation) are not replicated, as in
-  * any real star schema growth. events.ts is read raw (nanos long) and
-  * kept raw so the written parquet round-trips through [[Tables.events]].
+  * any real star schema growth. events.ts is replicated raw (whatever
+  * physical shape the fixture ships — [[Tables.events]] probes it) so the
+  * written parquet round-trips through the same adaptive loader.
   *
   * Usage: `runMain graft.Soak [factor] [baseDir] [outDir] [all|linear|streaming]`
   * — `linear` restricts to [[linearHeadline]] (used at 100×, where the
@@ -161,11 +162,11 @@ object Soak {
       }
       m.toMap
     }
-    // events fixture → wire rows (ts rendered RFC3339 so ingest re-parses)
-    val wire = spark.read.parquet(s"$baseDir/events.parquet") // raw nanos long
+    // events fixture → wire rows (ts rendered RFC3339 so ingest re-parses);
+    // Tables.events handles whichever physical ts shape the fixture ships
+    val wire = Tables.events(spark, baseDir)
       .select(
-        date_format(timestamp_micros(expr("ts div 1000")),
-          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("ts"),
         concat(lit("svc"), pmod(col("user_id"), lit(8))).as("service"),
         upper(col("event_type")).as("level"),
         concat(lit("event "), col("event_id")).as("msg"),
@@ -249,9 +250,8 @@ object Soak {
     // incrementally-maintained summary is bit-identical to one batch
     // rebuild over the full factor× corpus (the invariant the spec proves
     // at toy scale, held here across `factor` real merges).
-    val evRows = spark.read.parquet(s"$baseDir/events.parquet")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("event_type"), col("value"))
+    val evRows = Tables.events(spark, baseDir)
+      .select(col("ts"), col("event_type"), col("value"))
       .as[EvWire].collect()
     val rollupTbl = "soak_rollup_inc"
     val rollupRef = "soak_rollup_ref"
@@ -346,7 +346,7 @@ object Soak {
       spark.read.parquet(s"$baseDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     for ((t, keys) <- keyCols) {
-      val base = spark.read.parquet(s"$baseDir/$t.parquet") // events stays raw nanos
+      val base = spark.read.parquet(s"$baseDir/$t.parquet") // events ts stays raw (any shape)
       replicate(base, keys, factor)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }

@@ -57,6 +57,20 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** One-time-per-JVM PERSISTED PageRank table over the persisted pair
+    * graph — same economics as the pair and cluster tables: the 5-round
+    * integer recurrence is a derivation you run once per corpus version,
+    * then every composite (survivor selection, rank-weighted sampling)
+    * reads it. Rows are exactly [[pageRankPpb]]'s output, so readers
+    * share its oracle. */
+  def pageRankPpbPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, pairs: => DataFrame,
+      threshold: Double, iters: Int = 5): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      s"neardup_rank_${math.round(threshold * 1000)}_" +
+        graft.sources.ManagedTable.tag(dir))(
+      pageRankPpb(documents, pairs, iters))
+
   /** Centrality-weighted survivor selection — the composite the two graph
     * passes exist for: [[graft.ops.Dedup.nearDupClusters]] labels each
     * duplicate family, [[pageRankPpb]] scores how corroborated each member
@@ -70,9 +84,15 @@ object Graph {
     * window sort; member counts ride the same aggregation. Singleton docs
     * survive as their own family at the dangling rank. */
   def centralSurvivors(documents: DataFrame, pairs: DataFrame,
-      iters: Int = 5): DataFrame = {
-    val labels = graft.ops.Dedup.nearDupClusters(documents, pairs)
-    val ranks = pageRankPpb(documents, pairs, iters)
+      iters: Int = 5): DataFrame =
+    centralSurvivorsFrom(graft.ops.Dedup.nearDupClusters(documents, pairs),
+      pageRankPpb(documents, pairs, iters))
+
+  /** The composite body off ALREADY-DERIVED label and rank frames — what
+    * the registered query runs against the persisted cluster/rank tables:
+    * one join and one grouped argmax, no component convergence and no
+    * rank rounds on the read path. */
+  def centralSurvivorsFrom(labels: DataFrame, ranks: DataFrame): DataFrame =
     labels.join(ranks, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
@@ -80,7 +100,6 @@ object Graph {
       .select(col("cluster_id"), (-col("m.nd")).as("rep_doc_id"),
         col("m.r").as("rep_rank_ppb"), col("n_members"))
       .orderBy(col("cluster_id"))
-  }
 
   /** Per-node triangle count + local clustering coefficient over the
     * near-dup pair graph — the density signal that separates a "template
@@ -102,20 +121,70 @@ object Graph {
     * over the bounded near-dup edge set (already blocked per source by
     * candidate generation), nothing quadratic in the corpus. */
   def triangleStats(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val e = pairs
-      .filter(col("id_a") < col("id_b"))
+    val e = canonicalEdges(pairs)
+    assemble(documents, degrees(e), enumeratedTriangles(e))
+  }
+
+  /** [[triangleStats]] with the worst-case output bounded: duplicate
+    * families that are COMPLETE cliques (component edge count =
+    * m(m−1)/2 over the component's m graph nodes — a one-agg test off
+    * the persisted cluster labels) skip enumeration entirely and take the
+    * exact closed form `C(deg, 2)` per node (in a clique every pair of
+    * neighbors is connected, so the count is identity, not an
+    * approximation — the output is bit-identical to [[triangleStats]]
+    * and shares its oracle). Only NON-clique components are enumerated,
+    * which is what bounds the blow-up: the replicated template families
+    * that made the 10× soak output-cubic are precisely the clique case,
+    * turning O(Σ_family deg³) rows into O(|V|) closed-form credits.
+    */
+  def triangleStatsCliqueAware(documents: DataFrame, pairs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val deg = degrees(e)
+    val lab = labels.select(col("doc_id").as("node"), col("cluster_id"))
+    // per-component edge and graph-node counts (endpoints share a label
+    // by construction, so labeling the u side labels the edge)
+    val eLab = e.join(lab, col("u") === col("node")).drop("node")
+    val edgeCnt = eLab.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    val nodeCnt = deg.join(lab, "node")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    val cliques = edgeCnt.join(nodeCnt, "cluster_id")
+      .filter(col("n_edges") * 2 === col("m") * (col("m") - 1))
+      .select(col("cluster_id"))
+    val cliqueTri = deg.join(lab, "node")
+      .join(cliques, Seq("cluster_id"), "left_semi")
+      .select(col("node"), expr("(deg * (deg - 1)) div 2").as("n_triangles"))
+    val eNonClique = eLab.join(cliques, Seq("cluster_id"), "left_anti")
+      .select(col("u"), col("v"))
+    assemble(documents, deg,
+      enumeratedTriangles(eNonClique).unionByName(cliqueTri))
+  }
+
+  /** Canonical undirected u < v edge list of the pair graph. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs.filter(col("id_a") < col("id_b"))
       .select(col("id_a").as("u"), col("id_b").as("v"))
-    val deg = e.select(col("u").as("node"))
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val tris = e.as("e1")
+
+  /** Compact-forward enumeration: every a<b<c wedge via (a,b),(b,c) is
+    * closed by probing (a,c), so no triangle is counted twice and no
+    * orientation explosion happens; each triangle is credited to its
+    * three corners by an explode + keyed count. */
+  private def enumeratedTriangles(e: DataFrame): DataFrame =
+    e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
       .join(e.as("e3"),
         col("a") === col("e3.u") && col("c") === col("e3.v"), "left_semi")
-    val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+
+  private def assemble(documents: DataFrame, deg: DataFrame,
+      perNode: DataFrame): DataFrame =
     documents.select(col("doc_id"))
       .join(deg, col("doc_id") === col("node"), "inner")
       .drop("node")
@@ -126,5 +195,4 @@ object Graph {
         when(col("deg") < 2, lit(0L)).otherwise(
           expr("(2 * n_triangles * 1000000000L) div (deg * (deg - 1))")))
       .orderBy(col("doc_id"))
-  }
 }

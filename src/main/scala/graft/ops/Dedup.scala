@@ -341,6 +341,21 @@ object Dedup {
       .select(col("cluster_id").as("doc_id"), col("n_members"))
       .orderBy(col("doc_id"))
 
+  /** One-time-per-JVM PERSISTED cluster-label table over the persisted
+    * pair graph — the second tier of the dedup-index economics: connected
+    * components are themselves an iterative (if log-round-bounded)
+    * derivation, and every composite that needs family structure
+    * (survivor selection, centrality composites, clique detection) should
+    * read the labeling, not re-converge it. Rows are exactly
+    * [[nearDupClusters]]' output, so readers share its oracle. */
+  def nearDupClustersPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, pairs: => DataFrame,
+      threshold: Double): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      s"neardup_clusters_${math.round(threshold * 1000)}_" +
+        graft.sources.ManagedTable.tag(dir))(
+      nearDupClusters(documents, pairs))
+
   /** One-time-per-JVM PERSISTED near-dup pair table, memoized per
     * (app, dir, threshold) — the [[graft.ops.Similarity.ivfIndexPersisted]]
     * economics applied to dedup: candidate-pair generation is the
@@ -349,21 +364,12 @@ object Dedup {
     * lists, and audits as cheap queries over it. The persisted rows are
     * exactly [[charJaccardPairs]]' output, so downstream queries share
     * the lazy twins' oracles. */
-  private val preparedPairs =
-    scala.collection.concurrent.TrieMap[(String, String, Long), String]()
-
   def charJaccardPairsPersisted(spark: org.apache.spark.sql.SparkSession,
-      dir: String, documents: => DataFrame, threshold: Double): DataFrame = {
-    val appId = spark.sparkContext.applicationId
-    val name = preparedPairs.getOrElseUpdate(
-      (appId, dir, math.round(threshold * 1000)), {
-        val t = s"neardup_pairs_${math.round(threshold * 1000)}_" +
-          graft.sources.ManagedTable.tag(dir)
-        graft.sources.ManagedTable.write(charJaccardPairs(documents, threshold), t)
-        t
-      })
-    spark.table(name)
-  }
+      dir: String, documents: => DataFrame, threshold: Double): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      s"neardup_pairs_${math.round(threshold * 1000)}_" +
+        graft.sources.ManagedTable.tag(dir))(
+      charJaccardPairs(documents, threshold))
 
   /** Character-set jaccard pairs within each source group — exact pairwise
     * inside small groups (source is a natural blocking key). Matches

@@ -24,4 +24,21 @@ object ManagedTable {
 
   /** Table-name-safe tag for a fixture dir. */
   def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private val memo = scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  /** One-time-per-JVM memoized persist: builds and saves `table` the first
+    * time this (app, table) pair is seen, then returns the catalog read —
+    * the shared economics of every persisted artifact here (bucketed
+    * facts, IVF index, near-dup pairs/clusters/ranks): the expensive
+    * derivation is a one-time ingest decision, the reads are the
+    * workload. `build` is by-name so memoized hits never construct the
+    * plan at all. */
+  def persisted(spark: org.apache.spark.sql.SparkSession, table: String)(
+      build: => DataFrame): DataFrame = {
+    memo.getOrElseUpdate((spark.sparkContext.applicationId, table), {
+      write(build, table); table
+    })
+    spark.table(table)
+  }
 }

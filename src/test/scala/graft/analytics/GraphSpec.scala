@@ -70,6 +70,26 @@ class GraphSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("triangleStatsCliqueAware: bit-identical to enumeration on a mixed graph") {
+    // K4 clique (closed form path), a non-clique dense component
+    // (4-cycle + one chord: 5 edges on 4 nodes ≠ C(4,2)=6 → enumerated),
+    // a chain, and a pendant — every branch of the clique split
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L), (10L, 12L), // chorded cycle
+      (20L, 21L), (21L, 22L)) //                                     chain
+    val docIds = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L, 21L, 22L, 99L)
+    val (docs, pdf) = frame(docIds, pairs)
+    val labels = graft.ops.Dedup.nearDupClusters(docs, pdf)
+    val byEnum = Graph.triangleStats(docs, pdf).collect().map(_.toSeq).toSeq
+    val byClique = Graph.triangleStatsCliqueAware(docs, pdf, labels)
+      .collect().map(_.toSeq).toSeq
+    assert(byClique == byEnum)
+    // sanity: the K4 rows really did come out as C(3,2)=3 triangles, coeff 1e9
+    val k4 = byClique.filter(r => Set(1L, 2L, 3L, 4L)(r.head.asInstanceOf[Long]))
+    assert(k4.forall(r => r(2) == 3L && r(3) == 1000000000L))
+  }
+
   test("pageRankPpb: symmetric pair ranks are equal; rank mass stays bounded") {
     val pairs = Seq((10L, 20L))
     val (docs, pdf) = frame(Seq(10L, 20L), pairs)

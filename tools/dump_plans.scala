@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 val sfDir = "/root/testdata/sf0.01"
 val headline = Seq(
-  "q_logs_flagship" -> "reference flagship: pushed filters (incl. rewritten nanos ts bounds) + TakeOrderedAndProject top-K",
+  "q_logs_flagship" -> "reference flagship: pushed filters (incl. ts bounds rewritten onto the raw scan column, whichever physical shape the fixture ships) + TakeOrderedAndProject top-K",
   "q1_pricing" -> "grouped agg: partial (map-side) aggregation before one low-cardinality exchange",
   "q3_shipping" -> "3-way join: dimension broadcasts, fact shuffle on join key only, top-10 via TakeOrderedAndProject",
   "q_asof_join_exec" -> "custom AsOfJoin physical operator: engine-supplied Exchange+Sort, merge-walk exec",
