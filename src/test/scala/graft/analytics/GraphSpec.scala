@@ -70,10 +70,11 @@ class GraphSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
-  test("triangleStatsCliqueAware: bit-identical to enumeration on a mixed graph") {
+  test("triangleStatsCapped: clique closed form is bit-identical to enumeration") {
     // K4 clique (closed form path), a non-clique dense component
-    // (4-cycle + one chord: 5 edges on 4 nodes ≠ C(4,2)=6 → enumerated),
-    // a chain, and a pendant — every branch of the clique split
+    // (4-cycle + two chords... here 5 edges on 4 nodes ≠ C(4,2)=6 →
+    // enumerated), a chain, and a pendant — with cap ABOVE every
+    // component size the output must equal pure enumeration exactly
     val pairs = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
       (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L), (10L, 12L), // chorded cycle
@@ -82,12 +83,36 @@ class GraphSpec extends AnyFunSuite {
     val (docs, pdf) = frame(docIds, pairs)
     val labels = graft.ops.Dedup.nearDupClusters(docs, pdf)
     val byEnum = Graph.triangleStats(docs, pdf).collect().map(_.toSeq).toSeq
-    val byClique = Graph.triangleStatsCliqueAware(docs, pdf, labels)
+    val byCap = Graph.triangleStatsCapped(docs, pdf, labels, cap = 24)
       .collect().map(_.toSeq).toSeq
-    assert(byClique == byEnum)
+    assert(byCap == byEnum)
     // sanity: the K4 rows really did come out as C(3,2)=3 triangles, coeff 1e9
-    val k4 = byClique.filter(r => Set(1L, 2L, 3L, 4L)(r.head.asInstanceOf[Long]))
+    val k4 = byCap.filter(r => Set(1L, 2L, 3L, 4L)(r.head.asInstanceOf[Long]))
     assert(k4.forall(r => r(2) == 3L && r(3) == 1000000000L))
+  }
+
+  test("triangleStatsCapped: oversize incomplete family takes the clique credit") {
+    // chorded 4-cycle (NOT complete: node 10 and 12 have deg 3, nodes 11
+    // and 13 deg 2; true triangles: 10-11-12 and 10-12-13). With cap = 3
+    // the 4-member family is over cap → every node gets C(deg,2) and
+    // coeff exactly 1e9; the separate K3 (= complete) is closed-form
+    // regardless of cap and stays exact.
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L), (10L, 12L),
+      (30L, 31L), (30L, 32L), (31L, 32L)) // K3
+    val (docs, pdf) = frame(Seq(10L, 11L, 12L, 13L, 30L, 31L, 32L), pairs)
+    val labels = graft.ops.Dedup.nearDupClusters(docs, pdf)
+    val out = Graph.triangleStatsCapped(docs, pdf, labels, cap = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(10L) == ((3L, 3L, 1000000000L))) // credit C(3,2)=3 (true: 2)
+    assert(out(11L) == ((2L, 1L, 1000000000L))) // credit C(2,2)=1 (true: 1)
+    assert(out(12L) == ((3L, 3L, 1000000000L)))
+    assert(out(13L) == ((2L, 1L, 1000000000L)))
+    // K3 is exactly complete → exact closed form survives any cap
+    assert(out(30L) == ((2L, 1L, 1000000000L)))
+    assert(out(31L) == ((2L, 1L, 1000000000L)))
+    assert(out(32L) == ((2L, 1L, 1000000000L)))
   }
 
   test("pageRankPpb: symmetric pair ranks are equal; rank mass stays bounded") {

@@ -1,0 +1,106 @@
+package graft.logs
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** End-to-end V1/V8 transport behaviors over a live loopback server:
+  * GET-only 405 on /v1/logs (internal/api/api.go:32-36), /live + /ready
+  * (cmd/server/main.go:58-59), /api/ping pong (api.go:23-26), 400s from
+  * the V2-V5 validation stack, and the {logs, count, query} envelope. */
+class LogHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = SparkTestBase.spark
+
+  private def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  private lazy val logs = {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Row(t("2024-01-10T00:00:00Z"), "api", "INFO", "hello \"world\"", """{"user":"jane"}""", "tr1", "sp1"),
+      Row(t("2024-01-11T00:00:00Z"), "api", "ERROR", "boom", "{}", "tr2", "sp2"),
+      Row(t("2024-01-12T00:00:00Z"), "web", "INFO", "other", "{}", "tr3", "sp3"))
+    spark.createDataFrame(rows.asJava, LogSchema.schema)
+  }
+
+  private var server: LogHttpServer = _
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    server = new LogHttpServer(logs).start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.port}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.port}$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("V8: /live and /ready answer 200; /api/ping answers pong") {
+    assert(get("/live").statusCode() == 200)
+    assert(get("/ready").statusCode() == 200)
+    val ping = get("/api/ping")
+    assert(ping.statusCode() == 200 && ping.body() == "pong")
+  }
+
+  test("V1: non-GET on /v1/logs is 405 Method not allowed") {
+    val r = post("/v1/logs?service=api")
+    assert(r.statusCode() == 405)
+    assert(r.body().startsWith("Method not allowed"))
+  }
+
+  test("V2-V5 over the wire: validation failures map to 400 with the reason") {
+    assert(get("/v1/logs").statusCode() == 400) // missing service
+    val badFrom = get("/v1/logs?service=api&from=yesterday")
+    assert(badFrom.statusCode() == 400 && badFrom.body().contains("RFC3339"))
+    assert(get("/v1/logs?service=api&limit=0").statusCode() == 400)
+    assert(get("/v1/logs?service=api&limit=nope").statusCode() == 400)
+    assert(get("/v1/logs?service=api&from=2024-03-01T00:00:00Z&to=2024-01-01T00:00:00Z")
+      .statusCode() == 400)
+  }
+
+  test("V7 over the wire: envelope carries logs desc by ts, count, echoed query") {
+    val r = get("/v1/logs?service=api&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+    val body = r.body()
+    assert(body.contains(""""count":2"""))
+    // ts DESC: the ERROR row (Jan 11) precedes the INFO row (Jan 10)
+    val i11 = body.indexOf("2024-01-11T00:00:00Z")
+    val i10 = body.indexOf("2024-01-10T00:00:00Z")
+    assert(i11 >= 0 && i10 >= 0 && i11 < i10)
+    // embedded quotes in msg survive the JSON escaping
+    assert(body.contains("""hello \"world\""""))
+    // attrs rides as the serialized JSON string the storage schema holds
+    assert(body.contains("""{\"user\":\"jane\"}"""))
+    assert(body.contains(""""service":"api""""))
+    assert(body.contains(""""limit":100"""))
+    // the web-service row is filtered out
+    assert(!body.contains("2024-01-12T00:00:00Z"))
+  }
+
+  test("V1+F3: level filter narrows over the wire; limit caps") {
+    val r = get("/v1/logs?service=api&level=ERROR&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z")
+    assert(r.statusCode() == 200 && r.body().contains(""""count":1"""))
+    val lim = get("/v1/logs?service=api&limit=1&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z")
+    assert(lim.statusCode() == 200 && lim.body().contains(""""count":1"""))
+    // newest-first under the cap: Jan 11 wins
+    assert(lim.body().contains("2024-01-11T00:00:00Z"))
+  }
+
+  test("unknown path answers 404 like the Go mux") {
+    assert(get("/nope").statusCode() == 404)
+  }
+}
