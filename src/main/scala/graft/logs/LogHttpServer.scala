@@ -29,14 +29,23 @@ import org.apache.spark.sql.{DataFrame, Row}
   * by default (tests query [[port]] after [[start]]); a real deployment
   * would bind the configured address the way main.go reads HTTP_ADDR.
   *
-  * The query DataFrame is whatever [[LogTable.read]] returned (or any
-  * frame with the canonical 7 columns) — the server holds no state of
-  * its own, so concurrent exchanges are safe: each request runs an
-  * independent Spark action under [[LogApi.query]]'s per-query job
-  * group and V6 timeout.
+  * Queries run against `logsProvider()`, re-invoked PER REQUEST — the
+  * reference queries the live table, not a startup snapshot, and a
+  * parquet DataFrame pins its file listing at creation, so a service
+  * fronting a streaming-ingested [[LogTable]] must re-plan to see new
+  * micro-batches (a fixed frame is fine for tests; the single-arg
+  * constructor wraps one). The server holds no other state, so
+  * concurrent exchanges are safe: each request runs an independent
+  * Spark action under [[LogApi.query]]'s per-query job group and V6
+  * timeout.
   */
-final class LogHttpServer(logs: DataFrame, bindPort: Int = 0,
-    timeoutMs: Long = LogApi.DefaultTimeoutMs) {
+final class LogHttpServer(logsProvider: () => DataFrame, bindPort: Int,
+    timeoutMs: Long) {
+
+  /** Fixed-frame convenience (tests, notebooks). */
+  def this(logs: DataFrame, bindPort: Int = 0,
+      timeoutMs: Long = LogApi.DefaultTimeoutMs) =
+    this(() => logs, bindPort, timeoutMs)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
@@ -64,7 +73,7 @@ final class LogHttpServer(logs: DataFrame, bindPort: Int = 0,
     try {
       if (x.getRequestMethod != "GET")
         respond(x, 405, "Method not allowed\n", "text/plain; charset=utf-8")
-      else LogApi.query(logs, queryParams(x), timeoutMs) match {
+      else LogApi.query(logsProvider(), queryParams(x), timeoutMs) match {
         case Left(err) => respond(x, 400, err + "\n", "text/plain; charset=utf-8")
         case Right(env) => respond(x, 200, envelopeJson(env), "application/json")
       }

@@ -103,4 +103,26 @@ class LogHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("unknown path answers 404 like the Go mux") {
     assert(get("/nope").statusCode() == 404)
   }
+
+  test("provider server sees rows appended AFTER startup (live-table freshness)") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("httpfresh").toString
+    def batch(ts: String, msg: String) = spark.createDataFrame(
+      Seq(Row(t(ts), "api", "INFO", msg, "{}", "", "")).asJava, LogSchema.schema)
+    LogTable.append(batch("2024-01-10T00:00:00Z", "first"), dir)
+    val srv = new LogHttpServer(() => LogTable.read(spark, dir), 0,
+      LogApi.DefaultTimeoutMs).start()
+    try {
+      def count(): String = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.port}/v1/logs?service=api&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(count().contains(""""count":1"""))
+      // a micro-batch lands while the server is up — the next request
+      // must re-plan the table read and see it (the reference's
+      // DB-mediated freshness; a pinned DataFrame would answer 1 forever)
+      LogTable.append(batch("2024-01-11T00:00:00Z", "second"), dir)
+      assert(count().contains(""""count":2"""))
+    } finally srv.stop()
+  }
 }
