@@ -560,11 +560,13 @@ object OracleSql {
     * sequential fold, the per-probe LUT, the ADC sum as an s-ORDERED
     * list_reduce (matching the Spark fold association), pool trim, and
     * the exact-cosine re-rank. */
-  def knnPqSql(m: Int = 8, nCodes: Int = 16, nProbes: Int = 10, k: Int = 5,
-      poolFactor: Int = 4): String = {
+  /** The shared PQ CTE chain (codebook subvectors, per-vector codes,
+    * per-probe LUTs) — everything through `codes` and `lut`, used by
+    * both [[knnPqSql]] and [[knnIvfPqSql]]. Assumes `base` and `xxh`
+    * are already in scope (from [[xxhCtes]] or [[ivfChainCtes]]). */
+  private def pqCtes(m: Int, nCodes: Int, nProbes: Int): String = {
     val sub = 64 / m
-    s"""WITH $xxhCtes,
-       |seeds AS (
+    s"""seeds AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x.xxh, b.vec_id) AS INTEGER) - 1 AS cidx,
        |    b.e AS c_emb
        |  FROM base b JOIN xxh x ON b.vec_id = x.vec_id
@@ -586,13 +588,66 @@ object OracleSql {
        |codes AS (SELECT vec_id, s, cidx AS code FROM enc WHERE rn = 1),
        |lut AS (
        |  SELECT vec_id AS probe_id, s, cidx, list_dot_product(v, c_sub) AS d
-       |  FROM vsub JOIN csub USING (s) WHERE vec_id < $nProbes),
+       |  FROM vsub JOIN csub USING (s) WHERE vec_id < $nProbes)""".stripMargin
+  }
+
+  def knnPqSql(m: Int = 8, nCodes: Int = 16, nProbes: Int = 10, k: Int = 5,
+      poolFactor: Int = 4): String = {
+    s"""WITH $xxhCtes,
+       |${pqCtes(m, nCodes, nProbes)},
        |adc AS (
        |  SELECT l.probe_id, c.vec_id,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
        |      (acc, x) -> acc + x) AS approx
        |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cidx
        |  WHERE c.vec_id <> l.probe_id
+       |  GROUP BY l.probe_id, c.vec_id),
+       |pool AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx DESC, vec_id) AS qr
+       |    FROM adc) z WHERE qr <= ${k * poolFactor}),
+       |scored AS (
+       |  SELECT p.probe_id, b.vec_id, ${cosSql("b.e", "pb.e")} AS cosine
+       |  FROM pool p JOIN base b ON p.vec_id = b.vec_id
+       |              JOIN base pb ON p.probe_id = pb.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Full replica of [[graft.ops.Similarity.ivfPqTopKPersisted]] — the
+    * IVF-PQ composite: the bit-exact IVF chain assigns every vector and
+    * ranks each probe's nProbe clusters; the PQ chain (corpus-global
+    * codebook) encodes every vector; the ADC scan is RESTRICTED to
+    * candidates whose cluster one of the probe's probed clusters —
+    * the bucket cut — then pool-trimmed and exact-cosine re-ranked.
+    * Same arithmetic as the two parent replicas, so the composite
+    * hash-matches end to end. */
+  def knnIvfPqSql(nCentroids: Int = 32, nProbe: Int = 6,
+      lloydIters: Int = 2, m: Int = 8, nCodes: Int = 16, nProbes: Int = 10,
+      k: Int = 5, poolFactor: Int = 4): String = {
+    val (ctes, last) = ivfChainCtes(nCentroids, lloydIters)
+    s"""WITH $ctes,
+       |probes AS (
+       |  SELECT b.vec_id AS probe_id, cc.c_id AS cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.e", "cc.c")} DESC, cc.c_id) AS r
+       |  FROM base b CROSS JOIN $last cc WHERE b.vec_id < $nProbes),
+       |pl AS (SELECT probe_id, cluster FROM probes WHERE r <= $nProbe),
+       |${pqCtes(m, nCodes, nProbes)},
+       |cand AS (
+       |  SELECT p.probe_id, af.vec_id
+       |  FROM pl p JOIN a_f af ON af.cluster = p.cluster
+       |  WHERE af.vec_id <> p.probe_id),
+       |adc AS (
+       |  SELECT l.probe_id, c.vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
+       |      (acc, x) -> acc + x) AS approx
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cidx
+       |  JOIN cand cd ON cd.probe_id = l.probe_id AND cd.vec_id = c.vec_id
        |  GROUP BY l.probe_id, c.vec_id),
        |pool AS (
        |  SELECT probe_id, vec_id FROM (

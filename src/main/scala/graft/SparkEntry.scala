@@ -80,7 +80,9 @@ object SparkEntry {
     "q_zorder_slice", "q_partition_prune", "q_knn_ivf_idx",
     "q_dedup_clusters_idx", "q_bm25_idx",
     // first run writes the persisted cluster-label and rank tables
-    "q_central_survivors", "q_triangles")
+    "q_central_survivors", "q_triangles",
+    // first run writes the cluster-partitioned PQ codes table
+    "q_knn_ivfpq")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -665,6 +667,16 @@ object SparkEntry {
     "q_knn_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), 0L until 10L, 5)),
 
+    // IVF-PQ composite (FAISS IndexIVFPQ shape): coarse bucket pruning
+    // off the persisted cluster-partitioned codes table AND O(m) ADC
+    // scanning inside probed buckets, exact re-rank over the pool —
+    // both index halves are one-time persisted layouts. nProbe=8/
+    // poolFactor=16 sized so the double approximation measures ≥0.64
+    // recall at both gate SFs (0.64 sf0.001 / 0.74 sf0.01)
+    "q_knn_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopKPersisted(s, dir, Tables.embeddings(s, dir),
+        0L until 10L, 5, nProbe = 8, poolFactor = 16)),
+
     // recall verdicts for the approximate kNN tiers: truth = brute force,
     // verdict (containment holds by construction — every approx row is
     // exact-cosine-verified) is what the oracle asserts
@@ -678,6 +690,16 @@ object SparkEntry {
     // up from 0.40 unrefined)
     "q_knn_ivf_check" -> ((s, dir) =>
       knnRecallCheck(Similarity.ivfTopK(Tables.embeddings(s, dir), 0L until 10L, 5),
+        Tables.embeddings(s, dir), 0.6)),
+
+    // the composite's recall twin: double approximation (bucket cut ∩
+    // PQ pool cut) — bound 0.6, below the deterministic measured floor
+    // (0.64 at sf0.001, 0.74 at sf0.01), so a regression in either the
+    // coarse quantizer or the codebook fails loudly
+    "q_knn_ivfpq_check" -> ((s, dir) =>
+      knnRecallCheck(
+        Similarity.ivfPqTopKPersisted(s, dir, Tables.embeddings(s, dir),
+          0L until 10L, 5, nProbe = 8, poolFactor = 16),
         Tables.embeddings(s, dir), 0.6)),
 
     // ───────────────────────── text analysis ──
@@ -3257,6 +3279,7 @@ object SparkEntry {
     "q_knn_ivf" -> OracleSql.knnIvfSql(),
     "q_knn_ivf_idx" -> OracleSql.knnIvfSql(),
     "q_knn_pq" -> OracleSql.knnPqSql(),
+    "q_knn_ivfpq" -> OracleSql.knnIvfPqSql(nProbe = 8, poolFactor = 16),
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_idx" -> OracleSql.semDedupPairsSql(),
     "q_lang_id" -> OracleSql.langIdSql,
@@ -3304,6 +3327,17 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_truth, true AS recall_ok FROM sims WHERE rank <= 5""".stripMargin,
 
     "q_knn_ivf_check" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id < 10),
+        |sims AS (SELECT p.probe_id, b.vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+        |      list_dot_product(b.e, p.pe) /
+        |        (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) DESC,
+        |      b.vec_id) AS BIGINT) AS rank
+        |  FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id)
+        |SELECT COUNT(*) AS n_truth, true AS recall_ok FROM sims WHERE rank <= 5""".stripMargin,
+
+    "q_knn_ivfpq_check" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |probes AS (SELECT vec_id AS probe_id, e AS pe FROM base WHERE vec_id < 10),
         |sims AS (SELECT p.probe_id, b.vec_id,

@@ -473,6 +473,129 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF-PQ composite — the production ANN shape (FAISS IndexIVFPQ;
+    * Jégou et al. 2011 §V): coarse IVF bucket pruning AND compressed
+    * in-bucket scanning, combined. [[ivfTopKPersisted]] prunes which
+    * vectors are LOOKED AT but scans them at full width; [[pqTopK]]
+    * scans O(m) codes per pair but looks at the whole corpus; at real
+    * scale you need both cuts at once — nProbe/nCentroids of the corpus
+    * touched, 8 bytes per touched vector.
+    *
+    *  - INDEX (both halves persisted, built once per corpus): the
+    *    cluster-partitioned IVF assignment ([[ivfIndexPersisted]]), plus
+    *    a codes table — every vector's m PQ codes stored WITH its
+    *    cluster id and partitioned by it, the "codes live in the
+    *    inverted lists" layout that makes the probed-bucket scan read
+    *    only probed buckets' codes. The codebook is corpus-global
+    *    (hash-ranked seeds, identical derivation to [[pqTopK]]), so
+    *    codes are comparable across buckets.
+    *  - QUERY: probes pick nProbe clusters by centroid cosine (broadcast
+    *    centroid table); the ADC scan joins the codes table on the
+    *    cluster key — partition pruning does the corpus cut — and sums
+    *    each candidate's per-subspace LUT entries; the top k·poolFactor
+    *    pool per probe re-ranks with exact cosine over re-attached
+    *    embeddings (bounded frame, broadcast).
+    *
+    * Every step is the same deterministic dot/fold arithmetic as the two
+    * parent operators, so the composite is hash-compared end to end
+    * against its DuckDB replica (OracleSql.knnIvfPqSql) — pool and
+    * bucket misses are the documented approximation, asserted non-fatal
+    * by the recall twin.
+    */
+  def ivfPqTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, embeddings: => DataFrame, probeIds: Seq[Long], k: Int,
+      nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2,
+      m: Int = 8, nCodes: Int = 16, poolFactor: Int = 4): DataFrame = {
+    val dim = 64
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val (centroids, assigned) = ivfIndexPersisted(
+      spark, dir, embeddings, nCentroids, lloydIters)
+    // corpus-global codebook: subvectors of the hash-ranked seed vectors
+    // (exactly pqTopK's derivation — comparable codes across buckets)
+    val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val centSubs = assigned
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCodes)
+      .withColumn("cidx", (row_number().over(wSeed) - 1))
+      .select(col("cidx"), col("embedding").as("c_emb"))
+      .select(col("cidx"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(c_emb, s * $sub + 1, $sub) AS c_sub))")).as("sc"))
+      .select(col("sc.s").as("s"), col("cidx"), col("sc.c_sub").as("c_sub"))
+      .withColumn("half", normSq(col("c_sub")) * lit(0.5))
+    def subRows(src: DataFrame, idCol: String) = src
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(embedding, s * $sub + 1, $sub) AS v))")).as("sv"))
+      .select(col(idCol), col("sv.s").as("s"), col("sv.v").as("v"))
+    // persisted inverted-list codes: (vec_id, codes[m], cluster),
+    // partitioned by cluster so probed-bucket scans prune at listing time
+    val codesTable = graft.sources.ManagedTable.persisted(spark,
+      s"ivfpq_codes_${nCentroids}_${lloydIters}_${m}_${nCodes}_" +
+        graft.sources.ManagedTable.tag(dir), partitionCol = Some("cluster")) {
+      subRows(assigned.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(centSubs), Seq("s"))
+        .withColumn("score", dot(col("v"), col("c_sub")) - col("half"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(max(struct(col("score"), (-col("cidx")).as("nc"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("s"), (-col("best.nc")).as("code")))).as("sc"))
+        .select(col("vec_id"),
+          transform(col("sc"), x => x.getField("code")).as("codes"))
+        .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    }
+    // probes: nProbe nearest clusters each (same ranking as the IVF tier)
+    val probeRows = assigned
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding"), col("nsq"))
+    val probes = probeRows
+      .join(broadcast(centroids))
+      .withColumn("c_sim",
+        cosinePrenormed(dot(col("embedding"), col("c_emb")), col("nsq"), col("c_nsq")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))))
+      .filter(col("r") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("c_id").as("cluster"))
+    // per-probe LUT over the corpus-global codebook
+    val probeLut = subRows(probeRows, "vec_id")
+      .join(broadcast(centSubs), Seq("s"))
+      .withColumn("d", dot(col("v"), col("c_sub")))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("cidx"), col("d")))).as("scd"))
+      .select(col("vec_id").as("probe_id"),
+        transform(col("scd"), x => x.getField("d")).as("lut"))
+    // bucket-pruned ADC scan + pool trim
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val pool = codesTable
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(probeLut), Seq("probe_id"))
+      .withColumn("approx", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0d),
+        (acc, s) => acc + element_at(col("lut"),
+          (s * nCodes + element_at(col("codes"), s + 1) + 1).cast("int"))))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * poolFactor)
+      .select(col("probe_id"), col("vec_id"))
+    // exact re-rank over the bounded pool
+    val pFrame = probeRows
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned
+      .select(col("vec_id"), col("embedding"), col("nsq"))
+      .join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(pFrame), Seq("probe_id"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("embedding"), col("p_emb")), col("nsq"), col("p_nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a, b) with cosine ≥ threshold,
     * a < b. Exact version — pairwise over the corpus; kept oracle-checkable
     * at test SF. The scale path reuses the LSH bucketing above for

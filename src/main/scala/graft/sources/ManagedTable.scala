@@ -34,10 +34,11 @@ object ManagedTable {
     * derivation is a one-time ingest decision, the reads are the
     * workload. `build` is by-name so memoized hits never construct the
     * plan at all. */
-  def persisted(spark: org.apache.spark.sql.SparkSession, table: String)(
+  def persisted(spark: org.apache.spark.sql.SparkSession, table: String,
+      partitionCol: Option[String] = None)(
       build: => DataFrame): DataFrame = {
     memo.getOrElseUpdate((spark.sparkContext.applicationId, table), {
-      write(build, table); table
+      write(build, table, partitionCol); table
     })
     spark.table(table)
   }

@@ -214,6 +214,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.collect().toSeq == lazyRows)
   }
 
+  test("ivfPqTopKPersisted: bucket-pruned ADC — exact cosines, recall >= 0.6, pruned scan") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.SparkTestBase.sfDir
+    val out = Similarity.ivfPqTopKPersisted(
+      spark, dir, graft.Tables.embeddings(spark, dir), 0L until 10L, 5,
+      nProbe = 8, poolFactor = 16)
+    val rows = out.collect()
+    // k rows per probe at most; returned cosines are EXACT re-ranks, so
+    // each must equal the brute-force cosine for the same pair
+    val truthAll = Similarity.bruteForceTopK(
+      graft.Tables.embeddings(spark, dir), 0L until 10L, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(truthAll.contains(key) &&
+        math.abs(truthAll(key) - r.getDouble(2)) < 1e-12,
+        s"inexact cosine for $key")
+    }
+    // double-approximation recall floor (measured 0.64 at this SF)
+    val truth = Similarity.bruteForceTopK(
+      graft.Tables.embeddings(spark, dir), 0L until 10L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    assert(hits >= (truth.size * 0.6).toInt, s"recall $hits/${truth.size}")
+    // the codes scan must prune on the cluster partition key
+    assert(out.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "probed-bucket codes scan is not partition-pruned")
+  }
+
   test("semanticDedupPairs: exact duplicates always share a cluster and are found") {
     import org.apache.spark.sql.functions._
     // assignment is a pure function of the embedding, so a verbatim copy
