@@ -73,6 +73,8 @@ object Soak {
     "q_sequence_match", "q_skew_join",
     // round-6: persisted-layout twins (index read, not rebuilt)
     "q_knn_ivf_idx", "q_semdedup_idx", "q_dedup_clusters_idx",
+    // round-7: IVF-PQ composite (bucket-pruned ADC off persisted codes)
+    "q_knn_ivfpq",
     // round-5 additions: time-series kernels + tokenizer/training-prep
     "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
     "q_train_order", "q_bpe_merges",
@@ -102,6 +104,7 @@ object Soak {
     "q16_part_supplier_cnt", "q21_waiting_suppliers",
     "q_funnel", "q_retention", "q_pack",
     "q_knn_int8", "q_embedding_quantize", "q_sequence_match", "q_skew_join",
+    "q_knn_ivfpq",
     "q_delta_sum", "q_interval_union", "q_lttb", "q_topk_weighted",
     "q_train_order", "q_bpe_merges",
     "q_counter_increase_mv", "q_mad_anomaly", "q_value_bands",

@@ -59,6 +59,7 @@ val headline = Seq(
   "q_log_templates" -> "log-template mining: per-row mask+prefix (codegen'd), one keyed aggregation whose map-side combine collapses each partition to its distinct templates before the exchange",
   "q_welch_ttest" -> "statistical tests: one map-side-combinable moments aggregation (BIGINT sums); the t/df arithmetic runs on group-count-sized rows after a tiny pair join",
   "q_knn_pq" -> "PQ-ADC: codebook and per-probe LUTs broadcast; encode is m argmax rows/vector through map-side aggregation; ADC scan O(m)/pair with WindowGroupLimit pool trim, exact re-rank on id-lookups only",
+  "q_knn_ivfpq" -> "IVF-PQ composite: the codes scan reaches the cluster-partitioned table through a dynamicpruning PartitionFilter (probed buckets only), LUTs broadcast, O(m) ADC inside buckets, exact re-rank over the bounded pool",
   "q_partition_prune" -> "daily hive layout + DPP: the top-days dim broadcasts and becomes a dynamicpruning PartitionFilter on the fact scan -- skipped day directories are never listed or opened",
   "q_trailing_window" -> "event-time RANGE frame: trailing-30-min per-user aggregate on ONE user-keyed exchange; integer cent sums keep SQL peer semantics hash-exact",
   "q_dedup_history" -> "bloom-gated incremental dedup: history hashes fold into a scalar-subquery bloom; bloom-negative rows bypass the anti-join (union branch), only maybe-seen rows re-check exactly",
