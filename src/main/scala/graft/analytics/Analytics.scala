@@ -123,22 +123,21 @@ object Analytics {
   /** Session-length distribution: exact interpolated p50/p90 of
     * events-per-session, computed by counting over the DISTINCT length
     * values ([[Analytics2.quantityPercentilesScalable]]'s construction,
-    * composed on top of [[sessionize]]): session lengths live in a tiny
-    * integer domain, so the cumulative window runs over dozens of rows
-    * regardless of how many billions of sessions exist — where a
+    * composed on top of [[sessionize]]): the fold reduces billions of
+    * sessions to the distinct-length domain — where a
     * `percentile(n_events, …)` aggregate would buffer every session on
-    * one reducer. One global row: (p50, p90, min_len, max_len,
-    * n_sessions). */
+    * one reducer — and the cumulative count rides the range-partitioned
+    * prefix-sum pass ([[GlobalRank.withRunningTotalsLong]]), so even a
+    * pathologically wide length domain never lands on one task. The total
+    * attaches as a broadcast 1-row aggregate. One global row:
+    * (p50, p90, min_len, max_len, n_sessions). */
   def sessionLengthPercentiles(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val counts = sessionize(events, gapMinutes)
       .groupBy(col("n_events")).agg(count(lit(1)).as("cnt"))
-    val cumW = Window.orderBy(col("n_events"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val allW = Window.orderBy(col("n_events"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(allW))
+    val totals = counts.agg(sum(col("cnt")).as("n"))
+    val cum = GlobalRank.withRunningTotalsLong(counts, Nil,
+        Seq(col("n_events")), Seq(col("cnt") -> "cum"))
+      .crossJoin(broadcast(totals))
       .withColumn("prev", col("cum") - col("cnt"))
       .withColumn("_pos50", lit(0.5) * (col("n") - 1L).cast("double"))
       .withColumn("_pos90", lit(0.9) * (col("n") - 1L).cast("double"))

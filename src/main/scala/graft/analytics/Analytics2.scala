@@ -128,11 +128,15 @@ object Analytics2 {
   def quantityPercentilesScalable(lineitem: DataFrame): DataFrame = {
     val counts = lineitem.groupBy(col("l_returnflag"), col("l_quantity"))
       .agg(count(lit(1)).as("cnt"))
-    val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+    // GROUPED range-partitioned prefix sums: a `Window.partitionBy(flag)
+    // .orderBy(quantity)` frame would pin each flag's whole distinct
+    // domain to one task (3 tasks total, however wide the domain grows);
+    // the grouped prefix-sum pass spreads every flag across the range
+    // partitions. Totals attach as a broadcast flag-count-sized join.
+    val totals = counts.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
+    val cum = GlobalRank.withRunningTotalsLong(counts, Seq("l_returnflag"),
+        Seq(col("l_quantity")), Seq(col("cnt") -> "cum"))
+      .join(broadcast(totals), "l_returnflag")
       .withColumn("prev", col("cum") - col("cnt"))
       .withColumn("_pos50", lit(0.5) * (col("n") - 1L).cast("double"))
       .withColumn("_pos90", lit(0.9) * (col("n") - 1L).cast("double"))

@@ -1,85 +1,135 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftGlue}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scalable total-order ranking: global ROW_NUMBER / NTILE without a
-  * single-partition window.
+/** Scalable total-order ranking: global ROW_NUMBER / NTILE / running totals
+  * without a data-sized single-partition window.
   *
   * `ntile(n).over(Window.orderBy(...))` — the natural spelling — plans as
   * `WindowExec: No Partition Defined`: every row moves to ONE task, which
   * caps the operator at one core and one executor's memory regardless of
-  * cluster size. The scalable construction used here is the classic
-  * range-partitioned rank:
+  * cluster size. The constructions here instead split the order into
+  * contiguous buckets, rank/cumulate within each bucket in parallel, and
+  * stitch buckets together with an O(#buckets) prefix frame.
   *
-  *  1. `repartitionByRange` on the sort key — rows land in globally ordered
-  *     partition ranges (ONE exchange of the data, total).
-  *  2. `sortWithinPartitions` + `monotonically_increasing_id()` — the id's
-  *     documented layout (partition index in the upper 31 bits, record
-  *     offset within the partition in the lower 33) yields the partition
-  *     ordinal and the local 1-based rank with zero additional exchange.
-  *     (The previous formulation ranked with
-  *     `Window.partitionBy(partition-id)`, which hash-exchanged the whole
-  *     dataset a second time — RangePartitioning does not satisfy a
-  *     HashPartitioning requirement.)
-  *  3. per-partition row counts → prefix-sum offsets. This window IS
-  *     single-partition, but over `numPartitions` rows (thousands at most),
-  *     not the data.
-  *  4. broadcast the offsets back; global rank = offset + local rank, and
-  *     NTILE follows arithmetically from (rank, total).
+  * Bucket assignment is a VALUE-deterministic function of the row — this is
+  * the load-bearing design decision. The obvious alternative,
+  * `repartitionByRange` + `monotonically_increasing_id`, derives a row's
+  * bucket from reservoir-sampled range boundaries, and the reservoir
+  * samples the transient ROW ORDER of the child — which is not stable
+  * across materializations (shuffle fetch order varies run to run, and
+  * column pruning gives the construction's two consumers — the local
+  * cumulative pass and the per-bucket offset pass — differently-pruned,
+  * therefore non-reusable, exchanges). Two consumers then disagree about
+  * which bucket a row is in and the stitched totals are silently wrong.
+  * Deriving the bucket from the row's VALUES makes every materialization
+  * agree by construction, with no reliance on exchange reuse, AQE stage
+  * caching, or checkpointing.
   *
-  * Determinism notes: `RangePartitioner`'s boundary sampling is seeded by
-  * partition index, so both evaluations of the repartitioned child (ranks
-  * and counts) see identical boundaries even if the exchange is recomputed
-  * rather than reused; `sortCols` must be a total order (include a unique
-  * tie-break) so the within-partition order is unique.
+  * Boundary selection: a 1-in-[[SampleMod]] hash-deterministic sample of
+  * the key tuples (`xxhash64(keys) % SampleMod == 0` — a fixed predicate,
+  * not a seeded RNG), ranked on ONE explicitly-declared single bucket
+  * (O(n / SampleMod) rows — at 10⁹ distinct keys that is a 4M-row sort on
+  * one task; raise SampleMod for larger domains), then every
+  * (sample-size DIV target-buckets)-th key becomes a boundary. A row's
+  * bucket is the count of boundaries strictly before it in the requested
+  * sort order (direction-aware lexicographic comparison against a
+  * broadcast boundary array). Small frames degrade gracefully: an empty
+  * sample yields one bucket, which is correct and cheap precisely because
+  * the frame is small.
   *
-  * Cost note: the constructions reference their input subplan from several
-  * consumers (ranks, offsets, peer frames). Exchange reuse deduplicates
-  * the shuffles when AQE canonicalization allows, but the subplan BELOW
-  * the first exchange can still evaluate once per consumer — callers
-  * whose input frame is expensive (a wide scan or a heavy aggregation)
-  * should persist or checkpoint it before ranking if they cannot afford
-  * the recompute. The registered queries' inputs are post-aggregation
-  * frames, where the recompute is cheap by construction.
+  * `sortCols` must be a total order within each group (include a unique
+  * tie-break; the registered callers feed post-`groupBy(sortCols)` frames,
+  * where uniqueness holds by construction) and sort keys should be
+  * non-null. Mixed asc/desc is supported (`col.desc` SortOrder columns).
   */
 object GlobalRank {
 
+  /** Boundary sampling rate: ~SampleMod rows per sampled key keeps the
+    * single-task boundary sort at n/SampleMod rows while still giving
+    * ~(n / SampleMod / buckets) samples per boundary decision. */
+  private val SampleMod = 256L
+
+  private case class Key(name: String, source: Column, asc: Boolean)
+
+  /** Decompose a possibly-`.desc`/`.asc` sort Column into (expression,
+    * direction); plain columns default ascending. */
+  private def keyOf(c: Column, i: Int): Key = GraftGlue.sortOrderParts(c) match {
+    case Some((child, asc)) => Key(s"_gr_k$i", child, asc)
+    case None               => Key(s"_gr_k$i", c, asc = true)
+  }
+
+  private def sortOrderCols(keys: Seq[Key]): Seq[Column] =
+    keys.map(k => if (k.asc) col(k.name).asc else col(k.name).desc)
+
+  private def parts(df: DataFrame): Int =
+    // shuffle.partitions may be non-numeric on some platforms ("auto");
+    // fall back rather than NumberFormatException at plan construction.
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption.filter(_ > 0)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Append `_gr_bucket`: the row's contiguous range-bucket ordinal under
+    * the keys' sort order, assigned value-deterministically (see object
+    * doc). Key columns are materialized under `keys(i).name`. */
+  private def withBucket(df: DataFrame, keys: Seq[Key], nBuckets: Int): DataFrame = {
+    val withKeys = keys.foldLeft(df)((d, k) => d.withColumn(k.name, k.source))
+    val keyCols = keys.map(k => col(k.name))
+    // one explicit bucket: the sample is O(n / SampleMod), not the data
+    val wOne = Window.partitionBy(lit(0))
+    val bounds = withKeys
+      .select(keyCols: _*)
+      .filter(pmod(xxhash64(keyCols: _*), lit(SampleMod)) === 0L)
+      .withColumn("_gr_srk",
+        row_number().over(wOne.orderBy(sortOrderCols(keys): _*)).cast("long"))
+      .withColumn("_gr_sn", count(lit(1)).over(wOne))
+      .filter(col("_gr_srk") % expr(s"GREATEST(_gr_sn DIV $nBuckets, 1L)") === 0L)
+      .select(struct(keyCols: _*).as("_gr_b"))
+    val barr = bounds.agg(collect_list(col("_gr_b")).as("_gr_barr"))
+    // direction-aware lexicographic "boundary strictly precedes this row"
+    def boundaryBefore(b: Column): Column =
+      keys.foldRight(lit(false): Column) { (k, acc) =>
+        val bf = b.getField(k.name)
+        val lt = if (k.asc) bf < col(k.name) else bf > col(k.name)
+        lt || (bf === col(k.name) && acc)
+      }
+    withKeys
+      .crossJoin(broadcast(barr))
+      .withColumn("_gr_bucket",
+        size(filter(col("_gr_barr"), boundaryBefore(_))).cast("long"))
+      .drop("_gr_barr")
+  }
+
   /** Append a global 1-based BIGINT `rankCol` ordered by `sortCols`, plus a
-    * hidden total count used by [[withNtile]]. `sortCols` must be a total
-    * order (include a unique tie-break). */
+    * hidden `_gr_total` count used by [[withNtile]]. `sortCols` must be a
+    * total order (include a unique tie-break). */
   private def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
       rankCol: String): DataFrame = {
     require(!df.columns.exists(_.startsWith("_gr_")),
       "input already has _gr_-prefixed working columns")
-    // shuffle.partitions may be non-numeric on some platforms ("auto");
-    // fall back rather than NumberFormatException at plan construction.
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-      .toIntOption.filter(_ > 0)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    val parted = df
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("_gr_id", monotonically_increasing_id())
-      .withColumn("_gr_pid", shiftrightunsigned(col("_gr_id"), 33))
-      .withColumn("_gr_rn", col("_gr_id").bitwiseAND(lit((1L << 33) - 1)) + 1L)
-      .drop("_gr_id")
-    // numPartitions rows — the only single-partition window, O(partitions)
-    val w = Window.orderBy(col("_gr_pid"))
-    val offsets = parted
-      .groupBy(col("_gr_pid"))
+    val keys = sortCols.zipWithIndex.map { case (c, i) => keyOf(c, i) }
+    val bucketed = withBucket(df, keys, parts(df))
+    val localW = Window.partitionBy(col("_gr_bucket"))
+      .orderBy(sortOrderCols(keys): _*)
+    val local = bucketed
+      .withColumn("_gr_rn", row_number().over(localW).cast("long"))
+    // O(#buckets) rows — the only single-partition frame, explicit bucket
+    val offW = Window.partitionBy(lit(0)).orderBy(col("_gr_bucket"))
+    val offsets = bucketed
+      .groupBy(col("_gr_bucket"))
       .agg(count(lit(1)).as("_gr_cnt"))
       .select(
-        col("_gr_pid"),
-        coalesce(sum(col("_gr_cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        col("_gr_bucket"),
+        coalesce(sum(col("_gr_cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as("_gr_off"),
         sum(col("_gr_cnt")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("_gr_total"))
-    parted
-      .join(broadcast(offsets), "_gr_pid")
+          offW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("_gr_total"))
+    local
+      .join(broadcast(offsets), "_gr_bucket")
       .withColumn(rankCol, col("_gr_off") + col("_gr_rn"))
-      .drop("_gr_pid", "_gr_rn", "_gr_off")
+      .drop(("_gr_bucket" +: "_gr_rn" +: "_gr_off" +: keys.map(_.name)): _*)
   }
 
   /** Append a global 1-based BIGINT ROW_NUMBER column ordered by
@@ -101,14 +151,15 @@ object GlobalRank {
     * the ORDER BY keys — here the keys in `valueSort`).
     *
     * Construction (all shuffles are keyed exchanges; the only
-    * single-partition windows are the O(numPartitions) offset frames):
-    *  1. global row number `rn` over (valueSort ++ tieBreak) — one range
-    *     exchange (peers land adjacent).
+    * single-partition frames are the O(#buckets) offset frames and the
+    * boundary samples):
+    *  1. global row number `rn` over (valueSort ++ tieBreak) — value-
+    *     deterministic bucketed ranking (peers land adjacent).
     *  2. peer frame: groupBy(valueNames) → (min rn, max rn) — a keyed
     *     aggregation, one row per distinct value. RANK = min rn of the
     *     peer group; CUME_DIST = max rn / total (exact SQL semantics).
     *  3. DENSE_RANK = ordinal of the peer group = global row number of
-    *     the peer frame ordered by its min rn — the same range-partitioned
+    *     the peer frame ordered by its min rn — the same bucketed
     *     construction recursed onto the (distinct-values-sized) frame.
     *  4. join the peer columns back on the value keys; PERCENT_RANK =
     *     (rank−1)/(total−1), 0 when total = 1.
@@ -143,46 +194,68 @@ object GlobalRank {
   /** Append a global BIGINT running total of `valueCol` (inclusive of the
     * current row) over the total order `sortCols` — the scalable spelling
     * of `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`, whose
-    * naive form moves every row to ONE task.
-    *
-    * Construction: the [[withGlobalRowNumber]] range partitioning, a
-    * PARTITION-LOCAL cumulative window keyed on the partition ordinal
-    * (one keyed hash exchange — rows of a partition stay together, every
-    * core busy), per-partition value sums prefix-summed over the
-    * O(numPartitions) offset frame, and a broadcast join back:
-    * total = partition prefix + local cumsum. Integer-only — exact and
-    * engine-stable at any size (a double accumulation would be
-    * order-sensitive). */
+    * naive form moves every row to ONE task. */
   def withRunningTotalLong(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    withRunningTotalsLong(df, Nil, sortCols, Seq(valueCol -> outCol))
+
+  /** The general form of [[withRunningTotalLong]]: running BIGINT totals of
+    * several value columns at once, optionally PER GROUP — the scalable
+    * spelling of `SUM(v_i) OVER (PARTITION BY g ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)` for any number of `v_i` sharing one order, including the
+    * low-cardinality-group case (a handful of groups over billions of rows)
+    * where `Window.partitionBy(g).orderBy(...)` degenerates to one task per
+    * group.
+    *
+    * Construction: value-deterministic range buckets over
+    * (groupCols ++ sortCols) — a group may span several buckets; that is
+    * the point — then a bucket-LOCAL cumulative window keyed on
+    * (bucket, group), per-(bucket, group) sums prefix-summed over an
+    * O(#buckets · groups) frame keyed by group (explicit single bucket when
+    * ungrouped), and a broadcast join back on (bucket, group):
+    * total_i = group's prefix from earlier buckets + local cumsum_i.
+    * Every stitched quantity is a function of row values, so the
+    * construction's independent consumers agree (see object doc); all
+    * arithmetic is integer-only — exact and engine-stable at any size. */
+  def withRunningTotalsLong(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty, "need at least one (value, outCol)")
     require(!df.columns.exists(_.startsWith("_gr_")),
       "input already has _gr_-prefixed working columns")
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-      .toIntOption.filter(_ > 0)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    val parted = df
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("_gr_id", monotonically_increasing_id())
-      .withColumn("_gr_pid", shiftrightunsigned(col("_gr_id"), 33))
-      .withColumn("_gr_rn", col("_gr_id").bitwiseAND(lit((1L << 33) - 1)))
-      .withColumn("_gr_v", valueCol.cast("long"))
-      .drop("_gr_id")
-    val localW = Window.partitionBy(col("_gr_pid")).orderBy(col("_gr_rn"))
+    val groups = groupCols.map(col)
+    val sortKeys = sortCols.zipWithIndex.map { case (c, i) => keyOf(c, i) }
+    // group columns join the bucket key under their own names (ascending;
+    // any stable direction works — buckets only need to respect the order)
+    val allKeys = groupCols.map(g => Key(g, col(g), asc = true)) ++ sortKeys
+    val withVals = values.zipWithIndex.foldLeft(df) { case (d, ((v, _), i)) =>
+      d.withColumn(s"_gr_v$i", v.cast("long"))
+    }
+    val bucketed = withBucket(withVals, allKeys, parts(df))
+    val localW = Window.partitionBy((col("_gr_bucket") +: groups): _*)
+      .orderBy(sortOrderCols(sortKeys): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("_gr_lcum", sum(col("_gr_v")).over(localW))
-    // numPartitions rows — the only single-partition window
-    val offW = Window.orderBy(col("_gr_pid"))
-    val offsets = parted
-      .groupBy(col("_gr_pid"))
-      .agg(sum(col("_gr_v")).as("_gr_psum"))
-      .select(col("_gr_pid"),
-        coalesce(sum(col("_gr_psum")).over(
-          offW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_gr_voff"))
-    local
-      .join(broadcast(offsets), "_gr_pid")
-      .withColumn(outCol, col("_gr_voff") + col("_gr_lcum"))
-      .drop("_gr_pid", "_gr_rn", "_gr_v", "_gr_lcum", "_gr_voff")
+    val local = values.indices.foldLeft(bucketed) { (d, i) =>
+      d.withColumn(s"_gr_lcum$i", sum(col(s"_gr_v$i")).over(localW))
+    }
+    // O(#buckets · groups) rows; keyed by group when grouped
+    val offW = (if (groups.isEmpty) Window.partitionBy(lit(0))
+                else Window.partitionBy(groups: _*))
+      .orderBy(col("_gr_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sums = bucketed
+      .groupBy((col("_gr_bucket") +: groups): _*)
+      .agg(sum(col("_gr_v0")).as("_gr_psum0"),
+        values.indices.tail.map(i => sum(col(s"_gr_v$i")).as(s"_gr_psum$i")): _*)
+    val offsets = values.indices.foldLeft(sums) { (d, i) =>
+      d.withColumn(s"_gr_voff$i",
+        coalesce(sum(col(s"_gr_psum$i")).over(offW), lit(0L)))
+    }.drop(values.indices.map(i => s"_gr_psum$i"): _*)
+    val joined = local.join(broadcast(offsets), "_gr_bucket" +: groupCols)
+    val out = values.zipWithIndex.foldLeft(joined) { case (d, ((_, name), i)) =>
+      d.withColumn(name, col(s"_gr_voff$i") + col(s"_gr_lcum$i"))
+    }
+    out.drop(("_gr_bucket" +: sortKeys.map(_.name)) ++
+      values.indices.flatMap(i => Seq(s"_gr_v$i", s"_gr_lcum$i", s"_gr_voff$i")): _*)
   }
 
   /** Append a global BIGINT NTILE(`n`) column ordered by `sortCols`:

@@ -149,21 +149,20 @@ object Stats {
     * ceiling). One row: (n_a, n_b, d_ppb).
     *
     * Scale shape: one keyed aggregation folds the events to the DISTINCT
-    * value domain (per value: a-count, b-count); the cumulative sums run
-    * in a value-domain-sized window — the same bounded-domain frame class
-    * as the counting-percentile queries (values are prices/latencies, a
-    * domain that does not grow with row count). The totals attach as a
-    * broadcast 1-row aggregate; the max is a 1-row fold. */
+    * value domain (per value: a-count, b-count); BOTH cumulative counts
+    * then ride one range-partitioned prefix-sum pass
+    * ([[GlobalRank.withRunningTotalsLong]]) — every core busy even when
+    * the distinct domain is 10⁸⁺ (a continuous metric at 100 TB), where a
+    * bare `Window.orderBy(value)` would sort the whole domain on ONE
+    * task. The totals attach as a broadcast 1-row aggregate; the max is a
+    * 1-row fold. */
   def ksTest(events: DataFrame, typeA: String, typeB: String): DataFrame = {
     val perValue = twoSampleCounts(events, typeA, typeB)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val totals = perValue.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    perValue
-      .select(sum(col("ca")).over(w).as("cca"),
-        sum(col("cb")).over(w).as("ccb"))
+    GlobalRank.withRunningTotalsLong(perValue, Nil, Seq(col("value")),
+        Seq(col("ca") -> "cca", col("cb") -> "ccb"))
+      .select(col("cca"), col("ccb"))
       .crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(abs(expr("cca * 1000000000L div n_a") -
@@ -178,19 +177,17 @@ object Stats {
     * `2p + t + 1` — always integral. One row:
     * (n_a, n_b, r2_a = Σ doubled ranks of sample a,
     * u2_a = 2·U_a = r2_a − n_a·(n_a+1)). Same distinct-value fold and
-    * bounded-domain cumulative frame as [[ksTest]]; every quantity is an
-    * exact BIGINT. */
+    * range-partitioned prefix-sum pass as [[ksTest]] (the preceding-count
+    * `p` is the EXCLUSIVE prefix: inclusive running total minus the row's
+    * own tie count); every quantity is an exact BIGINT. */
   def mannWhitneyU(events: DataFrame, typeA: String, typeB: String): DataFrame = {
     val perValue = twoSampleCounts(events, typeA, typeB)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+      .withColumn("t", col("ca") + col("cb"))
     val totals = perValue.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    perValue
-      .withColumn("t", col("ca") + col("cb"))
-      .select(col("ca"), col("t"),
-        (sum(col("t")).over(w) - col("t")).as("p"))
+    GlobalRank.withRunningTotalsLong(perValue, Nil, Seq(col("value")),
+        Seq(col("t") -> "_cumt"))
+      .select(col("ca"), col("t"), (col("_cumt") - col("t")).as("p"))
       .crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
       .agg(sum(col("ca") * (lit(2L) * col("p") + col("t") + lit(1L)))

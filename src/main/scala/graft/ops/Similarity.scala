@@ -406,7 +406,9 @@ object Similarity {
       .filter(assert_true(size(col("embedding")) === lit(dim),
         lit(s"pqTopK expects $dim-wide embeddings")).isNull)
     val sub = dim / m
-    val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    // nCodes post-limit rows — explicit single bucket, not a degradation
+    val wSeed = Window.partitionBy(lit(0))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val seeds = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCodes)
@@ -513,7 +515,9 @@ object Similarity {
       spark, dir, embeddings, nCentroids, lloydIters)
     // corpus-global codebook: subvectors of the hash-ranked seed vectors
     // (exactly pqTopK's derivation — comparable codes across buckets)
-    val wSeed = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    // nCodes post-limit rows — explicit single bucket, not a degradation
+    val wSeed = Window.partitionBy(lit(0))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val centSubs = assigned
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))

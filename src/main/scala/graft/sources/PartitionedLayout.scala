@@ -68,7 +68,8 @@ object PartitionedLayout {
       .filter(col("event_type") === "purchase")
       .groupBy(date_format(col("ts"), "yyyyMMdd").cast("int").as("d"))
       .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("rev").desc, col("d"))))
+      .withColumn("rn", row_number().over(  // day-count-sized frame
+        Window.partitionBy(lit(0)).orderBy(col("rev").desc, col("d"))))
       .filter(col("rn") <= k)
       .select(col("d"))
     part.join(broadcast(topDays), Seq("d"))

@@ -15,6 +15,18 @@ object GraftGlue {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Decompose a sort Column (`col.asc` / `col.desc`) into its child
+    * Column and direction (true = ascending). Plain columns return None.
+    * Sort columns carry an `internal.SortOrder` COLUMN NODE (not a
+    * catalyst SortOrder), so callers cannot detect them via
+    * `toExpression` pattern matches. */
+  def sortOrderParts(c: Column): Option[(Column, Boolean)] = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      Some((Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending))
+    case _ => None
+  }
+
   /** Wrap a logical plan as a DataFrame (classic `Dataset.ofRows`). */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
