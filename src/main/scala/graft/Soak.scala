@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   * physical shape the fixture ships — [[Tables.events]] probes it) so the
   * written parquet round-trips through the same adaptive loader.
   *
-  * Usage: `runMain graft.Soak [factor] [baseDir] [outDir] [all|linear|streaming]`
-  * — `linear` restricts to [[linearHeadline]] (used at 100×, where the
-  * quadratic-OUTPUT dedup tiers would measure answer size, not plans);
-  * `streaming` runs the end-to-end ingest soak instead
-  * ([[streamingSoak]]: micro-batched stream ingest → file-count growth →
-  * compaction → flagship query, with parity asserted at each step).
+  * Usage: `runMain graft.Soak [factor] [baseDir] [outDir]
+  * [all|linear|streaming|truegrowth]` — `linear` restricts to
+  * [[linearHeadline]] (used at 100×, where the quadratic-OUTPUT dedup
+  * tiers would measure answer size, not plans); `streaming` runs the
+  * end-to-end ingest soak instead ([[streamingSoak]]: micro-batched
+  * stream ingest → file-count growth → compaction → flagship query, with
+  * parity asserted at each step); `truegrowth` measures the dedup tiers
+  * on freshly GENERATED corpora whose duplicate-family size stays
+  * constant as n grows ([[trueGrowthSoak]]) — the regime replication
+  * cannot produce.
   */
 object Soak {
 
@@ -315,6 +319,80 @@ object Soak {
     println(f"""SOAK {"phase":"streaming_funnel","users_x":$factor,"completions":$completions,"sec":$funnelSec%.2f}""")
   }
 
+  /** TRUE-growth corpus for the dedup scale receipts: `n` NEW synthetic
+    * documents from the same generator family as the fixture (its own
+    * vocabulary, comparable token-length range, near-dup families at
+    * CONSTANT density — every 10-doc block's members with hash-selected
+    * membership mutate the block head instead of drawing fresh text, so
+    * each family stays ~2-3 docs at ANY n). The replication soak cannot
+    * measure this regime: offsetting copies grows each duplicate family
+    * linearly with factor, which grows PAIR output quadratically — an
+    * output-bound artifact of replication, not a property of the plans
+    * (SCALE.md's standing analysis; this generator is the data that
+    * confirms it). Everything is hash-deterministic column arithmetic —
+    * no RNG, no driver-side loop; generation itself distributes. */
+  def trueGrowthDocuments(spark: SparkSession, baseDir: String, n: Long): DataFrame = {
+    val fixture = Tables.documents(spark, baseDir)
+    // same generator family: the fixture's OWN vocabulary and length range
+    val vocab = fixture
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .orderBy(col("tok")).collect().map(_.getString(0))
+    val lens = fixture
+      .select(size(split(trim(col("text")), "\\s+")).as("len"))
+      .agg(min(col("len")).as("lo"), max(col("len")).as("hi")).head()
+    val (lo, hi) = (lens.getInt(0).max(1), lens.getInt(1).max(2))
+    val vlit = array(vocab.map(lit): _*)
+    val base = spark.range(n).select(col("id").as("doc_id"))
+      // family head: every block of 10 ids; ~20% of docs are near-dup
+      // members seeded from the HEAD's id (constant family size at any n)
+      .withColumn("is_dup", pmod(xxhash64(col("doc_id"), lit(3)), lit(10L)) < 2L)
+      .withColumn("seed",
+        when(col("is_dup"), (col("doc_id") - pmod(col("doc_id"), lit(10L))))
+          .otherwise(col("doc_id")))
+      .withColumn("len",
+        (lit(lo) + pmod(xxhash64(col("seed"), lit(1)), lit((hi - lo + 1).toLong)))
+          .cast("int"))
+    val toks = transform(sequence(lit(0), col("len") - 1),
+      p => element_at(vlit, (pmod(xxhash64(col("seed"), p), lit(vocab.length.toLong)) + 1L).cast("int")))
+    base
+      .withColumn("body", concat_ws(" ", toks))
+      // near-dup members mutate the head: one extra member-specific token
+      .withColumn("text",
+        when(col("is_dup"), concat_ws(" ", col("body"),
+          element_at(vlit, (pmod(xxhash64(col("doc_id"), lit(9)), lit(vocab.length.toLong)) + 1L).cast("int"))))
+          .otherwise(col("body")))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(8L))).as("source"),
+        length(col("text")).as("n_chars"))
+  }
+
+  /** `truegrowth` mode: generate fresh 1× and factor× corpora from
+    * [[trueGrowthDocuments]], run the near-dup tiers on both, and print
+    * SOAK lines tagged `true1x` / `true{factor}x` — the apples-to-apples
+    * growth curve where duplicate-family size is height-constant. */
+  def trueGrowthSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, queries: Seq[String]): Unit = {
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/$tag"
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      for (name <- queries) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""SOAK {"scale":"$tag","query":"$name","docs":$n,"sec":$sec%.2f}""")
+        } catch {
+          case e: Throwable =>
+            println(s"""SOAK {"scale":"$tag","query":"$name","error":"${e.getClass.getSimpleName}: ${e.getMessage.take(120)}"}""")
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -340,6 +418,14 @@ object Soak {
 
     if (streaming) {
       streamingSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("truegrowth")) {
+      trueGrowthSoak(spark, factor, baseDir, outDir,
+        sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
+          .map(_.split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq("q_dedup_minhash", "q_dedup_clusters")))
       spark.stop()
       return
     }

@@ -24,6 +24,27 @@ object SparkEntry {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** One-time month-partitioned copy of the events fixture written through
+    * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
+    * toYYYYMM(ts)` layout, db.go:51) — the storage side of
+    * q_logs_flagship_partitioned. Same stale-dir guard + per-key build
+    * lock as every persisted artifact (ManagedTable.once); sorted within
+    * months on (event_type, ts), the fixture's stand-in for the DDL's
+    * ORDER BY (service, ts). */
+  private def eventsMonthlyPath(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+      s"${s.sparkContext.applicationId}/events_monthly/$dir") {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+      val loc = new org.apache.hadoop.fs.Path(warehouse,
+        s"events_monthly_${graft.sources.ManagedTable.tag(dir)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.logs.LogTable.append(Tables.events(s, dir), loc.toString,
+        sortCols = Seq("event_type", "ts"))
+      loc.toString
+    }
+
   /** Recall verdict for an approximate kNN frame vs the brute-force truth
     * (same probes/k): one row (n_truth, recall_ok). The approx tier's
     * cosines are exact re-ranks, so precision is 1 by construction; recall
@@ -82,7 +103,10 @@ object SparkEntry {
     // first run writes the persisted cluster-label and rank tables
     "q_central_survivors", "q_triangles",
     // first run writes the cluster-partitioned PQ codes table
-    "q_knn_ivfpq")
+    "q_knn_ivfpq",
+    // first run writes the month-partitioned LogTable layout / reads the
+    // persisted IVF assignment
+    "q_logs_flagship_partitioned", "q_semdedup")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -102,6 +126,27 @@ object SparkEntry {
         .orderBy(col("ts").desc, col("event_id"))
         .limit(100)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")),
+
+    // the flagship over the MONTH-PARTITIONED LogTable layout: the fixture
+    // written once through LogTable.append (PARTITION BY toYYYYMM(ts),
+    // db.go:51), queried with the ts range AND the derived monthPredicate
+    // so whole month directories prune (non-empty PartitionFilters —
+    // PLANS.md receipt). Same rows, same oracle as q_logs_flagship: the
+    // month bound is implied by the ts range.
+    "q_logs_flagship_partitioned" -> ((s, dir) => {
+      val path = eventsMonthlyPath(s, dir)
+      val schema = Tables.events(s, dir).schema
+        .add("month", org.apache.spark.sql.types.StringType)
+      val from = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
+      val to = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-20T00:00:00Z"))
+      s.read.schema(schema).parquet(path)
+        .filter(col("event_type") === "error")
+        .filter(col("ts") >= lit(from) && col("ts") < lit(to))
+        .filter(graft.logs.LogQuery.monthPredicate(col("month"), from, to))
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    }),
 
     "q_logs_flagship_user" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -622,9 +667,15 @@ object SparkEntry {
         bound = 0.9)),
 
     // SemDeDup: cluster-local semantic dedup — within-cluster pairwise
-    // work (Σ|c|² not n²), hash-exact oracle via the replicated IVF chain
+    // work (Σ|c|² not n²), hash-exact oracle via the replicated IVF chain.
+    // DEFAULTS to the persisted IVF assignment (like q_central_survivors):
+    // the lazy plan re-ran the k-means chain inside every query (~3× the
+    // warm indexed read, SCALE.md); re-running dedup at a new threshold
+    // should re-pay only the pair scan. The lazy construction stays
+    // covered by SimilaritySpec's persisted-vs-lazy equality case.
     "q_semdedup" -> ((s, dir) =>
-      Similarity.semanticDedupPairs(Tables.embeddings(s, dir), 0.4)),
+      Similarity.semanticDedupPairsPersisted(s, dir,
+        Tables.embeddings(s, dir), 0.4)),
 
     // SemDeDup off the persisted IVF index: assignment read, not rebuilt
     // (re-running dedup at a new threshold re-pays only the pair scan);
@@ -780,7 +831,10 @@ object SparkEntry {
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
     // dense cosine-kNN leg (ppb integer contributions, full-outer fuse)
     "q_hybrid_rrf" -> ((s, dir) =>
-      ops.Search.hybridRrfTopK(Tables.documents(s, dir),
+      // sparse leg off the persisted term-sharded postings (bit-identical
+      // to the scan leg, same oracle): the fused query tracks q_bm25_idx's
+      // pruned-scan economics instead of re-tokenizing the corpus
+      ops.Search.hybridRrfTopKIndexed(s, dir, Tables.documents(s, dir),
         Tables.embeddings(s, dir), Seq("spark", "vector", "merge"),
         probeId = 7L, nCand = 100, k = 20)),
 
@@ -1099,6 +1153,15 @@ object SparkEntry {
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "q_logs_flagship" ->
+      s"""WITH ev AS ($EV)
+         |SELECT event_id, ts, user_id, event_type, value, props FROM ev
+         |WHERE event_type = 'error'
+         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    // same rows as q_logs_flagship: the month-partition filter on the
+    // Spark side is implied by the ts range, so the oracle is unchanged
+    "q_logs_flagship_partitioned" ->
       s"""WITH ev AS ($EV)
          |SELECT event_id, ts, user_id, event_type, value, props FROM ev
          |WHERE event_type = 'error'

@@ -52,6 +52,27 @@ object GlobalRank {
     * ~(n / SampleMod / buckets) samples per boundary decision. */
   private val SampleMod = 256L
 
+  /** Constant-0 partition key the optimizer CANNOT fold away. A window
+    * that is deliberately single-bucket (the O(#buckets) offset frames,
+    * the O(n/SampleMod) boundary samples, codebook seeds) should DECLARE
+    * that bucket rather than run unpartitioned — but Spark 4's
+    * `EliminateWindowPartitions` rule strips FOLDABLE partition
+    * expressions, so `partitionBy(lit(0))` silently reverts to the
+    * unpartitioned plan (and its one-task degradation WARN). A zero-arg
+    * Scala UDF returning 0 is non-foldable (Catalyst never constant-folds
+    * UDFs), so the declared bucket survives optimization, yet it stays
+    * DETERMINISTIC — unlike a `rand()*0` workaround, which would poison
+    * every enclosing subplan for dynamic partition pruning and
+    * pushdown-through-project (the PartitionPruning rule requires a
+    * deterministic dim subplan; measured: q_partition_prune lost its
+    * dynamicpruning filter under rand). The exchange it induces hashes
+    * every row to one partition — the intended, documented shape; callers
+    * only use it on bounded frames. */
+  private[graft] def singleBucket: Column = {
+    val zero = udf(() => 0L)
+    zero()
+  }
+
   private case class Key(name: String, source: Column, asc: Boolean)
 
   /** Decompose a possibly-`.desc`/`.asc` sort Column into (expression,
@@ -78,7 +99,7 @@ object GlobalRank {
     val withKeys = keys.foldLeft(df)((d, k) => d.withColumn(k.name, k.source))
     val keyCols = keys.map(k => col(k.name))
     // one explicit bucket: the sample is O(n / SampleMod), not the data
-    val wOne = Window.partitionBy(lit(0))
+    val wOne = Window.partitionBy(GlobalRank.singleBucket)
     val bounds = withKeys
       .select(keyCols: _*)
       .filter(pmod(xxhash64(keyCols: _*), lit(SampleMod)) === 0L)
@@ -116,7 +137,7 @@ object GlobalRank {
     val local = bucketed
       .withColumn("_gr_rn", row_number().over(localW).cast("long"))
     // O(#buckets) rows — the only single-partition frame, explicit bucket
-    val offW = Window.partitionBy(lit(0)).orderBy(col("_gr_bucket"))
+    val offW = Window.partitionBy(singleBucket).orderBy(col("_gr_bucket"))
     val offsets = bucketed
       .groupBy(col("_gr_bucket"))
       .agg(count(lit(1)).as("_gr_cnt"))
@@ -238,7 +259,7 @@ object GlobalRank {
       d.withColumn(s"_gr_lcum$i", sum(col(s"_gr_v$i")).over(localW))
     }
     // O(#buckets · groups) rows; keyed by group when grouped
-    val offW = (if (groups.isEmpty) Window.partitionBy(lit(0))
+    val offW = (if (groups.isEmpty) Window.partitionBy(GlobalRank.singleBucket)
                 else Window.partitionBy(groups: _*))
       .orderBy(col("_gr_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -53,6 +53,17 @@ object LogApi {
     } yield p
   }
 
+  /** Typed query failure, so the transport can answer the reference's
+    * status codes faithfully: validation failures are client errors → 400
+    * (api.go:41-89), while a query-side failure — including the V6 timeout,
+    * Go's context deadline on the DB call — is `http.Error(w, "Internal
+    * server error", 500)` (api.go:99-103). */
+  sealed trait Failure { def message: String }
+  /** V2-V5 parameter rejection → HTTP 400 with the reason. */
+  final case class BadRequest(message: String) extends Failure
+  /** Query execution failure (V6 timeout, engine error) → HTTP 500. */
+  final case class ServerError(message: String) extends Failure
+
   /** Response envelope (V7): `{logs, count, query: {echoed params}}` —
     * count is the post-limit result size (api.go:110), not a table count. */
   final case class QueryEcho(service: String, from: String, to: String,
@@ -85,9 +96,9 @@ object LogApi {
     * equivalent of Go's `context.WithTimeout` cancelling the ClickHouse
     * query. */
   def query(logs: DataFrame, params: Map[String, String],
-      timeoutMs: Long = DefaultTimeoutMs): Either[String, Envelope] =
+      timeoutMs: Long = DefaultTimeoutMs): Either[Failure, Envelope] =
     parseParams(params) match {
-      case Left(e) => Left(e)
+      case Left(e) => Left(BadRequest(e))
       case Right(p) =>
         import java.util.concurrent.atomic.AtomicBoolean
         import scala.concurrent.{Await, Future}
@@ -125,7 +136,7 @@ object LogApi {
           case _: java.util.concurrent.TimeoutException =>
             timedOut.set(true)
             if (started.get()) sc.cancelJobGroup(group)
-            Left(s"query timed out after ${timeoutMs} ms")
+            Left(ServerError(s"query timed out after ${timeoutMs} ms"))
         }
     }
 }

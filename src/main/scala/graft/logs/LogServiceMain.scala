@@ -7,16 +7,24 @@ import org.apache.spark.sql.SparkSession
   * HTTP transport over live table reads, and signal-driven shutdown.
   *
   * Env (names mirror the reference where one exists):
-  *  - `HTTP_PORT` (default 8080; reference HTTP_ADDR, main.go:26)
+  *  - `HTTP_ADDR` (reference main.go:26; `host:port` or `:port` —
+  *    `:8080` binds all interfaces) or `HTTP_PORT` (default
+  *    127.0.0.1:8080)
   *  - `LOG_TABLE_PATH` (default `target/log_service/table` — the
   *    DATABASE_URL analogue, main.go:28)
   *  - `LOG_INGEST_DIR` (optional): when set, a Structured Streaming
-  *    file source watches this directory for wire-shaped JSON (RFC3339
-  *    ts string + attrs map — [[LogSchema.wireSchema]]) and runs it
-  *    through [[graft.streaming.LogStream.ingest]]; the file source
-  *    stands in for the gRPC listener (SURVEY §2.1), the trigger is the
-  *    100 ms batcher
+  *    file source ALSO watches this directory for wire-shaped JSON
+  *    (RFC3339 ts string + attrs map — [[LogSchema.wireSchema]]) and
+  *    runs it through [[graft.streaming.LogStream.ingest]]
   *  - `INGEST_MAX_DELAY_MS` (default 100; main.go:30)
+  *
+  * The write path is always up: `POST /v1/batchwrite` carries the
+  * reference's protobuf `BatchWriteRequest` ([[LogProto]]) into a
+  * memory-backed streaming source whose micro-batches land in the table
+  * on the 100 ms trigger — ack = accepted count, the batcher contract
+  * (service.go:45-46). A single-JVM memory source is the right scope for
+  * this runnable assembly; at cluster scale the same `ingest` plan reads
+  * a durable bus instead.
   *
   * The HTTP server re-reads the table per request ([[LogHttpServer]]'s
   * provider contract), so rows the batcher lands are queryable on the
@@ -25,8 +33,20 @@ import org.apache.spark.sql.SparkSession
   * stop HTTP, stop the stream, stop Spark — main.go's signal.NotifyContext.
   */
 object LogServiceMain {
+  /** `HTTP_ADDR` = `host:port` | `:port` (all interfaces) → (host, port);
+    * absent → (loopback, `HTTP_PORT`). */
+  private[logs] def bindAddress(env: Map[String, String]): (String, Int) =
+    env.get("HTTP_ADDR").filter(_.nonEmpty) match {
+      case Some(addr) =>
+        val i = addr.lastIndexOf(':')
+        require(i >= 0, s"HTTP_ADDR must be host:port or :port, got '$addr'")
+        val host = if (i == 0) "0.0.0.0" else addr.take(i)
+        (host, addr.drop(i + 1).toInt)
+      case None => ("127.0.0.1", env.getOrElse("HTTP_PORT", "8080").toInt)
+    }
+
   def main(args: Array[String]): Unit = {
-    val httpPort = sys.env.getOrElse("HTTP_PORT", "8080").toInt
+    val (httpHost, httpPort) = bindAddress(sys.env)
     val tablePath = sys.env.getOrElse("LOG_TABLE_PATH", "target/log_service/table")
     val ingestDir = sys.env.get("LOG_INGEST_DIR").filter(_.nonEmpty)
     val maxDelayMs = sys.env.getOrElse("INGEST_MAX_DELAY_MS", "100").toLong
@@ -46,7 +66,17 @@ object LogServiceMain {
     // but the path must exist for the file index
     new java.io.File(tablePath).mkdirs()
 
-    val stream = ingestDir.map { dir =>
+    // BatchWrite rpc → memory-backed streaming source → the same table;
+    // ack = accepted count, flush rides the trigger (the reference's
+    // batcher hand-off, service.go:41-46)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val writeSource = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[LogEntryMsg]
+    val writeStream = graft.streaming.LogStream.ingest(
+      writeSource.toDF(), tablePath, s"$tablePath/_checkpoint_rpc", maxDelayMs)
+
+    val fileStream = ingestDir.map { dir =>
       new java.io.File(dir).mkdirs()
       graft.streaming.LogStream.ingest(
         spark.readStream.schema(LogSchema.wireSchema).json(dir),
@@ -55,14 +85,17 @@ object LogServiceMain {
 
     val server = new LogHttpServer(
       () => LogTable.read(spark, tablePath), httpPort,
-      LogApi.DefaultTimeoutMs).start()
-    System.err.println(s"[log-service] http on ${server.port}, table $tablePath" +
+      LogApi.DefaultTimeoutMs, bindHost = httpHost,
+      batchWriteSink = Some(entries =>
+        graft.streaming.LogStream.batchWrite(writeSource, entries).written)).start()
+    System.err.println(s"[log-service] http on $httpHost:${server.port}, table $tablePath" +
       ingestDir.fold("")(d => s", ingesting $d"))
 
     val done = new java.util.concurrent.CountDownLatch(1)
     sys.addShutdownHook {
       server.stop()
-      stream.foreach(_.stop())
+      writeStream.stop()
+      fileStream.foreach(_.stop())
       spark.stop()
       done.countDown()
     }

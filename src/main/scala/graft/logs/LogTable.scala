@@ -22,12 +22,16 @@ object LogTable {
   /** Append a normalized batch in the reference layout. `repartition` by
     * month first so each output month is written by one task (avoids the
     * many-small-files explosion of task×partition fan-out at scale), then
-    * sort within tasks by (service, ts) for row-group stat locality. */
-  def append(logs: DataFrame, path: String): Unit =
+    * sort within tasks by `sortCols` — default (service, ts), the DDL's
+    * ORDER BY — for row-group stat locality. `sortCols` lets a frame with
+    * different column names (the events fixture standing in for logs)
+    * ride the same month layout. */
+  def append(logs: DataFrame, path: String,
+      sortCols: Seq[String] = Seq("service", "ts")): Unit =
     logs
       .withColumn("month", date_format(col("ts"), "yyyyMM"))
       .repartition(col("month"))
-      .sortWithinPartitions("service", "ts")
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write
       .mode(SaveMode.Append)
       .partitionBy("month")

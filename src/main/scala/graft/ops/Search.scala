@@ -88,8 +88,6 @@ object Search {
 
   // ── persisted inverted index (the text-side analog of the IVF index) ──
 
-  private val preparedIndex =
-    scala.collection.concurrent.TrieMap[(String, String), (String, String)]()
 
   /** Build-once inverted index over `documents`, memoized per (app,
     * fixture) like the IVF index: a term-sharded POSTINGS table
@@ -106,7 +104,10 @@ object Search {
   def invertedIndexPersisted(spark: org.apache.spark.sql.SparkSession,
       dir: String, documents: => DataFrame): (DataFrame, DataFrame) = {
     val appId = spark.sparkContext.applicationId
-    val (pName, dName) = preparedIndex.getOrElseUpdate((appId, dir), {
+    // per-key build lock (ManagedTable.once): concurrent first queries must
+    // not double-run the two writes below
+    val (pName, dName) = graft.sources.ManagedTable.once(
+        s"$appId/bm25_index/$dir") {
       val tag = graft.sources.ManagedTable.tag(dir)
       val p = s"bm25_postings_$tag"
       val d = s"bm25_doclen_$tag"
@@ -129,7 +130,7 @@ object Search {
       graft.sources.ManagedTable.write(postings, p, partitionCol = Some("shard"))
       graft.sources.ManagedTable.write(doclen, d)
       (p, d)
-    })
+    }
     (spark.table(pName), spark.table(dName))
   }
 
@@ -369,11 +370,32 @@ object Search {
     */
   def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
       terms: Seq[String], probeId: Long, nCand: Int = 100,
-      k: Int = 20): DataFrame = {
-    val textLeg = bm25TopK(documents, terms, k = nCand)
+      k: Int = 20): DataFrame =
+    hybridRrfFuse(bm25TopK(documents, terms, k = nCand), embeddings,
+      probeId, nCand, k)
+
+  /** [[hybridRrfTopK]] with the sparse leg read off the PERSISTED
+    * term-sharded postings ([[bm25TopKIndexed]] — bit-identical rows to
+    * the scan leg by construction, so the fusion shares q_hybrid_rrf's
+    * oracle): at scale the fused query tracks the FLAT economics of the
+    * pruned index scan instead of re-tokenizing the corpus per query —
+    * the production shape of a two-tower retrieval endpoint, where both
+    * legs (postings, IVF buckets) are ingest-time artifacts. */
+  def hybridRrfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, embeddings: DataFrame,
+      terms: Seq[String], probeId: Long, nCand: Int = 100,
+      k: Int = 20): DataFrame =
+    hybridRrfFuse(bm25TopKIndexed(spark, dir, documents, terms, k = nCand),
+      embeddings, probeId, nCand, k)
+
+  /** Shared RRF fusion core over a ≤ nCand-row BM25 top frame. */
+  private def hybridRrfFuse(textTop: DataFrame, embeddings: DataFrame,
+      probeId: Long, nCand: Int, k: Int): DataFrame = {
+    val textLeg = textTop
       .select(col("doc_id"), col("score"))
       .withColumn("rank_text", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.analytics.GlobalRank.singleBucket) // bounded: ≤ nCand rows
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rank_text"))
     val vecLeg = Similarity.bruteForceTopK(embeddings, Seq(probeId), nCand)

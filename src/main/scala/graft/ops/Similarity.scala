@@ -281,15 +281,13 @@ object Similarity {
     * The persisted rows are the SAME deterministic centroids/assignments
     * the lazy plan computes, so [[ivfTopKPersisted]] hash-matches
     * q_knn_ivf's oracle. */
-  private val preparedIvf =
-    scala.collection.concurrent.TrieMap[(String, String, Int, Int), (String, String)]()
-
   def ivfIndexPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
       embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2)
       : (DataFrame, DataFrame) = {
     val appId = spark.sparkContext.applicationId
-    val (cName, aName) = preparedIvf.getOrElseUpdate(
-      (appId, dir, nCentroids, lloydIters), {
+    // per-key build lock (ManagedTable.once): one builder, waiters block
+    val (cName, aName) = graft.sources.ManagedTable.once(
+      s"$appId/ivf_index/$dir/$nCentroids/$lloydIters") {
         val tag = graft.sources.ManagedTable.tag(dir)
         val c = s"ivf_centroids_${nCentroids}_${lloydIters}_$tag"
         val a = s"ivf_assign_${nCentroids}_${lloydIters}_$tag"
@@ -297,7 +295,7 @@ object Similarity {
         graft.sources.ManagedTable.write(centroids, c)
         graft.sources.ManagedTable.write(assigned, a, partitionCol = Some("cluster"))
         (c, a)
-      })
+      }
     (spark.table(cName), spark.table(aName))
   }
 
@@ -407,7 +405,7 @@ object Similarity {
         lit(s"pqTopK expects $dim-wide embeddings")).isNull)
     val sub = dim / m
     // nCodes post-limit rows — explicit single bucket, not a degradation
-    val wSeed = Window.partitionBy(lit(0))
+    val wSeed = Window.partitionBy(graft.analytics.GlobalRank.singleBucket)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val seeds = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -516,7 +514,7 @@ object Similarity {
     // corpus-global codebook: subvectors of the hash-ranked seed vectors
     // (exactly pqTopK's derivation — comparable codes across buckets)
     // nCodes post-limit rows — explicit single bucket, not a degradation
-    val wSeed = Window.partitionBy(lit(0))
+    val wSeed = Window.partitionBy(graft.analytics.GlobalRank.singleBucket)
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val centSubs = assigned
       .select(col("vec_id"), col("embedding"))

@@ -60,7 +60,11 @@ object NanosTimestampPushdown extends Rule[LogicalPlan] {
   private final val NsPerMs = 1000000L
   private final val UsPerMs = 1000L
 
-  private def ceilMs(us: Long): Long = Math.floorDiv(us + (UsPerMs - 1L), UsPerMs)
+  /** Overflow-safe ceiling: `floorDiv(us + 999, 1000)` would wrap for
+    * literals within 999µs of Long.MaxValue and silently invert the
+    * rewritten bound; div-then-adjust is exact over the full Long range. */
+  private def ceilMs(us: Long): Long =
+    Math.floorDiv(us, UsPerMs) + (if (Math.floorMod(us, UsPerMs) == 0L) 0L else 1L)
   private def floorMs(us: Long): Long = Math.floorDiv(us, UsPerMs)
 
   /** The millisecond-truncation format literal of `date_trunc`. */

@@ -25,7 +25,33 @@ object ManagedTable {
   /** Table-name-safe tag for a fixture dir. */
   def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  private val memo = scala.collection.concurrent.TrieMap[(String, String), String]()
+  private val memo = scala.collection.concurrent
+    .TrieMap[String, java.util.concurrent.CompletableFuture[Any]]()
+
+  /** Run `build` AT MOST ONCE per key per JVM; concurrent callers block on
+    * the winner's result instead of racing a second build.
+    * `TrieMap.getOrElseUpdate` only guarantees one VALUE wins — the thunk
+    * itself can still run twice concurrently, and two simultaneous
+    * `write()`s for the same table race on DROP TABLE + directory delete +
+    * saveAsTable and can corrupt the artifact. `putIfAbsent` on a
+    * CompletableFuture elects exactly one builder; a failed build clears
+    * the slot so a later call can retry (its concurrent waiters see the
+    * failure, not a hang). */
+  def once[A](key: String)(build: => A): A = {
+    val mine = new java.util.concurrent.CompletableFuture[Any]()
+    memo.putIfAbsent(key, mine) match {
+      case None =>
+        try mine.complete(build)
+        catch {
+          case e: Throwable =>
+            memo.remove(key, mine)
+            mine.completeExceptionally(e)
+            throw e
+        }
+        mine.join().asInstanceOf[A]
+      case Some(winner) => winner.join().asInstanceOf[A]
+    }
+  }
 
   /** One-time-per-JVM memoized persist: builds and saves `table` the first
     * time this (app, table) pair is seen, then returns the catalog read —
@@ -33,13 +59,14 @@ object ManagedTable {
     * facts, IVF index, near-dup pairs/clusters/ranks): the expensive
     * derivation is a one-time ingest decision, the reads are the
     * workload. `build` is by-name so memoized hits never construct the
-    * plan at all. */
+    * plan at all; the first build holds a per-(app, table) lock ([[once]])
+    * so concurrent first readers cannot double-write the artifact. */
   def persisted(spark: org.apache.spark.sql.SparkSession, table: String,
       partitionCol: Option[String] = None)(
       build: => DataFrame): DataFrame = {
-    memo.getOrElseUpdate((spark.sparkContext.applicationId, table), {
+    once(s"${spark.sparkContext.applicationId}/$table") {
       write(build, table, partitionCol); table
-    })
+    }
     spark.table(table)
   }
 }

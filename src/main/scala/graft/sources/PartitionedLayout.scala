@@ -62,15 +62,18 @@ object PartitionedLayout {
     * same k days qualify at every scale factor). */
   def countsOnTopRevenueDays(spark: SparkSession, dir: String,
       events: => DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val part = spark.read.parquet(eventsDailyPath(spark, dir, events))
+    // top-k days via orderBy+limit (TakeOrderedAndProject): no window at
+    // all — same rows as a rank filter, and unlike a window (or any
+    // non-deterministic partition-key workaround) the dim subplan stays
+    // DETERMINISTIC, which Spark's PartitionPruning rule requires before
+    // it will install the dynamicpruning filter on the fact scan
     val topDays = events
       .filter(col("event_type") === "purchase")
       .groupBy(date_format(col("ts"), "yyyyMMdd").cast("int").as("d"))
       .agg(sum(round(col("value") * 100).cast("long")).as("rev"))
-      .withColumn("rn", row_number().over(  // day-count-sized frame
-        Window.partitionBy(lit(0)).orderBy(col("rev").desc, col("d"))))
-      .filter(col("rn") <= k)
+      .orderBy(col("rev").desc, col("d"))
+      .limit(k)
       .select(col("d"))
     part.join(broadcast(topDays), Seq("d"))
       .groupBy(col("d"), col("event_type"))

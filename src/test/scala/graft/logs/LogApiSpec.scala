@@ -64,7 +64,9 @@ class LogApiSpec extends AnyFunSuite {
       "from" -> "2024-01-01T00:00:00Z",
       "to" -> "2024-02-01T00:00:00Z"), timeoutMs = 2000L)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
-    assert(res == Left("query timed out after 2000 ms"))
+    // a timeout is a SERVER-side failure (Go maps the DB context deadline
+    // to http.Error 500), not a parameter rejection
+    assert(res == Left(LogApi.ServerError("query timed out after 2000 ms")))
     // returned at the deadline, not after the query's natural ~15s runtime
     assert(elapsedMs < 10000, s"timeout returned after $elapsedMs ms")
   }

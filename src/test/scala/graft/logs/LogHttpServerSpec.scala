@@ -104,6 +104,108 @@ class LogHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/nope").statusCode() == 404)
   }
 
+  test("malformed percent-encoding is a CLIENT error (400), never a 500") {
+    // %zz is an invalid escape. Go's url.ParseQuery would drop the pair;
+    // the JDK HttpServer rejects the request line itself with 400 before
+    // the handler runs — still a client-error surface, never an
+    // internal-error 500 (the handler's own decode is lenient as
+    // defense-in-depth for exchanges that do arrive). Sent over a raw
+    // socket: the JDK HttpClient rejects the URI client-side.
+    val sock = new java.net.Socket("127.0.0.1", server.port)
+    try {
+      val out = sock.getOutputStream
+      out.write(("GET /v1/logs?service=api&user=%zz&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z HTTP/1.1\r\n" +
+        s"Host: 127.0.0.1:${server.port}\r\nConnection: close\r\n\r\n").getBytes("US-ASCII"))
+      out.flush()
+      val status = new String(sock.getInputStream.readAllBytes(), "UTF-8").linesIterator.next()
+      assert(status.contains("400"), s"got: $status")
+      assert(!status.contains("500"), s"got: $status")
+    } finally sock.close()
+  }
+
+  test("V6 over the wire: a slow query answers 500 Internal server error") {
+    import org.apache.spark.sql.functions._
+    val t0 = t("2024-01-10T00:00:00Z")
+    val slowUdf = udf { (ts: java.sql.Timestamp) => Thread.sleep(1000L); ts }
+    val slow = spark.range(60).select(
+      slowUdf(lit(t0)).as("ts"),
+      lit("api").as("service"), lit("INFO").as("level"), lit("m").as("msg"),
+      lit("{}").as("attrs"), lit("").as("trace_id"), lit("").as("span_id"))
+    val srv = new LogHttpServer(() => slow, 0, timeoutMs = 1500L).start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.port}/v1/logs?service=api&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      // Go maps the DB context deadline to http.Error 500 (api.go:99-103)
+      assert(r.statusCode() == 500)
+      assert(r.body().startsWith("Internal server error"))
+    } finally srv.stop()
+  }
+
+  test("BatchWrite over HTTP: protobuf in, ack out, rows land via the batcher") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.LogStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("bw_table").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bw_ckpt").toString
+    val mem = MemoryStream[LogEntryMsg]
+    val q = LogStream.ingest(mem.toDF(), table, ckpt)
+    val srv = new LogHttpServer(() => LogTable.read(spark, table), 0,
+      LogApi.DefaultTimeoutMs,
+      batchWriteSink = Some(es => LogStream.batchWrite(mem, es).written)).start()
+    try {
+      val req = LogProto.encodeBatchWriteRequest(Seq(
+        LogEntryMsg("2024-01-10T12:00:00Z", "orders", "INFO", "placed",
+          Map("user" -> "jane"), "tr1", "sp1"),
+        LogEntryMsg("2024-01-10T12:00:01Z", "orders", "ERROR", "failed",
+          Map("user" -> "jane"), "tr2", "sp2")))
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/v1/batchwrite"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("") == "application/x-protobuf")
+      // ack = ACCEPTED count (service.go:45-46), issued before any flush
+      assert(LogProto.decodeBatchWriteResponse(r.body()) == 2L)
+      q.processAllAvailable() // the batcher's flush
+      val logs = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.port}/v1/logs?service=orders&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(logs.statusCode() == 200 && logs.body().contains(""""count":2"""))
+
+      // gRPC length-prefixed framing in → same framing out
+      val framed = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/v1/batchwrite"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(LogProto.frame(req))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(framed.statusCode() == 200)
+      assert(framed.headers().firstValue("Content-Type").orElse("") == "application/grpc+proto")
+      assert(LogProto.decodeBatchWriteResponse(LogProto.unframe(framed.body())) == 2L)
+
+      // malformed body → 400, GET → 405
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/v1/batchwrite"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Array(0x0A.toByte))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400 && bad.body().contains("malformed"))
+      val wrongMethod = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/v1/batchwrite"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(wrongMethod.statusCode() == 405)
+    } finally { srv.stop(); q.stop() }
+  }
+
+  test("read-only server (no sink) 404s /v1/batchwrite like the Go mux") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.port}/v1/batchwrite"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(Array[Byte]())).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 404)
+  }
+
   test("provider server sees rows appended AFTER startup (live-table freshness)") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("httpfresh").toString

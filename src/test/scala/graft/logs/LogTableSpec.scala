@@ -44,6 +44,21 @@ class LogTableSpec extends AnyFunSuite {
     assert(LogTable.read(spark, dir).count() == 45)
   }
 
+  test("q_logs_flagship_partitioned: same rows as the flat flagship, " +
+      "month directories prune via PartitionFilters") {
+    val dir = SparkTestBase.sfDir
+    val part = graft.SparkEntry.queries("q_logs_flagship_partitioned")(spark, dir)
+    val flat = graft.SparkEntry.queries("q_logs_flagship")(spark, dir)
+    assert(part.collect().toSeq == flat.collect().toSeq)
+    assert(part.count() > 0)
+    // the reference's PARTITION BY toYYYYMM(ts) pruning (db.go:51): the
+    // month bounds must land as PARTITION filters on the scan, not as a
+    // row-level Filter over every month directory
+    val plan = part.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("month"), s"no month PartitionFilters:\n${plan.take(1500)}")
+  }
+
   test("retention drops expired months and filters the boundary month") {
     val dir = Files.createTempDirectory("logttl").toString
     LogTable.append(sampleLogs(30), dir)

@@ -140,6 +140,21 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("shard"), s"no shard pruning in plan:\n$plan")
   }
 
+  test("hybridRrfTopKIndexed: identical rows to the scan-leg fusion") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val e = graft.Tables.embeddings(spark, dir)
+    val terms = Seq("spark", "vector", "merge")
+    val scan = Search.hybridRrfTopK(d, e, terms, probeId = 7L,
+      nCand = 100, k = 20).collect().toSeq
+    val indexed = Search.hybridRrfTopKIndexed(spark, dir, d, e, terms,
+      probeId = 7L, nCand = 100, k = 20)
+    assert(indexed.collect().toSeq == scan && scan.nonEmpty)
+    // the sparse leg must ride the shard-pruned postings, not the corpus
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("shard"), s"no shard pruning in plan:\n${plan.take(1200)}")
+  }
+
   test("booleanAndIndexed: equals the direct conjunctive scan") {
     val dir = graft.SparkTestBase.sfDir
     val d = graft.Tables.documents(spark, dir)

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 val sfDir = "/root/testdata/sf0.01"
 val headline = Seq(
   "q_logs_flagship" -> "reference flagship: pushed filters (incl. ts bounds rewritten onto the raw scan column, whichever physical shape the fixture ships) + TakeOrderedAndProject top-K",
+  "q_logs_flagship_partitioned" -> "flagship over the month-partitioned LogTable layout (PARTITION BY toYYYYMM(ts), db.go:51): the derived month bounds land as PartitionFilters -- unmatched month directories are never listed or opened; row-level filters still push to parquet inside the surviving months",
   "q1_pricing" -> "grouped agg: partial (map-side) aggregation before one low-cardinality exchange",
   "q3_shipping" -> "3-way join: dimension broadcasts, fact shuffle on join key only, top-10 via TakeOrderedAndProject",
   "q_asof_join_exec" -> "custom AsOfJoin physical operator: engine-supplied Exchange+Sort, merge-walk exec",
@@ -20,7 +21,7 @@ val headline = Seq(
   "q2_min_cost_supplier" -> "correlated MIN subquery decorrelated by construction: candidate frame built once, per-part min is a grouped agg on its own key, equality join back -- no rescan, no nested loop",
   "q16_part_supplier_cnt" -> "NOT IN as LeftAnti on the broadcast negative-balance supplier set; distinct part-supplier relation aggregated with partial combine",
   "q21_waiting_suppliers" -> "EXISTS/NOT-EXISTS pair reformulated as per-(order,supplier) flags + per-order counts: two grouped aggregates on one orderkey shuffle instead of two correlated rescans",
-  "q_semdedup" -> "SemDeDup: IVF centroid subplan folds to broadcast rows, corpus assigned via native argmax kernel, within-cluster pairs from a cluster equi-join -- pairwise work is sum(|cluster|^2), never n^2",
+  "q_semdedup" -> "SemDeDup off the PERSISTED IVF assignment (round 8 default): cluster labels read from the index table, within-cluster pairs from a cluster equi-join -- pairwise work is sum(|cluster|^2), never n^2; the k-means chain is absent from the plan",
   "q_span_dedup" -> "C4 span dedup: first-occurrence owner per distinct span via min(struct) grouped agg (map-side partial, no window sort); exchanges carry span/doc keys only",
   "q_pack" -> "sequence packing: global running token total via range-partitioned prefix sums (partition-local cumsum + O(numPartitions) offset window) -- no data-sized single-partition window",
   "q_retention" -> "day-over-day retention: distinct (user, day) reduction, one user-keyed self join, per-day counts",
@@ -65,7 +66,7 @@ val headline = Seq(
   "q_dedup_history" -> "bloom-gated incremental dedup: history hashes fold into a scalar-subquery bloom; bloom-negative rows bypass the anti-join (union branch), only maybe-seen rows re-check exactly",
   "q_bm25_idx" -> "persisted inverted index: the postings scan carries PartitionFilters on the query terms' shard ids (64 -> <=|terms| partitions listed); corpus stats come from the narrow doclen table; the corpus text never appears in the plan",
   "q_boolean_and" -> "posting-list AND: same shard-pruned postings scan, distinct-term count per doc, doclen equi-join -- conjunctive retrieval without tokenizing anything",
-  "q_hybrid_rrf" -> "RRF fusion: the two ranked legs are bounded (<=nCand rows each) and full-outer join on doc_id; integer ppb contributions; top-20 via TakeOrderedAndProject",
+  "q_hybrid_rrf" -> "RRF fusion (round 8: sparse leg off the PERSISTED shard-pruned postings -- the corpus text never appears in the plan): the two ranked legs are bounded (<=nCand rows each) and full-outer join on doc_id; integer ppb contributions; top-20 via TakeOrderedAndProject",
   "q_pagerank" -> "5 Pregel rounds off the persisted pair table: per round one hash join of the rank frame onto the checkpointed symmetric edge list + one keyed BIGINT sum; pair GENERATION is absent from the plan (reads neardup_pairs_900)",
   "q_triangles" -> "compact-forward triangles: wedge equi-join on the shared endpoint, closing (a,c) probe as left-semi hash join, per-corner credit via explode + keyed count -- no orientation explosion, nothing corpus-quadratic",
   "q_phrase" -> "positional phrase match: each term's pruned posting row joins on doc_id; occurrences are one higher-order filter over the first term's position list -- no text, no explode, nothing corpus-sized",
