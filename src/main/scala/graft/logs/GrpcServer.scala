@@ -1,0 +1,218 @@
+package graft.logs
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.{ByteBuf, Unpooled}
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInitializer,
+  ChannelInboundHandlerAdapter, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2._
+
+/** The reference's gRPC listener (`cmd/server/main.go:75-86`:
+  * `grpc.NewServer()` + `RegisterLogServiceServer` on `GRPC_ADDR`,
+  * default `:8081`), re-expressed on netty's HTTP/2 codec — the same
+  * transport layer grpc-netty itself is built on, and the one HTTP/2
+  * implementation already on this build's declared classpath
+  * (`/opt/spark/jars/netty-codec-http2-*.jar`; the build resolves no
+  * grpc artifacts, so the gRPC protocol layer here is hand-implemented
+  * against the published gRPC-over-HTTP/2 spec).
+  *
+  * Wire contract served, end to end:
+  *  - HTTP/2 connection management (preface, SETTINGS, HPACK, per-stream
+  *    and connection flow control) — netty `Http2FrameCodec`;
+  *  - request routing on `:path = /logs.v1.LogService/BatchWrite`
+  *    (proto/log.proto:3+19-21: package `logs.v1`, service `LogService`);
+  *  - gRPC framing: request DATA carries 1-byte compressed flag + u32-BE
+  *    length + protobuf message ([[LogProto.unframe]]);
+  *  - message bytes: the hand-rolled proto3 codec
+  *    ([[LogProto.decodeBatchWriteRequest]] /
+  *    [[LogProto.encodeBatchWriteResponse]]);
+  *  - response: HEADERS `:status 200, content-type application/grpc`,
+  *    one framed `BatchWriteResponse`, trailers `grpc-status 0` — ack =
+  *    accepted count, the reference's fire-and-forget batcher contract
+  *    (internal/service/service.go:41-46).
+  *
+  * Error mapping follows grpc-go's server conventions: non-POST → HTTP
+  * 405; non-`application/grpc*` content type → HTTP 415; unknown method →
+  * trailers-only `grpc-status 12` (UNIMPLEMENTED); malformed frame or
+  * proto bytes → `grpc-status 13` (INTERNAL, the unmarshal-failure code);
+  * sink failure → `grpc-status 13`.
+  *
+  * Threading: all frames for a connection arrive on its event-loop
+  * thread, so per-stream state needs no locks. The sink (a MemoryStream
+  * enqueue in [[LogServiceMain]]) is a fast in-memory hand-off, so it
+  * runs inline; a blocking sink would move to an offload executor.
+  */
+final class GrpcServer(sink: Seq[LogEntryMsg] => Long, bindPort: Int = 0,
+    bindHost: String = "127.0.0.1") {
+
+  private val group = new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+  @volatile private var channel: Channel = _
+
+  def start(): GrpcServer = {
+    val b = new ServerBootstrap()
+      .group(group)
+      .channel(classOf[NioServerSocketChannel])
+      .childHandler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit =
+          ch.pipeline.addLast(
+            Http2FrameCodecBuilder.forServer().build(),
+            new GrpcServer.ConnectionHandler(sink))
+      })
+    channel = b.bind(bindHost, bindPort).sync().channel()
+    this
+  }
+
+  def port: Int =
+    channel.localAddress.asInstanceOf[java.net.InetSocketAddress].getPort
+
+  def stop(): Unit = {
+    if (channel != null) channel.close().sync()
+    group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
+  }
+}
+
+object GrpcServer {
+
+  /** Full method path per the gRPC PROTOCOL-HTTP2 spec:
+    * `/{package}.{Service}/{Method}` (proto/log.proto:3,19-20). */
+  val BatchWritePath = "/logs.v1.LogService/BatchWrite"
+
+  /** Per-stream request accumulation: header routing verdict + body. */
+  private final class StreamState {
+    var path: String = ""
+    var method: String = ""
+    var contentType: String = ""
+    val body: ByteBuf = Unpooled.buffer()
+    var done = false // response sent; drop any further frames
+  }
+
+  private final class ConnectionHandler(sink: Seq[LogEntryMsg] => Long)
+      extends ChannelInboundHandlerAdapter {
+
+    private val streams =
+      new java.util.HashMap[Http2FrameStream, StreamState]()
+
+    override def channelRead(ctx: ChannelHandlerContext, msg: Object): Unit =
+      msg match {
+        case h: Http2HeadersFrame =>
+          val st = state(h.stream())
+          if (st.path.isEmpty) { // initial HEADERS (not client trailers)
+            st.path = str(h.headers().path())
+            st.method = str(h.headers().method())
+            st.contentType = str(h.headers().get("content-type"))
+          }
+          if (h.isEndStream) complete(ctx, h.stream(), st)
+        case d: Http2DataFrame =>
+          val st = state(d.stream())
+          st.body.writeBytes(d.content())
+          // replenish flow-control windows for the consumed bytes
+          // (stream + connection — Http2FrameCodec.consumeBytes does both)
+          val consumed = d.initialFlowControlledBytes()
+          if (consumed > 0)
+            ctx.write(new DefaultHttp2WindowUpdateFrame(consumed).stream(d.stream()))
+          val end = d.isEndStream
+          d.release()
+          if (end) complete(ctx, d.stream(), st)
+          else ctx.flush()
+        case f: Http2ResetFrame =>
+          Option(streams.remove(f.stream())).foreach(_.body.release())
+        case other: Http2Frame =>
+          () // SETTINGS/PING/GOAWAY handled by the codec; ignore the rest
+        case other =>
+          ctx.fireChannelRead(other)
+      }
+
+    private def state(s: Http2FrameStream): StreamState = {
+      var st = streams.get(s)
+      if (st == null) { st = new StreamState; streams.put(s, st) }
+      st
+    }
+
+    private def str(cs: CharSequence): String =
+      if (cs == null) "" else cs.toString
+
+    private def complete(ctx: ChannelHandlerContext, s: Http2FrameStream,
+        st: StreamState): Unit = {
+      if (st.done) return
+      st.done = true
+      try {
+        if (st.method != "POST") {
+          httpError(ctx, s, "405") // gRPC is POST-only (grpc-go: 405)
+        } else if (!st.contentType.startsWith("application/grpc")) {
+          httpError(ctx, s, "415") // not a gRPC request (grpc-go: 415)
+        } else if (st.path != BatchWritePath) {
+          trailersOnly(ctx, s, 12,
+            s"unknown service or method ${st.path}") // UNIMPLEMENTED
+        } else {
+          val raw = new Array[Byte](st.body.readableBytes())
+          st.body.readBytes(raw)
+          val entries =
+            LogProto.decodeBatchWriteRequest(LogProto.unframe(raw))
+          val written = sink(entries)
+          val headers = new DefaultHttp2Headers()
+          headers.status("200")
+          headers.set("content-type", "application/grpc")
+          ctx.write(new DefaultHttp2HeadersFrame(headers).stream(s))
+          ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+            LogProto.frame(LogProto.encodeBatchWriteResponse(written)))).stream(s))
+          val trailers = new DefaultHttp2Headers()
+          trailers.set("grpc-status", "0")
+          ctx.write(new DefaultHttp2HeadersFrame(trailers, true).stream(s))
+        }
+      } catch {
+        case e: Throwable => // malformed framing/proto or sink failure
+          trailersOnly(ctx, s, 13,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      } finally {
+        ctx.flush()
+        Option(streams.remove(s)).foreach(_.body.release())
+      }
+    }
+
+    /** Trailers-only response (gRPC error shape: single HEADERS frame
+      * carrying :status 200 + grpc-status, END_STREAM set). */
+    private def trailersOnly(ctx: ChannelHandlerContext, s: Http2FrameStream,
+        code: Int, message: String): Unit = {
+      val h = new DefaultHttp2Headers()
+      h.status("200")
+      h.set("content-type", "application/grpc")
+      h.set("grpc-status", code.toString)
+      h.set("grpc-message", grpcPercentEncode(message))
+      ctx.write(new DefaultHttp2HeadersFrame(h, true).stream(s))
+    }
+
+    /** Plain-HTTP rejection before gRPC semantics apply (405/415). */
+    private def httpError(ctx: ChannelHandlerContext, s: Http2FrameStream,
+        status: String): Unit = {
+      val h = new DefaultHttp2Headers()
+      h.status(status)
+      ctx.write(new DefaultHttp2HeadersFrame(h, true).stream(s))
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext,
+        cause: Throwable): Unit = {
+      System.err.println(s"[grpc] connection error: $cause")
+      ctx.close()
+    }
+
+    override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+      streams.values.forEach(st => st.body.release())
+      streams.clear()
+      ctx.fireChannelInactive()
+    }
+  }
+
+  /** grpc-message is percent-encoded per the gRPC HTTP/2 spec (space and
+    * printable ASCII pass through, `%` and non-printables encode). */
+  private[logs] def grpcPercentEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = b & 0xff
+      if (c >= 0x20 && c <= 0x7e && c != '%') sb.append(c.toChar)
+      else sb.append(f"%%$c%02X")
+    }
+    sb.toString
+  }
+}

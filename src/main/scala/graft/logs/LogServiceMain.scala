@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   *  - `HTTP_ADDR` (reference main.go:26; `host:port` or `:port` —
   *    `:8080` binds all interfaces) or `HTTP_PORT` (default
   *    127.0.0.1:8080)
+  *  - `GRPC_ADDR` (reference main.go:26, default `:8081`): the real
+  *    HTTP/2 gRPC listener ([[GrpcServer]]) serving
+  *    `logs.v1.LogService/BatchWrite` into the same batcher sink;
+  *    default here is 127.0.0.1:8081 (loopback unless told otherwise)
   *  - `LOG_TABLE_PATH` (default `target/log_service/table` — the
   *    DATABASE_URL analogue, main.go:28)
   *  - `LOG_INGEST_DIR` (optional): when set, a Structured Streaming
@@ -36,13 +40,20 @@ object LogServiceMain {
   /** `HTTP_ADDR` = `host:port` | `:port` (all interfaces) → (host, port);
     * absent → (loopback, `HTTP_PORT`). */
   private[logs] def bindAddress(env: Map[String, String]): (String, Int) =
-    env.get("HTTP_ADDR").filter(_.nonEmpty) match {
-      case Some(addr) =>
-        val i = addr.lastIndexOf(':')
-        require(i >= 0, s"HTTP_ADDR must be host:port or :port, got '$addr'")
-        val host = if (i == 0) "0.0.0.0" else addr.take(i)
-        (host, addr.drop(i + 1).toInt)
-      case None => ("127.0.0.1", env.getOrElse("HTTP_PORT", "8080").toInt)
+    parseAddr(env, "HTTP_ADDR").getOrElse(
+      ("127.0.0.1", env.getOrElse("HTTP_PORT", "8080").toInt))
+
+  /** `GRPC_ADDR` with the reference's `:8081` default (main.go:26). */
+  private[logs] def grpcAddress(env: Map[String, String]): (String, Int) =
+    parseAddr(env, "GRPC_ADDR").getOrElse(("127.0.0.1", 8081))
+
+  private def parseAddr(env: Map[String, String],
+      key: String): Option[(String, Int)] =
+    env.get(key).filter(_.nonEmpty).map { addr =>
+      val i = addr.lastIndexOf(':')
+      require(i >= 0, s"$key must be host:port or :port, got '$addr'")
+      val host = if (i == 0) "0.0.0.0" else addr.take(i)
+      (host, addr.drop(i + 1).toInt)
     }
 
   def main(args: Array[String]): Unit = {
@@ -83,17 +94,24 @@ object LogServiceMain {
         tablePath, s"$tablePath/_checkpoint", maxDelayMs)
     }
 
+    val sink: Seq[LogEntryMsg] => Long = entries =>
+      graft.streaming.LogStream.batchWrite(writeSource, entries).written
     val server = new LogHttpServer(
       () => LogTable.read(spark, tablePath), httpPort,
       LogApi.DefaultTimeoutMs, bindHost = httpHost,
-      batchWriteSink = Some(entries =>
-        graft.streaming.LogStream.batchWrite(writeSource, entries).written)).start()
-    System.err.println(s"[log-service] http on $httpHost:${server.port}, table $tablePath" +
+      batchWriteSink = Some(sink)).start()
+    // the reference's second listener: real gRPC over HTTP/2 on
+    // GRPC_ADDR (main.go:75-86), same batcher sink, same ack contract
+    val (grpcHost, grpcPort) = grpcAddress(sys.env)
+    val grpc = new GrpcServer(sink, grpcPort, grpcHost).start()
+    System.err.println(s"[log-service] http on $httpHost:${server.port}, " +
+      s"grpc on $grpcHost:${grpc.port}, table $tablePath" +
       ingestDir.fold("")(d => s", ingesting $d"))
 
     val done = new java.util.concurrent.CountDownLatch(1)
     sys.addShutdownHook {
       server.stop()
+      grpc.stop()
       writeStream.stop()
       fileStream.foreach(_.stop())
       spark.stop()

@@ -227,4 +227,42 @@ class LogHttpServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(count().contains(""""count":2"""))
     } finally srv.stop()
   }
+
+  test("service loop over gRPC: BatchWrite on the wire → batcher → HTTP query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.LogStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("grpc_table").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("grpc_ckpt").toString
+    val mem = MemoryStream[LogEntryMsg]
+    val q = LogStream.ingest(mem.toDF(), table, ckpt)
+    val sink: Seq[LogEntryMsg] => Long =
+      es => LogStream.batchWrite(mem, es).written
+    val grpc = new GrpcServer(sink).start()
+    val http = new LogHttpServer(() => LogTable.read(spark, table), 0,
+      LogApi.DefaultTimeoutMs).start()
+    val group = GrpcTestClient.group()
+    try {
+      val conn = GrpcTestClient.connect(group, grpc.port)
+      val written = GrpcTestClient.batchWrite(conn, grpc.port, Seq(
+        LogEntryMsg("2024-01-10T12:00:00Z", "checkout", "INFO", "paid",
+          Map("user" -> "jo"), "tr1", "sp1"),
+        LogEntryMsg("2024-01-10T12:00:01Z", "checkout", "ERROR", "retry",
+          Map.empty, "tr2", "sp2")))
+      conn.close().sync()
+      assert(written == 2L) // ack = accepted count, before any flush
+      q.processAllAvailable() // the batcher's flush
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${http.port}/v1/logs?service=checkout" +
+            "&from=2024-01-01T00:00:00Z&to=2024-02-01T00:00:00Z")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 && r.body().contains(""""count":2"""))
+      assert(r.body().contains("paid") && r.body().contains("retry"))
+    } finally {
+      group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS).sync()
+      grpc.stop(); http.stop(); q.stop()
+    }
+  }
 }

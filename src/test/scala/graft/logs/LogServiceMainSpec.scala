@@ -28,4 +28,10 @@ class LogServiceMainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       LogServiceMain.bindAddress(Map("HTTP_ADDR" -> "no-port-here")))
   }
+
+  test("GRPC_ADDR parses like the reference; default :8081 → loopback") {
+    assert(LogServiceMain.grpcAddress(Map("GRPC_ADDR" -> ":9095")) ==
+      (("0.0.0.0", 9095)))
+    assert(LogServiceMain.grpcAddress(Map.empty) == (("127.0.0.1", 8081)))
+  }
 }
