@@ -115,7 +115,8 @@ object SparkEntry {
     * CORRECTNESS gate. */
   val verificationOnly: Set[String] = Set(
     "q_sessionize_stream_parity", "q_counter_increase_stream_parity",
-    "q_dedup_stream_parity", "q_funnel_stream_parity")
+    "q_dedup_stream_parity", "q_funnel_stream_parity",
+    "q_dedup_minhash_stream_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -463,6 +464,14 @@ object SparkEntry {
     "q_funnel_stream_parity" -> ((s, dir) =>
       streaming.ParityCheck.funnelParity(s, dir)),
 
+    // INCREMENTAL MinHash-LSH near-dup: the stateful band-bucket stream
+    // must emit exactly the batch band-join's candidate set across any
+    // micro-batch boundaries, and the shared jaccard verify must land
+    // on q_dedup_minhash's pair set — the live-ingest dedup tier
+    // carrying the batch tier's oracle guarantee transitively
+    "q_dedup_minhash_stream_parity" -> ((s, dir) =>
+      streaming.ParityCheck.minhashParity(s, dir)),
+
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
       Analytics.sessionLengthPercentiles(Tables.events(s, dir), 30)),
@@ -594,12 +603,15 @@ object SparkEntry {
       Dedup.nearDupSurvivors(Tables.documents(s, dir),
         Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9))),
 
-    // same closures off the PERSISTED pair table (pair generation is the
-    // expensive artifact; clusters/survivors/audits are cheap queries
-    // over it) — identical rows, same recursive-CTE oracles
+    // the PERSISTED label table read directly (round 8, mirroring
+    // q_central_survivors/q_semdedup): connected components are an
+    // ingest-side derivation too — the _idx read path is one scan of
+    // the labeling, not a re-convergence over the persisted pairs.
+    // Identical rows (the table IS nearDupClusters' output), same
+    // recursive-CTE oracles
     "q_dedup_clusters_idx" -> ((s, dir) =>
-      Dedup.nearDupClusters(Tables.documents(s, dir),
-        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+      Dedup.nearDupClustersPersisted(s, dir, Tables.documents(s, dir),
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9), 0.9)),
 
     // degree histogram of the near-dup graph off the persisted pair
     // table: clique-tail diagnostic, two integer aggs over the edge set
@@ -611,9 +623,12 @@ object SparkEntry {
     // quote-inclusion detector symmetric jaccard misses
     "q_containment" -> ((s, dir) =>
       Dedup.shingleContainment(Tables.documents(s, dir), 3, 50000000L)),
+    // keep list off the persisted labels: one grouped count on the read
+    // path (the CC convergence is the one-time layout write)
     "q_dedup_survivors_idx" -> ((s, dir) =>
-      Dedup.nearDupSurvivors(Tables.documents(s, dir),
-        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9))),
+      Dedup.survivorsFromLabels(
+        Dedup.nearDupClustersPersisted(s, dir, Tables.documents(s, dir),
+          Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9), 0.9))),
 
     // centrality over the near-dup graph (5 fixed ppb PageRank rounds off
     // the persisted pair table): which member of a duplicate family is
@@ -1287,6 +1302,19 @@ object SparkEntry {
       s"""WITH ev AS ($EV),
          |n AS (SELECT COUNT(*) AS n FROM
          |        (SELECT DISTINCT user_id, event_id FROM ev) t)
+         |SELECT n AS n_batch, n AS n_stream,
+         |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
+         |  true AS parity_ok
+         |FROM n""".stripMargin,
+
+    // minhash-LSH parity: the independently-stated expectation is the
+    // HUGEINT MinHash replica's thresholded pair count — what both the
+    // batch band-join and the stateful streaming buckets must converge to
+    "q_dedup_minhash_stream_parity" ->
+      s"""WITH pairs AS (
+         |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5)}
+         |),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs)
          |SELECT n AS n_batch, n AS n_stream,
          |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
          |  true AS parity_ok

@@ -112,24 +112,43 @@ object Dedup {
     */
   def minHashPairs(documents: DataFrame, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val r = k / bands
-    val shingled = documents.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     // The band join carries only (band, bandhash, doc_id) — 24-byte rows —
     // and the shingle sets are re-attached to the few surviving candidate
     // pairs afterwards. Shuffling shingle arrays through the join/distinct
     // (the naive layout) dominates runtime and network at scale.
-    val banded = shingled
+    val banded = minHashBanded(documents, n, k, bands)
+    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccardVerify(candidates, documents, n, threshold)
+  }
+
+  /** The LSH banding frame both the batch join and the STREAMING bucket
+    * state consume: (doc_id, band, bh) — stateless column expressions
+    * only, so the same construction runs under Structured Streaming
+    * unchanged (the parity guarantee's foundation). */
+  def minHashBanded(documents: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val r = k / bands
+    documents.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .withColumn("sig", minHashSignature(col("sh"), k))
       .select(col("doc_id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+  }
+
+  /** Exact-jaccard verification over candidate (id_a, id_b) pairs:
+    * shingle sets re-attach to the candidates by id (two equi-joins),
+    * never riding the candidate-generation shuffle. Shared by the batch
+    * LSH path and the streaming parity harness, so both verify
+    * identically by construction. */
+  def jaccardVerify(candidates: DataFrame, documents: DataFrame,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val shingled = documents.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     candidates
       .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -335,7 +354,14 @@ object Dedup {
     * labels — one grouped count over the label frame, no extra joins. */
   def nearDupSurvivors(documents: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame =
-    nearDupClusters(documents, pairs, maxIter)
+    survivorsFromLabels(nearDupClusters(documents, pairs, maxIter))
+
+  /** The keep-list tail alone — one grouped count over an existing
+    * (doc_id, cluster_id) labeling. Lets readers of the PERSISTED label
+    * table ([[nearDupClustersPersisted]]) get survivors without
+    * re-converging connected components. */
+  def survivorsFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster_id").as("doc_id"), col("n_members"))

@@ -245,4 +245,75 @@ object ParityCheck {
         nBatch == nStream && onlyBatch == 0L && onlyStream == 0L)))
       .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
   }
+
+  /** Streaming↔batch parity for the MinHash-LSH near-dup tier: the
+    * documents table replays through [[StatefulOps.lshCandidatesStream]]
+    * in doc_id-ordered micro-batches, and BOTH layers must match batch —
+    *
+    *  1. the emitted CANDIDATE set must equal the batch band-join's
+    *     candidate set (a pair collides iff both members share a band
+    *     bucket, independent of arrival order/batch boundaries — the
+    *     stateful bucket invariant); and
+    *  2. the candidates pushed through the SHARED exact-jaccard
+    *     verification ([[graft.ops.Dedup.jaccardVerify]]) must equal
+    *     [[graft.ops.Dedup.minHashPairs]]' final thresholded pairs.
+    *
+    * Output: one row (n_batch, n_stream, n_only_batch, n_only_stream,
+    * parity_ok) over the VERIFIED pairs, with candidate-set equality
+    * folded into parity_ok; the oracle recomputes n_batch with its
+    * HUGEINT MinHash replica and asserts (n, n, 0, 0, true). */
+  def minhashParity(spark: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[StatefulOps.DocIn]
+      .collect()
+      .sortBy(_.doc_id)
+    require(docs.nonEmpty, s"no documents in $dir")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.DocIn]
+    val tbl = "parity_minhash"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val banded = graft.ops.Dedup.minHashBanded(mem.toDF())
+      .as[StatefulOps.BandIn]
+    val q = StatefulOps.lshCandidatesStream(banded)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try {
+      val batchSize = math.max(1, docs.length / nBatches)
+      docs.grouped(batchSize).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val documents = graft.Tables.documents(spark, dir)
+    // a pair may emerge from several band buckets → distinct, like batch
+    val streamCand = spark.table(tbl)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+    val bandedBatch = graft.ops.Dedup.minHashBanded(documents)
+    val batchCand = bandedBatch
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(bandedBatch.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+    val candAgree = batchCand.exceptAll(streamCand).count() == 0L &&
+      streamCand.exceptAll(batchCand).count() == 0L
+
+    val streamed = graft.ops.Dedup.jaccardVerify(streamCand, documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val batch = graft.ops.Dedup.minHashPairs(documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+
+    val nBatch = batch.count()
+    val nStream = streamed.count()
+    val onlyBatch = batch.exceptAll(streamed).count()
+    val onlyStream = streamed.exceptAll(batch).count()
+    spark.createDataFrame(Seq(
+      (nBatch, nStream, onlyBatch, onlyStream,
+        candAgree && nBatch == nStream && onlyBatch == 0L && onlyStream == 0L)))
+      .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
+  }
 }

@@ -268,4 +268,60 @@ object StatefulOps {
         col("s_ts") <= col("p_ts") &&
         col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
   }
+
+  /** Wire row of the streaming document feed. */
+  final case class DocIn(doc_id: Long, text: String)
+
+  /** One LSH banding row ([[graft.ops.Dedup.minHashBanded]]'s schema). */
+  final case class BandIn(doc_id: Long, band: Int, bh: Long)
+
+  /** Emitted candidate pair, canonical orientation (id_a < id_b). */
+  final case class CandOut(id_a: Long, id_b: Long)
+
+  /** Per-bucket membership (public for the state encoder). */
+  final case class BucketState(ids: List[Long])
+
+  /** STREAMING MinHash-LSH candidate generation — incremental near-dup
+    * detection as documents arrive: each (band, bandhash) bucket keeps
+    * the doc ids seen so far, and a new arrival emits one candidate pair
+    * per stored member (the pair materializes exactly when its second
+    * member arrives, so the union of emissions over any micro-batch
+    * partitioning equals the batch band-join's candidate set —
+    * LSH collision is arrival-order-independent, which is what
+    * [[ParityCheck.minhashParity]] verifies). Downstream, candidates
+    * flow through the same exact-jaccard verification as batch
+    * ([[graft.ops.Dedup.jaccardVerify]]).
+    *
+    * State: one id list per OCCUPIED bucket — proportional to corpus
+    * documents × bands, the irreducible memory of dedup-against-all-
+    * history (same asymptotics as the batch band frame; Spark's state
+    * store spills via RocksDB at scale). Pipelines that only need
+    * dedup against a bounded horizon put a watermark timeout here;
+    * dedup against deep history belongs to the bloom-gated batch tier
+    * ([[graft.ops.Dedup.historyDedupBloom]]), with this operator
+    * handling the live stream in front of it. */
+  def lshCandidatesStream(banded: Dataset[BandIn]): Dataset[CandOut] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState[BucketState, CandOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandIn], state: GroupState[BucketState]) =>
+          val seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val seenSet = seen.toSet
+          // deterministic within-batch order; drop ids already in state
+          // (re-banded duplicates of the same doc emit nothing new)
+          val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
+            .filterNot(seenSet)
+          var acc = seen
+          val out = List.newBuilder[CandOut]
+          for (d <- fresh) {
+            for (s <- acc)
+              out += CandOut(math.min(s, d), math.max(s, d))
+            acc = d :: acc
+          }
+          state.update(BucketState(acc))
+          out.result().iterator
+      }
+  }
 }

@@ -200,4 +200,35 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_.increase_cents).sum == 2000L) // 1000 + 1000
   }
+
+  test("lshCandidatesStream: pair emits when its second member arrives, across batches") {
+    import StatefulOps.{BandIn, CandOut}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[BandIn]
+    val q = StatefulOps.lshCandidatesStream(mem.toDS())
+      .writeStream.format("memory").queryName("lsh_cand").outputMode("append").start()
+    // batch 1: docs 10, 20 share bucket (0, 111); doc 30 alone in (1, 222)
+    mem.addData(
+      BandIn(10, 0, 111L), BandIn(20, 0, 111L), BandIn(30, 1, 222L),
+      BandIn(10, 0, 111L)) // re-banded duplicate of doc 10: no self-pair
+    q.processAllAvailable()
+    val afterB1 = spark.table("lsh_cand").as[CandOut].collect().toSet
+    assert(afterB1 == Set(CandOut(10, 20)))
+    // batch 2: doc 5 lands in BOTH buckets → pairs against all stored
+    // members, canonical orientation even though 5 < everything
+    mem.addData(BandIn(5, 0, 111L), BandIn(5, 1, 222L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("lsh_cand").as[CandOut].collect().toSet
+    assert(all == Set(CandOut(10, 20), CandOut(5, 10), CandOut(5, 20),
+      CandOut(5, 30)))
+  }
+
+  test("minhashParity: streamed LSH equals batch pairs on the sf0.001 corpus") {
+    val row = ParityCheck.minhashParity(spark, SparkTestBase.sfDir).head()
+    assert(row.getAs[Boolean]("parity_ok"),
+      s"minhash stream/batch divergence: $row")
+    assert(row.getAs[Long]("n_batch") > 0, "vacuous parity (no pairs)")
+  }
 }
