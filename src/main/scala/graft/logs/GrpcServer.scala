@@ -45,7 +45,8 @@ import io.netty.handler.codec.http2._
   * runs inline; a blocking sink would move to an offload executor.
   */
 final class GrpcServer(sink: Seq[LogEntryMsg] => Long, bindPort: Int = 0,
-    bindHost: String = "127.0.0.1") {
+    bindHost: String = "127.0.0.1",
+    maxMessageBytes: Int = GrpcServer.DefaultMaxMessageBytes) {
 
   private val group = new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
   @volatile private var channel: Channel = _
@@ -58,7 +59,7 @@ final class GrpcServer(sink: Seq[LogEntryMsg] => Long, bindPort: Int = 0,
         override def initChannel(ch: SocketChannel): Unit =
           ch.pipeline.addLast(
             Http2FrameCodecBuilder.forServer().build(),
-            new GrpcServer.ConnectionHandler(sink))
+            new GrpcServer.ConnectionHandler(sink, maxMessageBytes))
       })
     channel = b.bind(bindHost, bindPort).sync().channel()
     this
@@ -79,6 +80,11 @@ object GrpcServer {
     * `/{package}.{Service}/{Method}` (proto/log.proto:3,19-20). */
   val BatchWritePath = "/logs.v1.LogService/BatchWrite"
 
+  /** grpc's stock server-side inbound cap (grpc-go
+    * `defaultServerMaxReceiveMessageSize` = 4 MiB): requests past it
+    * answer RESOURCE_EXHAUSTED instead of buffering without bound. */
+  val DefaultMaxMessageBytes: Int = 4 * 1024 * 1024
+
   /** Per-stream request accumulation: header routing verdict + body. */
   private final class StreamState {
     var path: String = ""
@@ -88,8 +94,8 @@ object GrpcServer {
     var done = false // response sent; drop any further frames
   }
 
-  private final class ConnectionHandler(sink: Seq[LogEntryMsg] => Long)
-      extends ChannelInboundHandlerAdapter {
+  private final class ConnectionHandler(sink: Seq[LogEntryMsg] => Long,
+      maxMessageBytes: Int) extends ChannelInboundHandlerAdapter {
 
     private val streams =
       new java.util.HashMap[Http2FrameStream, StreamState]()
@@ -106,9 +112,22 @@ object GrpcServer {
           if (h.isEndStream) complete(ctx, h.stream(), st)
         case d: Http2DataFrame =>
           val st = state(d.stream())
-          st.body.writeBytes(d.content())
+          if (!st.done) {
+            st.body.writeBytes(d.content())
+            // the stock grpc inbound cap: answer RESOURCE_EXHAUSTED the
+            // moment the accumulated request crosses it, release the
+            // buffer, and drop the stream's remaining frames (st.done)
+            if (st.body.readableBytes() > maxMessageBytes) {
+              st.done = true
+              st.body.clear()
+              trailersOnly(ctx, d.stream(), 8, // RESOURCE_EXHAUSTED
+                s"grpc: received message larger than max ($maxMessageBytes)")
+            }
+          }
           // replenish flow-control windows for the consumed bytes
-          // (stream + connection — Http2FrameCodec.consumeBytes does both)
+          // (stream + connection — Http2FrameCodec.consumeBytes does
+          // both), even on a rejected stream: the connection window is
+          // shared, and a dropped update would stall OTHER streams
           val consumed = d.initialFlowControlledBytes()
           if (consumed > 0)
             ctx.write(new DefaultHttp2WindowUpdateFrame(consumed).stream(d.stream()))
@@ -135,7 +154,11 @@ object GrpcServer {
 
     private def complete(ctx: ChannelHandlerContext, s: Http2FrameStream,
         st: StreamState): Unit = {
-      if (st.done) return
+      if (st.done) { // already answered (e.g. over-cap reject): reap state
+        Option(streams.remove(s)).foreach(_.body.release())
+        ctx.flush()
+        return
+      }
       st.done = true
       try {
         if (st.method != "POST") {

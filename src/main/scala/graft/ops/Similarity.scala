@@ -255,14 +255,25 @@ object Similarity {
     // stays lazy inside the query.
     val centroids =
       if (lloydIters <= 0) seeds else refineCentroids(corpus, seeds, lloydIters)
+    (corpus, centroids, assignToCentroids(embeddings, centroids))
+  }
+
+  /** Assign vectors to FIXED centroids — the FAISS `add()`-after-`train()`
+    * contract, and the one assignment construction every IVF consumer
+    * shares (the batch index build above, and the STREAMING index upkeep
+    * in [[graft.streaming.IndexUpkeep]], which appends arriving vectors to
+    * the persisted cluster-partitioned table without retraining). The
+    * centroid frame folds to ONE broadcast array row; assignment is the
+    * native argmax-cosine kernel per vector — no shuffle of the corpus. */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val centArr = centroids
       .agg(collect_list(struct(col("c_id"), col("c_emb"), col("c_nsq"))).as("cents"))
-    val assigned = corpus
+    vectors
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nsq"))
       .crossJoin(broadcast(centArr))
       .withColumn("cluster",
         graft.functions.ArgMaxCosine.argmaxCosine(col("embedding"), col("nsq"), col("cents")))
       .drop("cents")
-    (corpus, centroids, assigned)
   }
 
   /** One-time-per-JVM PERSISTED IVF index — "build once, query many", the
@@ -284,9 +295,21 @@ object Similarity {
   def ivfIndexPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
       embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2)
       : (DataFrame, DataFrame) = {
+    val (cName, aName) = ivfIndexTableNames(
+      spark, dir, embeddings, nCentroids, lloydIters)
+    (spark.table(cName), spark.table(aName))
+  }
+
+  /** [[ivfIndexPersisted]] returning the CATALOG TABLE NAMES (centroids,
+    * assignments) instead of frames — what the streaming index upkeep
+    * ([[graft.streaming.IndexUpkeep]]) needs to append arriving vectors
+    * into the assignment table's cluster partitions. */
+  def ivfIndexTableNames(spark: org.apache.spark.sql.SparkSession, dir: String,
+      embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2)
+      : (String, String) = {
     val appId = spark.sparkContext.applicationId
     // per-key build lock (ManagedTable.once): one builder, waiters block
-    val (cName, aName) = graft.sources.ManagedTable.once(
+    graft.sources.ManagedTable.once(
       s"$appId/ivf_index/$dir/$nCentroids/$lloydIters") {
         val tag = graft.sources.ManagedTable.tag(dir)
         val c = s"ivf_centroids_${nCentroids}_${lloydIters}_$tag"
@@ -296,7 +319,6 @@ object Similarity {
         graft.sources.ManagedTable.write(assigned, a, partitionCol = Some("cluster"))
         (c, a)
       }
-    (spark.table(cName), spark.table(aName))
   }
 
   /** [[ivfTopK]] reading the PERSISTED index: centroids broadcast from the

@@ -307,21 +307,35 @@ object StatefulOps {
       .flatMapGroupsWithState[BucketState, CandOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), rows: Iterator[BandIn], state: GroupState[BucketState]) =>
-          val seen = state.getOption.map(_.ids).getOrElse(Nil)
-          val seenSet = seen.toSet
-          // deterministic within-batch order; drop ids already in state
-          // (re-banded duplicates of the same doc emit nothing new)
-          val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
-            .filterNot(seenSet)
-          var acc = seen
-          val out = List.newBuilder[CandOut]
-          for (d <- fresh) {
-            for (s <- acc)
-              out += CandOut(math.min(s, d), math.max(s, d))
-            acc = d :: acc
-          }
-          state.update(BucketState(acc))
-          out.result().iterator
+          val (next, out) = bucketStep(
+            state.getOption.map(_.ids).getOrElse(Nil),
+            rows.map(_.doc_id).toSeq)
+          state.update(BucketState(next))
+          out.iterator
       }
+  }
+
+  /** The pure bucket transition [[lshCandidatesStream]] folds over
+    * micro-batches: given the ids already in a bucket and a batch of
+    * arrivals, emit one canonical pair per (stored, fresh) and
+    * (fresh, earlier-fresh) combination and return the grown membership.
+    * Separated so the parity invariant — emissions over ANY partitioning
+    * of an arrival sequence union to exactly the all-distinct-pairs set,
+    * duplicate-free — is property-testable without a streaming harness
+    * (`LshBucketProps`). */
+  private[graft] def bucketStep(seen: List[Long],
+      arrivals: Seq[Long]): (List[Long], List[CandOut]) = {
+    val seenSet = seen.toSet
+    // deterministic within-batch order; drop ids already in state
+    // (re-banded duplicates of the same doc emit nothing new)
+    val fresh = arrivals.distinct.sorted.filterNot(seenSet)
+    var acc = seen
+    val out = List.newBuilder[CandOut]
+    for (d <- fresh) {
+      for (s <- acc)
+        out += CandOut(math.min(s, d), math.max(s, d))
+      acc = d :: acc
+    }
+    (acc, out.result())
   }
 }

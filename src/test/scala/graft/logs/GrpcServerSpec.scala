@@ -146,4 +146,21 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GrpcServer.grpcPercentEncode("50%") == "50%25")
     assert(GrpcServer.grpcPercentEncode("a\nb") == "a%0Ab")
   }
+
+  test("inbound cap: an over-limit request answers RESOURCE_EXHAUSTED (8)") {
+    // tiny cap so the reject happens mid-stream; the connection (and its
+    // shared flow-control window) must survive for a follow-up call
+    val small = new GrpcServer(es => es.size.toLong,
+      maxMessageBytes = 16 * 1024).start()
+    val conn = connect(group, small.port)
+    try {
+      val over = framedRequest((1 to 32).map(entry(_, msg = "y" * 2048)))
+      assert(over.length > 16 * 1024)
+      val r = call(conn, requestHeaders(small.port), over)
+      assert(r.headers.get("grpc-status").toString == "8")
+      val ok = call(conn, requestHeaders(small.port),
+        framedRequest(Seq(entry(1))))
+      assert(ok.trailers.get("grpc-status").toString == "0")
+    } finally { conn.close().sync(); small.stop() }
+  }
 }
