@@ -204,13 +204,38 @@ object Analytics {
     purchased.except(signedUp).orderBy(col("user_id"))
   }
 
-  /** ROLLUP over (returnflag, linestatus) — grouping-set aggregation. */
-  def revenueRollup(lineitem: DataFrame): DataFrame =
-    lineitem
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(decSum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+  /** ROLLUP over (returnflag, linestatus) — grouping-set aggregation,
+    * computed by RE-AGGREGATING PARTIALS instead of `rollup()`'s Expand:
+    * the built-in operator triples the fact rows through Expand before
+    * aggregating (one copy per grouping set), while every coarser level
+    * here derives exactly from the finest (flag, status) cells. One
+    * grouped aggregation reduces the fact scan to ~|flags×statuses| rows;
+    * the (flag) and grand-total levels re-aggregate those DECIMAL
+    * partials (decimal addition is exact, so the final double cast is
+    * bit-identical to the direct rollup's) — at 100 TB this is the
+    * difference between shuffling 3× the fact table and shuffling six
+    * rows. */
+  def revenueRollup(lineitem: DataFrame): DataFrame = {
+    val cells = lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(decRevenue(col("l_extendedprice"), col("l_discount"))).as("rev"),
         count(lit(1)).as("n"))
+      .localCheckpoint() // three consumers, one fact scan
+    val byFlag = cells.groupBy(col("l_returnflag"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      .select(col("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("rev"), col("n"))
+    val total = cells
+      .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("rev"), col("n"))
+    cells.select(col("l_returnflag"), col("l_linestatus"), col("rev"), col("n"))
+      .unionByName(byFlag).unionByName(total)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("rev").cast(org.apache.spark.sql.types.DoubleType).as("revenue"),
+        col("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
 
   /** As-of join: for each event, that user's latest order at-or-before the
     * event ts. Spark has no ASOF JOIN operator; the scalable expression is
