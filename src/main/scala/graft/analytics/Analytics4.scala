@@ -83,14 +83,37 @@ object Analytics4 {
         org.apache.spark.sql.types.DecimalType(18, 2))) / lit(7.0)).as("avg_yearly"))
   }
 
-  /** CUBE over (event_type, hour-of-day): all four grouping sets in one
-    * pass — partial aggregation handles the expansion map-side, so the
-    * exchange still carries only group rows. */
-  def cubeActivity(events: DataFrame): DataFrame =
-    events
-      .cube(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+  /** CUBE over (event_type, hour-of-day): all four grouping sets derived
+    * by RE-AGGREGATING the finest cells instead of `cube()`'s Expand
+    * (which quadruples the event rows before aggregating, one copy per
+    * grouping set). One grouped pass reduces the scan to the
+    * (type, hour) cells — a few hundred rows at any corpus size — and
+    * the marginal/total levels re-aggregate those DECIMAL partials
+    * exactly (same construction as
+    * [[graft.analytics.Analytics.revenueRollup]]). */
+  def cubeActivity(events: DataFrame): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    val cells = events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("tv"))
+      .localCheckpoint() // four consumers, one event scan
+    val nullType = lit(null).cast("string").as("event_type")
+    val nullHour = lit(null).cast("long").as("hour_of_day")
+    val byType = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("tv")).as("tv"))
+      .select(col("event_type"), nullHour, col("n"), col("tv"))
+    val byHour = cells.groupBy(col("hour_of_day"))
+      .agg(sum(col("n")).as("n"), sum(col("tv")).as("tv"))
+      .select(nullType, col("hour_of_day"), col("n"), col("tv"))
+    val total = cells
+      .agg(sum(col("n")).as("n"), sum(col("tv")).as("tv"))
+      .select(nullType, nullHour, col("n"), col("tv"))
+    cells.select(col("event_type"), col("hour_of_day"), col("n"), col("tv"))
+      .unionByName(byType).unionByName(byHour).unionByName(total)
+      .select(col("event_type"), col("hour_of_day"), col("n"),
+        col("tv").cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("hour_of_day").asc_nulls_first)
+  }
 
   /** One-row data profile of the events table — the DESCRIBE-plus
     * (row/null/distinct counts, ranges) a pipeline logs before processing.
