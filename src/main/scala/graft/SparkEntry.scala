@@ -1053,6 +1053,23 @@ object SparkEntry {
         .toDF().orderBy(col("media_id"))
     }),
 
+    // perceptual-hash image dedup: REAL PNG decode → DCT pHash → banded
+    // hamming pairs (the image-side near-dup tier, sharing simhash's
+    // candidate/verify machinery). Same-pattern fixtures differ only by
+    // a uniform brightness shift, which moves only the DCT DC term —
+    // identical hashes (hamming 0) from different payload bytes — so
+    // the oracle predicts the full pair frame from doc_id classes
+    // without decoding a pixel
+    "q_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.hammingPairs(
+        Multimodal.pHashes(
+          Multimodal.imagePngMedia(s, Tables.documents(s, dir)))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"), col("phash").as("sh")),
+        maxHamming = 3)
+    }),
+
     // REAL container decode: the fixture's animated GIFs carry
     // 1 + doc_id % 7 frames, so the oracle predicts what the ImageIO
     // walk must find; pixel hashes (not SQL-expressible) are projected
@@ -3346,6 +3363,20 @@ object SparkEntry {
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),
 
     "q_multimodal_image" -> OracleSql.multimodalImageSql,
+
+    // the pHash pair frame is an exact function of the fixture's doc_id
+    // classes (pattern = doc_id % 5 among doc_id % 3 = 1 docs; the
+    // brightness jitter is DC-only, so same-pattern hashes are
+    // bit-identical → hamming 0, cross-pattern hashes are far): the
+    // oracle states the full (id_a, id_b, hamming) frame without
+    // decoding a pixel
+    "q_phash_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
+        |WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal_frames" -> OracleSql.multimodalFramesSql(stride = 1, maxFrames = 4),
     "q_multimodal_frames_quarantine" -> OracleSql.multimodalFramesQuarantineSql,
     "q_multimodal_audio" -> OracleSql.multimodalAudioSql,

@@ -163,9 +163,18 @@ object Dedup {
   /** SimHash near-duplicate pairs: 64-bit simhash, candidates = docs
     * agreeing on at least one of 4 16-bit bands (catches all pairs within
     * hamming distance 3), verified with bit_count(a^b) <= maxHamming. */
-  def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashed = documents.select(col("doc_id"),
-      simhash64(tokens(col("text"))).as("sh"))
+  def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(documents.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("sh")), maxHamming)
+
+  /** Banded hamming-neighbor pairs over ANY (doc_id, sh: 64-bit hash)
+    * frame — the candidate/verify machinery [[simHashPairs]] runs on text
+    * simhashes, shared with the perceptual-hash image tier
+    * ([[Multimodal.pHashes]]): candidates = docs agreeing on ≥ 1 of 4
+    * 16-bit bands (complete for hamming ≤ 3; a recall stage, verified
+    * exactly below it), verify = `bit_count(a^b) <= maxHamming`. Only
+    * (band, bh, id, sh) rows shuffle — never payloads. */
+  def hammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -263,4 +263,190 @@ object Multimodal {
       col("source"))
       .as[MediaRow]
   }
+
+  /** Perceptual hash of a decoded image. `decoded = false` quarantines
+    * undecodable payloads (phash 0). */
+  final case class PHashRow(media_id: Long, phash: Long, decoded: Boolean)
+
+  /** Synthetic REAL-PNG corpus for the perceptual-dedup tier (doc_id % 3
+    * == 1, disjoint from the GIF video tier's % 3 == 2): each document
+    * renders one of five 32×32 grayscale PATTERNS (`doc_id % 5` — two
+    * gradients, a checkerboard, two half-splits) at a per-document
+    * BRIGHTNESS offset (`(doc_id / 5) % 5` → −10..+10 gray levels, base
+    * values kept inside [30, 225] so the shift never clamps). PNG is
+    * lossless, so the decode returns the exact raster — and a uniform
+    * brightness shift moves ONLY the DCT DC coefficient, leaving every AC
+    * coefficient bit-identical: same-pattern documents get the SAME
+    * perceptual hash (hamming 0) from genuinely different payload bytes,
+    * which is precisely the near-dup-but-not-byte-dup structure a pHash
+    * screen exists to catch. The pair set is therefore an exact function
+    * of doc_id classes — the DuckDB oracle predicts it without decoding
+    * a pixel. */
+  def imagePngMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (docId, source) =>
+          val cls = (docId % 5).toInt
+          val jitter = (((docId / 5) % 5).toInt - 2) * 5 // −10..+10
+          MediaRow(docId, "image", pngBytes(patternImage(cls, jitter)), source)
+        }
+      }
+  }
+
+  /** One of five fixed 32×32 grayscale TEXTURES — a deterministic
+    * pseudorandom raster per class (FNV-mixed (cls, x, y) → gray in
+    * [78, 178]). Pseudorandom content is the robust choice for a
+    * sign-based hash: geometric patterns (ramps, checkers) concentrate
+    * their energy in a few DCT coefficients and can collide in the SIGN
+    * domain (a horizontal and a vertical ramp hash identically when the
+    * shared-texture signs dominate), while independent rasters give
+    * sign-generic coefficients everywhere — expected cross-class hamming
+    * ≈ 32 bits. `jitter` (±10, never clamping) stays a pure constant
+    * brightness shift, which the mean-centered hash cancels exactly. */
+  private def patternImage(cls: Int, jitter: Int): java.awt.image.BufferedImage = {
+    val n = 32
+    val img = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val mixed = graft.functions.SimHash64.fnv1a64(
+          Array((cls + 1).toByte, x.toByte, y.toByte))
+        val base = 78 + (java.lang.Long.remainderUnsigned(mixed, 101L)).toInt
+        val g = base + jitter
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode + 64-bit perceptual hash, batch-per-partition like
+    * [[imageFeatures]]. Real codec parse (javax.imageio); undecodable
+    * payloads quarantine as (0, decoded = false). Feed the decoded rows
+    * to [[graft.ops.Dedup.hammingPairs]] for the banded near-dup join —
+    * only (id, hash) rows ever shuffle, payloads stay in the scan. */
+  def pHashes(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) => PHashRow(r.media_id, pHash64(im), decoded = true)
+            case None => PHashRow(r.media_id, 0L, decoded = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** Classic DCT perceptual hash, MEAN-CENTERED variant: luma → 32×32
+    * block-average → subtract the raster mean → 2-D DCT-II → the
+    * low-frequency 8×8 corner → bit u,v = coefficient > median of the 63
+    * AC coefficients. Pure deterministic double math (same bits on every
+    * JVM). The mean-centering is what makes brightness invariance EXACT
+    * rather than noise-bounded: for integer gray rasters the mean is
+    * sum/1024 (a power-of-two divide — exact in binary floating point),
+    * so a raster and its uniformly-shifted copy center to BIT-IDENTICAL
+    * inputs and necessarily hash identically — the invariance the
+    * [[imagePngMedia]] fixture exercises, with no reliance on
+    * coefficient-vs-median gaps exceeding accumulation noise. */
+  private[ops] def pHash64(im: java.awt.image.BufferedImage): Long = {
+    val n = 32
+    // block-average the luma down to n×n (identity for n×n inputs)
+    val g = Array.ofDim[Double](n, n)
+    val (w, h) = (im.getWidth, im.getHeight)
+    var by = 0
+    while (by < n) {
+      var bx = 0
+      while (bx < n) {
+        val (x0, x1) = ((bx * w) / n, math.max((bx * w) / n + 1, ((bx + 1) * w) / n))
+        val (y0, y1) = ((by * h) / n, math.max((by * h) / n + 1, ((by + 1) * h) / n))
+        var sum = 0.0
+        var cnt = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = im.getRGB(x, y)
+            // integer ITU-R 601 luma: deterministic, no float rounding
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000.0
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        g(by)(bx) = sum / cnt
+        bx += 1
+      }
+      by += 1
+    }
+    // mean-center: kills the DC term exactly (n² = 1024 is a power of
+    // two, so the mean — and hence every centered value — is exact for
+    // integer-luma rasters)
+    var total = 0.0
+    var cy = 0
+    while (cy < n) {
+      var cx = 0
+      while (cx < n) { total += g(cy)(cx); cx += 1 }
+      cy += 1
+    }
+    val mean = total / (n * n)
+    cy = 0
+    while (cy < n) {
+      var cx = 0
+      while (cx < n) { g(cy)(cx) -= mean; cx += 1 }
+      cy += 1
+    }
+    // 2-D DCT-II of the 8×8 low-frequency corner only (O(n² · 64))
+    val dct = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < n) {
+          var x = 0
+          while (x < n) {
+            acc += g(y)(x) *
+              math.cos((2 * y + 1) * u * math.Pi / (2.0 * n)) *
+              math.cos((2 * x + 1) * v * math.Pi / (2.0 * n))
+            x += 1
+          }
+          y += 1
+        }
+        dct(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for { u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0 }
+      yield dct(u)(v)).sorted
+    val median = ac(31) // 63 ACs → the exact middle element
+    var bits = 0L
+    var i = 0
+    for { uu <- 0 until 8; vv <- 0 until 8 } {
+      if (dct(uu)(vv) > median) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
 }

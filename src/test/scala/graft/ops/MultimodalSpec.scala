@@ -124,4 +124,32 @@ class MultimodalSpec extends AnyFunSuite {
     val joined = meta.join(docs, "media_id")
     assert(joined.filter(col("n_bytes") =!= col("want")).count() == 0)
   }
+
+  test("pHash: brightness-shift invariant within a pattern, far across patterns") {
+    import org.apache.spark.sql.functions._
+    val hashes = Multimodal.pHashes(
+        Multimodal.imagePngMedia(spark, Tables.documents(spark, SparkTestBase.sfDir)))
+      .collect()
+    assert(hashes.nonEmpty && hashes.forall(_.decoded)) // PNGs all decode
+    val byClass = hashes.groupBy(_.media_id % 5)
+    // within a pattern class: different payload bytes (different jitter),
+    // ONE hash — the DC-only brightness invariance
+    byClass.foreach { case (cls, rows) =>
+      assert(rows.map(_.phash).distinct.length == 1,
+        s"pattern class $cls hashes diverged")
+    }
+    // across classes: every pair of class hashes is far (> the banding's
+    // complete-recall radius), so the pair frame is exactly within-class
+    val classHash = byClass.map { case (c, rows) => c -> rows.head.phash }
+    for ((c1, h1) <- classHash; (c2, h2) <- classHash if c1 < c2) {
+      val hamming = java.lang.Long.bitCount(h1 ^ h2)
+      assert(hamming > 3, s"classes $c1/$c2 too close: hamming $hamming")
+    }
+    // a non-image payload quarantines instead of throwing
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(99L, "image",
+      "not a png".getBytes("UTF-8"), "s")).toDS()
+    val q = Multimodal.pHashes(junk).collect()
+    assert(q.length == 1 && !q.head.decoded && q.head.phash == 0L)
+  }
 }
