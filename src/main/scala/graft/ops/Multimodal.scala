@@ -286,6 +286,11 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id"), col("source"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
+      // the fixture often arrives as ONE parquet file; per-row codec work
+      // (PNG encode here, decode+DCT downstream) must not inherit that
+      // single partition — spread it across the cluster before the
+      // mapPartitions stage
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
