@@ -1070,6 +1070,21 @@ object SparkEntry {
         maxHamming = 3)
     }),
 
+    // audio near-dup: REAL WAV decode → spectral band fingerprint →
+    // the same banded hamming join. Same-waveform fixtures differ only
+    // by an integer gain, which scales every band energy by gain² and
+    // leaves the 64 band-comparison bits untouched — so the pair frame
+    // is again an exact function of doc_id classes for the oracle
+    "q_audio_fp_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.hammingPairs(
+        Multimodal.audioFingerprints(
+          Multimodal.audioWavMedia(s, Tables.documents(s, dir)))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"), col("afp").as("sh")),
+        maxHamming = 3)
+    }),
+
     // REAL container decode: the fixture's animated GIFs carry
     // 1 + doc_id % 7 frames, so the oracle predicts what the ImageIO
     // walk must find; pixel hashes (not SQL-expressible) are projected
@@ -3376,6 +3391,17 @@ object SparkEntry {
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
         |WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same class structure for the audio tier (waveform = doc_id % 5
+    // among doc_id % 3 = 0 docs; the gain variants are spectral-ratio
+    // invariant → hamming 0 within class, far across classes)
+    "q_audio_fp_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
+        |WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
         |ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal_frames" -> OracleSql.multimodalFramesSql(stride = 1, maxFrames = 4),
     "q_multimodal_frames_quarantine" -> OracleSql.multimodalFramesQuarantineSql,

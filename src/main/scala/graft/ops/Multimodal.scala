@@ -361,6 +361,181 @@ object Multimodal {
     }
   }
 
+  /** Spectral audio fingerprint of a decoded clip. `decoded = false`
+    * quarantines undecodable payloads (afp 0). */
+  final case class AudioFpRow(media_id: Long, afp: Long, decoded: Boolean)
+
+  /** Synthetic REAL-WAV corpus for the audio near-dup tier (doc_id % 3
+    * == 0, disjoint from the PNG % 3 == 1 and GIF % 3 == 2 tiers): each
+    * document renders one of five fixed pseudorandom PCM waveforms
+    * (`doc_id % 5` — FNV-mixed (class, sample) → 16-bit samples in
+    * [−6000, 6000]) at a per-document integer GAIN (`1 + (doc_id / 5) %
+    * 5`, peaks ≤ 30000 so nothing clips). WAV/PCM is lossless and the
+    * gain is an exact integer multiply, so same-class clips are the same
+    * signal at different loudness — the invariance class a spectral
+    * fingerprint must collapse ([[audioFingerprints]]) — from genuinely
+    * different payload bytes. The pair frame is again an exact function
+    * of doc_id classes for the DuckDB oracle. */
+  def audioWavMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .repartition(spark.sparkContext.defaultParallelism) // codec stage
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, source) =>
+          val cls = (docId % 5).toInt
+          val gain = 1 + ((docId / 5) % 5).toInt // 1..5, exact multiply
+          MediaRow(docId, "audio", wavBytes(classWaveform(cls, gain)), source)
+        }
+      }
+  }
+
+  private val FpSamples = 2048
+
+  /** Fixed pseudorandom waveform per class, scaled by an integer gain. */
+  private def classWaveform(cls: Int, gain: Int): Array[Short] = {
+    val out = new Array[Short](FpSamples)
+    var i = 0
+    while (i < FpSamples) {
+      val mixed = graft.functions.SimHash64.fnv1a64(
+        Array((cls + 1).toByte, (i >> 8).toByte, i.toByte))
+      val base = java.lang.Long.remainderUnsigned(mixed, 12001L).toInt - 6000
+      out(i) = (base * gain).toShort // |base·gain| ≤ 30000 < 32768
+      i += 1
+    }
+    out
+  }
+
+  /** Encode 16-bit mono 8 kHz PCM as a real WAV container (JDK writer). */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian per the format below
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Decode + 64-bit spectral fingerprint, batch-per-partition like the
+    * other codecs. Real container decode (javax.sound.sampled PCM frame
+    * read); undecodable payloads quarantine as (0, decoded = false).
+    * Feed decoded rows to [[graft.ops.Dedup.hammingPairs]] — the same
+    * banded near-dup join the text and image tiers use. */
+  def audioFingerprints(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioFpRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val pcm =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+              else Some((ais.readAllBytes(), fmt.isBigEndian))
+            } catch { case _: Exception => None }
+          pcm match {
+            case Some((bytes, bigEndian)) =>
+              AudioFpRow(r.media_id, audioFp64(bytes, bigEndian), decoded = true)
+            case None => AudioFpRow(r.media_id, 0L, decoded = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** Chromaprint-style spectral fingerprint: the first 2048 samples
+    * (zero-padded if shorter) → radix-2 FFT → 65 adjacent 16-bin band
+    * energies over the positive spectrum (DC skipped) → bit i =
+    * energy(i) > energy(i+1). Band-energy RATIOS are what survive volume
+    * changes: scaling the signal scales every energy by gain², so the
+    * 64 comparison bits are gain-invariant — the [[audioWavMedia]]
+    * fixture's loudness variants hash identically while different
+    * waveforms give sign-generic spectra (expected hamming ≈ 32). */
+  private[ops] def audioFp64(pcm: Array[Byte], bigEndian: Boolean): Long = {
+    val n = FpSamples
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    val nSamples = math.min(n, pcm.length / 2)
+    var i = 0
+    while (i < nSamples) {
+      val (lo, hi) = if (bigEndian) (pcm(2 * i + 1), pcm(2 * i))
+        else (pcm(2 * i), pcm(2 * i + 1))
+      re(i) = ((hi << 8) | (lo & 0xff)).toShort.toDouble
+      i += 1
+    }
+    fftInPlace(re, im)
+    // 65 bands × 16 bins over bins 1..1040 (skip DC)
+    val bands = new Array[Double](65)
+    var b = 0
+    while (b < 65) {
+      var acc = 0.0
+      var k = 1 + b * 16
+      val end = k + 16
+      while (k < end) { acc += re(k) * re(k) + im(k) * im(k); k += 1 }
+      bands(b) = acc
+      b += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      if (bands(j) > bands(j + 1)) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
+  /** Iterative radix-2 Cooley-Tukey FFT (in place, n = 2^k). */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // bit-reversal permutation
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val (wr, wi) = (math.cos(ang), math.sin(ang))
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val (ur, ui) = (re(base + k), im(base + k))
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
   /** Classic DCT perceptual hash, MEAN-CENTERED variant: luma → 32×32
     * block-average → subtract the raster mean → 2-D DCT-II → the
     * low-frequency 8×8 corner → bit u,v = coefficient > median of the 63

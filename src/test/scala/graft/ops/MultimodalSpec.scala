@@ -152,4 +152,30 @@ class MultimodalSpec extends AnyFunSuite {
     val q = Multimodal.pHashes(junk).collect()
     assert(q.length == 1 && !q.head.decoded && q.head.phash == 0L)
   }
+
+  test("audio fingerprint: gain-invariant within a waveform, far across waveforms") {
+    import org.apache.spark.sql.functions._
+    val fps = Multimodal.audioFingerprints(
+        Multimodal.audioWavMedia(spark, Tables.documents(spark, SparkTestBase.sfDir)))
+      .collect()
+    assert(fps.nonEmpty && fps.forall(_.decoded)) // WAVs all decode
+    val byClass = fps.groupBy(_.media_id % 5)
+    // within a waveform class: different gain (different payload bytes),
+    // ONE fingerprint — band-energy ratios survive volume changes
+    byClass.foreach { case (cls, rows) =>
+      assert(rows.map(_.afp).distinct.length == 1,
+        s"waveform class $cls fingerprints diverged")
+    }
+    val classFp = byClass.map { case (c, rows) => c -> rows.head.afp }
+    for ((c1, f1) <- classFp; (c2, f2) <- classFp if c1 < c2) {
+      val hamming = java.lang.Long.bitCount(f1 ^ f2)
+      assert(hamming > 3, s"waveforms $c1/$c2 too close: hamming $hamming")
+    }
+    // a non-audio payload quarantines instead of throwing
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(99L, "audio",
+      "not a wav".getBytes("UTF-8"), "s")).toDS()
+    val q = Multimodal.audioFingerprints(junk).collect()
+    assert(q.length == 1 && !q.head.decoded && q.head.afp == 0L)
+  }
 }
