@@ -462,7 +462,7 @@ object Multimodal {
     * 64 comparison bits are gain-invariant — the [[audioWavMedia]]
     * fixture's loudness variants hash identically while different
     * waveforms give sign-generic spectra (expected hamming ≈ 32). */
-  private[ops] def audioFp64(pcm: Array[Byte], bigEndian: Boolean): Long = {
+  private[graft] def audioFp64(pcm: Array[Byte], bigEndian: Boolean): Long = {
     val n = FpSamples
     val re = new Array[Double](n)
     val im = new Array[Double](n)
@@ -547,7 +547,7 @@ object Multimodal {
     * inputs and necessarily hash identically — the invariance the
     * [[imagePngMedia]] fixture exercises, with no reliance on
     * coefficient-vs-median gaps exceeding accumulation noise. */
-  private[ops] def pHash64(im: java.awt.image.BufferedImage): Long = {
+  private[graft] def pHash64(im: java.awt.image.BufferedImage): Long = {
     val n = 32
     // block-average the luma down to n×n (identity for n×n inputs)
     val g = Array.ofDim[Double](n, n)
