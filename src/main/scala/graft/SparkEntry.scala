@@ -1070,6 +1070,25 @@ object SparkEntry {
         maxHamming = 3)
     }),
 
+    // the multimodal × graph composition: connected components over the
+    // pHash near-dup graph — image families. Each texture class is a
+    // clique (hamming 0 within, far across), so the labeling is exactly
+    // "minimum doc_id of the class" — a closed-form oracle, no
+    // recursive CTE needed
+    "q_phash_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val imageDocs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"))
+      val pairs = Dedup.hammingPairs(
+        Multimodal.pHashes(
+          Multimodal.imagePngMedia(s, Tables.documents(s, dir)))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"), col("phash").as("sh")),
+        maxHamming = 3)
+      Dedup.nearDupClusters(imageDocs, pairs)
+    }),
+
     // audio near-dup: REAL WAV decode → spectral band fingerprint →
     // the same banded hamming join. Same-waveform fixtures differ only
     // by an integer gain, which scales every band energy by gain² and
@@ -3392,6 +3411,16 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
         |WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // image families: each texture class is a clique, so every doc's
+    // component label is the minimum doc_id sharing its class
+    "q_phash_clusters" ->
+      """SELECT a.doc_id,
+        |  (SELECT MIN(b.doc_id) FROM documents b
+        |   WHERE b.doc_id % 3 = 1 AND b.doc_id % 5 = a.doc_id % 5)
+        |    AS cluster_id
+        |FROM documents a WHERE a.doc_id % 3 = 1
+        |ORDER BY a.doc_id""".stripMargin,
 
     // same class structure for the audio tier (waveform = doc_id % 5
     // among doc_id % 3 = 0 docs; the gain variants are spectral-ratio
