@@ -1062,11 +1062,12 @@ object SparkEntry {
     // without decoding a pixel
     "q_phash_pairs" -> ((s, dir) => {
       import s.implicits._
-      Dedup.hammingPairs(
+      Dedup.hammingPairs128(
         Multimodal.pHashes(
           Multimodal.imagePngMedia(s, Tables.documents(s, dir)))
           .filter(_.decoded).toDF()
-          .select(col("media_id").as("doc_id"), col("phash").as("sh")),
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1")),
         maxHamming = 3)
     }),
 
@@ -1080,11 +1081,12 @@ object SparkEntry {
       val imageDocs = Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(3)) === 1)
         .select(col("doc_id"))
-      val pairs = Dedup.hammingPairs(
+      val pairs = Dedup.hammingPairs128(
         Multimodal.pHashes(
           Multimodal.imagePngMedia(s, Tables.documents(s, dir)))
           .filter(_.decoded).toDF()
-          .select(col("media_id").as("doc_id"), col("phash").as("sh")),
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1")),
         maxHamming = 3)
       Dedup.nearDupClusters(imageDocs, pairs)
     }),
@@ -1096,12 +1098,29 @@ object SparkEntry {
     // is again an exact function of doc_id classes for the oracle
     "q_audio_fp_pairs" -> ((s, dir) => {
       import s.implicits._
-      Dedup.hammingPairs(
+      Dedup.hammingPairs128(
         Multimodal.audioFingerprints(
           Multimodal.audioWavMedia(s, Tables.documents(s, dir)))
           .filter(_.decoded).toDF()
-          .select(col("media_id").as("doc_id"), col("afp").as("sh")),
+          .select(col("media_id").as("doc_id"),
+            col("afp0").as("sh0"), col("afp1").as("sh1")),
         maxHamming = 3)
+    }),
+
+    // video near-dup by FRAME VOTE: real GIF container decode →
+    // per-frame DCT pHash → banded hamming over frame hashes → pairs
+    // agreeing on ≥ 3 frames. The fixture's 4 class-shared frames match
+    // exactly (brightness shifts cancel in the mean-centered hash) and
+    // the doc-unique tail frame never does, so the oracle states the
+    // full (id_a, id_b, n_frames = 4) frame from doc_id classes alone
+    "q_video_fp_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.videoFpPairs(
+        Multimodal.framePHashes(
+          Multimodal.videoNearDupMedia(s, Tables.documents(s, dir)),
+          stride = 1, maxFrames = 8)
+          .filter(_.decoded).toDF(),
+        maxHamming = 3, minFrames = 3)
     }),
 
     // REAL container decode: the fixture's animated GIFs carry
@@ -3432,6 +3451,18 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
         |WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
         |ORDER BY id_a, id_b""".stripMargin,
+    // video frame-vote families: the 4 class-shared frames (class =
+    // doc_id % 5 among doc_id % 3 = 2 docs) match bit-exactly, the
+    // doc-unique tail frame never does → every same-class pair scores
+    // exactly 4 matched frames
+    "q_video_fp_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(4 AS BIGINT) AS n_frames
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
+        |WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 = 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_multimodal_frames" -> OracleSql.multimodalFramesSql(stride = 1, maxFrames = 4),
     "q_multimodal_frames_quarantine" -> OracleSql.multimodalFramesQuarantineSql,
     "q_multimodal_audio" -> OracleSql.multimodalAudioSql,

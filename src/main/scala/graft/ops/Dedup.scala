@@ -169,27 +169,109 @@ object Dedup {
 
   /** Banded hamming-neighbor pairs over ANY (doc_id, sh: 64-bit hash)
     * frame — the candidate/verify machinery [[simHashPairs]] runs on text
-    * simhashes, shared with the perceptual-hash image tier
-    * ([[Multimodal.pHashes]]): candidates = docs agreeing on ≥ 1 of 4
-    * 16-bit bands (complete for hamming ≤ 3; a recall stage, verified
-    * exactly below it), verify = `bit_count(a^b) <= maxHamming`. Only
-    * (band, bh, id, sh) rows shuffle — never payloads. */
+    * simhashes: candidates = docs agreeing on ≥ 1 of 4 16-bit bands
+    * (complete for hamming ≤ 3; a recall stage, verified exactly below
+    * it), verify = `bit_count(a^b) <= maxHamming`. Only (band, bh, id,
+    * sh) rows shuffle — never payloads.
+    *
+    * The 64-bit hash caps the band key space at 2¹⁶ buckets, so at
+    * billion-row corpora random band collisions make the within-bucket
+    * pair volume quadratic-mass; per-TASK work stays bounded regardless
+    * via [[bandedSelfJoin]]'s sub-block grid (the [[charJaccardPairs]]
+    * guard applied to hash buckets). Operators free to choose their
+    * fingerprint width should prefer 128 bits ([[hammingPairs128]] — the
+    * multimodal tiers do), where the 8×16-bit band keys make random
+    * collisions vanishingly rare instead of merely bounded. */
   def hammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val left = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    bandedSelfJoin(banded, Seq("sh"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** [[hammingPairs]] for 128-bit fingerprints carried as two BIGINT words
+    * (doc_id, sh0, sh1): 8 bands of 16 bits (complete for hamming ≤ 7 —
+    * the callers use ≤ 3), hamming = popcount over both words. The wider
+    * fingerprint is the corpus-scale fix for the banded-hamming family:
+    * with 2¹⁶ buckets PER BAND but hashes drawn from 2¹²⁸, two
+    * non-duplicate documents collide on a band with probability 2⁻¹⁶ per
+    * band like before — but the fingerprint carries enough entropy that
+    * near-misses (hamming 4..16) don't saturate whole buckets the way a
+    * 64-bit hash's correlated bands do, and the grid guard below bounds
+    * any residual hot bucket. Only (band, bh, id, sh0, sh1) rows
+    * shuffle. */
+  def hammingPairs128(hashed: DataFrame, maxHamming: Int): DataFrame =
+    hammingPairs128Unordered(hashed, maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[hammingPairs128]] without the final presentation sort — for
+    * composition under a downstream aggregation (the video frame-vote
+    * tier), where an intermediate global sort would be a wasted
+    * shuffle. One row per matched (hash_a, hash_b) combination; when
+    * `doc_id` repeats across input rows (one row per video FRAME), each
+    * distinct matched hash pair of a doc pair keeps its own row — the
+    * frame-vote count downstream. */
+  private[graft] def hammingPairs128Unordered(hashed: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def word(b: Int): Column = if (b < 4) col("sh0") else col("sh1")
+    val banded = hashed.select(col("doc_id"), col("sh0"), col("sh1"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(word(b), (b % 4) * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sh0"), col("sh1"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bandedSelfJoin(banded, Seq("sh0", "sh1"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("sh0_a").bitwiseXOR(col("sh0_b"))) +
+          bit_count(col("sh1_a").bitwiseXOR(col("sh1_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Self-join of a banded frame (band, bh, doc_id, payload…) on its
+    * bucket key, with the [[charJaccardPairs]] g×g sub-block grid guard:
+    * a bucket with m members is split into g = ceil(m / targetBlock)
+    * sub-blocks, each side replicated g times, every unordered pair
+    * matched EXACTLY once — per-task pair work bounded by ~targetBlock²
+    * for ANY bucket size (one hot band value must not become one task's
+    * quadratic loop), output identical for any g. Buckets at or under
+    * targetBlock pay no replication (g = 1, the common case — at sf0.01
+    * every bucket is far below it). The per-bucket counts join back on
+    * the SAME (band, bh) key the self-join shuffles on, so AQE reuses
+    * the exchange; counts are never broadcast (bucket cardinality scales
+    * with the corpus, unlike [[charJaccardPairs]]' source count).
+    * Emits (id_a < id_b, payload_a…, payload_b…), one row per
+    * (band-bucket, pair) — callers `distinct()` across bands. */
+  private def bandedSelfJoin(banded: DataFrame, payload: Seq[String],
+      targetBlock: Int = 4096): DataFrame = {
+    val t = math.max(targetBlock, 1)
+    val gPerBucket = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_bc"))
+      .select(col("band"), col("bh"),
+        greatest(ceil(col("_bc").cast("double") / t).cast("long"), lit(1L)).as("_g"))
+    val withG = banded.join(gPerBucket, Seq("band", "bh"))
+    val a = withG.select(
+      Seq(col("band"), col("bh"), col("doc_id").as("id_a"),
+        pmod(xxhash64(col("doc_id")), col("_g")).as("ga"),
+        explode(sequence(lit(0L), col("_g") - 1L)).as("gb")) ++
+        payload.map(p => col(p).as(s"${p}_a")): _*)
+    val b = withG.select(
+      Seq(col("band"), col("bh"), col("doc_id").as("id_b"),
+        pmod(xxhash64(col("doc_id")), col("_g")).as("gb"),
+        explode(sequence(lit(0L), col("_g") - 1L)).as("ga")) ++
+        payload.map(p => col(p).as(s"${p}_b")): _*)
+    a.join(b, Seq("band", "bh", "ga", "gb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
   }
 
   /** Exact n-gram jaccard over LSH candidates — [[minHashPairs]] with the

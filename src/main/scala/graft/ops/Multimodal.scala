@@ -186,6 +186,156 @@ object Multimodal {
     graft.functions.SimHash64.fnv1a64(bb.array())
   }
 
+  /** Per-frame 128-bit perceptual hash of a decoded video frame —
+    * [[FrameSample]]'s shape with the pixel hash replaced by the
+    * near-dup-capable [[pHash128]]. Quarantine rows: frame_idx = -1,
+    * hash 0, decoded = false. */
+  final case class FramePHash(media_id: Long, frame_idx: Int,
+      ph0: Long, ph1: Long, decoded: Boolean)
+
+  /** Video frame walk like [[sampleFrames]], but each decoded frame is
+    * perceptually hashed ([[pHash128]]) instead of pixel-hashed — the
+    * fingerprint stage of the video near-dup tier. Codec work rides the
+    * scan (embarrassingly parallel); only (media_id, frame_idx, two
+    * hash words) rows leave the task — payloads never shuffle. */
+  def framePHashes(media: Dataset[MediaRow], stride: Int,
+      maxFrames: Int): Dataset[FramePHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val decodedFrames =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                if (n >= 1)
+                  Some((0 until n by stride).take(maxFrames).map { i =>
+                    val (h0, h1) = pHash128(reader.read(i))
+                    FramePHash(r.media_id, i, h0, h1, decoded = true)
+                  })
+                else None
+              } finally reader.dispose()
+            } else None
+          } catch { case _: Exception => None }
+        decodedFrames match {
+          case Some(fs) => fs.iterator
+          case None =>
+            Iterator.single(FramePHash(r.media_id, -1, 0L, 0L, decoded = false))
+        }
+      }
+    }
+  }
+
+  /** Video near-duplicate pairs by FRAME VOTE — the standard video
+    * near-dup shape composed from parts this engine already has: sample
+    * frames → per-frame perceptual hash ([[framePHashes]]) → banded
+    * hamming join over the frame hashes
+    * ([[graft.ops.Dedup.hammingPairs128]], one row per matched
+    * hash pair of a video pair) → count matched frames per pair, keep
+    * pairs agreeing on ≥ `minFrames`. Only (frame-hash band, id, hash
+    * words) rows shuffle — never frames or payloads — and the final
+    * vote is one keyed integer aggregation over the (already sparse)
+    * match rows. */
+  def videoFpPairs(frames: DataFrame, maxHamming: Int = 3,
+      minFrames: Int = 3): DataFrame =
+    graft.ops.Dedup.hammingPairs128Unordered(
+      frames.select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1")),
+      maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .filter(col("n_frames") >= minFrames)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Synthetic REAL-GIF corpus for the video near-dup tier (doc_id % 3
+    * == 2, the same id stripe as [[videoGifMedia]] — a near-dup-
+    * STRUCTURED alternative to that fixture's frame-count oracle): each
+    * video carries 4 CLASS-SHARED content frames (class = doc_id % 5,
+    * frame textures seeded by (class, frame)) plus ONE doc-unique tail
+    * frame, all 32×32 grayscale textures at a per-document BRIGHTNESS
+    * offset. Frames are TYPE_BYTE_INDEXED over an explicit 256-gray
+    * palette, so the GIF encode is LOSSLESS (the JDK writer keeps an
+    * indexed image's own color table; RGB input would be quantized to
+    * the default web-safe palette, breaking the DC-only-shift
+    * invariance). Same-class videos therefore share 4 frame pHashes
+    * exactly (brightness cancels in the mean-centered hash) while the
+    * unique tail frame never matches — the frame-vote pair frame is an
+    * exact function of doc_id classes for the DuckDB oracle
+    * (n_frames = 4 per same-class pair). */
+  def videoNearDupMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .repartition(spark.sparkContext.defaultParallelism) // codec stage
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (docId, source) =>
+          val cls = (docId % 5).toInt
+          val jitter = (((docId / 5) % 5).toInt - 2) * 5 // −10..+10
+          // shared seeds 0..79 (class·16 + frame); unique seeds ≥ 10⁶ —
+          // disjoint ranges, so no texture ever repeats across roles
+          val frames = (0 until 4).map(f =>
+            textureImageIndexed(cls * 16L + f, jitter)) :+
+            textureImageIndexed(1000000L + docId, jitter)
+          MediaRow(docId, "video", animatedGifOf(frames), source)
+        }
+      }
+  }
+
+  /** [[textureImage]] rendered as TYPE_BYTE_INDEXED over an explicit
+    * full 256-gray palette — the raster shape GIF encodes losslessly
+    * (the writer copies an indexed image's color table verbatim). */
+  private[graft] def textureImageIndexed(seed: Long, jitter: Int): java.awt.image.BufferedImage = {
+    val n = 32
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    val sb = java.nio.ByteBuffer.allocate(10)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        sb.clear()
+        sb.putLong(seed).put(x.toByte).put(y.toByte)
+        val mixed = graft.functions.SimHash64.fnv1a64(sb.array())
+        val base = 78 + (java.lang.Long.remainderUnsigned(mixed, 101L)).toInt
+        raster.setSample(x, y, 0, base + jitter)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode arbitrary frames as a real animated GIF (JDK writer,
+    * sequence API) — the frame-content twin of [[animatedGif]]. */
+  private[graft] def animatedGifOf(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
   /** DataFrame-level metadata extraction over a binary payload column —
     * the no-decode fast path (byte length + md5), fully oracle-checkable
     * since both engines hash the same bytes. */
@@ -264,16 +414,18 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Perceptual hash of a decoded image. `decoded = false` quarantines
-    * undecodable payloads (phash 0). */
-  final case class PHashRow(media_id: Long, phash: Long, decoded: Boolean)
+  /** 128-bit perceptual hash of a decoded image, carried as two BIGINT
+    * words ([[graft.ops.Dedup.hammingPairs128]]'s input shape).
+    * `decoded = false` quarantines undecodable payloads (hash 0). */
+  final case class PHashRow(media_id: Long, ph0: Long, ph1: Long, decoded: Boolean)
 
   /** Synthetic REAL-PNG corpus for the perceptual-dedup tier (doc_id % 3
     * == 1, disjoint from the GIF video tier's % 3 == 2): each document
-    * renders one of five 32×32 grayscale PATTERNS (`doc_id % 5` — two
-    * gradients, a checkerboard, two half-splits) at a per-document
-    * BRIGHTNESS offset (`(doc_id / 5) % 5` → −10..+10 gray levels, base
-    * values kept inside [30, 225] so the shift never clamps). PNG is
+    * renders one of five 32×32 grayscale pseudorandom TEXTURES
+    * (`doc_id % 5`, [[patternImage]]'s FNV-mixed rasters with base gray
+    * in [78, 178]) at a per-document BRIGHTNESS offset (`(doc_id / 5) %
+    * 5` → −10..+10 gray levels — never clamping, since 68..188 stays
+    * inside [0, 255]). PNG is
     * lossless, so the decode returns the exact raster — and a uniform
     * brightness shift moves ONLY the DCT DC coefficient, leaving every AC
     * coefficient bit-identical: same-pattern documents get the SAME
@@ -310,8 +462,9 @@ object Multimodal {
     * domain (a horizontal and a vertical ramp hash identically when the
     * shared-texture signs dominate), while independent rasters give
     * sign-generic coefficients everywhere — expected cross-class hamming
-    * ≈ 32 bits. `jitter` (±10, never clamping) stays a pure constant
-    * brightness shift, which the mean-centered hash cancels exactly. */
+    * ≈ 64 of the 128 bits. `jitter` (±10, never clamping) stays a pure
+    * constant brightness shift, which the mean-centered hash cancels
+    * exactly. */
   private def patternImage(cls: Int, jitter: Int): java.awt.image.BufferedImage = {
     val n = 32
     val img = new java.awt.image.BufferedImage(n, n,
@@ -332,17 +485,45 @@ object Multimodal {
     img
   }
 
-  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+  /** [[patternImage]] with a FULL 64-bit seed (the class-byte variant
+    * caps families at 256 — fine for the 5-class fixture, useless for a
+    * TRUE-growth corpus whose family count grows with n). Same FNV
+    * texture construction and [78, 178] range; used by the scale soak's
+    * generated image corpora and the video fixture's frame content. */
+  private[graft] def textureImage(seed: Long, jitter: Int): java.awt.image.BufferedImage = {
+    val n = 32
+    val img = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sb = java.nio.ByteBuffer.allocate(10)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        sb.clear()
+        sb.putLong(seed).put(x.toByte).put(y.toByte)
+        val mixed = graft.functions.SimHash64.fnv1a64(sb.array())
+        val base = 78 + (java.lang.Long.remainderUnsigned(mixed, 101L)).toInt
+        val g = base + jitter
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
   }
 
-  /** Decode + 64-bit perceptual hash, batch-per-partition like
+  /** Decode + 128-bit perceptual hash, batch-per-partition like
     * [[imageFeatures]]. Real codec parse (javax.imageio); undecodable
-    * payloads quarantine as (0, decoded = false). Feed the decoded rows
-    * to [[graft.ops.Dedup.hammingPairs]] for the banded near-dup join —
-    * only (id, hash) rows ever shuffle, payloads stay in the scan. */
+    * payloads quarantine as (0, 0, decoded = false). Feed the decoded
+    * rows to [[graft.ops.Dedup.hammingPairs128]] for the banded near-dup
+    * join — only (id, hash-words) rows ever shuffle, payloads stay in
+    * the scan. */
   def pHashes(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PHashRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
@@ -353,17 +534,20 @@ object Multimodal {
             try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
             catch { case _: Exception => None }
           img match {
-            case Some(im) => PHashRow(r.media_id, pHash64(im), decoded = true)
-            case None => PHashRow(r.media_id, 0L, decoded = false)
+            case Some(im) =>
+              val (h0, h1) = pHash128(im)
+              PHashRow(r.media_id, h0, h1, decoded = true)
+            case None => PHashRow(r.media_id, 0L, 0L, decoded = false)
           }
         }
       }
     }
   }
 
-  /** Spectral audio fingerprint of a decoded clip. `decoded = false`
-    * quarantines undecodable payloads (afp 0). */
-  final case class AudioFpRow(media_id: Long, afp: Long, decoded: Boolean)
+  /** 128-bit spectral audio fingerprint of a decoded clip, as two BIGINT
+    * words ([[graft.ops.Dedup.hammingPairs128]]'s input shape).
+    * `decoded = false` quarantines undecodable payloads (fp 0). */
+  final case class AudioFpRow(media_id: Long, afp0: Long, afp1: Long, decoded: Boolean)
 
   /** Synthetic REAL-WAV corpus for the audio near-dup tier (doc_id % 3
     * == 0, disjoint from the PNG % 3 == 1 and GIF % 3 == 2 tiers): each
@@ -407,8 +591,25 @@ object Multimodal {
     out
   }
 
+  /** [[classWaveform]] with a full 64-bit seed (the class byte caps
+    * families at 256) — the scale soak's generated audio corpora. */
+  private[graft] def seededWaveform(seed: Long, gain: Int): Array[Short] = {
+    val out = new Array[Short](FpSamples)
+    val sb = java.nio.ByteBuffer.allocate(10)
+    var i = 0
+    while (i < FpSamples) {
+      sb.clear()
+      sb.putLong(seed).put((i >> 8).toByte).put(i.toByte)
+      val mixed = graft.functions.SimHash64.fnv1a64(sb.array())
+      val base = java.lang.Long.remainderUnsigned(mixed, 12001L).toInt - 6000
+      out(i) = (base * gain).toShort // |base·gain| ≤ 30000 < 32768
+      i += 1
+    }
+    out
+  }
+
   /** Encode 16-bit mono 8 kHz PCM as a real WAV container (JDK writer). */
-  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+  private[graft] def wavBytes(samples: Array[Short]): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) { // little-endian per the format below
@@ -425,11 +626,11 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Decode + 64-bit spectral fingerprint, batch-per-partition like the
+  /** Decode + 128-bit spectral fingerprint, batch-per-partition like the
     * other codecs. Real container decode (javax.sound.sampled PCM frame
-    * read); undecodable payloads quarantine as (0, decoded = false).
-    * Feed decoded rows to [[graft.ops.Dedup.hammingPairs]] — the same
-    * banded near-dup join the text and image tiers use. */
+    * read); undecodable payloads quarantine as (0, 0, decoded = false).
+    * Feed decoded rows to [[graft.ops.Dedup.hammingPairs128]] — the same
+    * banded near-dup join the image tier uses. */
   def audioFingerprints(media: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[AudioFpRow] = {
     import media.sparkSession.implicits._
@@ -446,23 +647,29 @@ object Multimodal {
             } catch { case _: Exception => None }
           pcm match {
             case Some((bytes, bigEndian)) =>
-              AudioFpRow(r.media_id, audioFp64(bytes, bigEndian), decoded = true)
-            case None => AudioFpRow(r.media_id, 0L, decoded = false)
+              val (f0, f1) = audioFp128(bytes, bigEndian)
+              AudioFpRow(r.media_id, f0, f1, decoded = true)
+            case None => AudioFpRow(r.media_id, 0L, 0L, decoded = false)
           }
         }
       }
     }
   }
 
-  /** Chromaprint-style spectral fingerprint: the first 2048 samples
-    * (zero-padded if shorter) → radix-2 FFT → 65 adjacent 16-bin band
-    * energies over the positive spectrum (DC skipped) → bit i =
-    * energy(i) > energy(i+1). Band-energy RATIOS are what survive volume
-    * changes: scaling the signal scales every energy by gain², so the
-    * 64 comparison bits are gain-invariant — the [[audioWavMedia]]
-    * fixture's loudness variants hash identically while different
-    * waveforms give sign-generic spectra (expected hamming ≈ 32). */
-  private[graft] def audioFp64(pcm: Array[Byte], bigEndian: Boolean): Long = {
+  /** Chromaprint-style 128-bit spectral fingerprint: the first 2048
+    * samples (zero-padded if shorter) → radix-2 FFT → 129 adjacent 7-bin
+    * band energies over bins 1..903 — strictly inside the positive
+    * half-spectrum (bins 1..1023 for n = 2048; DC and the Nyquist bin
+    * are skipped, and no band ever sums conjugate-mirrored bins) →
+    * bit i = energy(i) > energy(i+1). Band-energy RATIOS are what
+    * survive volume changes: scaling the signal scales every energy by
+    * gain², so the 128 comparison bits are gain-invariant — the
+    * [[audioWavMedia]] fixture's loudness variants hash identically
+    * while different waveforms give sign-generic spectra (expected
+    * hamming ≈ 64). 128 bits feed 8×16-bit band keys downstream, the
+    * corpus-scale shape (a 64-bit fingerprint's 4×16 banding has only
+    * 2¹⁶ buckets — random collisions grow n²/65,536). */
+  private[graft] def audioFp128(pcm: Array[Byte], bigEndian: Boolean): (Long, Long) = {
     val n = FpSamples
     val re = new Array[Double](n)
     val im = new Array[Double](n)
@@ -475,24 +682,27 @@ object Multimodal {
       i += 1
     }
     fftInPlace(re, im)
-    // 65 bands × 16 bins over bins 1..1040 (skip DC)
-    val bands = new Array[Double](65)
+    // 129 bands × 7 bins over bins 1..903 (positive half only, DC skipped)
+    val bands = new Array[Double](129)
     var b = 0
-    while (b < 65) {
+    while (b < 129) {
       var acc = 0.0
-      var k = 1 + b * 16
-      val end = k + 16
+      var k = 1 + b * 7
+      val end = k + 7
       while (k < end) { acc += re(k) * re(k) + im(k) * im(k); k += 1 }
       bands(b) = acc
       b += 1
     }
-    var bits = 0L
+    var w0 = 0L
+    var w1 = 0L
     var j = 0
-    while (j < 64) {
-      if (bands(j) > bands(j + 1)) bits |= (1L << j)
+    while (j < 128) {
+      if (bands(j) > bands(j + 1)) {
+        if (j < 64) w0 |= (1L << j) else w1 |= (1L << (j - 64))
+      }
       j += 1
     }
-    bits
+    (w0, w1)
   }
 
   /** Iterative radix-2 Cooley-Tukey FFT (in place, n = 2^k). */
@@ -536,18 +746,21 @@ object Multimodal {
     }
   }
 
-  /** Classic DCT perceptual hash, MEAN-CENTERED variant: luma → 32×32
-    * block-average → subtract the raster mean → 2-D DCT-II → the
-    * low-frequency 8×8 corner → bit u,v = coefficient > median of the 63
-    * AC coefficients. Pure deterministic double math (same bits on every
-    * JVM). The mean-centering is what makes brightness invariance EXACT
-    * rather than noise-bounded: for integer gray rasters the mean is
-    * sum/1024 (a power-of-two divide — exact in binary floating point),
-    * so a raster and its uniformly-shifted copy center to BIT-IDENTICAL
-    * inputs and necessarily hash identically — the invariance the
-    * [[imagePngMedia]] fixture exercises, with no reliance on
-    * coefficient-vs-median gaps exceeding accumulation noise. */
-  private[graft] def pHash64(im: java.awt.image.BufferedImage): Long = {
+  /** Classic DCT perceptual hash, MEAN-CENTERED 128-bit variant: luma →
+    * 32×32 block-average → subtract the raster mean → 2-D DCT-II → the
+    * low-frequency 8×16 corner (128 coefficients) → bit i = coefficient
+    * > median of the 128. Pure deterministic double math (same bits on
+    * every JVM). The mean-centering is what makes brightness invariance
+    * EXACT rather than noise-bounded: for integer gray rasters the mean
+    * is sum/1024 (a power-of-two divide — exact in binary floating
+    * point), so a raster and its uniformly-shifted copy center to
+    * BIT-IDENTICAL inputs and necessarily hash identically — the
+    * invariance the [[imagePngMedia]] fixture exercises, with no
+    * reliance on coefficient-vs-median gaps exceeding accumulation
+    * noise. 128 bits (not the classic 64) so the banded-hamming join
+    * downstream gets 8 independent 16-bit band keys — the corpus-scale
+    * candidate-volume fix ([[graft.ops.Dedup.hammingPairs128]]). */
+  private[graft] def pHash128(im: java.awt.image.BufferedImage): (Long, Long) = {
     val n = 32
     // block-average the luma down to n×n (identity for n×n inputs)
     val g = Array.ofDim[Double](n, n)
@@ -595,12 +808,12 @@ object Multimodal {
       while (cx < n) { g(cy)(cx) -= mean; cx += 1 }
       cy += 1
     }
-    // 2-D DCT-II of the 8×8 low-frequency corner only (O(n² · 64))
-    val dct = Array.ofDim[Double](8, 8)
+    // 2-D DCT-II of the 8×16 low-frequency corner only (O(n² · 128))
+    val dct = Array.ofDim[Double](8, 16)
     var u = 0
     while (u < 8) {
       var v = 0
-      while (v < 8) {
+      while (v < 16) {
         var acc = 0.0
         var y = 0
         while (y < n) {
@@ -618,15 +831,20 @@ object Multimodal {
       }
       u += 1
     }
-    val ac = (for { u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0 }
-      yield dct(u)(v)).sorted
-    val median = ac(31) // 63 ACs → the exact middle element
-    var bits = 0L
+    // the (0,0) coefficient is exactly 0 after centering — include it in
+    // the median pool like any other coefficient (128 values, lower median)
+    val all = (for { uu <- 0 until 8; vv <- 0 until 16 }
+      yield dct(uu)(vv)).sorted
+    val median = all(63)
+    var w0 = 0L
+    var w1 = 0L
     var i = 0
-    for { uu <- 0 until 8; vv <- 0 until 8 } {
-      if (dct(uu)(vv) > median) bits |= (1L << i)
+    for { uu <- 0 until 8; vv <- 0 until 16 } {
+      if (dct(uu)(vv) > median) {
+        if (i < 64) w0 |= (1L << i) else w1 |= (1L << (i - 64))
+      }
       i += 1
     }
-    bits
+    (w0, w1)
   }
 }

@@ -135,14 +135,15 @@ class MultimodalSpec extends AnyFunSuite {
     // within a pattern class: different payload bytes (different jitter),
     // ONE hash — the DC-only brightness invariance
     byClass.foreach { case (cls, rows) =>
-      assert(rows.map(_.phash).distinct.length == 1,
+      assert(rows.map(r => (r.ph0, r.ph1)).distinct.length == 1,
         s"pattern class $cls hashes diverged")
     }
     // across classes: every pair of class hashes is far (> the banding's
     // complete-recall radius), so the pair frame is exactly within-class
-    val classHash = byClass.map { case (c, rows) => c -> rows.head.phash }
+    val classHash = byClass.map { case (c, rows) => c -> (rows.head.ph0, rows.head.ph1) }
     for ((c1, h1) <- classHash; (c2, h2) <- classHash if c1 < c2) {
-      val hamming = java.lang.Long.bitCount(h1 ^ h2)
+      val hamming = java.lang.Long.bitCount(h1._1 ^ h2._1) +
+        java.lang.Long.bitCount(h1._2 ^ h2._2)
       assert(hamming > 3, s"classes $c1/$c2 too close: hamming $hamming")
     }
     // a non-image payload quarantines instead of throwing
@@ -150,7 +151,7 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = Seq(Multimodal.MediaRow(99L, "image",
       "not a png".getBytes("UTF-8"), "s")).toDS()
     val q = Multimodal.pHashes(junk).collect()
-    assert(q.length == 1 && !q.head.decoded && q.head.phash == 0L)
+    assert(q.length == 1 && !q.head.decoded && q.head.ph0 == 0L && q.head.ph1 == 0L)
   }
 
   test("audio fingerprint: gain-invariant within a waveform, far across waveforms") {
@@ -163,12 +164,13 @@ class MultimodalSpec extends AnyFunSuite {
     // within a waveform class: different gain (different payload bytes),
     // ONE fingerprint — band-energy ratios survive volume changes
     byClass.foreach { case (cls, rows) =>
-      assert(rows.map(_.afp).distinct.length == 1,
+      assert(rows.map(r => (r.afp0, r.afp1)).distinct.length == 1,
         s"waveform class $cls fingerprints diverged")
     }
-    val classFp = byClass.map { case (c, rows) => c -> rows.head.afp }
+    val classFp = byClass.map { case (c, rows) => c -> (rows.head.afp0, rows.head.afp1) }
     for ((c1, f1) <- classFp; (c2, f2) <- classFp if c1 < c2) {
-      val hamming = java.lang.Long.bitCount(f1 ^ f2)
+      val hamming = java.lang.Long.bitCount(f1._1 ^ f2._1) +
+        java.lang.Long.bitCount(f1._2 ^ f2._2)
       assert(hamming > 3, s"waveforms $c1/$c2 too close: hamming $hamming")
     }
     // a non-audio payload quarantines instead of throwing
@@ -176,6 +178,48 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = Seq(Multimodal.MediaRow(99L, "audio",
       "not a wav".getBytes("UTF-8"), "s")).toDS()
     val q = Multimodal.audioFingerprints(junk).collect()
-    assert(q.length == 1 && !q.head.decoded && q.head.afp == 0L)
+    assert(q.length == 1 && !q.head.decoded && q.head.afp0 == 0L && q.head.afp1 == 0L)
+  }
+
+  test("video near-dup fixture: lossless GIF round-trip, shared frames hash-equal") {
+    val frames = Multimodal.framePHashes(
+        Multimodal.videoNearDupMedia(spark, Tables.documents(spark, SparkTestBase.sfDir)),
+        stride = 1, maxFrames = 8)
+      .collect()
+    assert(frames.nonEmpty && frames.forall(_.decoded)) // every GIF decodes
+    val byMedia = frames.groupBy(_.media_id)
+    // 4 shared frames + 1 unique tail, always
+    byMedia.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3, 4), s"media $id")
+    }
+    // same class (media_id % 5): frames 0..3 hash identically across docs
+    // even at different brightness (the indexed-palette GIF encode is
+    // lossless, so the DC-only-shift invariance survives the container)
+    val byClassFrame = frames.filter(_.frame_idx < 4)
+      .groupBy(f => (f.media_id % 5, f.frame_idx))
+    byClassFrame.foreach { case ((cls, fi), fs) =>
+      assert(fs.map(f => (f.ph0, f.ph1)).distinct.length == 1,
+        s"class $cls frame $fi hashes diverged")
+    }
+    // unique tail frames: one hash per doc, never shared
+    val tails = frames.filter(_.frame_idx == 4).map(f => (f.ph0, f.ph1))
+    assert(tails.distinct.length == tails.length, "tail frames collided")
+  }
+
+  test("videoFpPairs: frame vote = 4 within class, nothing across") {
+    import spark.implicits._
+    val pairs = Multimodal.videoFpPairs(
+        Multimodal.framePHashes(
+          Multimodal.videoNearDupMedia(spark, Tables.documents(spark, SparkTestBase.sfDir)),
+          stride = 1, maxFrames = 8)
+          .filter(_.decoded).toDF(),
+        maxHamming = 3, minFrames = 3)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a % 5 == b % 5 && a % 3 == 2 && b % 3 == 2, s"cross-class pair ($a,$b)")
+      assert(n == 4L, s"pair ($a,$b) matched $n frames, want 4")
+    }
   }
 }

@@ -44,8 +44,8 @@ object MultimodalHashProps extends Properties("MultimodalHash") {
 
   property("pHash is exactly invariant under uniform brightness shift") =
     forAll(genRaster, Gen.chooseNum(-40, 40)) { (pix, shift) =>
-      Multimodal.pHash64(grayImage(pix, 0)) ==
-        Multimodal.pHash64(grayImage(pix, shift))
+      Multimodal.pHash128(grayImage(pix, 0)) ==
+        Multimodal.pHash128(grayImage(pix, shift))
     }
 
   property("pHash of the inverted raster differs (not a constant function)") =
@@ -53,9 +53,9 @@ object MultimodalHashProps extends Properties("MultimodalHash") {
       val inv = pix.map(255 - _)
       // identical only in the measure-zero symmetric case; random rasters
       // must separate — guards against a degenerate all-zero/all-one hash
-      java.lang.Long.bitCount(
-        Multimodal.pHash64(grayImage(pix, 0)) ^
-          Multimodal.pHash64(grayImage(inv, 0))) > 0
+      val (a0, a1) = Multimodal.pHash128(grayImage(pix, 0))
+      val (b0, b1) = Multimodal.pHash128(grayImage(inv, 0))
+      java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1) > 0
     }
 
   private def pcmBytes(samples: Array[Int], gain: Int): Array[Byte] = {
@@ -76,8 +76,8 @@ object MultimodalHashProps extends Properties("MultimodalHash") {
 
   property("audio fingerprint is exactly invariant under power-of-two gain") =
     forAll(genPcm, Gen.oneOf(2, 4, 8)) { (samples, gain) =>
-      Multimodal.audioFp64(pcmBytes(samples, 1), bigEndian = false) ==
-        Multimodal.audioFp64(pcmBytes(samples, gain), bigEndian = false)
+      Multimodal.audioFp128(pcmBytes(samples, 1), bigEndian = false) ==
+        Multimodal.audioFp128(pcmBytes(samples, gain), bigEndian = false)
     }
 
   property("audio fingerprint reads big- and little-endian PCM identically") =
@@ -86,7 +86,7 @@ object MultimodalHashProps extends Properties("MultimodalHash") {
       val be = new Array[Byte](le.length)
       var i = 0
       while (i < le.length) { be(i) = le(i ^ 1); i += 1 } // swap byte pairs
-      Multimodal.audioFp64(le, bigEndian = false) ==
-        Multimodal.audioFp64(be, bigEndian = true)
+      Multimodal.audioFp128(le, bigEndian = false) ==
+        Multimodal.audioFp128(be, bigEndian = true)
     }
 }
