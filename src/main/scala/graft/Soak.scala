@@ -367,6 +367,64 @@ object Soak {
         length(col("text")).as("n_chars"))
   }
 
+  /** `lshttl` mode: the state-size receipt for the bounded-horizon
+    * streaming LSH — replay `factor` time-shifted copies of the fixture
+    * documents (copy c: ids offset by c·Off, event times offset by
+    * c·span so the stream's clock genuinely advances) through BOTH
+    * streaming LSH variants and print the state-store row count after
+    * every copy. The unbounded variant ([[graft.streaming.StatefulOps
+    * .lshCandidatesStream]]) must grow ~linearly — per-bucket membership
+    * IS the memory of dedup-against-all-history — while the TTL variant
+    * ([[lshCandidatesStreamTtl]], 240-minute horizon ≪ span) must stay
+    * ~flat: eviction at arrival plus watermark timeouts cap held rows at
+    * (arrival rate × horizon) regardless of stream length. */
+  def lshTtlSoak(spark: SparkSession, factor: Int, baseDir: String): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val horizonMs = 240 * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val docs = Tables.documents(spark, baseDir)
+      .select(col("doc_id"), col("text"))
+      .as[graft.streaming.StatefulOps.DocIn].collect().sortBy(_.doc_id)
+    val spanMs = (docs.last.doc_id + 1) * 60000L
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverseIterator
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).find(_ >= 0).getOrElse(-1L)
+
+    for (variant <- Seq("unbounded", "ttl")) {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.StatefulOps.DocIn]
+      val bandedRaw = graft.ops.Dedup.minHashBanded(mem.toDF())
+      val name = s"lshttl_$variant"
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      val stream =
+        if (variant == "unbounded")
+          graft.streaming.StatefulOps.lshCandidatesStream(
+            bandedRaw.as[graft.streaming.StatefulOps.BandIn])
+        else
+          graft.streaming.StatefulOps.lshCandidatesStreamTtl(
+            bandedRaw
+              // ts = t0 + copy·span + (doc_id mod Off) minutes: monotone
+              // in arrival order, identical in-copy spacing every copy
+              .withColumn("ts", timestamp_millis(lit(t0Ms) +
+                expr(s"doc_id DIV ${Off}L") * spanMs +
+                pmod(col("doc_id"), lit(Off)) * 60000L))
+              .select(col("doc_id"), col("ts"), col("band"), col("bh"))
+              .as[graft.streaming.StatefulOps.BandTsIn],
+            horizonMs)
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        for (c <- 0 until factor) {
+          mem.addData(docs.map(d => d.copy(doc_id = d.doc_id + c * Off)).toSeq)
+          q.processAllAvailable()
+          println(s"""SOAK {"phase":"lsh_state","variant":"$variant","copy":${c + 1},"state_rows":${stateRows(q)}}""")
+        }
+      } finally q.stop()
+    }
+  }
+
   /** `truegrowth` mode: generate fresh 1× and factor× corpora from
     * [[trueGrowthDocuments]], run the near-dup tiers on both, and print
     * SOAK lines tagged `true1x` / `true{factor}x` — the apples-to-apples
@@ -418,6 +476,11 @@ object Soak {
 
     if (streaming) {
       streamingSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("lshttl")) {
+      lshTtlSoak(spark, factor, baseDir)
       spark.stop()
       return
     }

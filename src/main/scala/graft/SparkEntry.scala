@@ -116,7 +116,7 @@ object SparkEntry {
   val verificationOnly: Set[String] = Set(
     "q_sessionize_stream_parity", "q_counter_increase_stream_parity",
     "q_dedup_stream_parity", "q_funnel_stream_parity",
-    "q_dedup_minhash_stream_parity")
+    "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -471,6 +471,16 @@ object SparkEntry {
     // carrying the batch tier's oracle guarantee transitively
     "q_dedup_minhash_stream_parity" -> ((s, dir) =>
       streaming.ParityCheck.minhashParity(s, dir)),
+
+    // BOUNDED-HORIZON live dedup (the TTL variant the round-8 doc
+    // promised): per-bucket state evicts members older than the horizon
+    // and whole idle buckets expire with the watermark, so state holds
+    // (rate × horizon) rows instead of the corpus; the gate asserts
+    // candidate AND verified-pair equality against the time-windowed
+    // batch twin, plus that the horizon actually excludes pairs
+    // (n_beyond_horizon > 0 — no vacuous TTL)
+    "q_dedup_minhash_ttl_stream_parity" -> ((s, dir) =>
+      streaming.ParityCheck.minhashTtlParity(s, dir, horizonMinutes = 240)),
 
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
@@ -1388,6 +1398,22 @@ object SparkEntry {
          |SELECT n AS n_batch, n AS n_stream,
          |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
          |  true AS parity_ok
+         |FROM n""".stripMargin,
+
+    // bounded-horizon minhash parity: the expectation is the SAME HUGEINT
+    // replica restricted to the horizon (ts = 2024-01-01 + doc_id
+    // minutes, so the 240-minute window is an id-distance predicate),
+    // plus the exact count of full-history pairs the horizon excludes
+    "q_dedup_minhash_ttl_stream_parity" ->
+      s"""WITH pairs AS (
+         |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5)}
+         |),
+         |w AS (SELECT * FROM pairs WHERE abs(id_a - id_b) <= 240),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS nf FROM w)
+         |SELECT n AS n_batch, n AS n_stream,
+         |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
+         |  nf - n AS n_beyond_horizon, true AS parity_ok
          |FROM n""".stripMargin,
 
     // funnel parity: the independently-stated expectation is the batch

@@ -262,10 +262,21 @@ object ParityCheck {
     * parity_ok) over the VERIFIED pairs, with candidate-set equality
     * folded into parity_ok; the oracle recomputes n_batch with its
     * HUGEINT MinHash replica and asserts (n, n, 0, 0, true). */
+  /** The largest fixture the minhash parity harnesses will replay: they
+    * collect the documents table (WITH text) to the driver to feed a
+    * MemoryStream, which is verification-harness plumbing sized for the
+    * gate SFs — not a path to ever run at corpus scale. The cap fails
+    * loudly instead of OOMing the driver if someone points a parity
+    * harness at a big SF. */
+  private val MaxParityDocs = 200000L
+
   def minhashParity(spark: SparkSession, dir: String,
       nBatches: Int = 4): DataFrame = {
     import spark.implicits._
 
+    require(graft.Tables.documents(spark, dir).count() <= MaxParityDocs,
+      s"minhashParity is a driver-orchestrated verification harness " +
+        s"(collects the fixture); refusing > $MaxParityDocs documents")
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[StatefulOps.DocIn]
@@ -315,5 +326,90 @@ object ParityCheck {
       (nBatch, nStream, onlyBatch, onlyStream,
         candAgree && nBatch == nStream && onlyBatch == 0L && onlyStream == 0L)))
       .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
+  }
+
+  /** Streaming↔batch parity for the BOUNDED-HORIZON MinHash-LSH tier
+    * ([[StatefulOps.lshCandidatesStreamTtl]]): documents get a
+    * deterministic event time (2024-01-01 + doc_id MINUTES — a pure
+    * function of doc_id, so the DuckDB oracle can state the time window
+    * as an id-distance predicate) and replay chronologically; the
+    * streamed candidates must equal the batch band-join RESTRICTED to
+    * pairs within `horizonMinutes` of each other, and the shared
+    * jaccard verify must land on [[graft.ops.Dedup.minHashPairs]]'
+    * pair set under the same restriction. `n_beyond_horizon` counts the
+    * full batch pairs the horizon excludes — stated exactly by the
+    * oracle, so a horizon that never bites (a vacuous TTL gate) fails
+    * the row rather than silently passing. */
+  def minhashTtlParity(spark: SparkSession, dir: String,
+      horizonMinutes: Int = 240, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val horizonMs = horizonMinutes * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    require(graft.Tables.documents(spark, dir).count() <= MaxParityDocs,
+      s"minhashTtlParity is a driver-orchestrated verification harness " +
+        s"(collects the fixture); refusing > $MaxParityDocs documents")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[StatefulOps.DocIn]
+      .collect()
+      .sortBy(_.doc_id) // chronological: ts is monotone in doc_id
+    require(docs.nonEmpty, s"no documents in $dir")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.DocIn]
+    val tbl = "parity_minhash_ttl"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    def withTs(df: DataFrame): DataFrame =
+      df.withColumn("ts",
+        timestamp_millis(lit(t0Ms) + col("doc_id") * 60000L))
+    val banded = withTs(graft.ops.Dedup.minHashBanded(mem.toDF()))
+      .select(col("doc_id"), col("ts"), col("band"), col("bh"))
+      .as[StatefulOps.BandTsIn]
+    val q = StatefulOps.lshCandidatesStreamTtl(banded, horizonMs)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+    try {
+      val batchSize = math.max(1, docs.length / nBatches)
+      docs.grouped(batchSize).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val documents = graft.Tables.documents(spark, dir)
+    val streamCand = spark.table(tbl)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+    val bandedBatch = graft.ops.Dedup.minHashBanded(documents)
+    val batchCandFull = bandedBatch
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(bandedBatch.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // ts is doc_id-linear, so the horizon is an id-distance predicate
+    val batchCand = batchCandFull
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .localCheckpoint(true)
+    val candAgree = batchCand.exceptAll(streamCand).count() == 0L &&
+      streamCand.exceptAll(batchCand).count() == 0L
+
+    val streamed = graft.ops.Dedup.jaccardVerify(streamCand, documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val batchFull = graft.ops.Dedup.minHashPairs(documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val batch = batchFull
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .localCheckpoint(true)
+
+    val nBatch = batch.count()
+    val nStream = streamed.count()
+    val onlyBatch = batch.exceptAll(streamed).count()
+    val onlyStream = streamed.exceptAll(batch).count()
+    val beyond = batchFull.count() - nBatch
+    spark.createDataFrame(Seq(
+      (nBatch, nStream, onlyBatch, onlyStream, beyond,
+        candAgree && nBatch == nStream && onlyBatch == 0L &&
+          onlyStream == 0L && beyond > 0L)))
+      .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream",
+        "n_beyond_horizon", "parity_ok")
   }
 }

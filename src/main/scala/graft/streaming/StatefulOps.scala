@@ -315,6 +315,87 @@ object StatefulOps {
       }
   }
 
+  /** One LSH banding row with the document's EVENT TIME — the input of
+    * the bounded-horizon variant. */
+  final case class BandTsIn(doc_id: Long, ts: Timestamp, band: Int, bh: Long)
+
+  /** Per-bucket timed membership: (doc_id, event-time ms) pairs.
+    * Public for the state encoder. */
+  final case class TimedBucketState(ids: List[(Long, Long)])
+
+  /** BOUNDED-HORIZON streaming MinHash-LSH candidates —
+    * [[lshCandidatesStream]] for pipelines that only need dedup against
+    * a sliding horizon of recent documents rather than all history: a
+    * new arrival pairs only with bucket members whose event time is
+    * within `horizonMs` of its own, members older than that are evicted
+    * as arrivals pass them, and a bucket idle past the horizon has its
+    * WHOLE state dropped by an event-time timeout once the watermark
+    * passes — so the state store holds (arrival rate × horizon) rows
+    * instead of the full corpus, the RESOURCE bound that makes live
+    * dedup runnable forever. Semantics (chronological delivery, the
+    * watermark contract): pair (a, b) with t_a ≤ t_b is emitted exactly
+    * when t_b − t_a ≤ horizon — independent of micro-batch boundaries,
+    * which is what [[ParityCheck.minhashTtlParity]] gates against the
+    * time-windowed batch twin. Callers put a watermark on `ts` before
+    * calling (EventTimeTimeout requires it). */
+  def lshCandidatesStreamTtl(banded: Dataset[BandTsIn], horizonMs: Long,
+      watermark: String = "10 minutes"): Dataset[CandOut] = {
+    import banded.sparkSession.implicits._
+    banded
+      .withWatermark("ts", watermark)
+      .groupByKey(b => (b.band, b.bh))
+      .flatMapGroupsWithState[TimedBucketState, CandOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandTsIn], state: GroupState[TimedBucketState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed newest member + horizon: nothing still to
+            // come can pair with anything held — drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val (next, out) = timedBucketStep(
+              state.getOption.map(_.ids).getOrElse(Nil),
+              rows.map(b => (b.doc_id, b.ts.getTime)).toSeq,
+              horizonMs)
+            if (next.isEmpty) state.remove()
+            else {
+              state.update(TimedBucketState(next))
+              val newest = next.iterator.map(_._2).max
+              state.setTimeoutTimestamp(newest + horizonMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** The pure timed transition [[lshCandidatesStreamTtl]] folds over
+    * micro-batches — separated (like [[bucketStep]]) so the parity
+    * invariant is property-testable without a streaming harness: over
+    * ANY chronological partitioning of an arrival sequence, the
+    * emissions union to exactly { (a, b) sharing the bucket with
+    * 0 ≤ t_b − t_a ≤ horizon }, duplicate-free. Arrivals process in
+    * (ts, id) order; each arrival first evicts members older than its
+    * own horizon (the eviction threshold is monotone within the batch,
+    * so earlier arrivals never lose partners to later ones), then pairs
+    * with every survivor within the horizon. Re-arrivals of an id
+    * already held are dropped (re-banded duplicates emit nothing
+    * new). */
+  private[graft] def timedBucketStep(seen: List[(Long, Long)],
+      arrivals: Seq[(Long, Long)], horizonMs: Long): (List[(Long, Long)], List[CandOut]) = {
+    var acc = seen
+    val out = List.newBuilder[CandOut]
+    val seenIds = scala.collection.mutable.Set[Long](seen.map(_._1): _*)
+    for ((d, t) <- arrivals.distinct.sortBy { case (id, ts) => (ts, id) }
+         if !seenIds.contains(d)) {
+      acc = acc.filter { case (_, ts) => ts >= t - horizonMs }
+      for ((s, _) <- acc)
+        out += CandOut(math.min(s, d), math.max(s, d))
+      acc = (d, t) :: acc
+      seenIds += d
+    }
+    (acc, out.result())
+  }
+
   /** The pure bucket transition [[lshCandidatesStream]] folds over
     * micro-batches: given the ids already in a bucket and a batch of
     * arrivals, emit one canonical pair per (stored, fresh) and

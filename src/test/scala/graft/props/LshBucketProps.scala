@@ -73,4 +73,76 @@ object LshBucketProps extends Properties("LshBucket") {
     forAll(genChunked) { chunks =>
       replay(chunks)._2.forall(p => p.id_a < p.id_b)
     }
+
+  // ── the BOUNDED-HORIZON transition ([[StatefulOps.timedBucketStep]]) ──
+  // arrivals carry event times; the invariant gains a time window: over
+  // ANY chronological chunking, emissions union to exactly
+  // { (a, b) : 0 <= t_b - t_a <= horizon }, still duplicate-free, and
+  // state never holds a member older than horizon behind the newest.
+
+  private val Horizon = 10L
+
+  // (id, ts) arrivals with ts drawn small → dense windows AND evictions;
+  // ids unique per sequence (re-arrival handling is pinned separately)
+  private val genTimed: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(0, 24)
+    ts <- Gen.listOfN(n, Gen.chooseNum(0L, 40L))
+  } yield ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.sortBy(p => (p._2, p._1))
+
+  private def chunkChrono(arr: List[(Long, Long)], cuts: List[Boolean]): List[List[(Long, Long)]] = {
+    val out = List.newBuilder[List[(Long, Long)]]
+    var cur = List.newBuilder[(Long, Long)]
+    arr.zip(cuts).foreach { case (a, cut) =>
+      cur += a
+      if (cut) { out += cur.result(); cur = List.newBuilder[(Long, Long)] }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private val genTimedChunked: Gen[List[List[(Long, Long)]]] = for {
+    arr <- genTimed
+    cuts <- Gen.listOfN(arr.length, Gen.prob(0.3))
+  } yield chunkChrono(arr, cuts)
+
+  private def replayTimed(chunks: List[List[(Long, Long)]]): (List[(Long, Long)], Set[CandOut]) =
+    chunks.foldLeft((List.empty[(Long, Long)], Set.empty[CandOut])) {
+      case ((state, emitted), chunk) =>
+        val (next, out) = StatefulOps.timedBucketStep(state, chunk, Horizon)
+        out.foreach(p => assert(!emitted(p), s"duplicate emission $p"))
+        (next, emitted ++ out)
+    }
+
+  property("timed: emissions are exactly the within-horizon pair set, any chunking") =
+    forAll(genTimedChunked) { chunks =>
+      val arr = chunks.flatten
+      val expected = (for {
+        (a, ta) <- arr; (b, tb) <- arr
+        if a < b && math.abs(tb - ta) <= Horizon
+      } yield CandOut(a, b)).toSet
+      val (state, emitted) = replayTimed(chunks)
+      val (_, oneShot) = replayTimed(List(arr))
+      val maxTs = state.map(_._2).maxOption.getOrElse(0L)
+      emitted == expected && oneShot == expected &&
+        // eviction bound: nothing older than horizon behind the newest
+        // SURVIVING member after the last processed arrival
+        state.forall { case (_, t) => t >= maxTs - Horizon || {
+          // members can only outlive the bound if no later arrival hit
+          // their bucket — here everything is one bucket, so the newest
+          // arrival's eviction pass must have dropped them
+          val newestArrival = arr.map(_._2).maxOption.getOrElse(0L)
+          t >= newestArrival - Horizon
+        } }
+    }
+
+  property("timed: a re-arrival of a held id emits nothing new") =
+    forAll(genTimedChunked) { chunks =>
+      val arr = chunks.flatten
+      // replay, then re-send the newest arrival again: no new emissions
+      arr.lastOption.forall { last =>
+        val (state, _) = replayTimed(chunks)
+        val (next, out) = StatefulOps.timedBucketStep(state, Seq(last), Horizon)
+        out.isEmpty && next.toSet == state.toSet
+      }
+    }
 }
