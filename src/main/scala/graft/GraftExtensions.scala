@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash64(tokens) - 64-bit SimHash of an array<string> token stream"),
       args => { exact("simhash64", 1, args); SimHash64(args.head) }))
 
+    e.injectFunction((FunctionIdentifier("simhash_mix64"),
+      info("simhash_mix64", classOf[SimHashMix64],
+        "simhash_mix64(tokens) - word 2 of the 128-bit SimHash (splitmix64-mixed bit-vote)"),
+      args => { exact("simhash_mix64", 1, args); SimHashMix64(args.head) }))
+
     e.injectFunction((FunctionIdentifier("token_fingerprint64"),
       info("token_fingerprint64", classOf[TokenFingerprint64],
         "token_fingerprint64(tokens) - order-sensitive rolling-hash fingerprint"),

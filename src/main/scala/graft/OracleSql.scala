@@ -143,9 +143,7 @@ object OracleSql {
     s"""WITH hs AS (
        |  SELECT doc_id, list_transform(${wstoks("text")}, t -> ${fnv1a64("t")}) AS hl FROM documents),
        |sh AS (
-       |  SELECT doc_id, CAST(CAST(list_sum(list_transform(range(0, 64), b ->
-       |      CASE WHEN 2 * len(list_filter(hl, h -> (h >> b) & 1 = 1)) > len(hl)
-       |           THEN ($pow2Literal)[b + 1] ELSE CAST(0 AS HUGEINT) END)) AS HUGEINT) AS UBIGINT) AS sh
+       |  SELECT doc_id, ${voteSql("hl")} AS sh
        |  FROM hs)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
@@ -155,6 +153,51 @@ object OracleSql {
        |    OR (a.sh >> 32) & 65535 = (b.sh >> 32) & 65535
        |    OR (a.sh >> 48) & 65535 = (b.sh >> 48) & 65535)
        |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** splitmix64 finalizer of a UBIGINT expression `h`, fully inlined
+    * (graft.functions.SimHash64.mix64) — the same modular-arithmetic
+    * chain knnLshSql stages through CTEs, textually nested here because
+    * it runs inside a list_transform lambda. */
+  private def mix64sql(h: String): String = {
+    val c1 = ulit(-7046029254386353131L) // 0x9e3779b97f4a7c15
+    val c2 = ulit(-4658895280553007687L) // 0xbf58476d1ce4e5b9
+    val c3 = ulit(-7723592293110705685L) // 0x94d049bb133111eb
+    val z1 = addmod64(h, c1)
+    val z2 = mulmod64(s"xor($z1, ($z1) >> 30)", c2)
+    val z3 = mulmod64(s"xor($z2, ($z2) >> 27)", c3)
+    s"xor($z3, ($z3) >> 31)"
+  }
+
+  /** The 64-bit bit-vote over a UBIGINT-list column `hl` (votes strictly
+    * positive ⇔ set-bit count × 2 > token count) — shared by the 64- and
+    * 128-bit simhash replicas. */
+  private def voteSql(hl: String): String =
+    s"""CAST(CAST(list_sum(list_transform(range(0, 64), b ->
+       |      CASE WHEN 2 * len(list_filter($hl, h -> (h >> b) & 1 = 1)) > len($hl)
+       |           THEN ($pow2Literal)[b + 1] ELSE CAST(0 AS HUGEINT) END)) AS HUGEINT) AS UBIGINT)""".stripMargin
+
+  /** Full pair query for [[graft.ops.Dedup.simHash128Pairs]]: word 1 =
+    * the FNV bit-vote, word 2 = the same vote over splitmix64-mixed token
+    * hashes, candidates = agreement on ≥ 1 of the 4 32-bit bands of
+    * (sh0, sh1) (hammingPairs128's banding, complete for hamming ≤ 3 and
+    * a recall stage beyond — replicated band-for-band so both engines
+    * draw the same candidate set), verify = summed popcount ≤ max. */
+  def simhash128PairsSql(maxHamming: Int): String =
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(${wstoks("text")}, t -> ${fnv1a64("t")}) AS hl FROM documents),
+       |hm AS (
+       |  SELECT doc_id, hl, list_transform(hl, h -> ${mix64sql("h")}) AS ml FROM hs),
+       |sh AS (
+       |  SELECT doc_id, ${voteSql("hl")} AS sh0, ${voteSql("ml")} AS sh1 FROM hm)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  AND (a.sh0 & 4294967295 = b.sh0 & 4294967295
+       |    OR (a.sh0 >> 32) = (b.sh0 >> 32)
+       |    OR a.sh1 & 4294967295 = b.sh1 & 4294967295
+       |    OR (a.sh1 >> 32) = (b.sh1 >> 32))
+       |WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
   /** The signed token-fingerprint expression over a `text` column —

@@ -598,8 +598,11 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.documents(s, dir), n = 3, k = 64, bands = 16, threshold = 0.5)),
 
+    // 128-bit simhash (FNV vote word + splitmix64-mixed vote word) through
+    // hammingPairs128's 4x32-bit banding — radius 24 of 128 keeps the
+    // 64-bit tier's 12-of-64 vote-fraction threshold
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), maxHamming = 12)),
+      Dedup.simHash128Pairs(Tables.documents(s, dir), maxHamming = 24)),
 
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)),
@@ -3520,7 +3523,7 @@ object SparkEntry {
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),
     "q_dedup_ngram" -> OracleSql.minhashPairsSql(bands = 32, threshold = 0.3),
-    "q_dedup_simhash" -> OracleSql.simhashPairsSql(maxHamming = 12),
+    "q_dedup_simhash" -> OracleSql.simhash128PairsSql(maxHamming = 24),
     "q_pipeline_clean" -> OracleSql.pipelineCleanSql(bands = 16, threshold = 0.5),
     "q_pipeline_clean_cj" -> OracleSql.pipelineCleanCjSql(threshold = 0.9),
 

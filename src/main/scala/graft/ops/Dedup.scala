@@ -167,6 +167,25 @@ object Dedup {
     hammingPairs(documents.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sh")), maxHamming)
 
+  /** 128-bit SimHash near-duplicate pairs — the text tier on the same
+    * wide-fingerprint footing as the multimodal tiers: word 1 is the
+    * classic FNV-voted [[simhash64]], word 2 re-votes the same token
+    * stream through the splitmix64 finalizer
+    * ([[graft.functions.SimHash64.mix64]]), and candidates/verify run
+    * through [[hammingPairs128]]'s 4×32-bit banding. Doubling the
+    * fingerprint halves the per-bit noise of the similarity estimate
+    * (Charikar 2002: each bit is an independent LSH of the token
+    * distribution) and moves the band-key space from 2¹⁶ to 2³² — the
+    * corpus-scale candidate-volume fix. Banding is complete for
+    * hamming ≤ 3; beyond that it is a recall stage (exactly as the
+    * 64-bit tier's banding was for its radius-12 caller), replicated
+    * band-for-band by the DuckDB oracle. */
+  def simHash128Pairs(documents: DataFrame, maxHamming: Int = 24): DataFrame =
+    hammingPairs128(documents.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("sh0"),
+      graft.functions.SimHash64.simhashMix64(tokens(col("text"))).as("sh1")),
+      maxHamming)
+
   /** Banded hamming-neighbor pairs over ANY (doc_id, sh: 64-bit hash)
     * frame — the candidate/verify machinery [[simHashPairs]] runs on text
     * simhashes: candidates = docs agreeing on ≥ 1 of 4 16-bit bands
@@ -180,8 +199,9 @@ object Dedup {
     * via [[bandedSelfJoin]]'s sub-block grid (the [[charJaccardPairs]]
     * guard applied to hash buckets). Operators free to choose their
     * fingerprint width should prefer 128 bits ([[hammingPairs128]] — the
-    * multimodal tiers do), where the 8×16-bit band keys make random
-    * collisions vanishingly rare instead of merely bounded. */
+    * multimodal tiers and [[simHash128Pairs]] do), where the 4×32-bit
+    * band keys make random collisions vanishingly rare instead of merely
+    * bounded. */
   def hammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
@@ -197,16 +217,18 @@ object Dedup {
   }
 
   /** [[hammingPairs]] for 128-bit fingerprints carried as two BIGINT words
-    * (doc_id, sh0, sh1): 8 bands of 16 bits (complete for hamming ≤ 7 —
-    * the callers use ≤ 3), hamming = popcount over both words. The wider
-    * fingerprint is the corpus-scale fix for the banded-hamming family:
-    * with 2¹⁶ buckets PER BAND but hashes drawn from 2¹²⁸, two
-    * non-duplicate documents collide on a band with probability 2⁻¹⁶ per
-    * band like before — but the fingerprint carries enough entropy that
-    * near-misses (hamming 4..16) don't saturate whole buckets the way a
-    * 64-bit hash's correlated bands do, and the grid guard below bounds
-    * any residual hot bucket. Only (band, bh, id, sh0, sh1) rows
-    * shuffle. */
+    * (doc_id, sh0, sh1): 4 bands of 32 bits (complete for hamming ≤ 3 by
+    * pigeonhole — every caller uses exactly that radius), hamming =
+    * popcount over both words. The wide fingerprint and the wide band key
+    * are BOTH load-bearing at corpus scale: 2¹²⁸ hash entropy keeps
+    * correlated near-misses (hamming 4..16) from saturating whole buckets
+    * the way a 64-bit hash's bands do, and 2³² band keys make RANDOM band
+    * collisions vanishingly rare (expected spurious candidates
+    * ~C(n,2)·4/2³² — at 10⁹ rows under a thousandth of the corpus,
+    * where 16-bit keys would shuffle ~10¹³ junk rows). The grid guard in
+    * [[bandedSelfJoin]] stays as the backstop for non-uniform real-world
+    * hash mass (pHash sign bits are not uniform over natural images).
+    * Only (band, bh, id, sh0, sh1) rows shuffle. */
   def hammingPairs128(hashed: DataFrame, maxHamming: Int): DataFrame =
     hammingPairs128Unordered(hashed, maxHamming)
       .orderBy(col("id_a"), col("id_b"))
@@ -214,26 +236,29 @@ object Dedup {
   /** [[hammingPairs128]] without the final presentation sort — for
     * composition under a downstream aggregation (the video frame-vote
     * tier), where an intermediate global sort would be a wasted
-    * shuffle. One row per matched (hash_a, hash_b) combination; when
-    * `doc_id` repeats across input rows (one row per video FRAME), each
-    * distinct matched hash pair of a doc pair keeps its own row — the
-    * frame-vote count downstream. */
+    * shuffle. One row per matched (hash_a, hash_b) combination — plus
+    * one per distinct `extra` payload combination when the caller
+    * threads extra columns (e.g. `frame_idx`) through the join, which
+    * is how the frame-vote tier counts matched FRAMES rather than
+    * matched hash values. */
   private[graft] def hammingPairs128Unordered(hashed: DataFrame,
-      maxHamming: Int): DataFrame = {
-    def word(b: Int): Column = if (b < 4) col("sh0") else col("sh1")
-    val banded = hashed.select(col("doc_id"), col("sh0"), col("sh1"),
-      explode(array((0 until 8).map(b =>
+      maxHamming: Int, extra: Seq[String] = Nil): DataFrame = {
+    def word(b: Int): Column = if (b < 2) col("sh0") else col("sh1")
+    val keep = Seq(col("doc_id"), col("sh0"), col("sh1")) ++ extra.map(col)
+    val banded = hashed.select(keep :+
+      explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(word(b), (b % 4) * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sh0"), col("sh1"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bandedSelfJoin(banded, Seq("sh0", "sh1"))
+          shiftrightunsigned(word(b), (b % 2) * 32)
+            .bitwiseAND(lit(0xffffffffL)).as("bh"))): _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
+    bandedSelfJoin(banded, Seq("sh0", "sh1") ++ extra)
       .distinct()
       .withColumn("hamming",
         (bit_count(col("sh0_a").bitwiseXOR(col("sh0_b"))) +
           bit_count(col("sh1_a").bitwiseXOR(col("sh1_b")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a") +: col("id_b") +: col("hamming") +:
+        extra.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
   }
 
   /** Self-join of a banded frame (band, bh, doc_id, payload…) on its

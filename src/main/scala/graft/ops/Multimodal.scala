@@ -236,20 +236,25 @@ object Multimodal {
     * near-dup shape composed from parts this engine already has: sample
     * frames → per-frame perceptual hash ([[framePHashes]]) → banded
     * hamming join over the frame hashes
-    * ([[graft.ops.Dedup.hammingPairs128]], one row per matched
-    * hash pair of a video pair) → count matched frames per pair, keep
-    * pairs agreeing on ≥ `minFrames`. Only (frame-hash band, id, hash
-    * words) rows shuffle — never frames or payloads — and the final
-    * vote is one keyed integer aggregation over the (already sparse)
-    * match rows. */
+    * ([[graft.ops.Dedup.hammingPairs128]] with `frame_idx` threaded
+    * through as join payload) → count DISTINCT matched min-side frames
+    * per pair, keep pairs agreeing on ≥ `minFrames`. Counting frame
+    * indices rather than matched hash values keeps the vote honest on
+    * real footage: repeated still frames within one video (identical
+    * hashes) vote once per frame slot they actually fill, and one frame
+    * matching two near-identical-but-distinct hashes of the other video
+    * votes once, not twice. Only (frame-hash band, id, hash words,
+    * frame_idx) rows shuffle — never frames or payloads — and the final
+    * vote is one keyed distinct-count over the (already sparse) match
+    * rows. */
   def videoFpPairs(frames: DataFrame, maxHamming: Int = 3,
       minFrames: Int = 3): DataFrame =
     graft.ops.Dedup.hammingPairs128Unordered(
       frames.select(col("media_id").as("doc_id"),
-        col("ph0").as("sh0"), col("ph1").as("sh1")),
-      maxHamming)
+        col("ph0").as("sh0"), col("ph1").as("sh1"), col("frame_idx")),
+      maxHamming, extra = Seq("frame_idx"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_frames"))
+      .agg(countDistinct(col("frame_idx_a")).as("n_frames"))
       .filter(col("n_frames") >= minFrames)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -666,9 +671,10 @@ object Multimodal {
     * gain², so the 128 comparison bits are gain-invariant — the
     * [[audioWavMedia]] fixture's loudness variants hash identically
     * while different waveforms give sign-generic spectra (expected
-    * hamming ≈ 64). 128 bits feed 8×16-bit band keys downstream, the
+    * hamming ≈ 64). 128 bits feed 4×32-bit band keys downstream, the
     * corpus-scale shape (a 64-bit fingerprint's 4×16 banding has only
-    * 2¹⁶ buckets — random collisions grow n²/65,536). */
+    * 2¹⁶ buckets — random collisions grow n²/65,536; 2³² buckets make
+    * them vanishingly rare). */
   private[graft] def audioFp128(pcm: Array[Byte], bigEndian: Boolean): (Long, Long) = {
     val n = FpSamples
     val re = new Array[Double](n)
@@ -758,7 +764,7 @@ object Multimodal {
     * invariance the [[imagePngMedia]] fixture exercises, with no
     * reliance on coefficient-vs-median gaps exceeding accumulation
     * noise. 128 bits (not the classic 64) so the banded-hamming join
-    * downstream gets 8 independent 16-bit band keys — the corpus-scale
+    * downstream gets 4 independent 32-bit band keys — the corpus-scale
     * candidate-volume fix ([[graft.ops.Dedup.hammingPairs128]]). */
   private[graft] def pHash128(im: java.awt.image.BufferedImage): (Long, Long) = {
     val n = 32

@@ -55,6 +55,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((2L, 3L)))
   }
 
+  test("simhash128: identical docs hash to hamming 0; banding complete at radius 3") {
+    val pairs = Dedup.simHash128Pairs(docs, maxHamming = 24).collect()
+    val set = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set.contains((0L, 1L)))
+    assert(pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+      .get.getLong(2) == 0L)
+    // 4×32-bit banding is COMPLETE for hamming ≤ 3 (pigeonhole): the
+    // banded pair set at radius 3 must equal brute-force popcount pairs
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(Dedup.tokens(col("text"))).as("sh0"),
+      graft.functions.SimHash64.simhashMix64(Dedup.tokens(col("text"))).as("sh1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, a0, a1) <- hashed.toSeq
+      (ib, b0, b1) <- hashed.toSeq if ia < ib
+      if java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1) <= 3
+    } yield (ia, ib)).toSet
+    val banded3 = Dedup.simHash128Pairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded3 == brute)
+  }
+
   test("char jaccard pairs respect the source blocking key") {
     val res = Dedup.charJaccardPairs(docs, 0.0).collect()
     assert(res.forall(r => r.getAs[String]("source") != null))
