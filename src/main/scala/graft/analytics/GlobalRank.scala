@@ -279,6 +279,44 @@ object GlobalRank {
       values.indices.flatMap(i => Seq(s"_gr_v$i", s"_gr_lcum$i", s"_gr_voff$i")): _*)
   }
 
+  /** Domain size under which [[withRunningTotalsLongAdaptive]] skips the
+    * bucketed stitch: a 65k-row cumulative window on one declared task is
+    * sub-millisecond, while the stitch costs ~10 scheduler stages
+    * (boundary sample windows, offset frames, two broadcast joins) —
+    * pure fixed overhead at toy domains. */
+  private[graft] val SmallDomainRows = 65536L
+
+  /** [[withRunningTotalsLong]] with a DOMAIN-ADAPTIVE fast path for
+    * per-value aggregated frames (the de-windowed stats callers: ECDFs,
+    * midranks, counting percentiles — frames with one row per DISTINCT
+    * value, whose size is the value domain, not the data).
+    *
+    * Probe: one `count()` job on `df` — an extra pass over the already-
+    * aggregated frame. Below [[SmallDomainRows]] the running totals run
+    * as a cumulative window over ONE DECLARED bucket per group
+    * ([[singleBucket]] when ungrouped): exactly the plan the scalable
+    * construction is protecting against at data scale, and exactly the
+    * right plan when the whole domain fits one task. At or above the
+    * threshold the value-deterministic bucketed construction runs
+    * unchanged — so the shape stays flat as the domain grows across the
+    * threshold, and both branches are exact integer arithmetic over the
+    * same order (identical output, oracle-checked either way).
+    *
+    * The probe re-derives `df`'s aggregation once; callers whose domain
+    * can be data-sized (running revenue over raw rows) should call
+    * [[withRunningTotalsLong]] directly rather than pay it. */
+  def withRunningTotalsLongAdaptive(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], values: Seq[(Column, String)]): DataFrame =
+    if (df.count() < SmallDomainRows) {
+      val localW = (if (groupCols.isEmpty) Window.partitionBy(singleBucket)
+                    else Window.partitionBy(groupCols.map(col): _*))
+        .orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      values.foldLeft(df) { case (d, (v, name)) =>
+        d.withColumn(name, sum(v.cast("long")).over(localW))
+      }
+    } else withRunningTotalsLong(df, groupCols, sortCols, values)
+
   /** Append a global BIGINT NTILE(`n`) column ordered by `sortCols`:
     * the first `total mod n` buckets get `ceil(total/n)` rows, the rest
     * `floor(total/n)` — SQL NTILE semantics, derived arithmetically from

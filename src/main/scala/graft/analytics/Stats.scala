@@ -150,17 +150,19 @@ object Stats {
     *
     * Scale shape: one keyed aggregation folds the events to the DISTINCT
     * value domain (per value: a-count, b-count); BOTH cumulative counts
-    * then ride one range-partitioned prefix-sum pass
-    * ([[GlobalRank.withRunningTotalsLong]]) — every core busy even when
-    * the distinct domain is 10⁸⁺ (a continuous metric at 100 TB), where a
-    * bare `Window.orderBy(value)` would sort the whole domain on ONE
-    * task. The totals attach as a broadcast 1-row aggregate; the max is a
+    * then ride one DOMAIN-ADAPTIVE prefix-sum pass
+    * ([[GlobalRank.withRunningTotalsLongAdaptive]]): a small measured
+    * domain cumulates on one declared task (the stitch machinery is pure
+    * overhead there), while a 10⁸⁺ domain (a continuous metric at
+    * 100 TB) takes the range-partitioned construction — where a bare
+    * `Window.orderBy(value)` would sort the whole domain on ONE task.
+    * The totals attach as a broadcast 1-row aggregate; the max is a
     * 1-row fold. */
   def ksTest(events: DataFrame, typeA: String, typeB: String): DataFrame = {
     val perValue = twoSampleCounts(events, typeA, typeB)
     val totals = perValue.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    GlobalRank.withRunningTotalsLong(perValue, Nil, Seq(col("value")),
+    GlobalRank.withRunningTotalsLongAdaptive(perValue, Nil, Seq(col("value")),
         Seq(col("ca") -> "cca", col("cb") -> "ccb"))
       .select(col("cca"), col("ccb"))
       .crossJoin(broadcast(totals))
@@ -177,7 +179,7 @@ object Stats {
     * `2p + t + 1` — always integral. One row:
     * (n_a, n_b, r2_a = Σ doubled ranks of sample a,
     * u2_a = 2·U_a = r2_a − n_a·(n_a+1)). Same distinct-value fold and
-    * range-partitioned prefix-sum pass as [[ksTest]] (the preceding-count
+    * domain-adaptive prefix-sum pass as [[ksTest]] (the preceding-count
     * `p` is the EXCLUSIVE prefix: inclusive running total minus the row's
     * own tie count); every quantity is an exact BIGINT. */
   def mannWhitneyU(events: DataFrame, typeA: String, typeB: String): DataFrame = {
@@ -185,7 +187,7 @@ object Stats {
       .withColumn("t", col("ca") + col("cb"))
     val totals = perValue.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    GlobalRank.withRunningTotalsLong(perValue, Nil, Seq(col("value")),
+    GlobalRank.withRunningTotalsLongAdaptive(perValue, Nil, Seq(col("value")),
         Seq(col("t") -> "_cumt"))
       .select(col("ca"), col("t"), (col("_cumt") - col("t")).as("p"))
       .crossJoin(broadcast(totals))

@@ -83,6 +83,36 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(parted.select("p").distinct().count() > 1)
   }
 
+  test("adaptive running totals: small domain equals the bucketed construction") {
+    val d = df((1 to 200).map(i => ((i % 13).toDouble, i.toLong)))
+      .withColumn("c", col("id") % 5 + 1L)
+    def run(f: org.apache.spark.sql.DataFrame) = f
+      .orderBy(col("id")).select("id", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fast = run(GlobalRank.withRunningTotalsLongAdaptive(d, Nil,
+      Seq(col("v").asc, col("id").asc), Seq(col("c") -> "cum")))
+    val slow = run(GlobalRank.withRunningTotalsLong(d, Nil,
+      Seq(col("v").asc, col("id").asc), Seq(col("c") -> "cum")))
+    assert(fast == slow)
+  }
+
+  test("adaptive running totals: above-threshold domain flips to the bucketed path, same rows") {
+    // 70k distinct rows > SmallDomainRows — the adaptive call must route
+    // through the range-partitioned stitch and still agree with it
+    val d = spark.range(70000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"), lit(1L).as("c"))
+    def run(f: org.apache.spark.sql.DataFrame) = f
+      .orderBy(col("id")).select("id", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adaptive = run(GlobalRank.withRunningTotalsLongAdaptive(d, Seq("g"),
+      Seq(col("id").asc), Seq(col("c") -> "cum")))
+    val direct = run(GlobalRank.withRunningTotalsLong(d, Seq("g"),
+      Seq(col("id").asc), Seq(col("c") -> "cum")))
+    assert(adaptive == direct)
+    // spot-check semantics: per-group cumulative count of 1s = rank in group
+    assert(adaptive.take(6).map(_._2) == Seq(1L, 1L, 1L, 2L, 2L, 2L))
+  }
+
   /** Rank family vs the builtin single-partition window it replaces:
     * peers defined by the value column only (id is the tie-break), so
     * dense_rank collapses tied values, percent_rank uses the peer group's
