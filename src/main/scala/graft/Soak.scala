@@ -451,6 +451,58 @@ object Soak {
     }
   }
 
+  /** `truegrowthmedia` mode: the TRUE-growth receipts for the
+    * image/audio/video near-dup tiers — generate media corpora whose
+    * duplicate-FAMILY height is constant as n grows
+    * ([[graft.ops.Multimodal.imagePngMediaTrueGrowth]] and siblings:
+    * family = doc_id DIV 15, full-64-bit seeds), run each tier's full
+    * codec→fingerprint→banded-pair pipeline at 1× and factor×, and
+    * print SOAK lines with the PAIR counts — which must grow ~linearly
+    * with the corpus, unlike the replication fixture where every class
+    * grows with the corpus and pair output is quadratic by
+    * construction. */
+  def trueGrowthMediaSoak(spark: SparkSession, factor: Int, baseDir: String): Unit = {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal}
+    val nBase = Tables.documents(spark, baseDir).count()
+    def docsOf(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(8L))).as("source"))
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val docs = docsOf(n)
+      val runs: Seq[(String, () => DataFrame)] = Seq(
+        "q_phash_pairs" -> (() => Dedup.hammingPairs128(
+          Multimodal.pHashes(Multimodal.imagePngMediaTrueGrowth(spark, docs))
+            .filter(_.decoded).toDF()
+            .select(col("media_id").as("doc_id"),
+              col("ph0").as("sh0"), col("ph1").as("sh1")),
+          maxHamming = 3)),
+        "q_audio_fp_pairs" -> (() => Dedup.hammingPairs128(
+          Multimodal.audioFingerprints(Multimodal.audioWavMediaTrueGrowth(spark, docs))
+            .filter(_.decoded).toDF()
+            .select(col("media_id").as("doc_id"),
+              col("afp0").as("sh0"), col("afp1").as("sh1")),
+          maxHamming = 3)),
+        "q_video_fp_pairs" -> (() => Multimodal.videoFpPairs(
+          Multimodal.framePHashes(
+            Multimodal.videoNearDupMediaTrueGrowth(spark, docs),
+            stride = 1, maxFrames = 8)
+            .filter(_.decoded).toDF(),
+          maxHamming = 3, minFrames = 3)))
+      for ((name, q) <- runs) {
+        val t0 = System.nanoTime()
+        try {
+          val pairs = q().count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""SOAK {"scale":"$tag","query":"$name","docs":$n,"pairs":$pairs,"sec":$sec%.2f}""")
+        } catch {
+          case e: Throwable =>
+            println(s"""SOAK {"scale":"$tag","query":"$name","error":"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"}""")
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -481,6 +533,11 @@ object Soak {
     }
     if (args.lift(3).contains("lshttl")) {
       lshTtlSoak(spark, factor, baseDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("truegrowthmedia")) {
+      trueGrowthMediaSoak(spark, factor, baseDir)
       spark.stop()
       return
     }

@@ -294,6 +294,33 @@ object Multimodal {
       }
   }
 
+  /** The texture family's per-pixel gray: FNV-mix (seed, x, y), map into
+    * [78, 178], add the brightness jitter. ONE definition shared by the
+    * RGB and indexed renderers — the cross-fixture claim that video
+    * frame content matches the scale soak's texture family rests on the
+    * two renderers producing identical rasters, so they must not carry
+    * separate copies of this formula. `sb` is the caller's scratch
+    * 10-byte buffer (reused across pixels).
+    *
+    * The splitmix64 FINALIZER after the FNV fold is load-bearing for
+    * cross-seed independence, not decoration: raw FNV-1a differences
+    * between two seeds propagate AFFINELY through the trailing small
+    * (x, y) bytes — when the two post-seed states agree on their low 5
+    * bits, every pixel's hash differs by the SAME constant, and if that
+    * constant ≡ 0 (mod 101) the two seeds render IDENTICAL rasters
+    * (measured: ~1 per few thousand family pairs in the true-growth
+    * corpora, each collision welding two unrelated families into one
+    * pHash class). Full avalanche breaks the affine structure, making
+    * whole-raster collisions ~101⁻¹⁰²⁴ instead of structural. */
+  private def textureGray(sb: java.nio.ByteBuffer, seed: Long,
+      x: Int, y: Int, jitter: Int): Int = {
+    sb.clear()
+    sb.putLong(seed).put(x.toByte).put(y.toByte)
+    val mixed = graft.functions.SimHash64.mix64(
+      graft.functions.SimHash64.fnv1a64(sb.array()))
+    78 + java.lang.Long.remainderUnsigned(mixed, 101L).toInt + jitter
+  }
+
   /** [[textureImage]] rendered as TYPE_BYTE_INDEXED over an explicit
     * full 256-gray palette — the raster shape GIF encodes losslessly
     * (the writer copies an indexed image's color table verbatim). */
@@ -309,11 +336,7 @@ object Multimodal {
     while (y < n) {
       var x = 0
       while (x < n) {
-        sb.clear()
-        sb.putLong(seed).put(x.toByte).put(y.toByte)
-        val mixed = graft.functions.SimHash64.fnv1a64(sb.array())
-        val base = 78 + (java.lang.Long.remainderUnsigned(mixed, 101L)).toInt
-        raster.setSample(x, y, 0, base + jitter)
+        raster.setSample(x, y, 0, textureGray(sb, seed, x, y, jitter))
         x += 1
       }
       y += 1
@@ -504,11 +527,7 @@ object Multimodal {
     while (y < n) {
       var x = 0
       while (x < n) {
-        sb.clear()
-        sb.putLong(seed).put(x.toByte).put(y.toByte)
-        val mixed = graft.functions.SimHash64.fnv1a64(sb.array())
-        val base = 78 + (java.lang.Long.remainderUnsigned(mixed, 101L)).toInt
-        val g = base + jitter
+        val g = textureGray(sb, seed, x, y, jitter)
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -580,6 +599,75 @@ object Multimodal {
       }
   }
 
+  /** TRUE-GROWTH media corpora for the scale soak — same codec paths,
+    * role stripes and invariance classes as the 5-class fixtures, but
+    * family id = `doc_id DIV block` with the full-64-bit-seed texture /
+    * waveform generators, so family HEIGHT stays constant (~block/3
+    * members after the mod-3 stripe filter) at ANY corpus size and
+    * near-dup pair output grows LINEARLY with n. The replication soak
+    * cannot measure this regime: replicating the 5-class fixture grows
+    * every class with the corpus, which grows within-class pairs
+    * quadratically — an output artifact, not a plan property. Seed
+    * ranges (1.0e9 / 1.1e9 / 2.0e9 + fam·16 / 3.0e9 + doc) are disjoint
+    * from each other and from the fixtures', so no texture or waveform
+    * ever repeats across roles. */
+  def imagePngMediaTrueGrowth(spark: SparkSession, documents: DataFrame,
+      block: Int = 15): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .repartition(spark.sparkContext.defaultParallelism) // codec stage
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (docId, source) =>
+          val fam = 1000000000L + docId / block
+          val jitter = (((docId / 5) % 5).toInt - 2) * 5 // −10..+10
+          MediaRow(docId, "image", pngBytes(textureImage(fam, jitter)), source)
+        }
+      }
+  }
+
+  /** [[imagePngMediaTrueGrowth]] for the audio tier: per-family seeded
+    * waveform at a per-document gain (the loudness-invariance class). */
+  def audioWavMediaTrueGrowth(spark: SparkSession, documents: DataFrame,
+      block: Int = 15): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .repartition(spark.sparkContext.defaultParallelism) // codec stage
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, source) =>
+          val fam = 1100000000L + docId / block
+          val gain = 1 + ((docId / 5) % 5).toInt // 1..5, exact multiply
+          MediaRow(docId, "audio", wavBytes(seededWaveform(fam, gain)), source)
+        }
+      }
+  }
+
+  /** [[imagePngMediaTrueGrowth]] for the video tier: 4 family-shared
+    * frames + one doc-unique tail per video (the frame-vote class). */
+  def videoNearDupMediaTrueGrowth(spark: SparkSession, documents: DataFrame,
+      block: Int = 15): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("source"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .repartition(spark.sparkContext.defaultParallelism) // codec stage
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (docId, source) =>
+          val fam = docId / block
+          val jitter = (((docId / 5) % 5).toInt - 2) * 5 // −10..+10
+          val frames = (0 until 4).map(f =>
+            textureImageIndexed(2000000000L + fam * 16 + f, jitter)) :+
+            textureImageIndexed(3000000000L + docId, jitter)
+          MediaRow(docId, "video", animatedGifOf(frames), source)
+        }
+      }
+  }
+
   private val FpSamples = 2048
 
   /** Fixed pseudorandom waveform per class, scaled by an integer gain. */
@@ -597,7 +685,11 @@ object Multimodal {
   }
 
   /** [[classWaveform]] with a full 64-bit seed (the class byte caps
-    * families at 256) — the scale soak's generated audio corpora. */
+    * families at 256) — the scale soak's generated audio corpora. The
+    * splitmix64 finalizer breaks raw FNV's affine cross-seed correlation
+    * (see the textureGray doc: without it, seed pairs with matching
+    * low state bits shift every sample's hash by one constant, and a
+    * constant ≡ 0 mod 12001 welds two families into one waveform). */
   private[graft] def seededWaveform(seed: Long, gain: Int): Array[Short] = {
     val out = new Array[Short](FpSamples)
     val sb = java.nio.ByteBuffer.allocate(10)
@@ -605,7 +697,8 @@ object Multimodal {
     while (i < FpSamples) {
       sb.clear()
       sb.putLong(seed).put((i >> 8).toByte).put(i.toByte)
-      val mixed = graft.functions.SimHash64.fnv1a64(sb.array())
+      val mixed = graft.functions.SimHash64.mix64(
+        graft.functions.SimHash64.fnv1a64(sb.array()))
       val base = java.lang.Long.remainderUnsigned(mixed, 12001L).toInt - 6000
       out(i) = (base * gain).toShort // |base·gain| ≤ 30000 < 32768
       i += 1
