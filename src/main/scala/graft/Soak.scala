@@ -417,7 +417,17 @@ object Soak {
         .outputMode("append").start()
       try {
         for (c <- 0 until factor) {
-          mem.addData(docs.map(d => d.copy(doc_id = d.doc_id + c * Off)).toSeq)
+          // every token is tagged with the copy ordinal, so each copy is
+          // genuinely FRESH content (the production regime — new
+          // documents arriving over time). Replaying identical texts
+          // would hash into the same buckets, and numRowsTotal counts
+          // state KEYS — a flat key count would hide the unbounded
+          // variant's linear growth. With fresh content the unbounded
+          // key set grows ~linearly (every bucket ever touched is held
+          // forever) while TTL timeouts reap buckets idle past the
+          // horizon
+          mem.addData(docs.map(d => d.copy(doc_id = d.doc_id + c * Off,
+            text = d.text.split("\\s+").map(t => s"${t}c$c").mkString(" "))).toSeq)
           q.processAllAvailable()
           println(s"""SOAK {"phase":"lsh_state","variant":"$variant","copy":${c + 1},"state_rows":${stateRows(q)}}""")
         }

@@ -37,7 +37,14 @@ import io.netty.handler.codec.http2._
   * 405; non-`application/grpc*` content type → HTTP 415; unknown method →
   * trailers-only `grpc-status 12` (UNIMPLEMENTED); malformed frame or
   * proto bytes → `grpc-status 13` (INTERNAL, the unmarshal-failure code);
-  * sink failure → `grpc-status 13`.
+  * sink failure → `grpc-status 13`. `grpc-timeout` request headers are
+  * ENFORCED server-side like grpc-go: expiry maps to `grpc-status 4`
+  * (DEADLINE_EXCEEDED), both when the handler finishes after the
+  * deadline (a slow sink never turns into a late OK) and, via an
+  * event-loop timer, when the client stalls mid-request. Early rejects
+  * (over-cap, deadline) also send RST_STREAM(CANCEL): a trailers-only
+  * answer half-closes ONLY the server side, and without the reset a
+  * client could keep streaming unbounded bytes into a dead stream.
   *
   * Threading: all frames for a connection arrive on its event-loop
   * thread, so per-stream state needs no locks. The sink (a MemoryStream
@@ -92,6 +99,32 @@ object GrpcServer {
     var contentType: String = ""
     val body: ByteBuf = Unpooled.buffer()
     var done = false // response sent; drop any further frames
+    // grpc-timeout deadline (absolute System.nanoTime), MaxValue = none
+    var deadlineNanos: Long = Long.MaxValue
+    // event-loop timer that fires DEADLINE_EXCEEDED if the request is
+    // still open at expiry (client stalled mid-request)
+    var timer: java.util.concurrent.ScheduledFuture[_] = null
+    def cancelTimer(): Unit = if (timer != null) { timer.cancel(false); timer = null }
+  }
+
+  /** Parse a `grpc-timeout` header value (PROTOCOL-HTTP2 spec: 1-8 ASCII
+    * digits + one unit char of H M S m u n) to nanoseconds; None for
+    * absent/malformed values (lenient — an unparseable client header
+    * degrades to no deadline rather than a connection error). */
+  private[logs] def parseGrpcTimeoutNanos(v: String): Option[Long] = {
+    if (v == null || v.length < 2 || v.length > 9) return None
+    val digits = v.substring(0, v.length - 1)
+    if (!digits.forall(c => c >= '0' && c <= '9')) return None
+    val mult = v.charAt(v.length - 1) match {
+      case 'H' => 3600L * 1000000000L
+      case 'M' => 60L * 1000000000L
+      case 'S' => 1000000000L
+      case 'm' => 1000000L
+      case 'u' => 1000L
+      case 'n' => 1L
+      case _   => return None
+    }
+    Some(digits.toLong * mult)
   }
 
   private final class ConnectionHandler(sink: Seq[LogEntryMsg] => Long,
@@ -108,6 +141,27 @@ object GrpcServer {
             st.path = str(h.headers().path())
             st.method = str(h.headers().method())
             st.contentType = str(h.headers().get("content-type"))
+            // grpc-timeout: a stock deadline-bearing client's header is
+            // ENFORCED server-side, matching grpc-go — the deadline is
+            // checked when the handler finishes (a slow sink maps to
+            // status 4, not a late OK the client already abandoned), and
+            // an event-loop timer answers a stalled REQUEST at expiry
+            parseGrpcTimeoutNanos(str(h.headers().get("grpc-timeout")))
+              .foreach { t =>
+                st.deadlineNanos = System.nanoTime() + t
+                val stream = h.stream()
+                st.timer = ctx.executor().schedule(new Runnable {
+                  override def run(): Unit = if (!st.done) {
+                    st.done = true
+                    st.body.clear()
+                    trailersOnly(ctx, stream, 4, // DEADLINE_EXCEEDED
+                      "context deadline exceeded")
+                    ctx.write(new DefaultHttp2ResetFrame(Http2Error.CANCEL)
+                      .stream(stream))
+                    ctx.flush()
+                  }
+                }, t, java.util.concurrent.TimeUnit.NANOSECONDS)
+              }
           }
           if (h.isEndStream) complete(ctx, h.stream(), st)
         case d: Http2DataFrame =>
@@ -120,8 +174,15 @@ object GrpcServer {
             if (st.body.readableBytes() > maxMessageBytes) {
               st.done = true
               st.body.clear()
+              st.cancelTimer()
               trailersOnly(ctx, d.stream(), 8, // RESOURCE_EXHAUSTED
                 s"grpc: received message larger than max ($maxMessageBytes)")
+              // half-closing our side doesn't stop the client's upload:
+              // RST_STREAM(CANCEL) does — without it a client can keep
+              // streaming unbounded bytes into a stream we already
+              // rejected (grpc-go resets after an early error too)
+              ctx.write(new DefaultHttp2ResetFrame(Http2Error.CANCEL)
+                .stream(d.stream()))
             }
           }
           // replenish flow-control windows for the consumed bytes
@@ -136,9 +197,14 @@ object GrpcServer {
           if (end) complete(ctx, d.stream(), st)
           else ctx.flush()
         case f: Http2ResetFrame =>
-          Option(streams.remove(f.stream())).foreach(_.body.release())
+          Option(streams.remove(f.stream())).foreach { st =>
+            st.cancelTimer(); st.body.release()
+          }
         case other: Http2Frame =>
-          () // SETTINGS/PING/GOAWAY handled by the codec; ignore the rest
+          // SETTINGS/PING/GOAWAY are handled by the codec before reaching
+          // here, but some carry reference-counted payloads (GOAWAY
+          // debugData) — dropping without release leaks the buffer
+          io.netty.util.ReferenceCountUtil.release(other)
         case other =>
           ctx.fireChannelRead(other)
       }
@@ -155,11 +221,14 @@ object GrpcServer {
     private def complete(ctx: ChannelHandlerContext, s: Http2FrameStream,
         st: StreamState): Unit = {
       if (st.done) { // already answered (e.g. over-cap reject): reap state
-        Option(streams.remove(s)).foreach(_.body.release())
+        Option(streams.remove(s)).foreach { t =>
+          t.cancelTimer(); t.body.release()
+        }
         ctx.flush()
         return
       }
       st.done = true
+      st.cancelTimer()
       try {
         if (st.method != "POST") {
           httpError(ctx, s, "405") // gRPC is POST-only (grpc-go: 405)
@@ -174,15 +243,23 @@ object GrpcServer {
           val entries =
             LogProto.decodeBatchWriteRequest(LogProto.unframe(raw))
           val written = sink(entries)
-          val headers = new DefaultHttp2Headers()
-          headers.status("200")
-          headers.set("content-type", "application/grpc")
-          ctx.write(new DefaultHttp2HeadersFrame(headers).stream(s))
-          ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
-            LogProto.frame(LogProto.encodeBatchWriteResponse(written)))).stream(s))
-          val trailers = new DefaultHttp2Headers()
-          trailers.set("grpc-status", "0")
-          ctx.write(new DefaultHttp2HeadersFrame(trailers, true).stream(s))
+          if (System.nanoTime() > st.deadlineNanos) {
+            // the deadline expired while the handler ran (slow sink):
+            // the client has already abandoned the call — answer
+            // DEADLINE_EXCEEDED, not a late OK (grpc-go's post-handler
+            // ctx.Err() check)
+            trailersOnly(ctx, s, 4, "context deadline exceeded")
+          } else {
+            val headers = new DefaultHttp2Headers()
+            headers.status("200")
+            headers.set("content-type", "application/grpc")
+            ctx.write(new DefaultHttp2HeadersFrame(headers).stream(s))
+            ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+              LogProto.frame(LogProto.encodeBatchWriteResponse(written)))).stream(s))
+            val trailers = new DefaultHttp2Headers()
+            trailers.set("grpc-status", "0")
+            ctx.write(new DefaultHttp2HeadersFrame(trailers, true).stream(s))
+          }
         }
       } catch {
         case e: Throwable => // malformed framing/proto or sink failure
@@ -221,7 +298,7 @@ object GrpcServer {
     }
 
     override def channelInactive(ctx: ChannelHandlerContext): Unit = {
-      streams.values.forEach(st => st.body.release())
+      streams.values.forEach { st => st.cancelTimer(); st.body.release() }
       streams.clear()
       ctx.fireChannelInactive()
     }

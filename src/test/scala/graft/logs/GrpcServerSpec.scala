@@ -152,15 +152,76 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shared flow-control window) must survive for a follow-up call
     val small = new GrpcServer(es => es.size.toLong,
       maxMessageBytes = 16 * 1024).start()
-    val conn = connect(group, small.port)
+    val tap = new GrpcTestClient.ResetTap
+    val conn = connect(group, small.port, tap)
     try {
       val over = framedRequest((1 to 32).map(entry(_, msg = "y" * 2048)))
       assert(over.length > 16 * 1024)
       val r = call(conn, requestHeaders(small.port), over)
       assert(r.headers.get("grpc-status").toString == "8")
+      // the reject must also RESET the stream: half-closing only the
+      // server side leaves the client free to stream unbounded bytes
+      assert(tap.seen.await(5, TimeUnit.SECONDS),
+        "no RST_STREAM reached the client after the over-cap reject")
       val ok = call(conn, requestHeaders(small.port),
         framedRequest(Seq(entry(1))))
       assert(ok.trailers.get("grpc-status").toString == "0")
     } finally { conn.close().sync(); small.stop() }
+  }
+
+  test("grpc-timeout: expiry during a slow sink maps to DEADLINE_EXCEEDED (4)") {
+    // sink stalls 400 ms; client deadline 50 ms — grpc-go's post-handler
+    // ctx.Err() check: the late result must NOT become a late OK
+    val slow = new GrpcServer(es => { Thread.sleep(400); es.size.toLong }).start()
+    val conn = connect(group, slow.port)
+    try {
+      val h = requestHeaders(slow.port)
+      h.set("grpc-timeout", "50m")
+      val r = call(conn, h, framedRequest(Seq(entry(1))))
+      assert(r.headers.get("grpc-status").toString == "4",
+        s"want DEADLINE_EXCEEDED, got headers=${r.headers} trailers=${r.trailers}")
+    } finally { conn.close().sync(); slow.stop() }
+  }
+
+  test("grpc-timeout: a stalled REQUEST is answered 4 at expiry and reset") {
+    val tap = new GrpcTestClient.ResetTap
+    val conn = connect(group, server.port, tap)
+    try {
+      val h = requestHeaders(server.port)
+      h.set("grpc-timeout", "100m")
+      // headers + partial body, never END_STREAM: only the server's own
+      // deadline timer can answer this stream
+      val r = GrpcTestClient.callStalled(conn, h,
+        framedRequest(Seq(entry(1))).take(3))
+      assert(r.headers.get("grpc-status").toString == "4")
+      assert(tap.seen.await(5, TimeUnit.SECONDS),
+        "no RST_STREAM after the deadline answered a stalled request")
+      // connection survives for a normal follow-up
+      assert(GrpcTestClient.batchWrite(conn, server.port, Seq(entry(9))) == 1L)
+    } finally conn.close().sync()
+  }
+
+  test("grpc-timeout: a generous deadline changes nothing (status 0)") {
+    val conn = connect(group, server.port)
+    try {
+      val h = requestHeaders(server.port)
+      h.set("grpc-timeout", "10S")
+      val r = call(conn, h, framedRequest(Seq(entry(3))))
+      assert(r.trailers != null && r.trailers.get("grpc-status").toString == "0")
+    } finally conn.close().sync()
+  }
+
+  test("grpc-timeout parse: spec units, bounds, and lenient rejection") {
+    import GrpcServer.parseGrpcTimeoutNanos
+    assert(parseGrpcTimeoutNanos("50m").contains(50L * 1000000L))
+    assert(parseGrpcTimeoutNanos("1H").contains(3600L * 1000000000L))
+    assert(parseGrpcTimeoutNanos("7n").contains(7L))
+    assert(parseGrpcTimeoutNanos("99999999S").isDefined) // 8 digits max
+    assert(parseGrpcTimeoutNanos("999999999S").isEmpty)  // 9 digits
+    assert(parseGrpcTimeoutNanos("").isEmpty)
+    assert(parseGrpcTimeoutNanos("S").isEmpty)
+    assert(parseGrpcTimeoutNanos("5x").isEmpty)
+    assert(parseGrpcTimeoutNanos("-5S").isEmpty)
+    assert(parseGrpcTimeoutNanos(null).isEmpty)
   }
 }

@@ -24,6 +24,8 @@ object GrpcTestClient {
     @volatile var trailers: Http2Headers = _
     val body: ByteBuf = Unpooled.buffer()
     val done = new CountDownLatch(1)
+    /** Counts down when the server resets the stream (RST_STREAM). */
+    val resetSeen = new CountDownLatch(1)
     def bodyBytes: Array[Byte] = {
       val out = new Array[Byte](body.readableBytes())
       body.getBytes(body.readerIndex(), out)
@@ -46,6 +48,9 @@ object GrpcTestClient {
           d.release()
           ctx.flush()
           if (d.isEndStream) r.done.countDown()
+        case _: Http2ResetFrame =>
+          r.resetSeen.countDown()
+          r.done.countDown()
         case other: Http2Frame => ()
         case other => ctx.fireChannelRead(other)
       }
@@ -54,16 +59,40 @@ object GrpcTestClient {
   def group(): MultiThreadIoEventLoopGroup =
     new MultiThreadIoEventLoopGroup(1, NioIoHandler.newFactory())
 
-  def connect(group: MultiThreadIoEventLoopGroup, port: Int): Channel = {
+  /** Connection-level observer of inbound RST_STREAM frames — tapped
+    * BETWEEN the frame codec and the multiplexer, so it sees resets even
+    * when the multiplexer answers them by closing the child channel
+    * rather than delivering the frame to its pipeline. */
+  final class ResetTap {
+    val seen = new CountDownLatch(1)
+    @volatile var errorCode: Long = -1L
+  }
+
+  def connect(group: MultiThreadIoEventLoopGroup, port: Int,
+      resetTap: ResetTap = null): Channel = {
     val b = new Bootstrap()
       .group(group)
       .channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
-        override def initChannel(ch: SocketChannel): Unit =
+        override def initChannel(ch: SocketChannel): Unit = {
+          ch.pipeline.addLast(Http2FrameCodecBuilder.forClient().build())
+          if (resetTap != null)
+            ch.pipeline.addLast(new ChannelInboundHandlerAdapter {
+              override def channelRead(ctx: ChannelHandlerContext,
+                  msg: Object): Unit = {
+                msg match {
+                  case r: Http2ResetFrame =>
+                    resetTap.errorCode = r.errorCode()
+                    resetTap.seen.countDown()
+                  case _ => ()
+                }
+                ctx.fireChannelRead(msg) // transparent tap
+              }
+            })
+          // inbound (server-push) streams don't occur; handler required
           ch.pipeline.addLast(
-            Http2FrameCodecBuilder.forClient().build(),
-            // inbound (server-push) streams don't occur; handler required
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+        }
       })
     b.connect("127.0.0.1", port).sync().channel()
   }
@@ -98,6 +127,29 @@ object GrpcTestClient {
     }
     require(r.done.await(15, TimeUnit.SECONDS),
       "no end-of-stream from server within 15s")
+    r
+  }
+
+  /** Open a stream and send headers (+ optional body) WITHOUT ever
+    * ending the client side — the stalled-request shape the server's
+    * grpc-timeout enforcement must answer on its own. */
+  def callStalled(conn: Channel, headers: Http2Headers,
+      body: Array[Byte] = Array.empty): Response = {
+    val r = new Response
+    val sb = new Http2StreamChannelBootstrap(conn)
+      .handler(new ChannelInitializer[Channel] {
+        override def initChannel(ch: Channel): Unit =
+          ch.pipeline.addLast(new CollectHandler(r))
+      })
+    val stream = sb.open().sync().getNow
+    if (body.isEmpty) {
+      stream.writeAndFlush(new DefaultHttp2HeadersFrame(headers))
+    } else {
+      stream.write(new DefaultHttp2HeadersFrame(headers))
+      stream.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(body)))
+    }
+    require(r.done.await(15, TimeUnit.SECONDS),
+      "no response from server within 15s on the stalled stream")
     r
   }
 
