@@ -22,7 +22,11 @@ import io.netty.handler.codec.http2._
   *  - HTTP/2 connection management (preface, SETTINGS, HPACK, per-stream
   *    and connection flow control) — netty `Http2FrameCodec`;
   *  - request routing on `:path = /logs.v1.LogService/BatchWrite`
-  *    (proto/log.proto:3+19-21: package `logs.v1`, service `LogService`);
+  *    (proto/log.proto:3+19-21: package `logs.v1`, service `LogService`),
+  *    plus the server-reflection paths ([[ReflectionProto]] — the
+  *    `grpcurl` discovery surface grpc-go's `reflection.Register` gives
+  *    the reference at `cmd/server/main.go:78`), answered incrementally
+  *    per framed request as the bidi method requires;
   *  - gRPC framing: request DATA carries 1-byte compressed flag + u32-BE
   *    length + protobuf message ([[LogProto.unframe]]);
   *  - message bytes: the hand-rolled proto3 codec
@@ -99,6 +103,10 @@ object GrpcServer {
     var contentType: String = ""
     val body: ByteBuf = Unpooled.buffer()
     var done = false // response sent; drop any further frames
+    // reflection streams answer each framed request INCREMENTALLY (the
+    // bidi shape grpcurl drives: it awaits responses before half-closing)
+    var reflect = false
+    var headersSent = false
     // grpc-timeout deadline (absolute System.nanoTime), MaxValue = none
     var deadlineNanos: Long = Long.MaxValue
     // event-loop timer that fires DEADLINE_EXCEEDED if the request is
@@ -141,6 +149,9 @@ object GrpcServer {
             st.path = str(h.headers().path())
             st.method = str(h.headers().method())
             st.contentType = str(h.headers().get("content-type"))
+            st.reflect = ReflectionProto.isReflectionPath(st.path) &&
+              st.method == "POST" &&
+              st.contentType.startsWith("application/grpc")
             // grpc-timeout: a stock deadline-bearing client's header is
             // ENFORCED server-side, matching grpc-go — the deadline is
             // checked when the handler finishes (a slow sink maps to
@@ -168,6 +179,7 @@ object GrpcServer {
           val st = state(d.stream())
           if (!st.done) {
             st.body.writeBytes(d.content())
+            if (st.reflect) drainReflection(ctx, d.stream(), st)
             // the stock grpc inbound cap: answer RESOURCE_EXHAUSTED the
             // moment the accumulated request crosses it, release the
             // buffer, and drop the stream's remaining frames (st.done)
@@ -230,7 +242,15 @@ object GrpcServer {
       st.done = true
       st.cancelTimer()
       try {
-        if (st.method != "POST") {
+        if (st.reflect) {
+          // end of the reflection stream: every complete request was
+          // already answered from the DATA path; close with OK trailers
+          drainReflection(ctx, s, st)
+          if (!st.headersSent) responseHeaders(ctx, s, st)
+          val trailers = new DefaultHttp2Headers()
+          trailers.set("grpc-status", "0")
+          ctx.write(new DefaultHttp2HeadersFrame(trailers, true).stream(s))
+        } else if (st.method != "POST") {
           httpError(ctx, s, "405") // gRPC is POST-only (grpc-go: 405)
         } else if (!st.contentType.startsWith("application/grpc")) {
           httpError(ctx, s, "415") // not a gRPC request (grpc-go: 415)
@@ -268,6 +288,43 @@ object GrpcServer {
       } finally {
         ctx.flush()
         Option(streams.remove(s)).foreach(_.body.release())
+      }
+    }
+
+    /** The OK response HEADERS (:status 200, grpc content type). */
+    private def responseHeaders(ctx: ChannelHandlerContext,
+        s: Http2FrameStream, st: StreamState): Unit = {
+      st.headersSent = true
+      val h = new DefaultHttp2Headers()
+      h.status("200")
+      h.set("content-type", "application/grpc")
+      ctx.write(new DefaultHttp2HeadersFrame(h).stream(s))
+    }
+
+    /** Answer every COMPLETE gRPC frame accumulated on a reflection
+      * stream, leaving partial bytes buffered — the incremental turn
+      * structure of the bidi ServerReflectionInfo method (a client may
+      * hold the stream open across several queries; answering only at
+      * END_STREAM would deadlock grpcurl, which awaits each response). */
+    private def drainReflection(ctx: ChannelHandlerContext,
+        s: Http2FrameStream, st: StreamState): Unit = {
+      var progressed = true
+      while (progressed) {
+        progressed = false
+        if (st.body.readableBytes() >= 5) {
+          val len = st.body.getUnsignedInt(st.body.readerIndex() + 1)
+          if (st.body.readableBytes() >= 5 + len) {
+            st.body.skipBytes(5)
+            val raw = new Array[Byte](len.toInt)
+            st.body.readBytes(raw)
+            st.body.discardReadBytes()
+            if (!st.headersSent) responseHeaders(ctx, s, st)
+            ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
+              LogProto.frame(ReflectionProto.respond(raw)))).stream(s))
+            ctx.flush()
+            progressed = true
+          }
+        }
       }
     }
 

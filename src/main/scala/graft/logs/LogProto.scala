@@ -53,7 +53,7 @@ object LogProto {
 
   // ── varint + primitive writers ──
 
-  private def writeUvarint(out: ByteArrayOutputStream, value: Long): Unit = {
+  private[logs] def writeUvarint(out: ByteArrayOutputStream, value: Long): Unit = {
     var v = value
     while ((v & ~0x7fL) != 0L) {
       out.write(((v & 0x7fL) | 0x80L).toInt)
@@ -63,7 +63,7 @@ object LogProto {
   }
 
   /** (value, next position); bounds- and length-checked (≤ 10 bytes). */
-  private def readUvarint(b: Array[Byte], pos: Int): (Long, Int) = {
+  private[logs] def readUvarint(b: Array[Byte], pos: Int): (Long, Int) = {
     var v = 0L
     var shift = 0
     var i = pos
@@ -79,10 +79,10 @@ object LogProto {
     sys.error("unreachable")
   }
 
-  private def writeTag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
+  private[logs] def writeTag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
     writeUvarint(out, (field.toLong << 3) | wire.toLong)
 
-  private def writeStringField(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+  private[logs] def writeStringField(out: ByteArrayOutputStream, field: Int, s: String): Unit =
     if (s != null && s.nonEmpty) {
       val bytes = s.getBytes(UTF_8)
       writeTag(out, field, 2)
@@ -90,14 +90,14 @@ object LogProto {
       out.write(bytes, 0, bytes.length)
     }
 
-  private def writeBytesField(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
+  private[logs] def writeBytesField(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
     writeTag(out, field, 2)
     writeUvarint(out, b.length.toLong)
     out.write(b, 0, b.length)
   }
 
   /** (bytes, next position) of a length-delimited payload at `pos`. */
-  private def readLenDelim(b: Array[Byte], pos: Int): (Array[Byte], Int) = {
+  private[logs] def readLenDelim(b: Array[Byte], pos: Int): (Array[Byte], Int) = {
     val (len, p) = readUvarint(b, pos)
     if (len < 0 || len > (b.length - p).toLong) fail(s"length $len overruns buffer")
     (java.util.Arrays.copyOfRange(b, p, p + len.toInt), p + len.toInt)
@@ -105,7 +105,7 @@ object LogProto {
 
   /** Skip one field of `wire` type at `pos`; groups (wire 3/4) are
     * proto3-invalid and rejected. */
-  private def skipField(b: Array[Byte], pos: Int, wire: Int): Int = wire match {
+  private[logs] def skipField(b: Array[Byte], pos: Int, wire: Int): Int = wire match {
     case 0 => readUvarint(b, pos)._2
     case 1 => if (pos + 8 > b.length) fail("truncated fixed64") else pos + 8
     case 2 => val (len, p) = readUvarint(b, pos)

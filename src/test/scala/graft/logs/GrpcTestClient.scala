@@ -130,6 +130,22 @@ object GrpcTestClient {
     r
   }
 
+  /** Open a stream and send only the request HEADERS, returning the
+    * stream channel and the response collector — the caller drives the
+    * turn structure (bidi methods: write a framed request, poll the
+    * collector, write another, END when done). */
+  def openStream(conn: Channel, headers: Http2Headers): (Channel, Response) = {
+    val r = new Response
+    val sb = new Http2StreamChannelBootstrap(conn)
+      .handler(new ChannelInitializer[Channel] {
+        override def initChannel(ch: Channel): Unit =
+          ch.pipeline.addLast(new CollectHandler(r))
+      })
+    val stream = sb.open().sync().getNow
+    stream.writeAndFlush(new DefaultHttp2HeadersFrame(headers))
+    (stream, r)
+  }
+
   /** Open a stream and send headers (+ optional body) WITHOUT ever
     * ending the client side — the stalled-request shape the server's
     * grpc-timeout enforcement must answer on its own. */
