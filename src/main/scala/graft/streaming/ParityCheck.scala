@@ -246,6 +246,32 @@ object ParityCheck {
       .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream", "parity_ok")
   }
 
+  /** The largest fixture the minhash parity harnesses will replay: they
+    * collect the documents table (WITH text) to the driver to feed a
+    * MemoryStream, which is verification-harness plumbing sized for the
+    * gate SFs — not a path to ever run at corpus scale. The cap fails
+    * loudly instead of OOMing the driver if someone points a parity
+    * harness at a big SF, and is checked with a LIMIT-guarded collect
+    * (no separate count() scan — the fixture is read once). */
+  private val MaxParityDocs = 200000L
+
+  /** Collect the parity fixture under [[MaxParityDocs]]: reads limit+1
+    * rows, so an oversized fixture fails the guard after collecting one
+    * row too many rather than after a full extra count() pass. */
+  private def collectParityDocs(spark: SparkSession, dir: String,
+      harness: String): Array[StatefulOps.DocIn] = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .limit(MaxParityDocs.toInt + 1)
+      .as[StatefulOps.DocIn]
+      .collect()
+    require(docs.length <= MaxParityDocs,
+      s"$harness is a driver-orchestrated verification harness " +
+        s"(collects the fixture); refusing > $MaxParityDocs documents")
+    docs.sortBy(_.doc_id)
+  }
+
   /** Streaming↔batch parity for the MinHash-LSH near-dup tier: the
     * documents table replays through [[StatefulOps.lshCandidatesStream]]
     * in doc_id-ordered micro-batches, and BOTH layers must match batch —
@@ -262,26 +288,11 @@ object ParityCheck {
     * parity_ok) over the VERIFIED pairs, with candidate-set equality
     * folded into parity_ok; the oracle recomputes n_batch with its
     * HUGEINT MinHash replica and asserts (n, n, 0, 0, true). */
-  /** The largest fixture the minhash parity harnesses will replay: they
-    * collect the documents table (WITH text) to the driver to feed a
-    * MemoryStream, which is verification-harness plumbing sized for the
-    * gate SFs — not a path to ever run at corpus scale. The cap fails
-    * loudly instead of OOMing the driver if someone points a parity
-    * harness at a big SF. */
-  private val MaxParityDocs = 200000L
-
   def minhashParity(spark: SparkSession, dir: String,
       nBatches: Int = 4): DataFrame = {
     import spark.implicits._
 
-    require(graft.Tables.documents(spark, dir).count() <= MaxParityDocs,
-      s"minhashParity is a driver-orchestrated verification harness " +
-        s"(collects the fixture); refusing > $MaxParityDocs documents")
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[StatefulOps.DocIn]
-      .collect()
-      .sortBy(_.doc_id)
+    val docs = collectParityDocs(spark, dir, "minhashParity")
     require(docs.nonEmpty, s"no documents in $dir")
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -346,14 +357,9 @@ object ParityCheck {
     val horizonMs = horizonMinutes * 60000L
     val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
-    require(graft.Tables.documents(spark, dir).count() <= MaxParityDocs,
-      s"minhashTtlParity is a driver-orchestrated verification harness " +
-        s"(collects the fixture); refusing > $MaxParityDocs documents")
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[StatefulOps.DocIn]
-      .collect()
-      .sortBy(_.doc_id) // chronological: ts is monotone in doc_id
+    // chronological replay: ts is monotone in doc_id and
+    // collectParityDocs returns doc_id-sorted rows
+    val docs = collectParityDocs(spark, dir, "minhashTtlParity")
     require(docs.nonEmpty, s"no documents in $dir")
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -330,33 +330,46 @@ object StatefulOps {
     * within `horizonMs` of its own, members older than that are evicted
     * as arrivals pass them, and a bucket idle past the horizon has its
     * WHOLE state dropped by an event-time timeout once the watermark
-    * passes — so the state store holds (arrival rate × horizon) rows
-    * instead of the full corpus, the RESOURCE bound that makes live
-    * dedup runnable forever. Semantics (chronological delivery, the
-    * watermark contract): pair (a, b) with t_a ≤ t_b is emitted exactly
-    * when t_b − t_a ≤ horizon — independent of micro-batch boundaries,
-    * which is what [[ParityCheck.minhashTtlParity]] gates against the
-    * time-windowed batch twin. Callers put a watermark on `ts` before
-    * calling (EventTimeTimeout requires it). */
+    * passes — so the state store holds (arrival rate × (horizon +
+    * watermark)) rows instead of the full corpus, the RESOURCE bound
+    * that makes live dedup runnable forever.
+    *
+    * Semantics, for ANY delivery order the watermark admits (not just
+    * chronological): pair (a, b) is emitted exactly when
+    * |t_b − t_a| ≤ horizon. Two mechanics make that hold under late
+    * data: members are RETAINED an extra `watermarkMs` beyond the
+    * horizon (an arrival at t evicts only below t − horizon −
+    * watermark), so a maximally-late admissible arrival still finds
+    * every partner; and emissions are filtered to the horizon in BOTH
+    * directions, so a late arrival never pairs with a member newer
+    * than itself by more than the horizon. The invariant is
+    * micro-batch-boundary-independent ([[ParityCheck.minhashTtlParity]]
+    * gates it against the time-windowed batch twin) and
+    * delivery-order-robust within the watermark (`LshBucketProps`).
+    *
+    * The operator sets the watermark on `ts` itself from `watermarkMs`
+    * (EventTimeTimeout requires one) — one value drives both the
+    * admission bound and the retention slack, so they cannot drift. */
   def lshCandidatesStreamTtl(banded: Dataset[BandTsIn], horizonMs: Long,
-      watermark: String = "10 minutes"): Dataset[CandOut] = {
+      watermarkMs: Long = 600000L): Dataset[CandOut] = {
     import banded.sparkSession.implicits._
     banded
-      .withWatermark("ts", watermark)
+      .withWatermark("ts", s"$watermarkMs milliseconds")
       .groupByKey(b => (b.band, b.bh))
       .flatMapGroupsWithState[TimedBucketState, CandOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, Long), rows: Iterator[BandTsIn], state: GroupState[TimedBucketState]) =>
           if (state.hasTimedOut) {
-            // watermark passed newest member + horizon: nothing still to
-            // come can pair with anything held — drop the whole bucket
+            // watermark passed newest member + horizon: every arrival
+            // still admissible is > newest + horizon — nothing to come
+            // can pair with anything held, drop the whole bucket
             state.remove()
             Iterator.empty
           } else {
             val (next, out) = timedBucketStep(
               state.getOption.map(_.ids).getOrElse(Nil),
               rows.map(b => (b.doc_id, b.ts.getTime)).toSeq,
-              horizonMs)
+              horizonMs, latenessMs = watermarkMs)
             if (next.isEmpty) state.remove()
             else {
               state.update(TimedBucketState(next))
@@ -371,24 +384,33 @@ object StatefulOps {
   /** The pure timed transition [[lshCandidatesStreamTtl]] folds over
     * micro-batches — separated (like [[bucketStep]]) so the parity
     * invariant is property-testable without a streaming harness: over
-    * ANY chronological partitioning of an arrival sequence, the
+    * ANY partitioning of an arrival sequence whose out-of-orderness is
+    * bounded by `latenessMs` (each arrival's ts ≥ the running max ts −
+    * lateness — exactly what a watermark of that delay admits), the
     * emissions union to exactly { (a, b) sharing the bucket with
-    * 0 ≤ t_b − t_a ≤ horizon }, duplicate-free. Arrivals process in
-    * (ts, id) order; each arrival first evicts members older than its
-    * own horizon (the eviction threshold is monotone within the batch,
-    * so earlier arrivals never lose partners to later ones), then pairs
-    * with every survivor within the horizon. Re-arrivals of an id
+    * |t_b − t_a| ≤ horizon }, duplicate-free. Arrivals process in
+    * (ts, id) order within the batch; each arrival evicts members below
+    * t − horizon − lateness (the lateness slack keeps partners alive
+    * for arrivals still admissible behind it), then pairs with every
+    * survivor within the horizon — the two-sided emission bound is what
+    * stops a late arrival pairing with members NEWER than itself by
+    * more than the horizon. Why no admissible pair is ever lost: if
+    * |t_x − t_y| ≤ horizon and some z processed between them evicted x
+    * before y arrived, then t_z > t_x + horizon + lateness, and y's
+    * admissibility (t_y ≥ t_z − lateness) would force
+    * t_y − t_x > horizon — a contradiction. Re-arrivals of an id
     * already held are dropped (re-banded duplicates emit nothing
     * new). */
   private[graft] def timedBucketStep(seen: List[(Long, Long)],
-      arrivals: Seq[(Long, Long)], horizonMs: Long): (List[(Long, Long)], List[CandOut]) = {
+      arrivals: Seq[(Long, Long)], horizonMs: Long,
+      latenessMs: Long = 0L): (List[(Long, Long)], List[CandOut]) = {
     var acc = seen
     val out = List.newBuilder[CandOut]
     val seenIds = scala.collection.mutable.Set[Long](seen.map(_._1): _*)
     for ((d, t) <- arrivals.distinct.sortBy { case (id, ts) => (ts, id) }
          if !seenIds.contains(d)) {
-      acc = acc.filter { case (_, ts) => ts >= t - horizonMs }
-      for ((s, _) <- acc)
+      acc = acc.filter { case (_, ts) => ts >= t - horizonMs - latenessMs }
+      for ((s, ts) <- acc if math.abs(ts - t) <= horizonMs)
         out += CandOut(math.min(s, d), math.max(s, d))
       acc = (d, t) :: acc
       seenIds += d

@@ -135,6 +135,51 @@ object LshBucketProps extends Properties("LshBucket") {
         } }
     }
 
+  // ── LATE delivery within a bounded watermark ──
+  // the operator's real-world contract: arrivals may run behind the
+  // stream's clock by up to `lateness` (what a watermark of that delay
+  // admits), and the emission set must STILL be exactly the two-sided
+  // within-horizon pair set — the round-9 eager eviction lost pairs
+  // here, and the one-sided emission bound let a late arrival pair
+  // beyond the horizon.
+
+  private val Lateness = 6L
+
+  /** Arrival sequences in PROCESSING order with bounded lateness: each
+    * event time sits within `Lateness` of the running max. */
+  private val genLateTimed: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(0, 24)
+    deltas <- Gen.listOfN(n, Gen.chooseNum(-Lateness, 8L))
+  } yield {
+    var tmax = 100L
+    deltas.zipWithIndex.map { case (d, i) =>
+      val t = tmax + d
+      tmax = math.max(tmax, t)
+      (i.toLong, t)
+    }
+  }
+
+  private val genLateChunked: Gen[List[List[(Long, Long)]]] = for {
+    arr <- genLateTimed
+    cuts <- Gen.listOfN(arr.length, Gen.prob(0.3))
+  } yield chunkChrono(arr, cuts) // chunker preserves processing order
+
+  property("timed+late: watermark-admissible disorder still emits the exact two-sided horizon set") =
+    forAll(genLateChunked) { chunks =>
+      val arr = chunks.flatten
+      val expected = (for {
+        (a, ta) <- arr; (b, tb) <- arr
+        if a < b && math.abs(tb - ta) <= Horizon
+      } yield CandOut(a, b)).toSet
+      val (_, emitted) = chunks.foldLeft((List.empty[(Long, Long)], Set.empty[CandOut])) {
+        case ((state, acc), chunk) =>
+          val (next, out) = StatefulOps.timedBucketStep(state, chunk, Horizon, Lateness)
+          out.foreach(p => assert(!acc(p), s"duplicate emission $p"))
+          (next, acc ++ out)
+      }
+      emitted == expected
+    }
+
   property("timed: a re-arrival of a held id emits nothing new") =
     forAll(genTimedChunked) { chunks =>
       val arr = chunks.flatten
