@@ -291,31 +291,37 @@ object GlobalRank {
     * midranks, counting percentiles — frames with one row per DISTINCT
     * value, whose size is the value domain, not the data).
     *
-    * Probe: one `count()` job on `df` — an extra pass over the already-
-    * aggregated frame. Below [[SmallDomainRows]] the running totals run
-    * as a cumulative window over ONE DECLARED bucket per group
-    * ([[singleBucket]] when ungrouped): exactly the plan the scalable
-    * construction is protecting against at data scale, and exactly the
-    * right plan when the whole domain fits one task. At or above the
-    * threshold the value-deterministic bucketed construction runs
-    * unchanged — so the shape stays flat as the domain grows across the
-    * threshold, and both branches are exact integer arithmetic over the
-    * same order (identical output, oracle-checked either way).
-    *
-    * The probe re-derives `df`'s aggregation once; callers whose domain
-    * can be data-sized (running revenue over raw rows) should call
-    * [[withRunningTotalsLong]] directly rather than pay it. */
+    * The frame is snapshotted with an eager `localCheckpoint` FIRST, so
+    * the probe (`count()` on the snapshot) and the totals both read
+    * materialized rows — the upstream derivation (a keyed aggregation,
+    * possibly over an expensive parent like sessionization) runs exactly
+    * once, not once per consumer. Below [[SmallDomainRows]] the running
+    * totals run as a cumulative window over ONE DECLARED bucket per
+    * group ([[singleBucket]] when ungrouped): exactly the plan the
+    * scalable construction is protecting against at data scale, and
+    * exactly the right plan when the whole domain fits one task. At or
+    * above the threshold the value-deterministic bucketed construction
+    * runs unchanged over the same snapshot — so the shape stays flat as
+    * the domain grows across the threshold, and both branches are exact
+    * integer arithmetic over the same order (identical output,
+    * oracle-checked either way). Snapshot storage is bounded by the
+    * distinct-value domain (executor-local blocks), which is the frame
+    * class this API is for; callers whose frame can be data-sized
+    * (running revenue over raw rows) should call
+    * [[withRunningTotalsLong]] directly. */
   def withRunningTotalsLongAdaptive(df: DataFrame, groupCols: Seq[String],
-      sortCols: Seq[Column], values: Seq[(Column, String)]): DataFrame =
-    if (df.count() < SmallDomainRows) {
+      sortCols: Seq[Column], values: Seq[(Column, String)]): DataFrame = {
+    val snap = df.localCheckpoint(true)
+    if (snap.count() < SmallDomainRows) {
       val localW = (if (groupCols.isEmpty) Window.partitionBy(singleBucket)
                     else Window.partitionBy(groupCols.map(col): _*))
         .orderBy(sortCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      values.foldLeft(df) { case (d, (v, name)) =>
+      values.foldLeft(snap) { case (d, (v, name)) =>
         d.withColumn(name, sum(v.cast("long")).over(localW))
       }
-    } else withRunningTotalsLong(df, groupCols, sortCols, values)
+    } else withRunningTotalsLong(snap, groupCols, sortCols, values)
+  }
 
   /** Append a global BIGINT NTILE(`n`) column ordered by `sortCols`:
     * the first `total mod n` buckets get `ceil(total/n)` rows, the rest
