@@ -115,8 +115,11 @@ object Dedup {
     // The band join carries only (band, bandhash, doc_id) — 24-byte rows —
     // and the shingle sets are re-attached to the few surviving candidate
     // pairs afterwards. Shuffling shingle arrays through the join/distinct
-    // (the naive layout) dominates runtime and network at scale.
-    val banded = minHashBanded(documents, n, k, bands)
+    // (the naive layout) dominates runtime and network at scale. The
+    // banded frame is snapshotted so the shingle+signature computation
+    // runs ONCE — a self-join's sides are separate subplans, and without
+    // the snapshot the k-minhash pass over every document runs twice.
+    val banded = minHashBanded(documents, n, k, bands).localCheckpoint(true)
     val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -262,41 +265,68 @@ object Dedup {
   }
 
   /** Self-join of a banded frame (band, bh, doc_id, payload…) on its
-    * bucket key, with the [[charJaccardPairs]] g×g sub-block grid guard:
-    * a bucket with m members is split into g = ceil(m / targetBlock)
-    * sub-blocks, each side replicated g times, every unordered pair
-    * matched EXACTLY once — per-task pair work bounded by ~targetBlock²
-    * for ANY bucket size (one hot band value must not become one task's
-    * quadratic loop), output identical for any g. Buckets at or under
-    * targetBlock pay no replication (g = 1, the common case — at sf0.01
-    * every bucket is far below it). The per-bucket counts join back on
-    * the SAME (band, bh) key the self-join shuffles on, so AQE reuses
-    * the exchange; counts are never broadcast (bucket cardinality scales
-    * with the corpus, unlike [[charJaccardPairs]]' source count).
-    * Emits (id_a < id_b, payload_a…, payload_b…), one row per
-    * (band-bucket, pair) — callers `distinct()` across bands. */
+    * bucket key, with the [[charJaccardPairs]] g×g sub-block grid guard
+    * engaged ADAPTIVELY: a bucket with m members is split into
+    * g = ceil(m / targetBlock) sub-blocks, each side replicated g times,
+    * every unordered pair matched EXACTLY once — per-task pair work
+    * bounded by ~targetBlock² for ANY bucket size (one hot band value
+    * must not become one task's quadratic loop), output identical for
+    * any g.
+    *
+    * The banded frame is SNAPSHOTTED (eager localCheckpoint) before
+    * anything else — load-bearing twice over. First, a self-join's two
+    * sides are separate subplans to Spark, so the whole upstream (for
+    * the multimodal tiers: per-row PNG/WAV/GIF decode, DCT, FFT) would
+    * otherwise run TWICE; the snapshot halves the dominant codec cost
+    * at any scale, for storage bounded by the same (band, bh, id,
+    * hash-words) rows the join shuffles anyway. Second, the snapshot
+    * makes the max-bucket probe cheap, and the guard only engages when
+    * some bucket actually exceeds targetBlock: the common case (honest
+    * hashes, no hot bucket) pays a bare equi-join — none of the g
+    * machinery's three extra stages — while a skewed run takes the
+    * guarded path with identical output. The per-bucket counts join
+    * back on the SAME (band, bh) key the self-join shuffles on, so AQE
+    * reuses the exchange; counts are never broadcast (bucket
+    * cardinality scales with the corpus, unlike [[charJaccardPairs]]'
+    * source count). Emits (id_a < id_b, payload_a…, payload_b…), one
+    * row per (band-bucket, pair) — callers `distinct()` across bands. */
   private def bandedSelfJoin(banded: DataFrame, payload: Seq[String],
       targetBlock: Int = 4096): DataFrame = {
     val t = math.max(targetBlock, 1)
-    val gPerBucket = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("_bc"))
-      .select(col("band"), col("bh"),
-        greatest(ceil(col("_bc").cast("double") / t).cast("long"), lit(1L)).as("_g"))
-    val withG = banded.join(gPerBucket, Seq("band", "bh"))
-    val a = withG.select(
-      Seq(col("band"), col("bh"), col("doc_id").as("id_a"),
-        pmod(xxhash64(col("doc_id")), col("_g")).as("ga"),
-        explode(sequence(lit(0L), col("_g") - 1L)).as("gb")) ++
+    val snap = banded.localCheckpoint(true)
+    val maxBucket = Option(snap.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("_bc")).agg(max(col("_bc"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxBucket <= t) {
+      val a = snap.select(col("band") +: col("bh") +: col("doc_id").as("id_a") +:
         payload.map(p => col(p).as(s"${p}_a")): _*)
-    val b = withG.select(
-      Seq(col("band"), col("bh"), col("doc_id").as("id_b"),
-        pmod(xxhash64(col("doc_id")), col("_g")).as("gb"),
-        explode(sequence(lit(0L), col("_g") - 1L)).as("ga")) ++
+      val b = snap.select(col("band") +: col("bh") +: col("doc_id").as("id_b") +:
         payload.map(p => col(p).as(s"${p}_b")): _*)
-    a.join(b, Seq("band", "bh", "ga", "gb"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a") +: col("id_b") +:
-        payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
+      a.join(b, Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a") +: col("id_b") +:
+          payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
+    } else {
+      val gPerBucket = snap.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("_bc"))
+        .select(col("band"), col("bh"),
+          greatest(ceil(col("_bc").cast("double") / t).cast("long"), lit(1L)).as("_g"))
+      val withG = snap.join(gPerBucket, Seq("band", "bh"))
+      val a = withG.select(
+        Seq(col("band"), col("bh"), col("doc_id").as("id_a"),
+          pmod(xxhash64(col("doc_id")), col("_g")).as("ga"),
+          explode(sequence(lit(0L), col("_g") - 1L)).as("gb")) ++
+          payload.map(p => col(p).as(s"${p}_a")): _*)
+      val b = withG.select(
+        Seq(col("band"), col("bh"), col("doc_id").as("id_b"),
+          pmod(xxhash64(col("doc_id")), col("_g")).as("gb"),
+          explode(sequence(lit(0L), col("_g") - 1L)).as("ga")) ++
+          payload.map(p => col(p).as(s"${p}_b")): _*)
+      a.join(b, Seq("band", "bh", "ga", "gb"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a") +: col("id_b") +:
+          payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
+    }
   }
 
   /** Exact n-gram jaccard over LSH candidates — [[minHashPairs]] with the
@@ -344,6 +374,10 @@ object Dedup {
   def shingleContainment(documents: DataFrame, n: Int = 3,
       thresholdPpb: Long = 500000000L): DataFrame = {
     val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    // snapshotted: the distinct shingle explosion feeds BOTH sides of the
+    // candidate self-join below (plus the per-doc size frame) — without
+    // it the tokenize+shingle+distinct pass over the corpus runs three
+    // times, and the snapshot rows are the same ones the join shuffles
     val sh = documents
       .withColumn("_tk", toks)
       .filter(size(col("_tk")) >= n)
@@ -351,6 +385,7 @@ object Dedup {
         sequence(lit(0), size(col("_tk")) - n),
         i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("sh"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     sh.select(col("source"), col("sh"), col("doc_id").as("id_a"))
       .join(sh.select(col("source"), col("sh"), col("doc_id").as("id_b")),
