@@ -245,7 +245,8 @@ object Dedup {
     * is how the frame-vote tier counts matched FRAMES rather than
     * matched hash values. */
   private[graft] def hammingPairs128Unordered(hashed: DataFrame,
-      maxHamming: Int, extra: Seq[String] = Nil): DataFrame = {
+      maxHamming: Int, extra: Seq[String] = Nil,
+      targetBlock: Int = 4096): DataFrame = {
     def word(b: Int): Column = if (b < 2) col("sh0") else col("sh1")
     val keep = Seq(col("doc_id"), col("sh0"), col("sh1")) ++ extra.map(col)
     val banded = hashed.select(keep :+
@@ -254,7 +255,7 @@ object Dedup {
           shiftrightunsigned(word(b), (b % 2) * 32)
             .bitwiseAND(lit(0xffffffffL)).as("bh"))): _*)).as("bb"): _*)
       .select(keep :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
-    bandedSelfJoin(banded, Seq("sh0", "sh1") ++ extra)
+    bandedSelfJoin(banded, Seq("sh0", "sh1") ++ extra, targetBlock)
       .distinct()
       .withColumn("hamming",
         (bit_count(col("sh0_a").bitwiseXOR(col("sh0_b"))) +

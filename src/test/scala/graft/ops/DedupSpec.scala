@@ -77,6 +77,21 @@ class DedupSpec extends AnyFunSuite {
     assert(banded3 == brute)
   }
 
+  test("banded hamming: guarded (hot-bucket) and plain paths emit the same pairs") {
+    import spark.implicits._
+    // 12 identical fingerprints land in ONE bucket per band; targetBlock=4
+    // forces the g×g grid-guard branch (g=3), the default leaves it on the
+    // bare equi-join — both must produce exactly C(12,2) hamming-0 pairs
+    val hashed = (0L until 12L).map(i => (i, 0x1234L, 0x9876L))
+      .toDF("doc_id", "sh0", "sh1")
+    def pairs(block: Int) =
+      Dedup.hammingPairs128Unordered(hashed, maxHamming = 3, targetBlock = block)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for { a <- 0L until 12L; b <- 0L until 12L if a < b } yield (a, b)).toSet
+    assert(pairs(4) == brute)    // guarded path
+    assert(pairs(4096) == brute) // plain path
+  }
+
   test("char jaccard pairs respect the source blocking key") {
     val res = Dedup.charJaccardPairs(docs, 0.0).collect()
     assert(res.forall(r => r.getAs[String]("source") != null))
