@@ -522,6 +522,51 @@ object OracleSql {
     * (-1, -1, decoded=false) with the byte-exact FNV content hash. The
     * successful-decode branch is exercised with real generated PNGs in
     * MultimodalSpec (actual pixel dimensions are not SQL-expressible). */
+  /** FNV-1a 64 over a LIST of raw byte values (0-255 BIGINTs) — the
+    * 3-byte fold the image fixture seeds its textures with
+    * (graft.ops.Multimodal.patternImage: no UTF-8 expansion, no
+    * finalizer). */
+  private def fnv1a64bytes(listExpr: String): String =
+    s"""list_reduce(list_prepend(${ulit(-3750763034362895579L)}, list_transform($listExpr, x -> CAST(x AS UBIGINT))),
+       |      (h, x) -> CAST(CAST((CAST(xor(h, x) AS HUGEINT) * 1099511628211) % $M64 AS HUGEINT) AS UBIGINT))""".stripMargin
+
+  /** Full PIXEL-LEVEL replica of [[graft.ops.Multimodal.resizeImages]]
+    * over the [[graft.ops.Multimodal.imagePngMedia]] fixture: the
+    * fixture raster is closed-form (gray(x,y) = 78 +
+    * fnv1a64([cls+1, x, y]) mod 101 + jitter, cls = doc_id mod 5,
+    * jitter = ((doc_id div 5) mod 5 − 2)·5), so the oracle recomputes
+    * every source pixel, every 4×4 block's floor-averaged output pixel,
+    * the pixel sum, and the h·31+px rolling digest independently — a
+    * single wrong pixel on the Spark side breaks the hash compare.
+    * Assumes the fixture's 32×32 geometry (the registered query's
+    * input). */
+  def imageResizeSql(outW: Int = 8, outH: Int = 8): String = {
+    val (bw, bh) = (32 / outW, 32 / outH)
+    val area = bw * bh
+    s"""WITH imgs AS (
+       |  SELECT doc_id, doc_id % 5 + 1 AS clsb,
+       |    ((doc_id // 5) % 5 - 2) * 5 AS jitter
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |px AS (
+       |  SELECT i.doc_id, x // $bw AS xo, y // $bh AS yo,
+       |    78 + CAST(${fnv1a64bytes("[i.clsb, x, y]")} % 101 AS BIGINT) + i.jitter AS g
+       |  FROM imgs i, range(0, 32) rx(x), range(0, 32) ry(y)),
+       |blocks AS (
+       |  SELECT doc_id, yo, xo, SUM(g) // $area AS px
+       |  FROM px GROUP BY doc_id, yo, xo),
+       |digest AS (
+       |  SELECT doc_id, CAST(SUM(px) AS BIGINT) AS out_sum,
+       |    ${u2s(s"""list_reduce(list_prepend(CAST(0 AS UBIGINT),
+       |        list_transform(list(px ORDER BY yo, xo), p -> CAST(p AS UBIGINT))),
+       |      (h, p) -> ${addmod64(mulmod64("h", "31"), "p")})""")} AS out_fp
+       |  FROM blocks GROUP BY doc_id)
+       |SELECT doc_id AS media_id,
+       |  CAST(32 AS INTEGER) AS in_w, CAST(32 AS INTEGER) AS in_h,
+       |  CAST($outW AS INTEGER) AS out_w, CAST($outH AS INTEGER) AS out_h,
+       |  out_sum, out_fp
+       |FROM digest ORDER BY media_id""".stripMargin
+  }
+
   def multimodalImageSql: String =
     s"""WITH media AS (
        |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,

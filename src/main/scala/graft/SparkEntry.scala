@@ -1074,6 +1074,23 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, dir)).toDF())
         .orderBy(col("media_id"))),
 
+    // REAL image resize (decode → exact integer box-average → PNG
+    // re-encode): the digest columns are checked at PIXEL level — the
+    // fixture raster is closed-form in doc_id, so the oracle recomputes
+    // every source pixel, block average, and rolling digest; a single
+    // wrong pixel breaks the hash compare. The re-encoded payload is
+    // spec-verified by decode + digest round-trip (container bytes are
+    // encoder-specific, so they stay out of the gate row)
+    "q_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resizeImages(
+        Multimodal.imagePngMedia(s, Tables.documents(s, dir)))
+        .filter(_.decoded).toDF()
+        .select(col("media_id"), col("in_w"), col("in_h"),
+          col("out_w"), col("out_h"), col("out_sum"), col("out_fp"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_multimodal_image" -> ((s, dir) => {
       import s.implicits._
       Multimodal.imageFeatures(
@@ -3460,6 +3477,7 @@ object SparkEntry {
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),
 
     "q_multimodal_image" -> OracleSql.multimodalImageSql,
+    "q_image_resize" -> OracleSql.imageResizeSql(),
 
     // the pHash pair frame is an exact function of the fixture's doc_id
     // classes (pattern = doc_id % 5 among doc_id % 3 = 1 docs; the

@@ -98,6 +98,94 @@ object Multimodal {
     }
   }
 
+  /** One resized image: container metadata, the EXACT-integer raster
+    * digests the oracle replicates (`out_sum` = Σ resized pixels,
+    * `out_fp` = the h·31+px rolling hash over the resized raster in
+    * (row, col) order, both wrapping BIGINT), and the re-encoded PNG
+    * payload. Quarantine rows: (-1, -1) input dims, zero digests,
+    * empty payload, decoded = false. */
+  final case class ResizedImage(media_id: Long, in_w: Int, in_h: Int,
+      out_w: Int, out_h: Int, out_sum: Long, out_fp: Long,
+      out_png: Array[Byte], decoded: Boolean)
+
+  /** REAL image resize — the multimodal preprocessing step a training
+    * pipeline runs before feature extraction: decode (javax.imageio),
+    * box-average resample to `outW`×`outH` with EXACT INTEGER arithmetic
+    * (per output pixel: sum the source block's gray values, floor-divide
+    * by the block area — no floating point, so the resized raster is a
+    * pure integer function of the input raster on every JVM), re-encode
+    * as a real PNG. Inputs whose dimensions are not multiples of the
+    * target (or that fail to decode) quarantine rather than silently
+    * interpolating — fractional-block resampling would need float
+    * kernels and break the exactness contract; a production pipeline
+    * pads first.
+    *
+    * The digest columns make the operator hash-checkable at PIXEL level:
+    * the fixture rasters are closed-form in doc_id
+    * ([[imagePngMedia]]/patternImage: gray = 78 + fnv(cls+1, x, y) mod
+    * 101 + jitter), so the DuckDB oracle recomputes every source pixel,
+    * every block sum, and both digests independently — unlike the
+    * class-structure oracles of the pair tiers, this one would catch a
+    * single wrong pixel. The PNG payload is real output (the spec
+    * decodes it and re-derives the digests); only the digest columns
+    * ride the gate, since container bytes are encoder-specific.
+    *
+    * Scale shape: per-row codec work in `mapPartitions` — embarrassingly
+    * parallel, no shuffle at all; callers repartition off single-file
+    * fixtures exactly as the other codec stages do. */
+  def resizeImages(media: Dataset[MediaRow], outW: Int = 8, outH: Int = 8,
+      batchSize: Int = 64): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    require(outW > 0 && outH > 0, "target dimensions must be positive")
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) if im.getWidth % outW == 0 && im.getHeight % outH == 0 =>
+              val (w, h) = (im.getWidth, im.getHeight)
+              val (bw, bh) = (w / outW, h / outH)
+              val out = new java.awt.image.BufferedImage(outW, outH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var sum = 0L
+              var fp = 0L
+              var yo = 0
+              while (yo < outH) {
+                var xo = 0
+                while (xo < outW) {
+                  var s = 0L
+                  var y = yo * bh
+                  while (y < (yo + 1) * bh) {
+                    var x = xo * bw
+                    while (x < (xo + 1) * bw) {
+                      s += (im.getRGB(x, y) & 0xff) // gray fixtures: b = g = r
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val px = s / (bw.toLong * bh) // floor — integers only
+                  sum += px
+                  fp = fp * 31L + px
+                  val g = px.toInt
+                  out.setRGB(xo, yo, (g << 16) | (g << 8) | g)
+                  xo += 1
+                }
+                yo += 1
+              }
+              ResizedImage(r.media_id, w, h, outW, outH, sum, fp,
+                pngBytes(out), decoded = true)
+            case _ =>
+              ResizedImage(r.media_id, -1, -1, outW, outH, 0L, 0L,
+                Array.empty[Byte], decoded = false)
+          }
+        }
+      }
+    }
+  }
+
   /** Audio envelope decode, batch-per-partition like [[imageFeatures]].
     * The decode is REAL: plain-JDK `javax.sound.sampled` parses WAV/AIFF/AU
     * container headers into the actual sample rate and frame count (header

@@ -206,6 +206,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tails.distinct.length == tails.length, "tail frames collided")
   }
 
+  test("resizeImages: exact box average, PNG round-trip, quarantine") {
+    import spark.implicits._
+    val pngMedia = Multimodal.imagePngMedia(spark, Tables.documents(spark, SparkTestBase.sfDir))
+    val rows = Multimodal.resizeImages(pngMedia).collect()
+    assert(rows.nonEmpty && rows.forall(_.decoded))
+    // closed-form check: recompute one doc's digests from patternImage's
+    // formula (gray = 78 + fnv(cls+1, x, y) mod 101 + jitter)
+    val r0 = rows.minBy(_.media_id)
+    val cls = (r0.media_id % 5).toInt
+    val jitter = (((r0.media_id / 5) % 5).toInt - 2) * 5
+    def gray(x: Int, y: Int): Long = {
+      val mixed = graft.functions.SimHash64.fnv1a64(
+        Array((cls + 1).toByte, x.toByte, y.toByte))
+      78L + java.lang.Long.remainderUnsigned(mixed, 101L) + jitter
+    }
+    var sum = 0L; var fp = 0L
+    for (yo <- 0 until 8; xo <- 0 until 8) {
+      var s = 0L
+      for (y <- yo * 4 until yo * 4 + 4; x <- xo * 4 until xo * 4 + 4) s += gray(x, y)
+      val px = s / 16; sum += px; fp = fp * 31L + px
+    }
+    assert(r0.out_sum == sum && r0.out_fp == fp)
+    // the re-encoded payload is a REAL PNG of the digested raster
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r0.out_png))
+    assert(im.getWidth == 8 && im.getHeight == 8)
+    var rsum = 0L; var rfp = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val px = (im.getRGB(x, y) & 0xff).toLong; rsum += px; rfp = rfp * 31L + px
+    }
+    assert(rsum == r0.out_sum && rfp == r0.out_fp)
+    // quarantine: undecodable payload, and a non-divisible target
+    val junk = Seq(Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3), "s")).toDS()
+    assert(!Multimodal.resizeImages(junk).collect().head.decoded)
+    assert(!Multimodal.resizeImages(pngMedia, outW = 7, outH = 7).collect().head.decoded)
+  }
+
   test("videoFpPairs: frame vote = 4 within class, nothing across") {
     import spark.implicits._
     val pairs = Multimodal.videoFpPairs(
