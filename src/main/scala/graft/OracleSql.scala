@@ -567,6 +567,36 @@ object OracleSql {
        |FROM digest ORDER BY media_id""".stripMargin
   }
 
+  /** Full SAMPLE-LEVEL replica of [[graft.ops.Multimodal.resampleAudio]]
+    * over the [[graft.ops.Multimodal.audioWavMedia]] fixture — the audio
+    * twin of [[imageResizeSql]]: the fixture waveform is closed-form
+    * (sample i = (fnv1a64([cls+1, i div 256, i mod 256]) mod 12001 −
+    * 6000) · gain, cls = doc_id mod 5, gain = 1 + (doc_id div 5) mod 5,
+    * 2048 samples at 8 kHz), so every source sample, every
+    * `factor`-block floor-averaged output sample, the sum, and the
+    * wrapping h·31+s digest are recomputed independently. */
+  def audioResampleSql(factor: Int = 4): String =
+    s"""WITH auds AS (
+       |  SELECT doc_id, doc_id % 5 + 1 AS clsb, 1 + (doc_id // 5) % 5 AS gain
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |sm AS (
+       |  SELECT a.doc_id, i // $factor AS j,
+       |    (CAST(${fnv1a64bytes("[a.clsb, i // 256, i % 256]")} % 12001 AS BIGINT) - 6000) * a.gain AS s
+       |  FROM auds a, range(0, 2048) r(i)),
+       |blocks AS (
+       |  SELECT doc_id, j, SUM(s) // $factor AS px FROM sm GROUP BY doc_id, j),
+       |digest AS (
+       |  SELECT doc_id, CAST(SUM(px) AS BIGINT) AS out_sum,
+       |    ${u2s(s"""list_reduce(list_prepend(CAST(0 AS UBIGINT),
+       |        list_transform(list(px ORDER BY j), p -> ${s2u("p")})),
+       |      (h, p) -> ${addmod64(mulmod64("h", "31"), "p")})""")} AS out_fp
+       |  FROM blocks GROUP BY doc_id)
+       |SELECT doc_id AS media_id,
+       |  CAST(8000 AS INTEGER) AS in_rate, CAST(${8000 / factor} AS INTEGER) AS out_rate,
+       |  CAST(2048 AS INTEGER) AS in_frames, CAST(${2048 / factor} AS INTEGER) AS out_frames,
+       |  out_sum, out_fp
+       |FROM digest ORDER BY media_id""".stripMargin
+
   def multimodalImageSql: String =
     s"""WITH media AS (
        |  SELECT doc_id AS media_id, ${fnv1a64("text")} AS h,

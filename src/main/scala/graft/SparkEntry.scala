@@ -1091,6 +1091,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio downsample (WAV decode → exact integer block average →
+    // WAV re-encode at rate/4): sample-level oracle like q_image_resize
+    "q_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resampleAudio(
+        Multimodal.audioWavMedia(s, Tables.documents(s, dir)))
+        .filter(_.decoded).toDF()
+        .select(col("media_id"), col("in_rate"), col("out_rate"),
+          col("in_frames"), col("out_frames"), col("out_sum"), col("out_fp"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_multimodal_image" -> ((s, dir) => {
       import s.implicits._
       Multimodal.imageFeatures(
@@ -3478,6 +3490,7 @@ object SparkEntry {
 
     "q_multimodal_image" -> OracleSql.multimodalImageSql,
     "q_image_resize" -> OracleSql.imageResizeSql(),
+    "q_audio_resample" -> OracleSql.audioResampleSql(),
 
     // the pHash pair frame is an exact function of the fixture's doc_id
     // classes (pattern = doc_id % 5 among doc_id % 3 = 1 docs; the

@@ -795,7 +795,12 @@ object Multimodal {
   }
 
   /** Encode 16-bit mono 8 kHz PCM as a real WAV container (JDK writer). */
-  private[graft] def wavBytes(samples: Array[Short]): Array[Byte] = {
+  private[graft] def wavBytes(samples: Array[Short]): Array[Byte] =
+    wavBytesAt(samples, 8000f)
+
+  /** [[wavBytes]] at an arbitrary sample rate — the resample tier's
+    * re-encode. */
+  private[graft] def wavBytesAt(samples: Array[Short], rate: Float): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) { // little-endian per the format below
@@ -803,7 +808,7 @@ object Multimodal {
       pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val baos = new java.io.ByteArrayOutputStream()
@@ -817,6 +822,86 @@ object Multimodal {
     * read); undecodable payloads quarantine as (0, 0, decoded = false).
     * Feed decoded rows to [[graft.ops.Dedup.hammingPairs128]] — the same
     * banded near-dup join the image tier uses. */
+  /** One resampled clip: container metadata, the exact-integer PCM
+    * digests the oracle replicates (`out_sum` = Σ resampled samples,
+    * `out_fp` = the h·31+s rolling hash over them in order, wrapping
+    * BIGINT), and the re-encoded WAV payload at the reduced rate.
+    * Quarantine rows: (-1, -1) rates, zero digests, empty payload,
+    * decoded = false. */
+  final case class ResampledAudio(media_id: Long, in_rate: Int, out_rate: Int,
+      in_frames: Int, out_frames: Int, out_sum: Long, out_fp: Long,
+      out_wav: Array[Byte], decoded: Boolean)
+
+  /** REAL audio downsample — [[resizeImages]]' twin for the audio tier:
+    * decode the WAV container (javax.sound.sampled), box-average every
+    * `factor` consecutive 16-bit samples with EXACT INTEGER arithmetic
+    * (TRUNCATING division of the block sum — the shared semantics of
+    * JVM `/` and DuckDB `//` for negative sums; floor division would
+    * silently disagree between the engines on every negative
+    * non-divisible block), re-encode a real WAV at rate / factor. Clips whose frame count or rate is not a multiple
+    * of the factor (or that fail to decode, or are not 16-bit mono)
+    * quarantine rather than silently windowing — fractional blocks need
+    * float kernels and would break the exactness contract.
+    *
+    * Like the image tier, the fixture waveforms are closed-form in
+    * doc_id ([[audioWavMedia]]/classWaveform: sample i =
+    * (fnv(cls+1, i div 256, i mod 256) mod 12001 − 6000) · gain), so
+    * the DuckDB oracle recomputes every source sample, every block
+    * average, and both digests independently — sample-level hash
+    * checking. Per-row codec work in `mapPartitions`, no shuffle. */
+  def resampleAudio(media: Dataset[MediaRow], factor: Int = 4,
+      batchSize: Int = 64): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    require(factor > 0, "decimation factor must be positive")
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+              else Some((ais.readAllBytes(), fmt.isBigEndian,
+                math.round(fmt.getSampleRate)))
+            } catch { case _: Exception => None }
+          parsed match {
+            case Some((bytes, bigEndian, rate))
+                if (bytes.length / 2) % factor == 0 && rate % factor == 0 &&
+                  bytes.length >= 2 =>
+              val n = bytes.length / 2
+              val outN = n / factor
+              val out = new Array[Short](outN)
+              var sum = 0L
+              var fp = 0L
+              var j = 0
+              while (j < outN) {
+                var s = 0L
+                var t = 0
+                while (t < factor) {
+                  val i = j * factor + t
+                  val (lo, hi) = if (bigEndian) (bytes(2 * i + 1), bytes(2 * i))
+                                 else (bytes(2 * i), bytes(2 * i + 1))
+                  s += ((hi << 8) | (lo & 0xff)).toShort
+                  t += 1
+                }
+                val px = s / factor // truncating, like the oracle's //
+                out(j) = px.toShort
+                sum += px
+                fp = fp * 31L + px
+                j += 1
+              }
+              ResampledAudio(r.media_id, rate, rate / factor, n, outN,
+                sum, fp, wavBytesAt(out, (rate / factor).toFloat), decoded = true)
+            case _ =>
+              ResampledAudio(r.media_id, -1, -1, 0, 0, 0L, 0L,
+                Array.empty[Byte], decoded = false)
+          }
+        }
+      }
+    }
+  }
+
   def audioFingerprints(media: Dataset[MediaRow],
       batchSize: Int = 64): Dataset[AudioFpRow] = {
     import media.sparkSession.implicits._

@@ -242,6 +242,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.resizeImages(pngMedia, outW = 7, outH = 7).collect().head.decoded)
   }
 
+  test("resampleAudio: exact block average, WAV round-trip, quarantine") {
+    import spark.implicits._
+    val wavs = Multimodal.audioWavMedia(spark, Tables.documents(spark, SparkTestBase.sfDir))
+    val rows = Multimodal.resampleAudio(wavs).collect()
+    assert(rows.nonEmpty && rows.forall(_.decoded))
+    val r0 = rows.minBy(_.media_id)
+    assert(r0.in_rate == 8000 && r0.out_rate == 2000 &&
+      r0.in_frames == 2048 && r0.out_frames == 512)
+    // closed-form check from classWaveform's formula
+    val cls = (r0.media_id % 5).toInt
+    val gain = 1 + ((r0.media_id / 5) % 5).toInt
+    def sample(i: Int): Long = {
+      val mixed = graft.functions.SimHash64.fnv1a64(
+        Array((cls + 1).toByte, (i >> 8).toByte, i.toByte))
+      (java.lang.Long.remainderUnsigned(mixed, 12001L) - 6000L) * gain
+    }
+    var sum = 0L; var fp = 0L
+    for (j <- 0 until 512) {
+      val s = (0 until 4).map(t => sample(j * 4 + t)).sum
+      val px = s / 4L; sum += px; fp = fp * 31L + px
+    }
+    assert(r0.out_sum == sum && r0.out_fp == fp)
+    // the re-encoded payload is a REAL WAV of the digested samples
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r0.out_wav))
+    assert(math.round(ais.getFormat.getSampleRate) == 2000)
+    val pcm = ais.readAllBytes()
+    assert(pcm.length == 512 * 2)
+    var rsum = 0L; var rfp = 0L
+    for (i <- 0 until 512) {
+      val v = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort).toLong
+      rsum += v; rfp = rfp * 31L + v
+    }
+    assert(rsum == r0.out_sum && rfp == r0.out_fp)
+    // quarantine: junk payload, and a factor the clip doesn't divide by
+    val junk = Seq(Multimodal.MediaRow(99L, "audio", Array[Byte](9, 9), "s")).toDS()
+    assert(!Multimodal.resampleAudio(junk).collect().head.decoded)
+    assert(!Multimodal.resampleAudio(wavs, factor = 3).collect().head.decoded)
+  }
+
   test("videoFpPairs: frame vote = 4 within class, nothing across") {
     import spark.implicits._
     val pairs = Multimodal.videoFpPairs(
