@@ -116,7 +116,8 @@ object SparkEntry {
   val verificationOnly: Set[String] = Set(
     "q_sessionize_stream_parity", "q_counter_increase_stream_parity",
     "q_dedup_stream_parity", "q_funnel_stream_parity",
-    "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity")
+    "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity",
+    "q_dedup_minhash_late_stream_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -481,6 +482,14 @@ object SparkEntry {
     // (n_beyond_horizon > 0 — no vacuous TTL)
     "q_dedup_minhash_ttl_stream_parity" -> ((s, dir) =>
       streaming.ParityCheck.minhashTtlParity(s, dir, horizonMinutes = 240)),
+
+    // the LATE-DELIVERY twin: same horizon, same oracle truth, but the
+    // replay arrives in a deterministic out-of-order permutation inside
+    // the operator's watermark — gating that the retention slack and the
+    // two-sided emission bound hold end to end through real Structured
+    // Streaming, not just in the property-tested pure transition
+    "q_dedup_minhash_late_stream_parity" -> ((s, dir) =>
+      streaming.ParityCheck.minhashTtlLateParity(s, dir, horizonMinutes = 240)),
 
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
@@ -1452,6 +1461,19 @@ object SparkEntry {
     // minutes, so the 240-minute window is an id-distance predicate),
     // plus the exact count of full-history pairs the horizon excludes
     "q_dedup_minhash_ttl_stream_parity" ->
+      s"""WITH pairs AS (
+         |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5)}
+         |),
+         |w AS (SELECT * FROM pairs WHERE abs(id_a - id_b) <= 240),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |        (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS nf FROM w)
+         |SELECT n AS n_batch, n AS n_stream,
+         |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
+         |  nf - n AS n_beyond_horizon, true AS parity_ok
+         |FROM n""".stripMargin,
+
+    // the late-delivery replay must land on the SAME time-windowed truth
+    "q_dedup_minhash_late_stream_parity" ->
       s"""WITH pairs AS (
          |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5)}
          |),

@@ -352,19 +352,48 @@ object ParityCheck {
     * oracle, so a horizon that never bites (a vacuous TTL gate) fails
     * the row rather than silently passing. */
   def minhashTtlParity(spark: SparkSession, dir: String,
-      horizonMinutes: Int = 240, nBatches: Int = 4): DataFrame = {
+      horizonMinutes: Int = 240, nBatches: Int = 4): DataFrame =
+    ttlParityReplay(spark, dir, horizonMinutes, nBatches,
+      "parity_minhash_ttl", identity, requireLate = false)
+
+  /** [[minhashTtlParity]] under WATERMARK-ADMISSIBLE LATE DELIVERY — the
+    * end-to-end gate for the bounded-lateness semantics the pure
+    * transition is property-tested for (`LshBucketProps` timed+late):
+    * arrivals replay in a deterministic out-of-order permutation
+    * (shuffled within 8-minute blocks by the splitmix64 finalizer —
+    * max displacement 7 minutes, inside the operator's 10-minute
+    * watermark, so nothing is dropped as too-late while genuine
+    * inversions reach the state machine in every batch), and the
+    * emitted pair set must STILL equal the time-windowed batch truth.
+    * The harness additionally requires that inversions actually
+    * occurred — a permutation that degenerated to chronological order
+    * would gate nothing. Same output shape and oracle as the
+    * chronological row. */
+  def minhashTtlLateParity(spark: SparkSession, dir: String,
+      horizonMinutes: Int = 240, nBatches: Int = 4): DataFrame =
+    ttlParityReplay(spark, dir, horizonMinutes, nBatches,
+      "parity_minhash_ttl_late",
+      ds => ds.sortBy(d =>
+        (d.doc_id / 8, graft.functions.SimHash64.mix64(d.doc_id))),
+      requireLate = true)
+
+  private def ttlParityReplay(spark: SparkSession, dir: String,
+      horizonMinutes: Int, nBatches: Int, tbl: String,
+      arrange: Array[StatefulOps.DocIn] => Array[StatefulOps.DocIn],
+      requireLate: Boolean): DataFrame = {
     import spark.implicits._
     val horizonMs = horizonMinutes * 60000L
     val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
-    // chronological replay: ts is monotone in doc_id and
-    // collectParityDocs returns doc_id-sorted rows
-    val docs = collectParityDocs(spark, dir, "minhashTtlParity")
+    // collectParityDocs returns doc_id-sorted rows (ts is monotone in
+    // doc_id); `arrange` sets the ARRIVAL order under test
+    val docs = arrange(collectParityDocs(spark, dir, "minhashTtlParity"))
     require(docs.nonEmpty, s"no documents in $dir")
+    val nLate = docs.iterator.sliding(2).withPartial(false)
+      .count(p => p(1).doc_id < p(0).doc_id)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.DocIn]
-    val tbl = "parity_minhash_ttl"
     try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
     def withTs(df: DataFrame): DataFrame =
       df.withColumn("ts",
@@ -414,7 +443,8 @@ object ParityCheck {
     spark.createDataFrame(Seq(
       (nBatch, nStream, onlyBatch, onlyStream, beyond,
         candAgree && nBatch == nStream && onlyBatch == 0L &&
-          onlyStream == 0L && beyond > 0L)))
+          onlyStream == 0L && beyond > 0L &&
+          (!requireLate || nLate > 0))))
       .toDF("n_batch", "n_stream", "n_only_batch", "n_only_stream",
         "n_beyond_horizon", "parity_ok")
   }
