@@ -119,7 +119,7 @@ object GrpcServer {
     * digits + one unit char of H M S m u n) to nanoseconds; None for
     * absent/malformed values (lenient — an unparseable client header
     * degrades to no deadline rather than a connection error). */
-  private[logs] def parseGrpcTimeoutNanos(v: String): Option[Long] = {
+  private[graft] def parseGrpcTimeoutNanos(v: String): Option[Long] = {
     if (v == null || v.length < 2 || v.length > 9) return None
     val digits = v.substring(0, v.length - 1)
     if (!digits.forall(c => c >= '0' && c <= '9')) return None

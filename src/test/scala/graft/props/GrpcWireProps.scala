@@ -48,6 +48,27 @@ object GrpcWireProps extends Properties("GrpcWire") {
       written == entries.size.toLong && got == entries
     }
 
+  property("grpc-timeout parse: spec-shaped values round-trip, junk is rejected, never throws") = {
+    val unitNanos = Map('H' -> 3600L * 1000000000L, 'M' -> 60L * 1000000000L,
+      'S' -> 1000000000L, 'm' -> 1000000L, 'u' -> 1000L, 'n' -> 1L)
+    val genValid = for {
+      n <- Gen.choose(0L, 99999999L) // 1-8 digits per the PROTOCOL-HTTP2 spec
+      u <- Gen.oneOf(unitNanos.keys.toSeq)
+    } yield (n, u)
+    val genJunk = Gen.oneOf(
+      Gen.const(""), Gen.const(null: String),
+      Gen.alphaStr.map(_.take(10)),                      // no digits
+      Gen.choose(100000000L, Long.MaxValue / 2).map(n => s"${n}S"), // > 8 digits
+      Gen.choose(0L, 999L).map(n => s"${n}x"),           // bad unit
+      Gen.choose(1L, 999L).map(n => s"-${n}S"),          // sign
+      genValid.map { case (n, u) => s"$n$u " })          // trailing garbage
+    forAll(genValid) { case (n, u) =>
+      GrpcServer.parseGrpcTimeoutNanos(s"$n$u").contains(n * unitNanos(u))
+    } && forAll(genJunk) { s =>
+      GrpcServer.parseGrpcTimeoutNanos(s).isEmpty
+    }
+  }
+
   // scalacheck Properties have no afterAll; reap on JVM exit
   sys.addShutdownHook {
     try {

@@ -27,6 +27,8 @@ val headline = Seq(
   "q_phash_pairs" -> "perceptual-hash image dedup (round 10: 128-bit pHash through 4x32-bit band keys -- 2^32 buckets per band, complete for hamming<=3 by pigeonhole): per-row codec work (PNG decode + DCT) rides mapPartitions in the scan -- embarrassingly parallel, repartitioned off the single-file fixture; candidates are a (band, bh) EQUI-join carrying only (id, sh0, sh1) rows, summed-popcount verify on the survivors -- no payload ever shuffles, no cartesian anywhere",
   "q_audio_fp_pairs" -> "audio fingerprint dedup (round 10: 128-bit fingerprint, 4x32-bit band keys): same plan family -- WAV decode + FFT per row in the scan, banded equi-join candidates, summed-popcount verify",
   "q_video_fp_pairs" -> "video near-dup frame vote (round 9/10): GIF container decode + per-frame pHash128 ride mapPartitions in the scan; ONLY (band, bh, id, hash-words, frame_idx) rows reach the banded equi-join -- frames and payloads never shuffle; the vote is one keyed distinct-count over the sparse match rows; no sort between join and vote (the Unordered composition)",
+  "q_image_resize" -> "image resize (round 10): decode + integer box-average + PNG re-encode ride ONE mapPartitions in the scan -- zero exchanges before the presentation sort; the digest columns are pixel-level oracle-checked",
+  "q_audio_resample" -> "audio downsample (round 10): WAV decode + truncating block average + re-encode, same shuffle-free mapPartitions shape; sample-level oracle",
   "q_dedup_simhash" -> "128-bit text simhash (round 10): two native bit-vote words (FNV + splitmix64-mixed) computed in the scan, the same 4x32-bit banded equi-join -- only (band, bh, id, sh0, sh1) rows shuffle, radius-24 popcount verify on candidates",
   "q_span_dedup" -> "C4 span dedup: first-occurrence owner per distinct span via min(struct) grouped agg (map-side partial, no window sort); exchanges carry span/doc keys only",
   "q_pack" -> "sequence packing: global running token total via range-partitioned prefix sums (partition-local cumsum + O(numPartitions) offset window) -- no data-sized single-partition window",
