@@ -575,8 +575,12 @@ object Dedup {
     // any g (exactness preserved; the guard parallelizes, it does not
     // approximate).
     val t = math.max(targetBlock, 1)
+    // snapshotted: the mask frame feeds BOTH sides of the self-join and
+    // the per-source counts — without it the corpus text is re-scanned
+    // and re-masked three times (self-join sides are separate subplans)
     val d = documents.select(col("source"), col("doc_id"),
       graft.functions.CharSetMask.charsetMask(col("text")).as("m"))
+      .localCheckpoint(true)
     // one row per source — broadcast back; at 100 TB the source count is
     // orders of magnitude below the row count, and broadcasting avoids
     // re-shuffling the corpus on the source key just to learn g
