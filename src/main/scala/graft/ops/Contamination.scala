@@ -53,9 +53,14 @@ object Contamination {
     val sh = documents
       .select(col("source"), col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("sh"))
     val df = sh.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+    // snapshotted: `rare` is the SMALL frame by construction (df ≤ maxDf
+    // kills every common shingle) yet feeds both self-join sides — without
+    // the snapshot the corpus-sized shingle explode and the df aggregation
+    // would each run twice
     val rare = sh
       .join(df.filter(col("df") <= maxDf), "sh")
       .select(col("sh"), col("source")).distinct()
+      .localCheckpoint(true)
     rare.as("a")
       .join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
