@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "token_fingerprint64(tokens) - order-sensitive rolling-hash fingerprint"),
       args => { exact("token_fingerprint64", 1, args); TokenFingerprint64(args.head) }))
 
+    e.injectFunction((FunctionIdentifier("fnv1a64"),
+      info("fnv1a64", classOf[Fnv1a64Str],
+        "fnv1a64(str) - FNV-1a 64-bit hash of a string's UTF-8 bytes (oracle-replicable)"),
+      args => { exact("fnv1a64", 1, args); Fnv1a64Str(args.head) }))
+
     e.injectFunction((FunctionIdentifier("splitmix64"),
       info("splitmix64", classOf[Splitmix64],
         "splitmix64(key) - full-avalanche 64-bit value hash (KMV/order-statistic grade)"),

@@ -200,6 +200,59 @@ object OracleSql {
        |WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The shared chain of the importance-weighting replicas
+    * ([[graft.ops.Sampling.importanceWeights]] / `importanceMix`):
+    * hashed unigram+bigram features (fnv1a64 bucketed mod B — a power of
+    * two, so DuckDB's unsigned `%` and Spark's signed `& (B−1)` agree
+    * bit-for-bit), Laplace-(+1) bucket probabilities in floor-divided
+    * ppb, per-RAW-doc Σ(ppb_t − ppb_r). Ends at CTE `w`
+    * (doc_id, n_feats, score_ppb). */
+  private def importanceChain(targetSources: Seq[String], buckets: Int): String = {
+    val ts = targetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, list_filter(${wstoks("text")}, x -> x <> '') AS tk
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, u.f AS f
+       |  FROM t, unnest(list_concat(tk,
+       |    CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) END)) AS u(f)),
+       |o AS (SELECT doc_id, source, CAST((${fnv1a64("f")}) % $buckets AS BIGINT) AS b FROM f),
+       |c AS (SELECT b,
+       |        SUM(CASE WHEN source IN ($ts) THEN 1 ELSE 0 END) AS c_t,
+       |        SUM(CASE WHEN source IN ($ts) THEN 0 ELSE 1 END) AS c_r
+       |      FROM o GROUP BY b),
+       |tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM c),
+       |p AS (SELECT b,
+       |        (c_t + 1) * 1000000000 // (n_t + $buckets) AS ppb_t,
+       |        (c_r + 1) * 1000000000 // (n_r + $buckets) AS ppb_r
+       |      FROM c CROSS JOIN tot),
+       |w AS (SELECT o.doc_id, COUNT(*) AS n_feats,
+       |        CAST(SUM(ppb_t - ppb_r) AS BIGINT) AS score_ppb
+       |      FROM o JOIN p USING (b)
+       |      WHERE o.source NOT IN ($ts)
+       |      GROUP BY o.doc_id)""".stripMargin
+  }
+
+  /** [[graft.ops.Sampling.importanceWeights]] — both engines truncate
+    * integer division toward zero (Spark `div`, DuckDB `//`), so the
+    * possibly-negative mean matches exactly. */
+  def importanceWeightsSql(targetSources: Seq[String], buckets: Int): String =
+    importanceChain(targetSources, buckets) +
+      """
+        |SELECT doc_id, n_feats, score_ppb,
+        |  CAST(score_ppb // n_feats AS BIGINT) AS mean_ppb
+        |FROM w ORDER BY doc_id""".stripMargin
+
+  /** [[graft.ops.Sampling.importanceMix]]. */
+  def importanceMixSql(targetSources: Seq[String], buckets: Int): String =
+    importanceChain(targetSources, buckets) +
+      """
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN score_ppb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+        |FROM w JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** The signed token-fingerprint expression over a `text` column —
     * h ← h·31 + fnv1a64(token), as a JVM Long. */
   private def fpExpr: String =

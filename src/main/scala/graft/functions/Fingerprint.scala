@@ -57,6 +57,42 @@ object TokenFingerprint64 {
     GraftGlue.toColumn(TokenFingerprint64(GraftGlue.toExpression(tokens)))
 }
 
+/** FNV-1a over a single string's UTF-8 bytes (Fowler–Noll–Vo, the public
+  * 64-bit offset/prime constants) — the scalar hash every fuzzy tier here
+  * already builds on per-token ([[SimHash64.fnv1a64]]), exposed as its own
+  * expression for HASHED FEATURE BUCKETING (importance weighting, hashed
+  * classifiers): the DuckDB oracle replicates the same chain with HUGEINT
+  * modular arithmetic, so bucket ids agree bit-for-bit across engines —
+  * which Spark's own xxhash64/hash cannot offer. Native expression because
+  * the wrapping multiply is what ANSI-mode SQL arithmetic rejects. */
+case class Fnv1a64Str(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64 expects STRING, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.fnv1a64(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.fnv1a64(($c).getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Str =
+    copy(child = newChild)
+}
+
+object Fnv1a64Str {
+
+  /** Column wrapper: `fnv1a64(str)` */
+  def fnv1a64(str: Column): Column =
+    GraftGlue.toColumn(Fnv1a64Str(GraftGlue.toExpression(str)))
+}
+
 /** splitmix64 finalizer as a value hash (Steele, Lea & Flood, "Fast
   * splittable pseudorandom number generators", OOPSLA 2014) — full
   * avalanche on a 64-bit key, unlike FNV-1a over short strings whose high

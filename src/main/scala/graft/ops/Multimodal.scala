@@ -656,6 +656,44 @@ object Multimodal {
     }
   }
 
+  /** One-time-per-JVM PERSISTED pHash near-dup pair table — the
+    * [[graft.ops.Dedup.charJaccardPairsPersisted]] economics applied to
+    * the image tier: the expensive artifact of an image near-dup pass is
+    * the decode → DCT pHash → banded-hamming pair generation, and a real
+    * pipeline materializes it once at ingest, then runs clusters,
+    * survivor lists and audits as cheap reads over it. Rows are exactly
+    * the lazy `q_phash_pairs` frame, so readers share its closed-form
+    * oracle. */
+  def pHashPairsPersisted(spark: SparkSession, dir: String,
+      documents: => DataFrame): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      "phash_pairs_" + graft.sources.ManagedTable.tag(dir)) {
+      import spark.implicits._
+      graft.ops.Dedup.hammingPairs128(
+        pHashes(imagePngMedia(spark, documents))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1")),
+        maxHamming = 3)
+    }
+
+  /** One-time-per-JVM PERSISTED image-family label table (connected
+    * components over [[pHashPairsPersisted]]) — the image twin of
+    * [[graft.ops.Dedup.nearDupClustersPersisted]]: a reader of image
+    * families must not pay per-query PNG decode plus O(log n) CC
+    * re-convergence when the labeling is an ingest-side derivation.
+    * Rows are exactly the lazy build's output, so readers share its
+    * oracle. */
+  def pHashClustersPersisted(spark: SparkSession, dir: String,
+      documents: => DataFrame): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      "phash_clusters_" + graft.sources.ManagedTable.tag(dir)) {
+      graft.ops.Dedup.nearDupClusters(
+        documents.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select(col("doc_id")),
+        pHashPairsPersisted(spark, dir, documents))
+    }
+
   /** 128-bit spectral audio fingerprint of a decoded clip, as two BIGINT
     * words ([[graft.ops.Dedup.hammingPairs128]]'s input shape).
     * `decoded = false` quarantines undecodable payloads (fp 0). */

@@ -132,4 +132,87 @@ object Sampling {
       .filter(col("rnk") <= cap)
       .orderBy(col("source"), col("rnk"))
   }
+
+  /** Hashed n-gram IMPORTANCE WEIGHTS for domain-targeted data selection
+    * (the DSIR shape — Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling": featurize with hashed unigrams +
+    * bigrams, fit target vs raw bucket distributions, score every raw
+    * document by how target-like its features are, resample by weight).
+    *
+    * Score semantics, integer-exact on both engines: with Laplace-(+1)
+    * bucket probabilities p_t(b) = (c_t(b)+1)/(C_t+B) and p_r likewise,
+    * a document scores Σ over its feature occurrences of
+    * (p_t(b) − p_r(b)) in fixed-point ppb — the first-order expansion of
+    * DSIR's log-likelihood ratio Σ log(p_t/p_r) around p_t ≈ p_r, chosen
+    * because a transcendental log can differ in the last ulp across
+    * engines while ppb floor-division hash-matches exactly (the
+    * q_lm_score precedent). Positive = more target-like than raw-like.
+    * Documents with no tokens produce no row (no features, no evidence).
+    *
+    * Scale shape: the feature explode is corpus-token-sized but feeds
+    * only two keyed integer aggregations — per-bucket counts (≤ B rows,
+    * map-side combined, BROADCAST back) and the per-doc score sum — so
+    * nothing document-sized ever shuffles and no all-pairs structure
+    * exists. The explode is deliberately NOT snapshotted: it is bigger
+    * than the corpus itself, and recomputing tokenization twice beats
+    * materializing a token-level frame at 100 TB. `buckets` must be a
+    * power of two so `hash & (B−1)` means the same unsigned residue on
+    * both engines' integer types. */
+  def importanceWeights(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src1", "src7"),
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    require(targetSources.nonEmpty, "need at least one target source")
+    val tk = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    // unigrams ∪ bigrams, the DSIR featurization; sequence() is guarded
+    // because Spark's sequence(1, 0) steps DOWNWARD instead of emitting
+    // an empty array
+    val feats = concat(col("_tk"),
+      when(size(col("_tk")) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("_tk")) - 1),
+          i => concat_ws(" ", element_at(col("_tk"), i),
+            element_at(col("_tk"), i + 1)))))
+    val occ = documents
+      .withColumn("_tk", tk)
+      .select(col("doc_id"), col("source"), explode(feats).as("f"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.Fnv1a64Str.fnv1a64(col("f"))
+          .bitwiseAND(lit(buckets - 1L)).as("b"))
+    val isTarget = col("source").isin(targetSources: _*)
+    val counts = occ.groupBy(col("b")).agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("c_t"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("c_r"))
+    // 1-row totals frame: crossJoin(broadcast) keeps the query one lazy
+    // plan (no driver-side collect) — the Stats.scala precedent
+    val totals = counts.agg(
+      coalesce(sum(col("c_t")), lit(0L)).as("n_t"),
+      coalesce(sum(col("c_r")), lit(0L)).as("n_r"))
+    val ppb = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        expr(s"(c_t + 1) * 1000000000 div (n_t + $buckets)").as("ppb_t"),
+        expr(s"(c_r + 1) * 1000000000 div (n_r + $buckets)").as("ppb_r"))
+    occ.filter(!isTarget)
+      .join(broadcast(ppb), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("ppb_t") - col("ppb_r")).as("score_ppb"))
+      .withColumn("mean_ppb", expr("score_ppb div n_feats"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The selection audit over [[importanceWeights]]: per-source counts of
+    * raw documents whose importance score is positive (more target-like
+    * than raw-like) vs total — the one-glance report of WHERE a
+    * DSIR-style selection would draw from. Two keyed integer aggs over
+    * the (already doc-sized) weight frame. */
+  def importanceMix(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src1", "src7"),
+      buckets: Int = 4096): DataFrame =
+    importanceWeights(documents, targetSources, buckets)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_ppb") > 0, 1L).otherwise(0L)).as("n_selected"))
+      .orderBy(col("source"))
 }

@@ -298,4 +298,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert(n == 4L, s"pair ($a,$b) matched $n frames, want 4")
     }
   }
+
+  test("pHashClustersPersisted: identical rows to the lazy CC build") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = SparkTestBase.sfDir
+    val docs = Tables.documents(spark, dir)
+    val lazyLabels = graft.ops.Dedup.nearDupClusters(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1).select(col("doc_id")),
+      graft.ops.Dedup.hammingPairs128(
+        Multimodal.pHashes(Multimodal.imagePngMedia(spark, docs))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1")),
+        maxHamming = 3)).collect().toSeq
+    val persisted = Multimodal.pHashClustersPersisted(spark, dir, docs)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(persisted == lazyLabels)
+    assert(persisted.nonEmpty)
+  }
 }

@@ -123,4 +123,52 @@ class SamplingSpec extends AnyFunSuite {
     assert(byl("srcA").minBy(_.getAs[Int]("rnk")).getAs[Long]("doc_id") == 29L)
     assert(byl("srcB").length == 3)
   }
+
+  test("importanceWeights matches a brute-force JVM replica") {
+    val target = Seq("src1")
+    val b = 256
+    def features(text: String): Seq[String] = {
+      val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(f: String): Int =
+      (graft.functions.SimHash64.fnv1a64(f.getBytes("UTF-8")) & (b - 1)).toInt
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(3)))
+    val (tOcc, rOcc) = rows.partition(r => target.contains(r._3))
+    val cT = tOcc.flatMap(r => features(r._2)).groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val cR = rOcc.flatMap(r => features(r._2)).groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val (nT, nR) = (cT.values.sum, cR.values.sum)
+    def ppbT(k: Int) = (cT.getOrElse(k, 0L) + 1) * 1000000000L / (nT + b)
+    def ppbR(k: Int) = (cR.getOrElse(k, 0L) + 1) * 1000000000L / (nR + b)
+    val expect = rOcc.map { case (id, text, _) =>
+      val bs = features(text).map(bucket)
+      val score = bs.map(k => ppbT(k) - ppbR(k)).sum
+      id -> (bs.length.toLong, score, score / bs.length)
+    }.toMap
+    val out = Sampling.importanceWeights(docs, target, b).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val got = (r.getAs[Long]("n_feats"), r.getAs[Long]("score_ppb"),
+        r.getAs[Long]("mean_ppb"))
+      assert(got == expect(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: got $got want ${expect(r.getAs[Long]("doc_id"))}")
+    }
+  }
+
+  test("importanceWeights: target docs and empty docs produce no row") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta", "en", "tgt"),
+      (2L, "alpha beta", "en", "raw"),
+      (3L, "   ", "en", "raw"),
+      (4L, "gamma delta epsilon", "en", "raw"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Sampling.importanceWeights(d, Seq("tgt"), 64).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L, 4L))
+    // doc 2 shares every feature with the target; doc 4 shares none —
+    // the shared-evidence doc must score strictly higher per feature
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Long]("mean_ppb")).toMap
+    assert(byId(2L) > byId(4L))
+  }
 }
