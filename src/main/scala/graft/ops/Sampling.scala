@@ -180,9 +180,16 @@ object Sampling {
         graft.functions.Fnv1a64Str.fnv1a64(col("f"))
           .bitwiseAND(lit(buckets - 1L)).as("b"))
     val isTarget = col("source").isin(targetSources: _*)
+    // SNAPSHOTTED (eager localCheckpoint, ≤ B rows — memory-safe at any
+    // corpus size) because it has two consumers, `totals` and `ppb`:
+    // without the snapshot Catalyst re-derives the totals leg from
+    // lineage and the corpus tokenize+explode runs THREE times, not the
+    // two the docstring promises (measured in PLANS.md: the counts
+    // subtree appeared twice, each with its own full Generate+scan)
     val counts = occ.groupBy(col("b")).agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("c_t"),
       sum(when(isTarget, 0L).otherwise(1L)).as("c_r"))
+      .localCheckpoint(true)
     // 1-row totals frame: crossJoin(broadcast) keeps the query one lazy
     // plan (no driver-side collect) — the Stats.scala precedent
     val totals = counts.agg(
