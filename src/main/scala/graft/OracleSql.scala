@@ -244,6 +244,22 @@ object OracleSql {
         |  CAST(score_ppb // n_feats AS BIGINT) AS mean_ppb
         |FROM w ORDER BY doc_id""".stripMargin
 
+  /** [[graft.ops.Sampling.importanceResample]] — ROW_NUMBER over the
+    * identical (score_ppb DESC, doc_id) total order per source, quota =
+    * ceil(n_src · keepPerMille / 1000) in integer arithmetic. */
+  def importanceResampleSql(targetSources: Seq[String], buckets: Int,
+      keepPerMille: Int): String =
+    importanceChain(targetSources, buckets) +
+      s"""
+         |SELECT doc_id, source, score_ppb, rk FROM (
+         |  SELECT w.doc_id, d.source, w.score_ppb,
+         |    ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY w.score_ppb DESC, w.doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY d.source) AS n_src
+         |  FROM w JOIN documents d USING (doc_id))
+         |WHERE rk <= (n_src * $keepPerMille + 999) // 1000
+         |ORDER BY source, rk""".stripMargin
+
   /** [[graft.ops.Sampling.importanceMix]]. */
   def importanceMixSql(targetSources: Seq[String], buckets: Int): String =
     importanceChain(targetSources, buckets) +

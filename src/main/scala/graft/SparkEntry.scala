@@ -992,6 +992,12 @@ object SparkEntry {
     "q_importance_mix" -> ((s, dir) =>
       ops.Sampling.importanceMix(Tables.documents(s, dir))),
 
+    // the resample step: per-source quota draw of the most target-like
+    // documents (top 20% by score, doc_id tiebreak) through GlobalRank's
+    // range-partitioned per-group ranking — engine-exact row numbers
+    "q_importance_resample" -> ((s, dir) =>
+      ops.Sampling.importanceResample(Tables.documents(s, dir))),
+
     "q_lang_stats" -> ((s, dir) =>
       TextAnalysis.langStats(Tables.documents(s, dir))),
 
@@ -3519,6 +3525,9 @@ object SparkEntry {
       OracleSql.importanceWeightsSql(Seq("src1", "src7"), buckets = 4096),
     "q_importance_mix" ->
       OracleSql.importanceMixSql(Seq("src1", "src7"), buckets = 4096),
+    "q_importance_resample" ->
+      OracleSql.importanceResampleSql(Seq("src1", "src7"), buckets = 4096,
+        keepPerMille = 200),
 
     "q_multimodal_image" -> OracleSql.multimodalImageSql,
     "q_image_resize" -> OracleSql.imageResizeSql(),

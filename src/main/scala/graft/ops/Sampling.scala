@@ -208,6 +208,44 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** The RESAMPLE step over [[importanceWeights]] — DSIR's selection made
+    * deterministic and engine-exact: within each raw source, keep the top
+    * ceil(n_src · keepPerMille / 1000) documents by
+    * (score_ppb DESC, doc_id ASC) — a quota draw of the most target-like
+    * documents per source, with the doc_id tiebreak making the cut a
+    * total order both engines rank identically (sampling by hashed
+    * Gumbel noise would be just as deterministic but its exp/log weights
+    * are not integer-replicable; the quota-rank formulation keeps the
+    * whole pipeline BIGINT-exact).
+    *
+    * Scale shape: the per-source ranking runs through
+    * [[graft.analytics.GlobalRank.withRunningTotalsLong]]'s
+    * range-partitioned stitch — a handful of sources over billions of
+    * rows is exactly the degenerate case where a naive
+    * `Window.partitionBy(source)` collapses to one task per source —
+    * and the quotas are a ≤|sources|-row broadcast. The weights frame is
+    * snapshotted once (doc-sized, three columns) because it feeds both
+    * the quota count and the ranking; re-deriving it would re-run the
+    * two corpus tokenize passes per consumer. */
+  def importanceResample(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src1", "src7"),
+      buckets: Int = 4096, keepPerMille: Int = 200): DataFrame = {
+    require(keepPerMille >= 0 && keepPerMille <= 1000,
+      "keepPerMille is a fraction of each source in thousandths")
+    val w = importanceWeights(documents, targetSources, buckets)
+      .select(col("doc_id"), col("score_ppb"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true)
+    val quotas = w.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .withColumn("quota", expr(s"(n_src * $keepPerMille + 999) div 1000"))
+    graft.analytics.GlobalRank.withRunningTotalsLong(w, Seq("source"),
+      Seq(col("score_ppb").desc, col("doc_id").asc), Seq(lit(1L) -> "rk"))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("score_ppb"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** The selection audit over [[importanceWeights]]: per-source counts of
     * raw documents whose importance score is positive (more target-like
     * than raw-like) vs total — the one-glance report of WHERE a

@@ -171,4 +171,29 @@ class SamplingSpec extends AnyFunSuite {
     val byId = out.map(r => r.getLong(0) -> r.getAs[Long]("mean_ppb")).toMap
     assert(byId(2L) > byId(4L))
   }
+
+  test("importanceResample keeps the per-source ceil quota, ranked by score then doc_id") {
+    val target = Seq("src1")
+    val out = Sampling.importanceResample(docs, target, buckets = 256,
+      keepPerMille = 300).collect()
+    // every scored doc is raw; 50 per raw source -> ceil(50*0.3) = 15 each
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet == Set("src0", "src2", "src3"))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length == 15, s"$src kept ${rows.length}")
+      // ranks are 1..quota, and scores are non-increasing along the rank
+      val byRk = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq == (1L to 15L))
+      val scores = byRk.map(_.getAs[Long]("score_ppb")).toSeq
+      assert(scores == scores.sorted(Ordering[Long].reverse), s"$src not ranked by score")
+    }
+    // the cut is the same set a full sort of the weights frame would keep
+    val all = Sampling.importanceWeights(docs, target, 256)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_ppb")))
+    val expectKept = all.groupBy(_._1).values.flatMap(rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(15).map(_._2).toSeq).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expectKept)
+  }
 }
