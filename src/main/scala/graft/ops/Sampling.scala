@@ -195,10 +195,19 @@ object Sampling {
     val totals = counts.agg(
       coalesce(sum(col("c_t")), lit(0L)).as("n_t"),
       coalesce(sum(col("c_r")), lit(0L)).as("n_r"))
+    // (c+1)·10⁹ is computed in decimal(38,0), NOT bigint: per-bucket
+    // feature counts pass Long.MaxValue/10⁹ ≈ 9.2e9 at roughly 10 TB of
+    // text under the default 4096 buckets, and a silent bigint wrap here
+    // would diverge from the oracle's int128 exactly in the corpus-scale
+    // regime this operator targets. `div` on decimals is still integral
+    // (floor toward zero on positives), and the quotient is ≤ 10⁹ so the
+    // bigint result column is safe.
     val ppb = counts.crossJoin(broadcast(totals))
       .select(col("b"),
-        expr(s"(c_t + 1) * 1000000000 div (n_t + $buckets)").as("ppb_t"),
-        expr(s"(c_r + 1) * 1000000000 div (n_r + $buckets)").as("ppb_r"))
+        expr(s"cast(c_t + 1 as decimal(38,0)) * 1000000000 div (n_t + $buckets)")
+          .as("ppb_t"),
+        expr(s"cast(c_r + 1 as decimal(38,0)) * 1000000000 div (n_r + $buckets)")
+          .as("ppb_r"))
     occ.filter(!isTarget)
       .join(broadcast(ppb), "b")
       .groupBy(col("doc_id"))
