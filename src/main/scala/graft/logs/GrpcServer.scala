@@ -46,9 +46,19 @@ import io.netty.handler.codec.http2._
   * (DEADLINE_EXCEEDED), both when the handler finishes after the
   * deadline (a slow sink never turns into a late OK) and, via an
   * event-loop timer, when the client stalls mid-request. Early rejects
-  * (over-cap, deadline) also send RST_STREAM(CANCEL): a trailers-only
-  * answer half-closes ONLY the server side, and without the reset a
-  * client could keep streaming unbounded bytes into a dead stream.
+  * (over-cap, deadline, unsupported coding) also send RST_STREAM(CANCEL):
+  * a trailers-only answer half-closes ONLY the server side, and without
+  * the reset a client could keep streaming unbounded bytes into a dead
+  * stream.
+  *
+  * Message compression follows the spec's negotiation: `grpc-encoding:
+  * gzip` requests inflate per-message via the JDK (the compressed-flag
+  * byte is honored frame by frame; the 4 MiB receive cap re-applies to
+  * the DECODED bytes), any other non-identity coding answers
+  * trailers-only UNIMPLEMENTED with `grpc-accept-encoding:
+  * identity,gzip` advertised — grpc-go's exact behavior for a coding
+  * with no registered decompressor — and every response carries the
+  * `grpc-accept-encoding` advertisement.
   *
   * Threading: all frames for a connection arrive on its event-loop
   * thread, so per-stream state needs no locks. The sink (a MemoryStream
@@ -96,11 +106,19 @@ object GrpcServer {
     * answer RESOURCE_EXHAUSTED instead of buffering without bound. */
   val DefaultMaxMessageBytes: Int = 4 * 1024 * 1024
 
+  /** The message codings this server can decode — advertised in
+    * `grpc-accept-encoding` (grpc-go stock builds advertise their
+    * registered compressors the same way). */
+  val AcceptEncoding = "identity,gzip"
+
   /** Per-stream request accumulation: header routing verdict + body. */
   private final class StreamState {
     var path: String = ""
     var method: String = ""
     var contentType: String = ""
+    // negotiated request coding (grpc-encoding header); gates the
+    // per-message compressed-flag byte in the framing
+    var encoding: String = "identity"
     val body: ByteBuf = Unpooled.buffer()
     var done = false // response sent; drop any further frames
     // reflection streams answer each framed request INCREMENTALLY (the
@@ -152,27 +170,49 @@ object GrpcServer {
             st.reflect = ReflectionProto.isReflectionPath(st.path) &&
               st.method == "POST" &&
               st.contentType.startsWith("application/grpc")
+            // grpc-encoding: a client that opted into a message coding we
+            // cannot decode gets the spec-mandated UNIMPLEMENTED with our
+            // supported codings advertised (PROTOCOL-HTTP2 compression
+            // rules; grpc-go answers exactly this) — parsing its frames
+            // as raw protobuf would be garbage-in
+            val enc = str(h.headers().get("grpc-encoding"))
+            if (enc.nonEmpty) st.encoding = enc
+            if (st.encoding != "identity" && st.encoding != "gzip") {
+              st.done = true
+              st.body.clear()
+              trailersOnly(ctx, h.stream(), 12, // UNIMPLEMENTED
+                s"grpc: Decompressor is not installed for grpc-encoding \"${st.encoding}\"")
+              ctx.write(new DefaultHttp2ResetFrame(Http2Error.CANCEL)
+                .stream(h.stream()))
+              ctx.flush()
+            }
             // grpc-timeout: a stock deadline-bearing client's header is
             // ENFORCED server-side, matching grpc-go — the deadline is
             // checked when the handler finishes (a slow sink maps to
             // status 4, not a late OK the client already abandoned), and
             // an event-loop timer answers a stalled REQUEST at expiry
-            parseGrpcTimeoutNanos(str(h.headers().get("grpc-timeout")))
-              .foreach { t =>
-                st.deadlineNanos = System.nanoTime() + t
-                val stream = h.stream()
-                st.timer = ctx.executor().schedule(new Runnable {
-                  override def run(): Unit = if (!st.done) {
-                    st.done = true
-                    st.body.clear()
-                    trailersOnly(ctx, stream, 4, // DEADLINE_EXCEEDED
-                      "context deadline exceeded")
-                    ctx.write(new DefaultHttp2ResetFrame(Http2Error.CANCEL)
-                      .stream(stream))
-                    ctx.flush()
-                  }
-                }, t, java.util.concurrent.TimeUnit.NANOSECONDS)
-              }
+            if (!st.done)
+              parseGrpcTimeoutNanos(str(h.headers().get("grpc-timeout")))
+                .foreach { t =>
+                  st.deadlineNanos = System.nanoTime() + t
+                  val stream = h.stream()
+                  st.timer = ctx.executor().schedule(new Runnable {
+                    override def run(): Unit = if (!st.done) {
+                      st.done = true
+                      st.body.clear()
+                      // on a stream whose response HEADERS already went
+                      // out (an in-flight reflection exchange) the error
+                      // must be proper TRAILERS — no pseudo-headers; a
+                      // second :status-bearing HEADERS is an HTTP/2
+                      // protocol error to a strict client
+                      errorTrailers(ctx, stream, st, 4, // DEADLINE_EXCEEDED
+                        "context deadline exceeded")
+                      ctx.write(new DefaultHttp2ResetFrame(Http2Error.CANCEL)
+                        .stream(stream))
+                      ctx.flush()
+                    }
+                  }, t, java.util.concurrent.TimeUnit.NANOSECONDS)
+                }
           }
           if (h.isEndStream) complete(ctx, h.stream(), st)
         case d: Http2DataFrame =>
@@ -260,20 +300,21 @@ object GrpcServer {
         } else {
           val raw = new Array[Byte](st.body.readableBytes())
           st.body.readBytes(raw)
-          val entries =
-            LogProto.decodeBatchWriteRequest(LogProto.unframe(raw))
+          // unframe honors the compressed-flag byte under the stream's
+          // negotiated grpc-encoding (gzip inflates via the JDK; the
+          // receive cap re-applies to the DECODED bytes — a 4 MiB cap a
+          // gzip bomb slips under on the wire still holds post-inflate)
+          val entries = LogProto.decodeBatchWriteRequest(
+            LogProto.unframe(raw, st.encoding, maxMessageBytes))
           val written = sink(entries)
           if (System.nanoTime() > st.deadlineNanos) {
             // the deadline expired while the handler ran (slow sink):
             // the client has already abandoned the call — answer
             // DEADLINE_EXCEEDED, not a late OK (grpc-go's post-handler
             // ctx.Err() check)
-            trailersOnly(ctx, s, 4, "context deadline exceeded")
+            errorTrailers(ctx, s, st, 4, "context deadline exceeded")
           } else {
-            val headers = new DefaultHttp2Headers()
-            headers.status("200")
-            headers.set("content-type", "application/grpc")
-            ctx.write(new DefaultHttp2HeadersFrame(headers).stream(s))
+            responseHeaders(ctx, s, st)
             ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
               LogProto.frame(LogProto.encodeBatchWriteResponse(written)))).stream(s))
             val trailers = new DefaultHttp2Headers()
@@ -282,8 +323,10 @@ object GrpcServer {
           }
         }
       } catch {
+        case e: LogProto.MessageTooLarge => // decoded size over the cap
+          errorTrailers(ctx, s, st, 8, e.getMessage) // RESOURCE_EXHAUSTED
         case e: Throwable => // malformed framing/proto or sink failure
-          trailersOnly(ctx, s, 13,
+          errorTrailers(ctx, s, st, 13,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
       } finally {
         ctx.flush()
@@ -298,6 +341,7 @@ object GrpcServer {
       val h = new DefaultHttp2Headers()
       h.status("200")
       h.set("content-type", "application/grpc")
+      h.set("grpc-accept-encoding", AcceptEncoding)
       ctx.write(new DefaultHttp2HeadersFrame(h).stream(s))
     }
 
@@ -312,15 +356,21 @@ object GrpcServer {
       while (progressed) {
         progressed = false
         if (st.body.readableBytes() >= 5) {
+          val flag = st.body.getByte(st.body.readerIndex())
           val len = st.body.getUnsignedInt(st.body.readerIndex() + 1)
           if (st.body.readableBytes() >= 5 + len) {
             st.body.skipBytes(5)
             val raw = new Array[Byte](len.toInt)
             st.body.readBytes(raw)
             st.body.discardReadBytes()
+            // the compressed-flag byte is per-MESSAGE: a gzip-negotiated
+            // client may still send flag-0 frames, and vice versa is an
+            // error decodePayload maps for us
+            val msg = LogProto.decodePayload(flag, raw, st.encoding,
+              Int.MaxValue)
             if (!st.headersSent) responseHeaders(ctx, s, st)
             ctx.write(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(
-              LogProto.frame(ReflectionProto.respond(raw)))).stream(s))
+              LogProto.frame(ReflectionProto.respond(msg)))).stream(s))
             ctx.flush()
             progressed = true
           }
@@ -335,10 +385,24 @@ object GrpcServer {
       val h = new DefaultHttp2Headers()
       h.status("200")
       h.set("content-type", "application/grpc")
+      h.set("grpc-accept-encoding", AcceptEncoding)
       h.set("grpc-status", code.toString)
       h.set("grpc-message", grpcPercentEncode(message))
       ctx.write(new DefaultHttp2HeadersFrame(h, true).stream(s))
     }
+
+    /** Error answer that respects where the stream already is: before
+      * response HEADERS it is the trailers-only shape; after them it must
+      * be pseudo-header-free TRAILERS (END_STREAM set) — a second HEADERS
+      * frame carrying :status mid-stream is an HTTP/2 protocol error. */
+    private def errorTrailers(ctx: ChannelHandlerContext, s: Http2FrameStream,
+        st: StreamState, code: Int, message: String): Unit =
+      if (st.headersSent) {
+        val t = new DefaultHttp2Headers()
+        t.set("grpc-status", code.toString)
+        t.set("grpc-message", grpcPercentEncode(message))
+        ctx.write(new DefaultHttp2HeadersFrame(t, true).stream(s))
+      } else trailersOnly(ctx, s, code, message)
 
     /** Plain-HTTP rejection before gRPC semantics apply (405/415). */
     private def httpError(ctx: ChannelHandlerContext, s: Http2FrameStream,

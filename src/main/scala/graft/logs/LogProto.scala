@@ -229,16 +229,89 @@ object LogProto {
   }
 
   /** Strip one gRPC frame; rejects the compressed flag (no codec is
-    * negotiated on this transport) and length mismatches. */
-  def unframe(b: Array[Byte]): Array[Byte] = {
+    * negotiated on this transport — the HTTP-mounted route) and length
+    * mismatches. */
+  def unframe(b: Array[Byte]): Array[Byte] = unframe(b, "identity", Int.MaxValue)
+
+  /** Strip one gRPC frame honoring the per-message compressed flag under
+    * the stream's negotiated `grpc-encoding`: flag 0 → message bytes
+    * as-is; flag 1 under `gzip` → inflate (size-capped — the cap applies
+    * to the DECODED message, grpc-go's receive-size semantics, surfacing
+    * as [[MessageTooLarge]] → RESOURCE_EXHAUSTED); flag 1 under
+    * `identity` → [[MalformedProto]] (spec: compressed-flag set without a
+    * negotiated encoding is an INTERNAL error). Unknown encodings never
+    * reach here — the transport rejects them at HEADERS time with
+    * UNIMPLEMENTED. */
+  def unframe(b: Array[Byte], encoding: String, maxBytes: Int): Array[Byte] = {
     if (b.length < 5) fail("gRPC frame shorter than 5 bytes")
-    if (b(0) == 1.toByte) fail("compressed gRPC frame unsupported")
-    if (b(0) != 0.toByte) fail(s"invalid gRPC frame flag ${b(0)}")
     val len = ((b(1) & 0xffL) << 24) | ((b(2) & 0xffL) << 16) |
       ((b(3) & 0xffL) << 8) | (b(4) & 0xffL)
     if (len != (b.length - 5).toLong) fail(s"gRPC frame length $len != ${b.length - 5}")
-    java.util.Arrays.copyOfRange(b, 5, b.length)
+    decodePayload(b(0), java.util.Arrays.copyOfRange(b, 5, b.length),
+      encoding, maxBytes)
   }
+
+  /** Decode one frame's payload given its compressed-flag byte — shared
+    * by [[unframe]] and the incremental reflection drain (which parses
+    * the 5-byte prefix out of a netty buffer itself). */
+  def decodePayload(flag: Byte, payload: Array[Byte], encoding: String,
+      maxBytes: Int): Array[Byte] = flag match {
+    case 0 => payload
+    case 1 =>
+      if (encoding == "gzip") gunzip(payload, maxBytes)
+      else fail("compressed-flag set but grpc-encoding is identity")
+    case f => fail(s"invalid gRPC frame flag $f")
+  }
+
+  /** Decoded message exceeded the receive cap (→ RESOURCE_EXHAUSTED,
+    * distinct from [[MalformedProto]]'s INTERNAL). */
+  final class MessageTooLarge(msg: String) extends RuntimeException(msg)
+
+  /** `[compressed=1][u32 BE length][gzip(message)]` — the framing a
+    * gzip-negotiated client sends per message. */
+  def frameGzipped(message: Array[Byte]): Array[Byte] = {
+    val gz = gzip(message)
+    val out = new ByteArrayOutputStream(gz.length + 5)
+    out.write(1)
+    out.write((gz.length >>> 24) & 0xff)
+    out.write((gz.length >>> 16) & 0xff)
+    out.write((gz.length >>> 8) & 0xff)
+    out.write(gz.length & 0xff)
+    out.write(gz, 0, gz.length)
+    out.toByteArray
+  }
+
+  /** RFC 1952 gzip via the JDK (the build carries no compression deps). */
+  def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(b.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Inflate, failing fast ([[MessageTooLarge]]) the moment the DECODED
+    * size passes `maxBytes` — a gzip bomb must not buffer unbounded
+    * bytes before the cap is noticed. Corrupt streams surface as
+    * [[MalformedProto]] (→ INTERNAL, the unmarshal-failure mapping). */
+  def gunzip(b: Array[Byte], maxBytes: Int): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes)
+          throw new MessageTooLarge(
+            s"grpc: received message larger than max ($maxBytes)")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case e: java.io.IOException => fail(s"corrupt gzip frame: ${e.getMessage}")
+    }
 
   /** A valid protobuf message can never start with byte 0x00 or 0x01 (the
     * tag would name field 0, which proto reserves), so the framing sniff

@@ -211,6 +211,83 @@ class GrpcServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close().sync()
   }
 
+  test("grpc-encoding gzip: a compressed BatchWrite is accepted end-to-end") {
+    received.clear()
+    val conn = connect(group, server.port)
+    try {
+      val entries = (1 to 7).map(entry(_))
+      val h = requestHeaders(server.port)
+      h.set("grpc-encoding", "gzip")
+      val r = call(conn, h,
+        LogProto.frameGzipped(LogProto.encodeBatchWriteRequest(entries)))
+      assert(r.trailers != null && r.trailers.get("grpc-status").toString == "0",
+        s"headers=${r.headers} trailers=${r.trailers}")
+      assert(LogProto.decodeBatchWriteResponse(
+        LogProto.unframe(r.bodyBytes)) == 7L)
+      assert(received.poll() == entries) // decoded fidelity through gzip
+      assert(r.headers.get("grpc-accept-encoding") != null &&
+        r.headers.get("grpc-accept-encoding").toString.contains("gzip"))
+    } finally conn.close().sync()
+  }
+
+  test("grpc-encoding gzip: the compressed flag is per-message — flag 0 passes") {
+    // a gzip-negotiated client may still send individual messages
+    // uncompressed (flag byte 0); the spec makes the flag authoritative
+    val conn = connect(group, server.port)
+    try {
+      val h = requestHeaders(server.port)
+      h.set("grpc-encoding", "gzip")
+      val r = call(conn, h, framedRequest(Seq(entry(1), entry(2))))
+      assert(r.trailers != null && r.trailers.get("grpc-status").toString == "0")
+      assert(LogProto.decodeBatchWriteResponse(
+        LogProto.unframe(r.bodyBytes)) == 2L)
+    } finally conn.close().sync()
+  }
+
+  test("unsupported grpc-encoding: UNIMPLEMENTED (12) + accept-encoding + reset") {
+    val tap = new GrpcTestClient.ResetTap
+    val conn = connect(group, server.port, tap)
+    try {
+      val h = requestHeaders(server.port)
+      h.set("grpc-encoding", "snappy")
+      val r = GrpcTestClient.callStalled(conn, h) // server answers at HEADERS
+      assert(r.headers.get("grpc-status").toString == "12")
+      assert(r.headers.get("grpc-accept-encoding").toString == "identity,gzip")
+      assert(tap.seen.await(5, TimeUnit.SECONDS),
+        "no RST_STREAM after the unsupported-coding reject")
+      // connection survives for a normal follow-up
+      assert(GrpcTestClient.batchWrite(conn, server.port, Seq(entry(8))) == 1L)
+    } finally conn.close().sync()
+  }
+
+  test("compressed flag without negotiated encoding: INTERNAL (13)") {
+    val conn = connect(group, server.port)
+    try { // flag byte 1 but no grpc-encoding header → identity stream
+      val r = call(conn, requestHeaders(server.port),
+        LogProto.frameGzipped(LogProto.encodeBatchWriteRequest(Seq(entry(1)))))
+      assert(r.headers.get("grpc-status").toString == "13")
+    } finally conn.close().sync()
+  }
+
+  test("gzip bomb: the receive cap applies to DECODED bytes → 8") {
+    // 1 MiB of a single repeated byte gzips to ~1 KiB — under a 64 KiB
+    // wire cap, far over it decoded; the reject must be RESOURCE_EXHAUSTED
+    val small = new GrpcServer(es => es.size.toLong,
+      maxMessageBytes = 64 * 1024).start()
+    val conn = connect(group, small.port)
+    try {
+      val bomb = LogProto.encodeBatchWriteRequest(
+        Seq(entry(1, msg = "z" * (1024 * 1024))))
+      val framed = LogProto.frameGzipped(bomb)
+      assert(framed.length < 64 * 1024, "wire bytes must slip under the cap")
+      val h = requestHeaders(small.port)
+      h.set("grpc-encoding", "gzip")
+      val r = call(conn, h, framed)
+      assert(r.headers.get("grpc-status").toString == "8",
+        s"want RESOURCE_EXHAUSTED, got ${r.headers}")
+    } finally { conn.close().sync(); small.stop() }
+  }
+
   test("grpc-timeout parse: spec units, bounds, and lenient rejection") {
     import GrpcServer.parseGrpcTimeoutNanos
     assert(parseGrpcTimeoutNanos("50m").contains(50L * 1000000L))

@@ -48,6 +48,40 @@ object GrpcWireProps extends Properties("GrpcWire") {
       written == entries.size.toLong && got == entries
     }
 
+  property("gzip-encoded batches survive the live wire; ack = accepted count") =
+    forAll(Gen.choose(0, 6).flatMap(Gen.listOfN(_, genEntry))) { entries =>
+      import graft.logs.LogProto
+      val h = GrpcTestClient.requestHeaders(server.port)
+      h.set("grpc-encoding", "gzip")
+      val r = GrpcTestClient.call(conn, h,
+        LogProto.frameGzipped(LogProto.encodeBatchWriteRequest(entries)))
+      val ok = r.trailers != null &&
+        r.trailers.get("grpc-status").toString == "0"
+      val written =
+        LogProto.decodeBatchWriteResponse(LogProto.unframe(r.bodyBytes))
+      val got = received.poll()
+      ok && written == entries.size.toLong && got == entries
+    }
+
+  property("gzip frame codec: frameGzipped ∘ unframe(gzip) = id; caps and corruption fail typed") = {
+    import graft.logs.LogProto
+    val genBytes = Gen.choose(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    forAll(genBytes) { b =>
+      val framed = LogProto.frameGzipped(b)
+      val roundTrip = LogProto.unframe(framed, "gzip", Int.MaxValue).sameElements(b)
+      // the cap is on DECODED bytes: any message longer than the cap trips it
+      val capped = b.length <= 8 || (try {
+        LogProto.unframe(framed, "gzip", b.length - 1); false
+      } catch { case _: LogProto.MessageTooLarge => true })
+      // flag=1 without a negotiated coding is a typed malformed-proto error
+      val identityRejects = try {
+        LogProto.unframe(framed, "identity", Int.MaxValue); false
+      } catch { case _: LogProto.MalformedProto => true }
+      roundTrip && capped && identityRejects
+    }
+  }
+
   property("grpc-timeout parse: spec-shaped values round-trip, junk is rejected, never throws") = {
     val unitNanos = Map('H' -> 3600L * 1000000000L, 'M' -> 60L * 1000000000L,
       'S' -> 1000000000L, 'm' -> 1000000L, 'u' -> 1000L, 'n' -> 1L)
