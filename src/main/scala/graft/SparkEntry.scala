@@ -108,7 +108,10 @@ object SparkEntry {
     // persisted IVF assignment
     "q_logs_flagship_partitioned", "q_semdedup",
     // first run writes the persisted pHash pair + image-family tables
-    "q_phash_clusters")
+    "q_phash_clusters",
+    // first run writes the persisted BASE cluster labeling the
+    // incremental merge maintains
+    "q_dedup_clusters_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -641,6 +644,30 @@ object SparkEntry {
     "q_dedup_clusters_build" -> ((s, dir) =>
       Dedup.nearDupClusters(Tables.documents(s, dir),
         Dedup.charJaccardPairs(Tables.documents(s, dir), 0.9))),
+
+    // INCREMENTAL label maintenance — the live-corpus merge path: the
+    // corpus is split deterministically (doc_id % 7 == 0 plays the
+    // newly-arrived delta), the PERSISTED base labeling (built once over
+    // the base slice, like every other layout artifact) absorbs the
+    // delta's near-dup pairs via Dedup.mergeClusterDelta at cost ∝ delta
+    // (star contraction re-runs over delta-touched components ONLY), and
+    // the result is hash-equal to the full rebuild — so it shares
+    // q_dedup_clusters' recursive-CTE oracle verbatim. The benched read
+    // is the merge itself: delta pair filter + delta-sized contraction +
+    // broadcast-anti pass-through of untouched labels
+    "q_dedup_clusters_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isDelta = col("doc_id") % 7 === 0
+      val baseLabels = graft.sources.ManagedTable.persisted(s,
+        "neardup_clusters_base900_" + graft.sources.ManagedTable.tag(dir))(
+        Dedup.nearDupClusters(docs.filter(!isDelta),
+          Dedup.charJaccardPairs(docs.filter(!isDelta), 0.9)))
+      val deltaPairs =
+        Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9)
+          .filter(col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
+      Dedup.mergeClusterDelta(baseLabels,
+        docs.filter(isDelta).select(col("doc_id")), deltaPairs)
+    }),
 
     // the PERSISTED label table read directly (round 8, mirroring
     // q_central_survivors/q_semdedup): connected components are an
@@ -3850,6 +3877,9 @@ object SparkEntry {
     "q21_waiting_suppliers_bkt" -> baseOracleSql("q21_waiting_suppliers"),
     // persisted-pair-table twins: same closure, same transitive oracle
     "q_dedup_clusters_idx" -> baseOracleSql("q_dedup_clusters"),
+    // the incremental merge is exact: hash-equal to the full rebuild,
+    // so the recursive-CTE closure over the FULL pair set is its oracle
+    "q_dedup_clusters_incr" -> baseOracleSql("q_dedup_clusters"),
     "q_dedup_survivors_idx" -> baseOracleSql("q_dedup_survivors"),
     // lazy-build row: same labeling, same transitive oracle
     "q_dedup_clusters_build" -> baseOracleSql("q_dedup_clusters"),

@@ -204,7 +204,10 @@ object Dedup {
     * fingerprint width should prefer 128 bits ([[hammingPairs128]] — the
     * multimodal tiers and [[simHash128Pairs]] do), where the 4×32-bit
     * band keys make random collisions vanishingly rare instead of merely
-    * bounded. */
+    * bounded.
+    *
+    * EAGER: construction materializes the banded frame and probes its
+    * max bucket (see [[bandedSelfJoin]]) — batch-only. */
   def hammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
@@ -220,9 +223,23 @@ object Dedup {
   }
 
   /** [[hammingPairs]] for 128-bit fingerprints carried as two BIGINT words
-    * (doc_id, sh0, sh1): 4 bands of 32 bits (complete for hamming ≤ 3 by
-    * pigeonhole — every caller uses exactly that radius), hamming =
-    * popcount over both words. The wide fingerprint and the wide band key
+    * (doc_id, sh0, sh1): 4 bands of 32 bits, hamming = popcount over both
+    * words.
+    *
+    * COMPLETENESS CONTRACT: the 4-band split is exhaustive only for
+    * hamming ≤ 3 (pigeonhole — 4 mismatching bits can land one per band).
+    * Callers passing `maxHamming` ≥ 4 (the multimodal tiers and
+    * [[simHash128Pairs]] do, deliberately) get a RECALL stage: every
+    * emitted pair is exactly verified below the banding, but a true pair
+    * whose mismatching bits spread across all four bands is never
+    * proposed. That is the standard LSH trade — for simhash-family
+    * fingerprints, near-duplicates concentrate their disagreement in few
+    * bits, so band-collision recall stays high while the candidate volume
+    * stays corpus-linear.
+    *
+    * EAGER: construction materializes the banded frame and probes its
+    * max bucket (see [[bandedSelfJoin]]), so calling this triggers Spark
+    * jobs — batch-only; not composable under a streaming plan. The wide fingerprint and the wide band key
     * are BOTH load-bearing at corpus scale: 2¹²⁸ hash entropy keeps
     * correlated near-misses (hamming 4..16) from saturating whole buckets
     * the way a 64-bit hash's bands do, and 2³² band keys make RANDOM band
@@ -290,11 +307,23 @@ object Dedup {
     * reuses the exchange; counts are never broadcast (bucket
     * cardinality scales with the corpus, unlike [[charJaccardPairs]]'
     * source count). Emits (id_a < id_b, payload_a…, payload_b…), one
-    * row per (band-bucket, pair) — callers `distinct()` across bands. */
+    * row per (band-bucket, pair) — callers `distinct()` across bands.
+    *
+    * The snapshot is DISK_ONLY (the [[graft.analytics.Graph.pageRankPpb]]
+    * precedent): at 10⁹-row media corpora the 4-rows-per-document banded
+    * frame must not compete with the self-join's shuffle memory, and a
+    * disk block costs one sequential re-read. Contract note:
+    * localCheckpoint TRUNCATES LINEAGE, so losing an executor mid-job
+    * means job retry, not partition recompute — acceptable for these
+    * bounded derivations, and the price of running the upstream codec
+    * pass once instead of twice. The construction is EAGER (snapshot +
+    * max-bucket probe run jobs at DataFrame-build time); callers'
+    * public docstrings carry the batch-only warning. */
   private def bandedSelfJoin(banded: DataFrame, payload: Seq[String],
       targetBlock: Int = 4096): DataFrame = {
     val t = math.max(targetBlock, 1)
-    val snap = banded.localCheckpoint(true)
+    val snap = banded.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val maxBucket = Option(snap.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("_bc")).agg(max(col("_bc"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -378,7 +407,16 @@ object Dedup {
     // snapshotted: the distinct shingle explosion feeds BOTH sides of the
     // candidate self-join below (plus the per-doc size frame) — without
     // it the tokenize+shingle+distinct pass over the corpus runs three
-    // times, and the snapshot rows are the same ones the join shuffles
+    // times, and the snapshot rows are the same ones the join shuffles.
+    // DISK_ONLY, not the default level: this frame is corpus-TOKEN-sized
+    // (larger than the corpus itself), and memory-cached blocks of that
+    // magnitude would compete with the candidate join's shuffle memory —
+    // disk blocks cost a sequential re-read and nothing else. (This is
+    // the one token-scale frame the repo does snapshot: unlike
+    // [[Sampling.importanceWeights]]' explode, which feeds two cheap
+    // keyed aggs, this one feeds a self-JOIN whose sides are separate
+    // subplans, so recompute means re-running the distinct's corpus-wide
+    // shuffle per side.)
     val sh = documents
       .withColumn("_tk", toks)
       .filter(size(col("_tk")) >= n)
@@ -386,7 +424,7 @@ object Dedup {
         sequence(lit(0), size(col("_tk")) - n),
         i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("sh"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     sh.select(col("source"), col("sh"), col("doc_id").as("id_a"))
       .join(sh.select(col("source"), col("sh"), col("doc_id").as("id_b")),
@@ -427,6 +465,21 @@ object Dedup {
 
   def nearDupClusters(documents: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    val stars = starContract(pairs, maxIter)
+    documents.select(col("doc_id"))
+      .join(stars.select(col("v").as("doc_id"), col("u").as("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The iterative core of [[nearDupClusters]]: converge a pair frame
+    * (id_a, id_b) to its component STARS — one (u = component minimum,
+    * v = member) edge per non-minimum member. Shared by the full rebuild
+    * and [[mergeClusterDelta]]'s delta-restricted re-run. Throws if the
+    * fixed point is not reached within `maxIter` rounds. */
+  private[graft] def starContract(pairs: DataFrame, maxIter: Int): DataFrame = {
     // canonical undirected edge set (u < v), materialized ONCE — candidate
     // generation is the expensive part and must not re-run per iteration.
     // Checkpoints go DISK_ONLY: at 10×+ the edge set is tens of millions
@@ -490,11 +543,89 @@ object Dedup {
       throw new IllegalStateException(
         s"nearDupClusters did not converge to stars after $maxIter " +
           "iterations; raise maxIter")
-    val stars = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
-    documents.select(col("doc_id"))
-      .join(stars, Seq("doc_id"), "left_outer")
+    edges
+  }
+
+  /** INCREMENTAL connected-components maintenance — merge a PAIR DELTA
+    * into an existing (doc_id, cluster_id) labeling at cost proportional
+    * to the delta, not the corpus: the batch link that closes the live
+    * dedup story (TTL stream LSH finds new near-dup pairs as documents
+    * arrive; [[historyDedupBloom]] screens exact dups against deep
+    * history; this merges the new pairs into the persisted label table
+    * without re-converging 100 TB of components).
+    *
+    * Semantics: the output equals a FULL [[nearDupClusters]] rebuild over
+    * (base corpus ∪ delta documents) with (base pairs ∪ delta pairs) —
+    * exact, not approximate. The key fact making delta-restriction sound:
+    * a component untouched by any delta edge has an identical pair set in
+    * base and merged corpora, so its labels cannot change; only
+    * components reachable from a delta edge need re-converging, and a
+    * base component is reconstructible from its label edges alone
+    * (cluster_id ↔ member is a spanning star of the component).
+    *
+    * Steps, each keyed/bounded by the delta:
+    *  1. canonical delta edges; their endpoint set (small);
+    *  2. touched clusters = labels of endpoints (endpoint-keyed join);
+    *  3. touched members = base labels in those clusters (a semi-join
+    *     against a delta-sized cluster-id set, broadcast);
+    *  4. star-contract (delta edges ∪ touched label edges) — the same
+    *     [[starContract]] rounds, over a delta-sized subgraph;
+    *  5. untouched labels pass through via a broadcast anti-join (a
+    *     narrow scan of the label table, never a corpus shuffle);
+    *     `deltaDocs` with no edge become singleton self-labels.
+    *
+    * New cluster ids are exact component minima: the contracted subgraph
+    * contains every member of every touched component (step 3) plus all
+    * delta endpoints, so the minimum over the merged component is the
+    * minimum over the subgraph component. */
+  def mergeClusterDelta(baseLabels: DataFrame, deltaDocs: DataFrame,
+      deltaPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val dEdges = deltaPairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val endpoints = dEdges.select(col("u").as("doc_id"))
+      .unionByName(dEdges.select(col("v").as("doc_id")))
+      .distinct()
+    // clusters any delta edge touches — delta-sized, broadcast both ways
+    val touchedClusters = baseLabels
+      .join(broadcast(endpoints), "doc_id")
+      .select(col("cluster_id")).distinct()
+    val touchedMembers = baseLabels
+      .join(broadcast(touchedClusters), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"))
+    // a base component IS the star (cluster_id, member): its label edges
+    // reconnect the component inside the delta subgraph
+    val labelEdges = touchedMembers
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+    val stars = starContract(
+      dEdges.select(col("u").as("id_a"), col("v").as("id_b"))
+        .unionByName(labelEdges), maxIter)
+    // every doc whose label may change: touched members, delta-edge
+    // endpoints, and the delta's own documents (edge-less ones become
+    // singletons); delta-sized by construction
+    val universe = touchedMembers.select(col("doc_id"))
+      .unionByName(endpoints)
+      .unionByName(deltaDocs.select(col("doc_id")))
+      .distinct()
+      .localCheckpoint(true)
+    // fallback chain: star label (re-converged) → existing base label (a
+    // doc listed in deltaDocs that was already labeled and untouched by
+    // any edge keeps its label, making the merge idempotent under
+    // replayed deltas) → self (genuinely new singleton)
+    val relabeled = universe
+      .join(stars.select(col("v").as("doc_id"), col("u").as("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .join(baseLabels.select(col("doc_id"), col("cluster_id").as("_base"))
+        .join(broadcast(universe), "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        coalesce(col("cluster_id"), col("_base"), col("doc_id")).as("cluster_id"))
+    baseLabels
+      .join(broadcast(universe), Seq("doc_id"), "left_anti")
+      .unionByName(relabeled)
       .orderBy(col("doc_id"))
   }
 

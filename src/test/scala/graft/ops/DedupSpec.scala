@@ -165,6 +165,45 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.values.toSet == Set(0L))
   }
 
+  test("mergeClusterDelta: merging a pair delta equals the full rebuild") {
+    import spark.implicits._
+    val baseDocs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L)
+      .map(i => (i, s"d$i", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val baseLabels = Dedup.nearDupClusters(baseDocs, basePairs)
+    // delta: 40 joins {1,2,3} via 3; 41 chains onto 40; 50 is an edge-less
+    // singleton; 11~20 merges two EXISTING components (10s and 20)
+    val deltaDocs = Seq(40L, 41L, 50L).toDF("doc_id")
+    val deltaPairs = Seq((40L, 3L), (41L, 40L), (11L, 20L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusterDelta(baseLabels, deltaDocs, deltaPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.nearDupClusters(
+      baseDocs.unionByName(deltaDocs.select(col("doc_id"), lit("t").as("text"),
+        lit("en").as("lang"), lit("s").as("source"))),
+      basePairs.unionByName(deltaPairs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == full)
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 40L -> 1L, 41L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 10L, 30L -> 30L, 50L -> 50L))
+  }
+
+  test("mergeClusterDelta: untouched labels pass through; replayed deltas are idempotent") {
+    import spark.implicits._
+    val baseDocs = Seq(1L, 2L, 30L).map(i => (i, s"d$i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val baseLabels = Dedup.nearDupClusters(baseDocs,
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+    val deltaDocs = Seq(40L).toDF("doc_id")
+    val deltaPairs = Seq((40L, 2L)).toDF("id_a", "id_b")
+    val once = Dedup.mergeClusterDelta(baseLabels, deltaDocs, deltaPairs)
+    // replay the SAME delta against the merged labels: nothing changes —
+    // 40 is already labeled, its edge re-converges to the same star
+    val twice = Dedup.mergeClusterDelta(once, deltaDocs, deltaPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(twice == Map(1L -> 1L, 2L -> 1L, 30L -> 30L, 40L -> 1L))
+    assert(twice(30L) == 30L) // untouched singleton passed through
+  }
+
   test("shingles: distinct n-grams; short docs degrade to whole-doc shingle") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")
