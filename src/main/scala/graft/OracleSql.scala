@@ -125,9 +125,12 @@ object OracleSql {
        |  FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.slice = b.slice AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** Full pair query for [[graft.ops.Dedup.minHashPairs]]/ngramJaccardPairs. */
-  def minhashPairsSql(bands: Int, threshold: Double): String =
-    s"""WITH ${minhashChain("documents", bands)},
+  /** Full pair query for [[graft.ops.Dedup.minHashPairs]]/ngramJaccardPairs.
+    * `rel` points the chain at a substituted corpus CTE when a caller
+    * rewrites documents first (the live-pipeline parity gate). */
+  def minhashPairsSql(bands: Int, threshold: Double,
+      rel: String = "documents"): String =
+    s"""WITH ${minhashChain(rel, bands)},
        |jac AS (
        |  SELECT id_a, id_b,
        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

@@ -461,6 +461,56 @@ object Soak {
     }
   }
 
+  /** `incrcc` mode: the update-cost receipt for
+    * [[graft.ops.Dedup.mergeClusterDelta]] — the claim under test is
+    * "merging a pair delta costs ∝ delta, NOT ∝ corpus". Generates
+    * height-constant TRUE-growth corpora at 1× and factor×, holds the
+    * DELTA CONSTANT across scales (doc_id % 7 == 0 within the 1× id
+    * range only), materializes the inputs a live pipeline would already
+    * have persisted (base label table, delta pair set) UNTIMED, then
+    * times (a) the incremental merge and (b) the full rebuild at each
+    * scale. Flat (a) against a ~linear (b) is the receipt; both outputs
+    * are asserted set-equal before timing is trusted. */
+  def incrCcSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/incrcc_$tag"
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val isDelta = col("doc_id") % 7 === 0 && col("doc_id") < nBase
+      // UNTIMED prep — in production these are persisted artifacts: the
+      // label table from the previous corpus version, the delta pairs
+      // from the arrival-side near-dup pass
+      graft.ops.Dedup.nearDupClusters(docs.filter(!isDelta),
+        graft.ops.Dedup.charJaccardPairs(docs.filter(!isDelta), 0.9))
+        .write.mode("overwrite").parquet(s"$dir/base_labels.parquet")
+      graft.ops.Dedup.charJaccardPairs(docs, 0.9)
+        .filter((col("id_a") % 7 === 0 && col("id_a") < nBase) ||
+          (col("id_b") % 7 === 0 && col("id_b") < nBase))
+        .write.mode("overwrite").parquet(s"$dir/delta_pairs.parquet")
+      val baseLabels = spark.read.parquet(s"$dir/base_labels.parquet")
+      val deltaPairs = spark.read.parquet(s"$dir/delta_pairs.parquet")
+      val deltaDocs = docs.filter(isDelta).select(col("doc_id"))
+      val nDelta = deltaDocs.count()
+      val t0 = System.nanoTime()
+      val merged = graft.ops.Dedup.mergeClusterDelta(baseLabels, deltaDocs,
+        deltaPairs)
+      merged.write.format("noop").mode("overwrite").save()
+      val mergeSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val full = graft.ops.Dedup.nearDupClusters(docs,
+        graft.ops.Dedup.charJaccardPairs(docs, 0.9))
+      full.write.format("noop").mode("overwrite").save()
+      val rebuildSec = (System.nanoTime() - t1) / 1e9
+      // timing is only evidence if the answers agree
+      val diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+      println(f"""SOAK {"phase":"incrcc","scale":"$tag","docs":$n,"delta_docs":$nDelta,"merge_sec":$mergeSec%.2f,"rebuild_sec":$rebuildSec%.2f,"label_diff":$diff}""")
+    }
+  }
+
   /** `truegrowthmedia` mode: the TRUE-growth receipts for the
     * image/audio/video near-dup tiers — generate media corpora whose
     * duplicate-FAMILY height is constant as n grows
@@ -543,6 +593,11 @@ object Soak {
     }
     if (args.lift(3).contains("lshttl")) {
       lshTtlSoak(spark, factor, baseDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("incrcc")) {
+      incrCcSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

@@ -122,7 +122,7 @@ object SparkEntry {
     "q_sessionize_stream_parity", "q_counter_increase_stream_parity",
     "q_dedup_stream_parity", "q_funnel_stream_parity",
     "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity",
-    "q_dedup_minhash_late_stream_parity")
+    "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -495,6 +495,16 @@ object SparkEntry {
     // Streaming, not just in the property-tested pure transition
     "q_dedup_minhash_late_stream_parity" -> ((s, dir) =>
       streaming.ParityCheck.minhashTtlLateParity(s, dir, horizonMinutes = 240)),
+
+    // the COMPOSED live-dedup pipeline, gated as one flow: arrival waves
+    // run the exact tier (bloom-screened history dedup, survivors
+    // appended), the near-dup tier (TTL stream LSH + shared jaccard
+    // verify), and the label tier (incremental CC merge into the
+    // pre-existing history labeling) — and the final label table must
+    // equal the all-at-once batch twin, with survivor-set and
+    // candidate-set equality folded into the same verdict
+    "q_dedup_live_pipeline_parity" -> ((s, dir) =>
+      streaming.ParityCheck.livePipelineParity(s, dir)),
 
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
@@ -1510,6 +1520,68 @@ object SparkEntry {
          |  CAST(0 AS BIGINT) AS n_only_batch, CAST(0 AS BIGINT) AS n_only_stream,
          |  nf - n AS n_beyond_horizon, true AS parity_ok
          |FROM n""".stripMargin,
+
+    // composed live-pipeline parity: every count independently restated
+    // — kept corpus (history + min-doc_id-per-unseen-text arrivals),
+    // dropped arrivals, live pairs (HUGEINT MinHash replica among kept
+    // arrivals within the 60-minute id-distance horizon), and the
+    // cluster count of the recursive closure over (history pairs ∪ live
+    // pairs); the Spark row's three set-equalities must all hold for
+    // parity_ok=true to match
+    "q_dedup_live_pipeline_parity" ->
+      s"""WITH RECURSIVE hh AS (
+         |  SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+         |docs_sub AS (
+         |  -- the harness's duplicate-traffic rewrite: arrivals with
+         |  -- doc_id % 11 == 0 re-send the corpus-minimum document
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id >= (SELECT h FROM hh) AND doc_id % 11 = 0
+         |         THEN (SELECT text FROM documents
+         |               WHERE doc_id = (SELECT MIN(doc_id) FROM documents))
+         |         ELSE text END AS text
+         |  FROM documents),
+         |pairs AS (
+         |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5, rel = "docs_sub")}
+         |),
+         |hist AS (SELECT doc_id, text FROM docs_sub
+         |         WHERE doc_id < (SELECT h FROM hh)),
+         |arr AS (SELECT doc_id, text FROM docs_sub
+         |        WHERE doc_id >= (SELECT h FROM hh)),
+         |kept_arr AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM arr
+         |  WHERE text NOT IN (SELECT text FROM hist)
+         |  GROUP BY text),
+         |kept AS (SELECT doc_id FROM hist
+         |         UNION ALL SELECT doc_id FROM kept_arr),
+         |edges0 AS (
+         |  SELECT id_a, id_b FROM pairs, hh
+         |  WHERE id_a < hh.h AND id_b < hh.h
+         |  UNION ALL
+         |  SELECT id_a, id_b FROM pairs, hh
+         |  WHERE id_a >= hh.h AND id_b >= hh.h
+         |    AND abs(id_a - id_b) <= 60
+         |    AND id_a IN (SELECT doc_id FROM kept_arr)
+         |    AND id_b IN (SELECT doc_id FROM kept_arr)),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM edges0
+         |  UNION ALL SELECT id_b, id_a FROM edges0),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM kept
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+         |           FROM reach GROUP BY a)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arr)
+         |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_arr) AS n_dropped,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges0 e, hh
+         |     WHERE e.id_a >= hh.h) AS n_pairs_live,
+         |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+         |    AS n_clusters,
+         |  CAST(0 AS BIGINT) AS n_only_live,
+         |  CAST(0 AS BIGINT) AS n_only_batch,
+         |  true AS parity_ok""".stripMargin,
 
     // the late-delivery replay must land on the SAME time-windowed truth
     "q_dedup_minhash_late_stream_parity" ->

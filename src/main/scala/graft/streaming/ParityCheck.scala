@@ -377,6 +377,166 @@ object ParityCheck {
         (d.doc_id / 8, graft.functions.SimHash64.mix64(d.doc_id))),
       requireLate = true)
 
+  /** The COMPOSED live-dedup pipeline, gated end to end — the three
+    * tiers a 100 TB always-on corpus runs as ONE flow, replayed over a
+    * fixture split into deep history and arrivals:
+    *
+    *  1. EXACT tier: each arrival wave screens against accumulated
+    *     history through [[graft.ops.Dedup.historyDedupBloom]] (bloom
+    *     fast-path + exact anti-join), then within-wave exact dedup
+    *     (min doc_id per text); survivors append to history.
+    *  2. NEAR-DUP tier: every arrival (survivor or not — the stream sees
+    *     traffic before the exact tier's verdict lands in history)
+    *     rides [[StatefulOps.lshCandidatesStreamTtl]]; candidates pass
+    *     the SHARED [[graft.ops.Dedup.jaccardVerify]], then restrict to
+    *     kept endpoints.
+    *  3. LABEL tier: the verified live pairs merge into the PRE-EXISTING
+    *     history labeling via [[graft.ops.Dedup.mergeClusterDelta]] —
+    *     cost ∝ delta, the incremental-CC path.
+    *
+    * The batch twin recomputes everything at once: kept arrivals = min
+    * doc_id per unseen text; labels = full CC over (history pairs ∪
+    * kept-arrival pairs within the horizon). parity_ok folds THREE
+    * set-equalities: survivor set, streamed candidate set (vs the
+    * horizon-restricted band join over arrivals), and the final label
+    * table. Output: (n_kept, n_dropped, n_pairs_live, n_clusters,
+    * n_only_live, n_only_batch, parity_ok) — every count independently
+    * stated by the DuckDB oracle (HUGEINT MinHash replica + recursive
+    * closure). History/arrival split at (max(doc_id)+1)·3/5; ts =
+    * 2024-01-01 + doc_id minutes, so the horizon is an id-distance
+    * predicate both engines state identically.
+    *
+    * The fixture carries no natural byte-identical texts, so the exact
+    * tier would be vacuous on raw arrivals; arrivals with
+    * doc_id % 11 == 0 are deterministically REPLACED with the
+    * corpus-minimum document's text (duplicate traffic re-sending an
+    * old document — the shape the bloom tier exists for), the oracle
+    * applies the same rewrite, and parity_ok requires n_dropped > 0 so
+    * the tier can never silently stop firing. */
+  def livePipelineParity(spark: SparkSession, dir: String,
+      horizonMinutes: Int = 60, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val horizonMs = horizonMinutes * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    val all = collectParityDocs(spark, dir, "livePipelineParity")
+    require(all.nonEmpty, s"no documents in $dir")
+    val splitId = (all.iterator.map(_.doc_id).max + 1L) * 3L / 5L
+    val dupText = all.minBy(_.doc_id).text
+    val (histDocs, arrDocsRaw) = all.partition(_.doc_id < splitId)
+    require(histDocs.nonEmpty && arrDocsRaw.nonEmpty,
+      "fixture too small to split into history + arrivals")
+    val arrDocs = arrDocsRaw.map(d =>
+      if (d.doc_id % 11 == 0) d.copy(text = dupText) else d)
+
+    // the corpus AS THE PIPELINE SEES IT: history untouched, duplicate
+    // arrivals substituted — every batch-twin frame reads this
+    val documents = graft.Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") >= splitId && col("doc_id") % 11 === 0,
+          lit(dupText)).otherwise(col("text")))
+    val history = documents.filter(col("doc_id") < splitId)
+
+    // pre-existing labeling over history — what a previous corpus
+    // version's batch near-dup pass persisted
+    val baseLabels = graft.ops.Dedup.nearDupClusters(history,
+      graft.ops.Dedup.minHashPairs(history)).localCheckpoint(true)
+
+    // ── tier 1 (exact) + tier 2 (stream LSH) over the SAME waves ──
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StatefulOps.DocIn]
+    val tbl = "parity_live_pipeline"
+    try spark.catalog.dropTempView(tbl) catch { case _: Exception => () }
+    val banded = graft.ops.Dedup.minHashBanded(mem.toDF())
+      .withColumn("ts", timestamp_millis(lit(t0Ms) + col("doc_id") * 60000L))
+      .select(col("doc_id"), col("ts"), col("band"), col("bh"))
+      .as[StatefulOps.BandTsIn]
+    val q = StatefulOps.lshCandidatesStreamTtl(banded, horizonMs)
+      .writeStream.format("memory").queryName(tbl).outputMode("append").start()
+
+    var histTexts = history.select(col("doc_id"), col("text"))
+    val keptIds = Seq.newBuilder[Long]
+    try {
+      val batchSize = math.max(1, arrDocs.length / nBatches)
+      arrDocs.grouped(batchSize).foreach { wave =>
+        // near-dup tier sees the raw wave
+        mem.addData(wave.toSeq); q.processAllAvailable()
+        // exact tier: bloom-screened against history, then within-wave
+        val waveDf = wave.toSeq.toDF("doc_id", "text")
+        val surv = graft.ops.Dedup.historyDedupBloom(spark, waveDf, histTexts)
+          .groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val survIds = surv.collect().map(_.getLong(0)) // wave-bounded
+        keptIds ++= survIds
+        histTexts = histTexts.unionByName(
+          waveDf.filter(col("doc_id").isin(survIds: _*))).localCheckpoint(true)
+      }
+    } finally q.stop()
+
+    val keptArr = keptIds.result().toDF("doc_id").localCheckpoint(true)
+
+    // verified live pairs, restricted to kept endpoints
+    val streamCand = spark.table(tbl)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+    val livePairs = graft.ops.Dedup.jaccardVerify(streamCand, documents)
+      .join(keptArr.select(col("doc_id").as("id_a")), "id_a")
+      .join(keptArr.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+
+    // tier 3: incremental label merge
+    val liveLabels = graft.ops.Dedup.mergeClusterDelta(baseLabels, keptArr,
+      livePairs).localCheckpoint(true)
+
+    // ── batch twin, computed all-at-once ──
+    val arrivals = documents.filter(col("doc_id") >= splitId)
+    val keptBatch = arrivals
+      .join(history.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).localCheckpoint(true)
+    val allPairs = graft.ops.Dedup.minHashPairs(documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val histPairs = allPairs.filter(col("id_a") < splitId && col("id_b") < splitId)
+    val livePairsB = allPairs
+      .filter(col("id_a") >= splitId && col("id_b") >= splitId)
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
+      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val batchCorpus = history.select(col("doc_id"))
+      .unionByName(keptBatch)
+    val batchLabels = graft.ops.Dedup.nearDupClusters(batchCorpus,
+      histPairs.unionByName(livePairsB)).localCheckpoint(true)
+
+    // candidate-set parity: streamed candidates vs the horizon-restricted
+    // band join over arrivals (pre-verify, pre-keep — tier 2's raw truth)
+    val bandedBatch = graft.ops.Dedup.minHashBanded(arrivals)
+    val batchCand = bandedBatch
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(bandedBatch.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+    val candAgree = batchCand.exceptAll(streamCand).count() == 0L &&
+      streamCand.exceptAll(batchCand).count() == 0L
+
+    val survAgree = keptArr.exceptAll(keptBatch).count() == 0L &&
+      keptBatch.exceptAll(keptArr).count() == 0L
+
+    val nKept = liveLabels.count()
+    val nDropped = arrDocs.length.toLong - keptArr.count()
+    val nPairsLive = livePairs.count()
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    val onlyLive = liveLabels.exceptAll(batchLabels).count()
+    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
+    spark.createDataFrame(Seq(
+      (nKept, nDropped, nPairsLive, nClusters, onlyLive, onlyBatch,
+        candAgree && survAgree && onlyLive == 0L && onlyBatch == 0L &&
+          nDropped > 0L))) // the exact tier must actually have fired
+      .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+  }
+
   private def ttlParityReplay(spark: SparkSession, dir: String,
       horizonMinutes: Int, nBatches: Int, tbl: String,
       arrange: Array[StatefulOps.DocIn] => Array[StatefulOps.DocIn],

@@ -231,4 +231,15 @@ class StatefulOpsSpec extends AnyFunSuite {
       s"minhash stream/batch divergence: $row")
     assert(row.getAs[Long]("n_batch") > 0, "vacuous parity (no pairs)")
   }
+
+  test("livePipelineParity: composed exact+LSH+label flow equals the batch twin") {
+    val row = ParityCheck.livePipelineParity(spark, SparkTestBase.sfDir).head()
+    assert(row.getAs[Boolean]("parity_ok"),
+      s"live pipeline diverged from the batch twin: $row")
+    // no tier may be vacuous: the exact tier dropped duplicate traffic
+    // and the final labeling covers the whole kept corpus
+    assert(row.getAs[Long]("n_dropped") > 0)
+    assert(row.getAs[Long]("n_kept") > 0)
+    assert(row.getAs[Long]("n_clusters") <= row.getAs[Long]("n_kept"))
+  }
 }
