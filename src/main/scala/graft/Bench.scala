@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   * of one query; the headline per-query number is the MEDIAN, with
   * min/median/max spread emitted alongside. Two recorded rounds of
   * single-shot timings came out 2-6x inflated by background load — a
-  * single sample cannot adjudicate a 2x acceptance criterion.
+  * single sample cannot adjudicate a 2x acceptance criterion. On top,
+  * the rounds split by parity into TWO disjoint half-samples whose
+  * medians ship as `runs2.total_a`/`total_b` (and per-query
+  * `med_a`/`med_b` in bench_full.json): the box drifts ±10-30%/query
+  * between runs, so a round-over-round delta is claimed only when both
+  * halves replicate its direction.
   *
   * Layout-producing queries ([[SparkEntry.layoutQueries]]) are run once
   * UNTIMED first: their initial run pays a one-time bucketed/partitioned/
@@ -86,22 +91,36 @@ object Bench {
     val errs = names.filter(failures(_) > 0)
       .map(n => "\"" + n + "\":" + failures(n)).mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    // TWO-MEDIAN protocol: this box drifts ±10-30% per query between
+    // runs, so a single median cannot adjudicate a round-over-round
+    // delta. The interleaved rounds split by parity into two disjoint
+    // half-samples (rounds 1,3,5 vs 2,4 — separated in time, so a load
+    // spike lands in one half), each with its own median; a delta is a
+    // CLAIM only when both halves replicate its direction. Totals for
+    // both halves ship in every bench JSON.
+    def halfMedian(v: Vector[Double], parity: Int): Double =
+      median(v.zipWithIndex.collect { case (x, i) if i % 2 == parity => x })
+    val totalA = ok.map(n => halfMedian(samples(n), 0)).sum
+    val totalB = ok.map(n => if (samples(n).size > 1) halfMedian(samples(n), 1)
+      else samples(n).head).sum
     // Full per-query spread goes to a file (the harness tail-captures only
     // ~2000 chars of stdout, which 100+ queries of min/median/max can never
     // fit — rounds 1-4 all recorded parsed:null because of this).
     val spread = ok.map { n =>
       val s = samples(n)
       "\"" + n + "\":{\"min\":" + r3(s.min) + ",\"median\":" + r3(median(s)) +
-        ",\"max\":" + r3(s.max) + "}"
+        ",\"max\":" + r3(s.max) +
+        ",\"med_a\":" + r3(halfMedian(s, 0)) +
+        ",\"med_b\":" + r3(if (s.size > 1) halfMedian(s, 1) else s.head) + "}"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
     // The stdout line is budget-capped: slowest queries first (they carry
     // the performance signal), stop before the line outgrows the tail
     // window, and record how many small queries were elided.
     val budget = 1600
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"queries":{"""
     val footer = s"""},"omitted":NNN,"errors":$errs,"detail":"bench_full.json","sf":"$sfDir"}"""
     val bySlowest = med.sortBy(-_._2)
     val parts = scala.collection.mutable.ArrayBuffer[String]()

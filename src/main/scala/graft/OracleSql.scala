@@ -210,7 +210,7 @@ object OracleSql {
     * bit-for-bit), Laplace-(+1) bucket probabilities in floor-divided
     * ppb, per-RAW-doc Σ(ppb_t − ppb_r). Ends at CTE `w`
     * (doc_id, n_feats, score_ppb). */
-  private def importanceChain(targetSources: Seq[String], buckets: Int): String = {
+  private def importanceBase(targetSources: Seq[String], buckets: Int): String = {
     val ts = targetSources.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id, source, list_filter(${wstoks("text")}, x -> x <> '') AS tk
@@ -225,7 +225,13 @@ object OracleSql {
        |        SUM(CASE WHEN source IN ($ts) THEN 1 ELSE 0 END) AS c_t,
        |        SUM(CASE WHEN source IN ($ts) THEN 0 ELSE 1 END) AS c_r
        |      FROM o GROUP BY b),
-       |tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM c),
+       |tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM c)""".stripMargin
+  }
+
+  private def importanceChain(targetSources: Seq[String], buckets: Int): String = {
+    val ts = targetSources.map(s => s"'$s'").mkString(", ")
+    importanceBase(targetSources, buckets) +
+      s""",
        |p AS (SELECT b,
        |        (c_t + 1) * 1000000000 // (n_t + $buckets) AS ppb_t,
        |        (c_r + 1) * 1000000000 // (n_r + $buckets) AS ppb_r
@@ -235,6 +241,42 @@ object OracleSql {
        |      FROM o JOIN p USING (b)
        |      WHERE o.source NOT IN ($ts)
        |      GROUP BY o.doc_id)""".stripMargin
+  }
+
+  /** Fixed-point floor-log2 of a positive integer SQL expression `x`,
+    * replicating [[graft.ops.Sampling.log2Fp]] bit for bit: exponent =
+    * binary digit count − 1 (to_base — integer, never a float log),
+    * mantissa top-8-bits index the SAME literal table the Spark plan
+    * embeds (one copy lives in the `ltab` CTE the caller provides). */
+  private def log2FpSql(x: String): String = {
+    val bx = s"CAST($x AS BIGINT)"
+    val e = s"(length(to_base($bx, 2)) - 1)"
+    s"""($e * 1000000000 + (SELECT l FROM ltab)[CAST(
+       |   (CASE WHEN $e >= 8 THEN $bx >> ($e - 8) ELSE $bx << (8 - $e) END)
+       |   - 255 AS INT)])""".stripMargin
+  }
+
+  /** [[graft.ops.Sampling.importanceWeightsLlr]] — the exact-LLR score
+    * Σ[L(c_t+1) − L(c_r+1)] − n_feats·[L(C_t+B) − L(C_r+B)] over the raw
+    * counts (nothing floored before the log, no ×10⁹ multiply). */
+  def importanceWeightsLlrSql(targetSources: Seq[String], buckets: Int): String = {
+    val ts = targetSources.map(s => s"'$s'").mkString(", ")
+    val table = graft.ops.Sampling.Log2Table.mkString("[", ", ", "]")
+    importanceBase(targetSources, buckets) +
+      s""",
+       |ltab AS (SELECT $table AS l),
+       |pb AS (SELECT b,
+       |         ${log2FpSql("c_t + 1")} - ${log2FpSql("c_r + 1")} AS l_diff
+       |       FROM c),
+       |l0 AS (SELECT ${log2FpSql(s"n_t + $buckets")}
+       |         - ${log2FpSql(s"n_r + $buckets")} AS l0 FROM tot),
+       |w AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |        CAST(SUM(l_diff) AS BIGINT)
+       |          - CAST(COUNT(*) AS BIGINT) * (SELECT l0 FROM l0) AS score_llr
+       |      FROM o JOIN pb USING (b)
+       |      WHERE o.source NOT IN ($ts)
+       |      GROUP BY o.doc_id)
+       |SELECT doc_id, n_feats, score_llr FROM w ORDER BY doc_id""".stripMargin
   }
 
   /** [[graft.ops.Sampling.importanceWeights]] — both engines truncate

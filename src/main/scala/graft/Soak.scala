@@ -508,6 +508,24 @@ object Soak {
       // timing is only evidence if the answers agree
       val diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
       println(f"""SOAK {"phase":"incrcc","scale":"$tag","docs":$n,"delta_docs":$nDelta,"merge_sec":$mergeSec%.2f,"rebuild_sec":$rebuildSec%.2f,"label_diff":$diff}""")
+
+      // vary-delta-hold-corpus direction: a HALF delta (doc_id % 14 == 0
+      // — every other member of the %7 set) merged against the same
+      // corpus; cost should track the delta, not the held corpus.
+      // Merged labels aren't cross-checked here (the half-merge answers
+      // a different corpus membership question); the full-delta run
+      // above carries the equality evidence.
+      val isHalf = col("doc_id") % 14 === 0 && col("doc_id") < nBase
+      val halfDocs = docs.filter(isHalf).select(col("doc_id"))
+      val halfPairs = deltaPairs
+        .filter((col("id_a") % 14 === 0 && col("id_a") < nBase) ||
+          (col("id_b") % 14 === 0 && col("id_b") < nBase))
+      val nHalf = halfDocs.count()
+      val t2 = System.nanoTime()
+      graft.ops.Dedup.mergeClusterDelta(baseLabels, halfDocs, halfPairs)
+        .write.format("noop").mode("overwrite").save()
+      val halfSec = (System.nanoTime() - t2) / 1e9
+      println(f"""SOAK {"phase":"incrcc_half","scale":"$tag","docs":$n,"delta_docs":$nHalf,"merge_sec":$halfSec%.2f}""")
     }
   }
 

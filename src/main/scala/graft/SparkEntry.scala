@@ -1024,6 +1024,13 @@ object SparkEntry {
     "q_importance_weights" -> ((s, dir) =>
       ops.Sampling.importanceWeights(Tables.documents(s, dir))),
 
+    // the EXACT-LLR upgrade: Σ log2(p_t/p_r) in fixed point over the raw
+    // counts — rare-but-discriminative features outrank merely-frequent
+    // ones (relative odds, not absolute mass); both engines index the
+    // same 256-entry log table, so the score hash-matches exactly
+    "q_importance_weights_llr" -> ((s, dir) =>
+      ops.Sampling.importanceWeightsLlr(Tables.documents(s, dir))),
+
     // the selection audit: per-source counts of positively-scored raw
     // docs — where a DSIR-style selection would actually draw from
     "q_importance_mix" -> ((s, dir) =>
@@ -3622,6 +3629,8 @@ object SparkEntry {
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),
     "q_importance_weights" ->
       OracleSql.importanceWeightsSql(Seq("src1", "src7"), buckets = 4096),
+    "q_importance_weights_llr" ->
+      OracleSql.importanceWeightsLlrSql(Seq("src1", "src7"), buckets = 4096),
     "q_importance_mix" ->
       OracleSql.importanceMixSql(Seq("src1", "src7"), buckets = 4096),
     "q_importance_resample" ->

@@ -158,12 +158,10 @@ object Sampling {
     * materializing a token-level frame at 100 TB. `buckets` must be a
     * power of two so `hash & (B−1)` means the same unsigned residue on
     * both engines' integer types. */
-  def importanceWeights(documents: DataFrame,
-      targetSources: Seq[String] = Seq("src1", "src7"),
-      buckets: Int = 4096): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
-      "buckets must be a power of two")
-    require(targetSources.nonEmpty, "need at least one target source")
+  /** The hashed unigram∪bigram feature-occurrence frame (doc_id, source,
+    * b) shared by the linear and LLR scorers. The explode is deliberately
+    * NOT snapshotted (see [[importanceWeights]]). */
+  private def featureOcc(documents: DataFrame, buckets: Int): DataFrame = {
     val tk = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
     // unigrams ∪ bigrams, the DSIR featurization; sequence() is guarded
     // because Spark's sequence(1, 0) steps DOWNWARD instead of emitting
@@ -173,12 +171,21 @@ object Sampling {
         .otherwise(transform(sequence(lit(1), size(col("_tk")) - 1),
           i => concat_ws(" ", element_at(col("_tk"), i),
             element_at(col("_tk"), i + 1)))))
-    val occ = documents
+    documents
       .withColumn("_tk", tk)
       .select(col("doc_id"), col("source"), explode(feats).as("f"))
       .select(col("doc_id"), col("source"),
         graft.functions.Fnv1a64Str.fnv1a64(col("f"))
           .bitwiseAND(lit(buckets - 1L)).as("b"))
+  }
+
+  def importanceWeights(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src1", "src7"),
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    require(targetSources.nonEmpty, "need at least one target source")
+    val occ = featureOcc(documents, buckets)
     val isTarget = col("source").isin(targetSources: _*)
     // SNAPSHOTTED (eager localCheckpoint, ≤ B rows — memory-safe at any
     // corpus size) because it has two consumers, `totals` and `ppb`:
@@ -214,6 +221,76 @@ object Sampling {
       .agg(count(lit(1)).as("n_feats"),
         sum(col("ppb_t") - col("ppb_r")).as("score_ppb"))
       .withColumn("mean_ppb", expr("score_ppb div n_feats"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 256-entry mantissa table for the fixed-point base-2 log: entry m =
+    * floor(log2(1 + m/256) · 10⁹). Computed ONCE here and embedded as a
+    * literal in both engines' plans ([[graft.OracleSql]] prints the same
+    * values), so no engine ever evaluates a transcendental at query time
+    * — the cross-engine hash-exactness requirement that rules out native
+    * `ln`. */
+  private[graft] val Log2Table: IndexedSeq[Long] =
+    (0 until 256).map(m =>
+      math.floor(math.log1p(m / 256.0) / math.log(2.0) * 1e9).toLong)
+
+  /** Fixed-point floor(log2(x) · 10⁹ + ε) for a POSITIVE integer column,
+    * exact-by-construction on both engines: the exponent comes from the
+    * binary digit count (`conv`/`to_base` string length — integer, never
+    * a float log), the mantissa's top 8 bits index [[Log2Table]]. Max
+    * error vs true log2 is log2(1 + 1/256) ≈ 0.0056 — a RANKING score,
+    * not a probability; what matters is that both engines compute the
+    * identical integer. */
+  private[graft] def log2Fp(x: Column): Column = {
+    val e = (length(conv(x, 10, 2)) - 1).cast("int")
+    val m = (when(e >= 8, call_function("shiftright", x, e - 8))
+      .otherwise(call_function("shiftleft", x, lit(8) - e)) - 256L).cast("int")
+    e.cast("long") * lit(1000000000L) +
+      element_at(typedLit(Log2Table), m + 1)
+  }
+
+  /** EXACT-LLR importance weights — [[importanceWeights]] with the score
+    * upgraded from the first-order (p_t − p_r) expansion to DSIR's true
+    * log-likelihood ratio Σ log(p_t(b)/p_r(b)), kept integer-exact via
+    * [[log2Fp]]: with Laplace probabilities p = (c+1)/(C+B),
+    *
+    *   Σ_occ log2(p_t/p_r) = Σ_occ [L(c_t+1) − L(c_r+1)]
+    *                         − n_feats · [L(C_t+B) − L(C_r+B)]
+    *
+    * where L is the fixed-point log2 — computed on the RAW COUNTS, so
+    * unlike the ppb path nothing is floored before the log and no
+    * overflow-prone ×10⁹ multiply exists (counts stay far below 2⁶³).
+    * The linear score ranks by ABSOLUTE probability-mass difference
+    * (dominated by frequent features); the LLR ranks by RELATIVE odds
+    * (a rare feature 10× more likely under the target outweighs a
+    * frequent one 1.1× more likely) — the fixture delta is pinned in
+    * SamplingSpec. Scale shape identical to the linear scorer: two
+    * corpus tokenize passes, a ≤B-row broadcast, one per-doc sum. */
+  def importanceWeightsLlr(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src1", "src7"),
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    require(targetSources.nonEmpty, "need at least one target source")
+    val occ = featureOcc(documents, buckets)
+    val isTarget = col("source").isin(targetSources: _*)
+    val counts = occ.groupBy(col("b")).agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("c_t"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("c_r"))
+      .localCheckpoint(true)
+    val perBucket = counts.select(col("b"),
+      (log2Fp(col("c_t") + 1L) - log2Fp(col("c_r") + 1L)).as("l_diff"))
+    // 1-row frame: the denominators' log difference, applied per feature
+    val totals = counts.agg(
+      (log2Fp(coalesce(sum(col("c_t")), lit(0L)) + buckets.toLong) -
+        log2Fp(coalesce(sum(col("c_r")), lit(0L)) + buckets.toLong)).as("l0"))
+    occ.filter(!isTarget)
+      .join(broadcast(perBucket), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("l_diff")).as("_s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"),
+        (col("_s") - col("n_feats") * col("l0")).as("score_llr"))
       .orderBy(col("doc_id"))
   }
 

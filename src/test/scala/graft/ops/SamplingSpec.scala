@@ -172,6 +172,69 @@ class SamplingSpec extends AnyFunSuite {
     assert(byId(2L) > byId(4L))
   }
 
+  test("importanceWeightsLlr matches a brute-force JVM replica of the fixed-point log") {
+    val target = Seq("src1")
+    val b = 256
+    def features(text: String): Seq[String] = {
+      val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(f: String): Int =
+      (graft.functions.SimHash64.fnv1a64(f.getBytes("UTF-8")) & (b - 1)).toInt
+    def l2(x: Long): Long = { // the table-based fixed-point log2
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val m = (if (e >= 8) x >> (e - 8) else x << (8 - e)) - 256
+      e * 1000000000L + Sampling.Log2Table(m.toInt)
+    }
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    val (tOcc, rOcc) = rows.partition(r => target.contains(r._3))
+    val cT = tOcc.flatMap(r => features(r._2)).groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val cR = rOcc.flatMap(r => features(r._2)).groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val (nT, nR) = (cT.values.sum, cR.values.sum)
+    val l0 = l2(nT + b) - l2(nR + b)
+    val expect = rOcc.map { case (id, text, _) =>
+      val bs = features(text).map(bucket)
+      val s = bs.map(k => l2(cT.getOrElse(k, 0L) + 1) - l2(cR.getOrElse(k, 0L) + 1)).sum
+      id -> (bs.length.toLong, s - bs.length * l0)
+    }.toMap
+    val out = Sampling.importanceWeightsLlr(docs, target, b).collect()
+    assert(out.length == expect.size)
+    out.foreach { r =>
+      val got = (r.getAs[Long]("n_feats"), r.getAs[Long]("score_llr"))
+      assert(got == expect(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: got $got want ${expect(r.getAs[Long]("doc_id"))}")
+    }
+  }
+
+  test("LLR vs linear: a rare-but-discriminative feature outranks absolute mass") {
+    import spark.implicits._
+    // One-token documents so each scoring doc carries EXACTLY one feature
+    // occurrence (no bigram cross-talk). Counts: "rare" appears 7× in
+    // target, 1× in raw (doc 10 itself); "common" 40× in target, 12× in
+    // raw (10 filler + doc 11). With B = 4096 the Laplace denominators
+    // nearly cancel, so per-feature: linear ≈ (8 − 2) vs (41 − 13) —
+    // absolute MASS prefers the common doc; LLR ≈ log2(8/2) = 2.0 vs
+    // log2(41/13) ≈ 1.66 — relative ODDS prefer the rare doc. The
+    // documented ranking delta between the two scorers.
+    val d = (
+      (100L until 107L).map(i => (i, "rare", "en", "tgt")) ++
+      (110L until 150L).map(i => (i, "common", "en", "tgt")) ++
+      (200L until 211L).map(i => (i, "common", "en", "raw")) ++
+      Seq((10L, "rare", "en", "raw"), (11L, "common", "en", "raw")))
+      .toDF("doc_id", "text", "lang", "source")
+    def rank(df: org.apache.spark.sql.DataFrame, score: String): Seq[Long] =
+      df.orderBy(col(score).desc, col("doc_id")).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val lin = Sampling.importanceWeights(d, Seq("tgt"), 4096)
+      .filter(col("doc_id").isin(10L, 11L))
+    val llr = Sampling.importanceWeightsLlr(d, Seq("tgt"), 4096)
+      .filter(col("doc_id").isin(10L, 11L))
+    assert(rank(llr, "score_llr").head == 10L,
+      "LLR must prefer the rare-feature doc")
+    assert(rank(lin, "score_ppb").head == 11L,
+      "the linear score prefers absolute mass — the delta under test")
+  }
+
   test("importanceResample keeps the per-source ceil quota, ranked by score then doc_id") {
     val target = Seq("src1")
     val out = Sampling.importanceResample(docs, target, buckets = 256,
