@@ -109,9 +109,9 @@ object SparkEntry {
     "q_logs_flagship_partitioned", "q_semdedup",
     // first run writes the persisted pHash pair + image-family tables
     "q_phash_clusters",
-    // first run writes the persisted BASE cluster labeling the
-    // incremental merge maintains
-    "q_dedup_clusters_incr")
+    // first run writes the persisted BASE cluster labelings the
+    // incremental merges maintain
+    "q_dedup_clusters_incr", "q_phash_clusters_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -1212,6 +1212,26 @@ object SparkEntry {
     // pHash → banded join lazily every query.
     "q_phash_clusters" -> ((s, dir) =>
       Multimodal.pHashClustersPersisted(s, dir, Tables.documents(s, dir))),
+
+    // incremental family maintenance on the IMAGE tier — the same
+    // Dedup.mergeClusterDelta path as q_dedup_clusters_incr, fed pHash
+    // pairs: images at doc_id % 21 == 1 play the newly-ingested delta,
+    // their pairs merge into the persisted base labeling at cost ∝
+    // delta, and the result is exactly the full family labeling (the
+    // closed-form texture-class oracle, unchanged)
+    "q_phash_clusters_incr" -> ((s, dir) => {
+      val imgs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+      val pairs = Multimodal.pHashPairsPersisted(s, dir, Tables.documents(s, dir))
+      val baseLabels = graft.sources.ManagedTable.persisted(s,
+        "phash_clusters_base_" + graft.sources.ManagedTable.tag(dir))(
+        Dedup.nearDupClusters(
+          imgs.filter(!(col("doc_id") % 21 === 1)).select(col("doc_id")),
+          pairs.filter(!(col("id_a") % 21 === 1) && !(col("id_b") % 21 === 1))))
+      Dedup.mergeClusterDelta(baseLabels,
+        imgs.filter(col("doc_id") % 21 === 1).select(col("doc_id")),
+        pairs.filter((col("id_a") % 21 === 1) || (col("id_b") % 21 === 1)))
+    }),
 
     // audio near-dup: REAL WAV decode → spectral band fingerprint →
     // the same banded hamming join. Same-waveform fixtures differ only
@@ -3657,6 +3677,16 @@ object SparkEntry {
 
     // image families: each texture class is a clique, so every doc's
     // component label is the minimum doc_id sharing its class
+    // the incremental image-family merge is exact — same closed-form
+    // clique oracle as the full labeling
+    "q_phash_clusters_incr" ->
+      """SELECT a.doc_id,
+        |  (SELECT MIN(b.doc_id) FROM documents b
+        |   WHERE b.doc_id % 3 = 1 AND b.doc_id % 5 = a.doc_id % 5)
+        |    AS cluster_id
+        |FROM documents a WHERE a.doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q_phash_clusters" ->
       """SELECT a.doc_id,
         |  (SELECT MIN(b.doc_id) FROM documents b
