@@ -111,7 +111,7 @@ object SparkEntry {
     "q_phash_clusters",
     // first run writes the persisted BASE cluster labelings the
     // incremental merges maintain
-    "q_dedup_clusters_incr", "q_phash_clusters_incr")
+    "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -647,6 +647,14 @@ object SparkEntry {
       Dedup.survivorsFromLabels(
         Dedup.nearDupClustersPersisted(s, dir, Tables.documents(s, dir),
           Dedup.charJaccardPairsPersisted(s, dir, Tables.documents(s, dir), 0.9), 0.9))),
+
+    // the keep list READ over the incrementally-merged labels — the
+    // composition a live pipeline actually serves after each delta
+    // merge (one grouped count over q_dedup_clusters_incr's output,
+    // which is hash-equal to the full labeling, so the survivors oracle
+    // carries over verbatim)
+    "q_dedup_survivors_incr" -> ((s, dir) =>
+      Dedup.survivorsFromLabels(queries("q_dedup_clusters_incr")(s, dir))),
 
     // the one row that still times the full lazy build (pair generation +
     // large-star/small-star convergence in-query) — the write-path cost a
@@ -3991,6 +3999,7 @@ object SparkEntry {
     // the incremental merge is exact: hash-equal to the full rebuild,
     // so the recursive-CTE closure over the FULL pair set is its oracle
     "q_dedup_clusters_incr" -> baseOracleSql("q_dedup_clusters"),
+    "q_dedup_survivors_incr" -> baseOracleSql("q_dedup_survivors"),
     "q_dedup_survivors_idx" -> baseOracleSql("q_dedup_survivors"),
     // lazy-build row: same labeling, same transitive oracle
     "q_dedup_clusters_build" -> baseOracleSql("q_dedup_clusters"),

@@ -119,7 +119,11 @@ object Dedup {
     // banded frame is snapshotted so the shingle+signature computation
     // runs ONCE — a self-join's sides are separate subplans, and without
     // the snapshot the k-minhash pass over every document runs twice.
-    val banded = minHashBanded(documents, n, k, bands).localCheckpoint(true)
+    // DISK_ONLY (the bandedSelfJoin convention): `bands` rows per
+    // document must not compete with the band join's shuffle memory at
+    // billion-row corpora.
+    val banded = minHashBanded(documents, n, k, bands)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -478,8 +482,17 @@ object Dedup {
     * (id_a, id_b) to its component STARS — one (u = component minimum,
     * v = member) edge per non-minimum member. Shared by the full rebuild
     * and [[mergeClusterDelta]]'s delta-restricted re-run. Throws if the
-    * fixed point is not reached within `maxIter` rounds. */
-  private[graft] def starContract(pairs: DataFrame, maxIter: Int): DataFrame = {
+    * fixed point is not reached within `maxIter` rounds.
+    *
+    * `level` sets the per-round checkpoint storage: the FULL rebuild
+    * must go DISK_ONLY (corpus-scale edge sets compete with the rounds'
+    * hash aggregates for execution memory), but the delta merge's edge
+    * set is delta-sized BY CONSTRUCTION, where a memory-first level
+    * drops the per-round disk write that would otherwise dominate a
+    * small merge. */
+  private[graft] def starContract(pairs: DataFrame, maxIter: Int,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame = {
     // canonical undirected edge set (u < v), materialized ONCE — candidate
     // generation is the expensive part and must not re-run per iteration.
     // Checkpoints go DISK_ONLY: at 10×+ the edge set is tens of millions
@@ -488,13 +501,12 @@ object Dedup {
     // (UNABLE_TO_ACQUIRE_MEMORY in an 8 GB driver); disk blocks cost a
     // sequential re-read and nothing else, and unreferenced rounds are
     // reaped by the context cleaner.
-    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     var edges = pairs
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .distinct()
-      .localCheckpoint(true, diskOnly)
+      .localCheckpoint(true, level)
     // (count, Σu, Σv) fingerprint: both phases only ever move endpoints
     // DOWN, so an unchanged fingerprint on a monotone sequence means an
     // unchanged edge set — a 1-row agg instead of a set-difference join.
@@ -525,7 +537,7 @@ object Dedup {
           when(col("n") === col("m"), col("c")).otherwise(col("n")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true, diskOnly)
+        .localCheckpoint(true, level)
       val fp2 = fingerprint(ss)
       converged = fp2 == fp
       fp = fp2
@@ -545,6 +557,12 @@ object Dedup {
           "iterations; raise maxIter")
     edges
   }
+
+  /** Delta-subgraph edge bound below which [[mergeClusterDelta]] resolves
+    * components by driver union-find (one bounded collect) instead of
+    * distributed star rounds — ~3 MB of (long, long) rows at the limit,
+    * far under the broadcast sizes the method already commits to. */
+  private val DriverMergeEdges = 200000
 
   /** INCREMENTAL connected-components maintenance — merge a PAIR DELTA
     * into an existing (doc_id, cluster_id) labeling at cost proportional
@@ -577,15 +595,28 @@ object Dedup {
     * New cluster ids are exact component minima: the contracted subgraph
     * contains every member of every touched component (step 3) plus all
     * delta endpoints, so the minimum over the merged component is the
-    * minimum over the subgraph component. */
+    * minimum over the subgraph component.
+    *
+    * CONTRACT: the delta (edges + touched components) must be small
+    * relative to executor/driver memory — the endpoint and universe
+    * frames BROADCAST. That is the regime this operator exists for; a
+    * delta approaching the corpus (or one whose edges touch most
+    * components) should take the full [[nearDupClusters]] rebuild, which
+    * is built for corpus-scale edge sets. */
   def mergeClusterDelta(baseLabels: DataFrame, deltaDocs: DataFrame,
-      deltaPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+      deltaPairs: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Int = DriverMergeEdges): DataFrame = {
+    // MEMORY_AND_DISK snapshots throughout this method: every frame here
+    // is delta-sized BY CONSTRUCTION (the whole point of the merge), so
+    // the full rebuild's DISK_ONLY discipline would just add per-round
+    // disk writes to a small job
+    val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dEdges = deltaPairs
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .localCheckpoint(true, memDisk)
     val endpoints = dEdges.select(col("u").as("doc_id"))
       .unionByName(dEdges.select(col("v").as("doc_id")))
       .distinct()
@@ -601,17 +632,50 @@ object Dedup {
     val labelEdges = touchedMembers
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
-    val stars = starContract(
-      dEdges.select(col("u").as("id_a"), col("v").as("id_b"))
-        .unionByName(labelEdges), maxIter)
+    val subgraph = dEdges.select(col("u").as("id_a"), col("v").as("id_b"))
+      .unionByName(labelEdges)
+    // Small-delta fast path: the delta subgraph below DriverMergeEdges
+    // (a few MB) resolves by path-compressed union-find on the driver —
+    // ONE bounded collect instead of ~log(n) star rounds, each of which
+    // costs two joins, two aggregations, a checkpoint, and a convergence
+    // probe in driver-synchronous latency. The merge is LATENCY-bound,
+    // not data-bound, in exactly the small-delta regime it exists for;
+    // a delta past the bound takes the distributed contraction (same
+    // output, proven by the shared oracle and DedupSpec's equality
+    // tests, which run both paths).
+    val limited = subgraph.limit(driverEdgeLimit + 1).collect()
+    val stars =
+      if (limited.length <= driverEdgeLimit) {
+        val parent = scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        for (row <- limited) {
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { // min id becomes the root → labels are minima
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = limited.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+        val rows = nodes.iterator.map(n => (find(n), n))
+          .filter { case (u, v) => u != v }.toSeq
+        baseLabels.sparkSession.createDataFrame(rows).toDF("u", "v")
+      } else starContract(subgraph, maxIter, memDisk)
     // every doc whose label may change: touched members, delta-edge
     // endpoints, and the delta's own documents (edge-less ones become
-    // singletons); delta-sized by construction
+    // singletons); delta-sized by construction. Snapshotted because it
+    // has THREE consumers (relabel join, base-label lookup, pass-through
+    // anti-join), each broadcasting it.
     val universe = touchedMembers.select(col("doc_id"))
       .unionByName(endpoints)
       .unionByName(deltaDocs.select(col("doc_id")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, memDisk)
     // fallback chain: star label (re-converged) → existing base label (a
     // doc listed in deltaDocs that was already labeled and untouched by
     // any edge keeps its label, making the merge idempotent under
@@ -708,10 +772,12 @@ object Dedup {
     val t = math.max(targetBlock, 1)
     // snapshotted: the mask frame feeds BOTH sides of the self-join and
     // the per-source counts — without it the corpus text is re-scanned
-    // and re-masked three times (self-join sides are separate subplans)
+    // and re-masked three times (self-join sides are separate subplans).
+    // DISK_ONLY: one mask row per document — document-count-sized, so at
+    // 10⁹ rows it must not hold executor memory against the join
     val d = documents.select(col("source"), col("doc_id"),
       graft.functions.CharSetMask.charsetMask(col("text")).as("m"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // one row per source — broadcast back; at 100 TB the source count is
     // orders of magnitude below the row count, and broadcasting avoids
     // re-shuffling the corpus on the source key just to learn g

@@ -321,7 +321,9 @@ object Sampling {
     val w = importanceWeights(documents, targetSources, buckets)
       .select(col("doc_id"), col("score_ppb"))
       .join(documents.select(col("doc_id"), col("source")), "doc_id")
-      .localCheckpoint(true)
+      // DISK_ONLY: one row per raw document — corpus-row-sized, the
+      // nearDupClusters storage convention
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val quotas = w.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       .withColumn("quota", expr(s"(n_src * $keepPerMille + 999) div 1000"))
     graft.analytics.GlobalRank.withRunningTotalsLong(w, Seq("source"),

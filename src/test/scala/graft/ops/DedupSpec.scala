@@ -175,7 +175,13 @@ class DedupSpec extends AnyFunSuite {
     // singleton; 11~20 merges two EXISTING components (10s and 20)
     val deltaDocs = Seq(40L, 41L, 50L).toDF("doc_id")
     val deltaPairs = Seq((40L, 3L), (41L, 40L), (11L, 20L)).toDF("id_a", "id_b")
+    // BOTH resolution paths must agree with the full rebuild: the
+    // driver union-find fast path (default limit) and the distributed
+    // star contraction (limit 0 forces it)
     val merged = Dedup.mergeClusterDelta(baseLabels, deltaDocs, deltaPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mergedDist = Dedup.mergeClusterDelta(baseLabels, deltaDocs,
+      deltaPairs, driverEdgeLimit = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val full = Dedup.nearDupClusters(
       baseDocs.unionByName(deltaDocs.select(col("doc_id"), lit("t").as("text"),
@@ -183,6 +189,7 @@ class DedupSpec extends AnyFunSuite {
       basePairs.unionByName(deltaPairs)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(merged == full)
+    assert(mergedDist == full)
     assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 40L -> 1L, 41L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 10L, 30L -> 30L, 50L -> 50L))
   }
