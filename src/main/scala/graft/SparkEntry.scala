@@ -111,7 +111,9 @@ object SparkEntry {
     "q_phash_clusters",
     // first run writes the persisted BASE cluster labelings the
     // incremental merges maintain
-    "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr")
+    "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr",
+    // first run writes the persisted BASE inverted index
+    "q_bm25_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -884,6 +886,16 @@ object SparkEntry {
     // BM25 (raw-odds idf — cross-engine-exact, see Search.scaladoc) top-50
     "q_bm25" -> ((s, dir) =>
       ops.Search.bm25TopK(Tables.documents(s, dir),
+        Seq("spark", "vector", "merge"), k = 50)),
+
+    // INCREMENTAL BM25: the persisted BASE index (docs at doc_id % 7 != 0,
+    // built once) absorbs the % 7 == 0 slice as a freshly-aggregated
+    // delta by union — df/N/Σdl recompose exactly from the two halves,
+    // so the scores hash-match the full-corpus scan path's oracle
+    "q_bm25_incr" -> ((s, dir) =>
+      ops.Search.bm25TopKIncremental(s, dir,
+        Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0),
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0),
         Seq("spark", "vector", "merge"), k = 50)),
 
     // BM25 off the persisted term-sharded inverted index: partition
@@ -4005,6 +4017,8 @@ object SparkEntry {
     "q_dedup_clusters_build" -> baseOracleSql("q_dedup_clusters"),
     // inverted-index twin: same tokenizer, same score expression
     "q_bm25_idx" -> baseOracleSql("q_bm25"),
+    // base-index ∪ delta-batch recomposition is exact — full-corpus oracle
+    "q_bm25_incr" -> baseOracleSql("q_bm25"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),

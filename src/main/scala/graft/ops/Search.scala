@@ -101,32 +101,41 @@ object Search {
     * corpus — the scan cost scales with the posting lists touched, not
     * with corpus bytes. The build is one explode + two keyed aggregates
     * (map-side combinable), paid once at ingest. */
+  /** The pure postings/doclen construction — one posexplode, two keyed
+    * aggregates. Shared by the one-time persisted build and the
+    * incremental path's delta-batch index ([[bm25TopKIncremental]]):
+    * both observe the EXACT token stream the scan path counts. */
+  private def indexFrames(documents: DataFrame): (DataFrame, DataFrame) = {
+    // Postings are POSITIONAL (sorted 0-based offsets per (tok, doc)):
+    // tf queries read the tf column, phrase queries intersect the
+    // position lists.
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val exploded = documents.select(col("doc_id"),
+      posexplode_outer(toks).as(Seq("pos", "tok")))
+    val doclen = exploded.groupBy(col("doc_id"))
+      .agg(sum(when(col("tok").isNotNull, 1L).otherwise(0L)).as("dl"))
+    val postings = exploded.filter(col("tok").isNotNull)
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        // collect_list order is partition-dependent — sort_array makes
+        // the stored posting list canonical
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("shard", pmod(xxhash64(col("tok")), lit(64L)))
+    (postings, doclen)
+  }
+
   def invertedIndexPersisted(spark: org.apache.spark.sql.SparkSession,
-      dir: String, documents: => DataFrame): (DataFrame, DataFrame) = {
+      dir: String, documents: => DataFrame,
+      suffix: String = ""): (DataFrame, DataFrame) = {
     val appId = spark.sparkContext.applicationId
     // per-key build lock (ManagedTable.once): concurrent first queries must
     // not double-run the two writes below
     val (pName, dName) = graft.sources.ManagedTable.once(
-        s"$appId/bm25_index/$dir") {
+        s"$appId/bm25_index$suffix/$dir") {
       val tag = graft.sources.ManagedTable.tag(dir)
-      val p = s"bm25_postings_$tag"
-      val d = s"bm25_doclen_$tag"
-      // SAME tokenizer as bm25TopK — the index must observe the exact
-      // token stream the scan path counts. Postings are POSITIONAL
-      // (sorted 0-based offsets per (tok, doc)): tf queries read the tf
-      // column, phrase queries intersect the position lists.
-      val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
-      val exploded = documents.select(col("doc_id"),
-        posexplode_outer(toks).as(Seq("pos", "tok")))
-      val doclen = exploded.groupBy(col("doc_id"))
-        .agg(sum(when(col("tok").isNotNull, 1L).otherwise(0L)).as("dl"))
-      val postings = exploded.filter(col("tok").isNotNull)
-        .groupBy(col("tok"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"),
-          // collect_list order is partition-dependent — sort_array makes
-          // the stored posting list canonical
-          sort_array(collect_list(col("pos"))).as("positions"))
-        .withColumn("shard", pmod(xxhash64(col("tok")), lit(64L)))
+      val p = s"bm25_postings${suffix}_$tag"
+      val d = s"bm25_doclen${suffix}_$tag"
+      val (postings, doclen) = indexFrames(documents)
       graft.sources.ManagedTable.write(postings, p, partitionCol = Some("shard"))
       graft.sources.ManagedTable.write(doclen, d)
       (p, d)
@@ -144,8 +153,18 @@ object Search {
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       documents: => DataFrame, terms: Seq[String], k: Int = 50,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && terms.size <= 8, s"1..8 terms: $terms")
     val (postings, doclen) = invertedIndexPersisted(spark, dir, documents)
+    bm25Serve(spark, postings, doclen, terms, k, k1, b)
+  }
+
+  /** BM25 serving over ANY (postings, doclen) pair — the query half of
+    * [[bm25TopKIndexed]], factored out so the incremental path can serve
+    * the UNION of a persisted base index and a delta batch's freshly
+    * aggregated postings through the identical scoring plan. */
+  private def bm25Serve(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, doclen: DataFrame, terms: Seq[String], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 terms: $terms")
     val shardIds = spark.range(1)
       .select(terms.map(t => pmod(xxhash64(lit(t)), lit(64L))): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct
@@ -172,6 +191,27 @@ object Search {
         terms.map(t => col(s"tf_$t")).toList ::: List(col("score")): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** INCREMENTAL BM25 — retrieval over a growing corpus without
+    * rebuilding the index: the persisted BASE postings/doclen tables
+    * absorb a newly-arrived delta by UNION, and every corpus-wide
+    * statistic BM25 needs recomposes exactly from the two halves —
+    * postings rows are per-(tok, doc) over DISJOINT doc sets (append,
+    * never merge), df is a row count over the union, N and Σdl are sums
+    * over the unioned doclen — so the served scores are bit-identical to
+    * a full rebuild (same oracle as `q_bm25`). This is the retrieval
+    * twin of [[graft.ops.Dedup.mergeClusterDelta]]: the expensive
+    * artifact updates at cost ∝ delta (the delta's one tokenize +
+    * two keyed aggregates), while serving keeps the base side's shard
+    * pruning — the delta leg is delta-batch-sized by construction. */
+  def bm25TopKIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String, baseDocs: => DataFrame, deltaDocs: DataFrame,
+      terms: Seq[String], k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (bp, bd) = invertedIndexPersisted(spark, dir, baseDocs, "_base")
+    val (dp, dd) = indexFrames(deltaDocs)
+    bm25Serve(spark, bp.unionByName(dp), bd.unionByName(dd), terms, k, k1, b)
   }
 
   /** Conjunctive (AND) retrieval off the persisted inverted index: the

@@ -140,6 +140,20 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("shard"), s"no shard pruning in plan:\n$plan")
   }
 
+  test("bm25TopKIncremental: base index ∪ delta batch equals the full scan") {
+    val dir = graft.SparkTestBase.sfDir
+    val d = graft.Tables.documents(spark, dir)
+    val terms = Seq("spark", "vector", "merge")
+    val scan = Search.bm25TopK(d, terms, k = 50).collect().toSeq
+    // df/N/Σdl recompose from disjoint halves, so scores are
+    // bit-identical to the full rebuild — any split must work
+    val incr = Search.bm25TopKIncremental(spark, dir,
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0),
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0),
+      terms, k = 50)
+    assert(incr.collect().toSeq == scan && scan.nonEmpty)
+  }
+
   test("hybridRrfTopKIndexed: identical rows to the scan-leg fusion") {
     val dir = graft.SparkTestBase.sfDir
     val d = graft.Tables.documents(spark, dir)
