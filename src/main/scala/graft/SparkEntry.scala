@@ -112,8 +112,8 @@ object SparkEntry {
     // first run writes the persisted BASE cluster labelings the
     // incremental merges maintain
     "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr",
-    // first run writes the persisted BASE inverted index
-    "q_bm25_incr")
+    // first runs write the persisted BASE inverted index / pHash index
+    "q_bm25_incr", "q_phash_pairs_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -1218,6 +1218,35 @@ object SparkEntry {
           .select(col("media_id").as("doc_id"),
             col("ph0").as("sh0"), col("ph1").as("sh1")),
         maxHamming = 3)
+    }),
+
+    // arrival-time pair GENERATION against the persisted fingerprint
+    // index: delta images (doc_id % 21 == 1) decode and band-join the
+    // base index (broadcast delta, streaming index scan — no shuffle of
+    // either side) for delta×base pairs, plus the tiny delta self-join
+    // for delta×delta — exactly the full pair frame's delta-touching
+    // subset, so the closed-form texture-class oracle filters directly.
+    // Codec cost ∝ delta; the corpus is touched only through the narrow
+    // 3-column index table
+    "q_phash_pairs_incr" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val isDelta = col("doc_id") % 21 === 1
+      def hashes(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.pHashes(Multimodal.imagePngMedia(s, d))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1"))
+      val idx = graft.sources.ManagedTable.persisted(s,
+        "phash_index_base_" + graft.sources.ManagedTable.tag(dir))(
+        hashes(docs.filter(!isDelta)))
+      // snapshot: the delta fingerprints feed the between-join AND the
+      // delta self-join; without it the delta decodes twice
+      val deltaH = hashes(docs.filter(isDelta)).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingPairs128Between(deltaH, idx, 3)
+        .unionByName(Dedup.hammingPairs128(deltaH, 3))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // the multimodal × graph composition: connected components over the
@@ -3697,6 +3726,17 @@ object SparkEntry {
 
     // image families: each texture class is a clique, so every doc's
     // component label is the minimum doc_id sharing its class
+    // delta-touching subset of the closed-form pair frame
+    "q_phash_pairs_incr" ->
+      """SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(0 AS BIGINT) AS hamming
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
+        |  WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1)
+        |WHERE id_a % 21 = 1 OR id_b % 21 = 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // the incremental image-family merge is exact — same closed-form
     // clique oracle as the full labeling
     "q_phash_clusters_incr" ->

@@ -286,6 +286,49 @@ object Dedup {
         extra.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
   }
 
+  /** Banded hamming pairs BETWEEN a small delta frame and a large index
+    * frame (both (doc_id, sh0, sh1)) — arrival-time near-dup detection
+    * against a PERSISTED fingerprint index, the pair-generation half of
+    * the live-corpus story ([[mergeClusterDelta]] is the label half):
+    * new fingerprints band-join the index at cost ∝ delta + ONE narrow
+    * index scan, instead of re-running the full self-join.
+    *
+    * Scale shape: the DELTA side is banded and BROADCAST (4 rows per new
+    * document — a delta batch is broadcast-sized by the same contract as
+    * the label merge), so the index side STREAMS through a broadcast-hash
+    * join with no shuffle of either side and no repartition of the index;
+    * candidates dedupe across bands and verify by summed popcount exactly
+    * like [[hammingPairs128]]. Emits canonical (id_a < id_b, hamming);
+    * delta×delta pairs are NOT emitted (run [[hammingPairs128]] over the
+    * delta alone and union — the registered incremental queries do). */
+  def hammingPairs128Between(delta: DataFrame, index: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def band(df: DataFrame, suffix: String): DataFrame = {
+      def word(b: Int): Column =
+        if (b < 2) col(s"sh0$suffix") else col(s"sh1$suffix")
+      val renamed = df.select(col("doc_id").as(s"id$suffix"),
+        col("sh0").as(s"sh0$suffix"), col("sh1").as(s"sh1$suffix"))
+      renamed.select(col(s"id$suffix"), col(s"sh0$suffix"), col(s"sh1$suffix"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(word(b), (b % 2) * 32)
+              .bitwiseAND(lit(0xffffffffL)).as("bh"))): _*)).as("bb"))
+        .select(col(s"id$suffix"), col(s"sh0$suffix"), col(s"sh1$suffix"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+    }
+    broadcast(band(delta, "_d"))
+      .join(band(index, "_i"), Seq("band", "bh"))
+      .filter(col("id_d") =!= col("id_i"))
+      .select(least(col("id_d"), col("id_i")).as("id_a"),
+        greatest(col("id_d"), col("id_i")).as("id_b"),
+        (bit_count(col("sh0_d").bitwiseXOR(col("sh0_i"))) +
+          bit_count(col("sh1_d").bitwiseXOR(col("sh1_i")))).cast("long")
+          .as("hamming"))
+      .distinct() // a pair may collide on several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Self-join of a banded frame (band, bh, doc_id, payload…) on its
     * bucket key, with the [[charJaccardPairs]] g×g sub-block grid guard
     * engaged ADAPTIVELY: a bucket with m members is split into

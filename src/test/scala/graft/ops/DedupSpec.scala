@@ -134,6 +134,26 @@ class DedupSpec extends AnyFunSuite {
     assert(sideSizes.max <= 3 * (64 / g))
   }
 
+  test("hammingPairs128Between: delta×index pairs equal the self-join's cross subset") {
+    import spark.implicits._
+    // 10 fingerprints in 2 classes (hamming 0 within, far across); the
+    // delta is ids 7..9 — between(delta, base) ∪ self(delta) must equal
+    // the FULL self-join restricted to delta-touching pairs
+    val all = (0L until 10L).map(i =>
+      (i, if (i % 2 == 0) 0x1234L else -0x4321L,
+        if (i % 2 == 0) 0x9876L else 0x1111L))
+      .toDF("doc_id", "sh0", "sh1")
+    val base = all.filter(col("doc_id") < 7)
+    val delta = all.filter(col("doc_id") >= 7)
+    val got = Dedup.hammingPairs128Between(delta, base, 3)
+      .unionByName(Dedup.hammingPairs128(delta, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.hammingPairs128(all, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full.filter { case (a, b) => a >= 7 || b >= 7 })
+    assert(got.nonEmpty && got != full) // neither vacuous nor everything
+  }
+
   test("nearDupClusters: transitive pairs collapse into one component") {
     import spark.implicits._
     val docs = Seq(
