@@ -128,3 +128,64 @@ object RankAndDedupProps extends Properties("RankAndDedup") {
     }
 
 }
+
+/** Incremental-merge law on random graphs: for ANY base edge set, ANY
+  * delta (edges may touch base docs, delta docs, or bridge the two) and
+  * BOTH resolution paths (driver union-find / distributed star rounds),
+  * [[graft.ops.Dedup.mergeClusterDelta]] over union-find-derived base
+  * labels must equal the full rebuild's minimal labels. Its own
+  * Properties object: each case runs Spark jobs, so the case budget is
+  * tuned separately from the cheap rank laws above (the distributed path
+  * draws less often — star convergence costs several jobs per case). */
+object MergeDeltaProps extends Properties("MergeDelta") {
+  lazy val spark = SparkTestBase.spark
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(25)
+
+  /** Minimal-label components by JVM union-find — the independent
+    * reference the incremental merge must land on. */
+  private def ufLabels(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
+  property("mergeClusterDelta == full-rebuild labels for ANY base/delta split (both paths)") =
+    forAll(for {
+      n <- Gen.choose(2, 20)
+      nBase <- Gen.choose(1, n - 1)
+      baseE <- Gen.listOf(for {
+        a <- Gen.choose(0L, nBase - 1L); b <- Gen.choose(0L, nBase - 1L)
+      } yield (a, b))
+      deltaE <- Gen.listOf(for { // delta edges may touch ANY doc
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+      dist <- Gen.frequency(4 -> false, 1 -> true)
+    } yield (n, nBase, baseE.filter(e => e._1 != e._2).take(12),
+      deltaE.filter(e => e._1 != e._2).take(12), dist)) {
+      case (n, nBase, baseE, deltaE, dist) =>
+        import spark.implicits._
+        val baseNodes = (0L until nBase.toLong).toSet
+        val allNodes = (0L until n.toLong).toSet
+        val baseLabels = ufLabels(baseNodes, baseE).toSeq
+          .toDF("doc_id", "cluster_id")
+        val deltaDocs = (nBase.toLong until n.toLong).toDF("doc_id")
+        val deltaPairs =
+          if (deltaE.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+          else deltaE.toDF("id_a", "id_b")
+        val got = graft.ops.Dedup.mergeClusterDelta(baseLabels, deltaDocs,
+          deltaPairs, driverEdgeLimit = if (dist) 0 else 200000)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        got == ufLabels(allNodes, baseE ++ deltaE)
+    }
+}
