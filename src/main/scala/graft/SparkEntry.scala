@@ -1244,8 +1244,9 @@ object SparkEntry {
       // delta self-join; without it the delta decodes twice
       val deltaH = hashes(docs.filter(isDelta)).localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both legs stay UNSORTED; one presentation sort over the union
       Dedup.hammingPairs128Between(deltaH, idx, 3)
-        .unionByName(Dedup.hammingPairs128(deltaH, 3))
+        .unionByName(Dedup.hammingPairs128Unordered(deltaH, 3))
         .orderBy(col("id_a"), col("id_b"))
     }),
 

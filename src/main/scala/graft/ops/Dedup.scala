@@ -298,9 +298,11 @@ object Dedup {
     * the label merge), so the index side STREAMS through a broadcast-hash
     * join with no shuffle of either side and no repartition of the index;
     * candidates dedupe across bands and verify by summed popcount exactly
-    * like [[hammingPairs128]]. Emits canonical (id_a < id_b, hamming);
-    * delta×delta pairs are NOT emitted (run [[hammingPairs128]] over the
-    * delta alone and union — the registered incremental queries do). */
+    * like [[hammingPairs128]]. Emits canonical (id_a < id_b, hamming),
+    * UNSORTED — callers compose it (union with the delta self-join) and
+    * sort once at the end; delta×delta pairs are NOT emitted (run
+    * [[hammingPairs128]] over the delta alone and union — the registered
+    * incremental queries do). */
   def hammingPairs128Between(delta: DataFrame, index: DataFrame,
       maxHamming: Int): DataFrame = {
     def band(df: DataFrame, suffix: String): DataFrame = {
@@ -326,7 +328,6 @@ object Dedup {
           .as("hamming"))
       .distinct() // a pair may collide on several bands
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Self-join of a banded frame (band, bh, doc_id, payload…) on its
