@@ -413,14 +413,20 @@ object OracleSql {
        |xxh AS (SELECT vec_id, ${u2s("xor(h, h >> 32)")} AS xxh FROM x7)""".stripMargin
   }
 
-  private def ivfChainCtes(nCentroids: Int, lloydIters: Int): (String, String) = {
+  private def ivfChainCtes(nCentroids: Int, lloydIters: Int,
+      trainWhere: String = "TRUE"): (String, String) = {
     val q = "1048576.0" // 2^20 quantization of the cluster means
-    /** One Lloyd round: assign `base` to `prev`'s centroids, emit `out`. */
+    /** One Lloyd round: assign `train` to `prev`'s centroids, emit `out`.
+      * Seeding and refinement run over the TRAIN set only (`trainWhere` —
+      * "TRUE" for the standard full-corpus chain; the incremental replica
+      * restricts it to the base corpus, mirroring the FAISS
+      * add-after-train contract) while the final assignment `a_f` covers
+      * every vector. */
     def lloyd(prev: String, out: String): String =
       s"""asg_$out AS (
          |  SELECT vec_id, e, c_id,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${cosSql("e", "c")} DESC, c_id) AS rn
-         |  FROM base CROSS JOIN $prev),
+         |  FROM train CROSS JOIN $prev),
          |a_$out AS (SELECT vec_id, e, c_id AS cluster FROM asg_$out WHERE rn = 1),
          |m_$out AS (
          |  SELECT cluster, i, CAST(SUM(CAST(floor(v * $q) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * $q) AS m
@@ -433,9 +439,10 @@ object OracleSql {
     val last = s"cents$lloydIters"
     val ctes =
       s"""$xxhCtes,
+         |train AS (SELECT vec_id, e FROM base WHERE $trainWhere),
          |cents0 AS (
          |  SELECT b.vec_id AS c_id, b.e AS c
-         |  FROM base b JOIN xxh x ON b.vec_id = x.vec_id
+         |  FROM train b JOIN xxh x ON b.vec_id = x.vec_id
          |  ORDER BY x.xxh, b.vec_id LIMIT $nCentroids),
          |$rounds,
          |asg_f AS (
@@ -481,6 +488,26 @@ object OracleSql {
        |  ${cosSql("a.e", "b.e")} AS cosine
        |FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |WHERE ${cosSql("a.e", "b.e")} >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replica of [[graft.ops.Similarity.semanticDedupPairsIncremental]]:
+    * the IVF chain TRAINS on the base corpus only (`vec_id % deltaMod
+    * <> 0` — the add-after-train contract), assigns EVERY vector against
+    * those centroids, and emits the same-cluster over-threshold pairs
+    * that TOUCH a delta vector — exactly the rows the incremental path's
+    * between-join ∪ delta self-join produces. Hash-exact like
+    * [[semDedupPairsSql]]. */
+  def semDedupPairsIncrSql(nCentroids: Int = 32, lloydIters: Int = 2,
+      threshold: Double = 0.4, deltaMod: Long = 7L): String = {
+    val (ctes, _) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere = s"vec_id % $deltaMod <> 0")
+    s"""WITH $ctes
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       |FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.e", "b.e")} >= $threshold
+       |  AND (a.vec_id % $deltaMod = 0 OR b.vec_id % $deltaMod = 0)
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -581,6 +581,184 @@ object Soak {
     }
   }
 
+  /** TRUE-growth embedding corpus for the incremental-SemDeDup receipt:
+    * `n` synthetic vectors in the fixture's dimension, hash-deterministic
+    * column arithmetic only ([[trueGrowthDocuments]]' contract). ~20% of
+    * vectors are near-dup family members: the 10-block head's vector with
+    * ONE member-specific component nudged — cosine with the head stays
+    * high while heads are mutually near-orthogonal noise, so duplicate
+    * families are height-constant at ANY n (the regime replication cannot
+    * produce: replicated copies are exact duplicates of the original and
+    * pair output grows quadratically by construction). */
+  def trueGrowthEmbeddings(spark: SparkSession, baseDir: String, n: Long): DataFrame = {
+    val dim = Tables.embeddings(spark, baseDir)
+      .select(size(col("embedding")).as("d")).head().getInt(0)
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("is_dup", pmod(xxhash64(col("vec_id"), lit(3)), lit(10L)) < 2L)
+      .withColumn("seed",
+        when(col("is_dup"), col("vec_id") - pmod(col("vec_id"), lit(10L)))
+          .otherwise(col("vec_id")))
+      // component c of the head vector: uniform-ish in [-1, 1] off the
+      // seed hash; a dup member adds 0.05 to its ONE member-chosen
+      // component — small against the vector norm, so the family cosine
+      // stays far above any cross-family noise
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)), c =>
+        ((pmod(xxhash64(col("seed"), c), lit(2000001L)) - 1000000L)
+          .cast("double") / 1000000.0 +
+          when(col("is_dup") && c === pmod(col("vec_id"), lit(dim.toLong)).cast("int"),
+            0.05).otherwise(0.0)).cast("float")))
+      .withColumn("label", pmod(col("vec_id"), lit(10L)).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
+  /** `incrserve` mode: TRUE-growth update-cost receipts for the two
+    * arrival-time incremental SERVING paths — the claims under test are
+    * "generating a delta's near-dup pairs against a persisted fingerprint
+    * index costs ∝ delta (plus one narrow index scan), NOT ∝ corpus
+    * decode" ([[graft.ops.Dedup.hammingPairs128Between]]) and "serving
+    * BM25 over base-index ∪ delta-batch costs ∝ delta tokenize + pruned
+    * posting shards, NOT ∝ corpus tokenize"
+    * ([[graft.ops.Search.bm25TopKIncremental]]). Both receipts hold the
+    * DELTA CONSTANT across scales (doc_id % 7 == 0 within the 1× id
+    * range), materialize what a live pipeline persists anyway (the
+    * fingerprint index; the base inverted index) UNTIMED, then time the
+    * incremental path against the full-rebuild twin at each scale. The
+    * timing is only evidence if the answers agree: pair sets are asserted
+    * equal to the rebuild's delta-touching slice, BM25 rows bit-equal to
+    * the scan path's. */
+  def incrServeSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal, Search}
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/incrserve_$tag"
+
+      // ── pHash pairs: constant image delta vs persisted fingerprint index ──
+      val media = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(8L))).as("source"))
+      val isDelta = col("doc_id") % 7 === 0 && col("doc_id") < nBase
+      def hashes(d: DataFrame): DataFrame =
+        Multimodal.pHashes(Multimodal.imagePngMediaTrueGrowth(spark, d))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1"))
+      // UNTIMED prep — the live pipeline persists its fingerprint index
+      hashes(media.filter(!isDelta))
+        .write.mode("overwrite").parquet(s"$dir/phash_index.parquet")
+      val idx = spark.read.parquet(s"$dir/phash_index.parquet")
+      val nDelta = media.filter(isDelta).count()
+      val t0 = System.nanoTime()
+      val deltaH = hashes(media.filter(isDelta)).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingPairs128Between(deltaH, idx, 3)
+        .unionByName(Dedup.hammingPairs128Unordered(deltaH, 3))
+        .write.mode("overwrite").parquet(s"$dir/incr_pairs.parquet")
+      val incrSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      Dedup.hammingPairs128Unordered(hashes(media), 3)
+        .write.mode("overwrite").parquet(s"$dir/full_pairs.parquet")
+      val rebuildSec = (System.nanoTime() - t1) / 1e9
+      val incrPairs = spark.read.parquet(s"$dir/incr_pairs.parquet")
+      val touching = spark.read.parquet(s"$dir/full_pairs.parquet")
+        .filter((col("id_a") % 7 === 0 && col("id_a") < nBase) ||
+          (col("id_b") % 7 === 0 && col("id_b") < nBase))
+      val pairDiff = incrPairs.exceptAll(touching).count() +
+        touching.exceptAll(incrPairs).count()
+      println(f"""SOAK {"phase":"incrpairs","scale":"$tag","docs":$n,"delta_docs":$nDelta,"incr_sec":$incrSec%.2f,"rebuild_sec":$rebuildSec%.2f,"pair_diff":$pairDiff}""")
+
+      // ── BM25: constant doc delta over the persisted base inverted index ──
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val isDeltaDoc = col("doc_id") % 7 === 0 && col("doc_id") < nBase
+      // query terms: the corpus' 3 most frequent [a-z]+ tokens —
+      // deterministic (the generator is hash arithmetic), nonempty
+      // posting lists guaranteed, and safe as tf_<term> column names
+      val terms = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok").rlike("^[a-z]+$"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      def incrServe(): DataFrame = Search.bm25TopKIncremental(spark, dir,
+        docs.filter(!isDeltaDoc), docs.filter(isDeltaDoc), terms)
+      // UNTIMED: first call pays the one-time persisted base-index build
+      incrServe().write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      incrServe().write.format("noop").mode("overwrite").save()
+      val incrBmSec = (System.nanoTime() - t2) / 1e9
+      // the maintenance twin: REBUILD the full inverted index (postings +
+      // doclen over base ∪ delta, written) and serve off it — what a
+      // pipeline without the union path pays per delta batch
+      val t3 = System.nanoTime()
+      Search.bm25TopKIndexed(spark, dir, docs, terms)
+        .write.format("noop").mode("overwrite").save()
+      val rebuildBmSec = (System.nanoTime() - t3) / 1e9
+      // context: the index-free scan path (tokenizes the corpus per query)
+      val t4 = System.nanoTime()
+      Search.bm25TopK(docs, terms).write.format("noop").mode("overwrite").save()
+      val scanBmSec = (System.nanoTime() - t4) / 1e9
+      val served = incrServe()
+      val scanned = Search.bm25TopK(docs, terms)
+      val bmDiff = served.exceptAll(scanned).count() +
+        scanned.exceptAll(served).count()
+      println(f"""SOAK {"phase":"incrbm25","scale":"$tag","docs":$n,"delta_docs":$nDelta,"terms":"${terms.mkString(" ")}","incr_sec":$incrBmSec%.2f,"rebuild_sec":$rebuildBmSec%.2f,"scan_sec":$scanBmSec%.2f,"row_diff":$bmDiff}""")
+
+      // ── SemDeDup: constant vector delta over the persisted base-trained
+      // IVF assignment. nCentroids scales WITH the corpus (the documented
+      // 100 TB contract — n/k roughly constant, so cluster occupancy and
+      // the delta's per-vector pair work stay bounded); the rebuild twin
+      // re-trains and re-pairs everything at Σ|cluster|² ──
+      import graft.ops.Similarity
+      val k = (32L * (n / nBase)).toInt
+      trueGrowthEmbeddings(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      val isDeltaVec = col("vec_id") % 7 === 0 && col("vec_id") < nBase
+      val baseVecs = vecs.filter(!isDeltaVec)
+      val deltaVecs = vecs.filter(isDeltaVec)
+      // UNTIMED: the base-trained index is the standing artifact
+      Similarity.ivfIndexPersisted(spark, dir, baseVecs,
+        nCentroids = k, suffix = "_base")
+      val t5 = System.nanoTime()
+      Similarity.semanticDedupPairsIncremental(spark, dir, baseVecs,
+        deltaVecs, 0.5, nCentroids = k)
+        .write.mode("overwrite").parquet(s"$dir/incr_sem.parquet")
+      val incrSemSec = (System.nanoTime() - t5) / 1e9
+      val t6 = System.nanoTime()
+      Similarity.semanticDedupPairs(vecs, 0.5, nCentroids = k)
+        .write.format("noop").mode("overwrite").save()
+      val rebuildSemSec = (System.nanoTime() - t6) / 1e9
+      // equality vs the UNDECOMPOSED base-trained shape (the spec's
+      // reference): one full assignment against the persisted centroids,
+      // one cluster self-join, delta-touching rows only — untimed
+      val (cents, _) = Similarity.ivfIndexPersisted(spark, dir, baseVecs,
+        nCentroids = k, suffix = "_base")
+      val assignedAll = Similarity.assignToCentroids(vecs, cents)
+      val aa = assignedAll.select(col("cluster"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+      val bb = assignedAll.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+      import graft.functions.VectorFunctions.{dot, cosinePrenormed}
+      val expected = aa.join(bb, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", cosinePrenormed(
+          dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
+        .filter(col("cosine") >= 0.5)
+        .filter((col("id_a") % 7 === 0 && col("id_a") < nBase) ||
+          (col("id_b") % 7 === 0 && col("id_b") < nBase))
+        .select(col("id_a"), col("id_b"),
+          col("cluster").cast("long").as("cluster"), col("cosine"))
+      val incrSem = spark.read.parquet(s"$dir/incr_sem.parquet")
+      val semDiff = incrSem.exceptAll(expected).count() +
+        expected.exceptAll(incrSem).count()
+      val semPairs = incrSem.count()
+      println(f"""SOAK {"phase":"incrsemdedup","scale":"$tag","docs":$n,"delta_docs":$nDelta,"centroids":$k,"pairs":$semPairs,"incr_sec":$incrSemSec%.2f,"rebuild_sec":$rebuildSemSec%.2f,"pair_diff":$semDiff}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -616,6 +794,11 @@ object Soak {
     }
     if (args.lift(3).contains("incrcc")) {
       incrCcSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("incrserve")) {
+      incrServeSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

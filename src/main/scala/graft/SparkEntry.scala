@@ -112,8 +112,9 @@ object SparkEntry {
     // first run writes the persisted BASE cluster labelings the
     // incremental merges maintain
     "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr",
-    // first runs write the persisted BASE inverted index / pHash index
-    "q_bm25_incr", "q_phash_pairs_incr")
+    // first runs write the persisted BASE inverted index / pHash index /
+    // base-trained IVF index
+    "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -784,6 +785,16 @@ object SparkEntry {
     "q_semdedup_idx" -> ((s, dir) =>
       Similarity.semanticDedupPairsPersisted(s, dir,
         Tables.embeddings(s, dir), 0.4)),
+
+    // INCREMENTAL SemDeDup: arriving vectors (vec_id % 7 == 0) assigned to
+    // the persisted BASE-trained centroids (add-after-train) and compared
+    // cluster-locally against the standing assignment + each other —
+    // nothing re-clusters, nothing corpus-sized shuffles; the oracle
+    // replicates the base-trained chain bit-for-bit
+    "q_semdedup_incr" -> ((s, dir) =>
+      Similarity.semanticDedupPairsIncremental(s, dir,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0), 0.4)),
 
     "q_embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(Tables.embeddings(s, dir))),
@@ -3805,6 +3816,7 @@ object SparkEntry {
     "q_knn_ivfpq" -> OracleSql.knnIvfPqSql(nProbe = 8, poolFactor = 16),
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_idx" -> OracleSql.semDedupPairsSql(),
+    "q_semdedup_incr" -> OracleSql.semDedupPairsIncrSql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),

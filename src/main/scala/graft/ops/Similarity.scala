@@ -293,10 +293,10 @@ object Similarity {
     * the lazy plan computes, so [[ivfTopKPersisted]] hash-matches
     * q_knn_ivf's oracle. */
   def ivfIndexPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
-      embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2)
-      : (DataFrame, DataFrame) = {
+      embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2,
+      suffix: String = ""): (DataFrame, DataFrame) = {
     val (cName, aName) = ivfIndexTableNames(
-      spark, dir, embeddings, nCentroids, lloydIters)
+      spark, dir, embeddings, nCentroids, lloydIters, suffix)
     (spark.table(cName), spark.table(aName))
   }
 
@@ -305,15 +305,18 @@ object Similarity {
     * ([[graft.streaming.IndexUpkeep]]) needs to append arriving vectors
     * into the assignment table's cluster partitions. */
   def ivfIndexTableNames(spark: org.apache.spark.sql.SparkSession, dir: String,
-      embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2)
-      : (String, String) = {
+      embeddings: => DataFrame, nCentroids: Int = 32, lloydIters: Int = 2,
+      suffix: String = ""): (String, String) = {
     val appId = spark.sparkContext.applicationId
-    // per-key build lock (ManagedTable.once): one builder, waiters block
+    // per-key build lock (ManagedTable.once): one builder, waiters block;
+    // `suffix` keys indexes trained on DIFFERENT corpora under the same
+    // dir/params (the incremental path's base-trained index must not
+    // collide with the full-corpus index)
     graft.sources.ManagedTable.once(
-      s"$appId/ivf_index/$dir/$nCentroids/$lloydIters") {
+      s"$appId/ivf_index$suffix/$dir/$nCentroids/$lloydIters") {
         val tag = graft.sources.ManagedTable.tag(dir)
-        val c = s"ivf_centroids_${nCentroids}_${lloydIters}_$tag"
-        val a = s"ivf_assign_${nCentroids}_${lloydIters}_$tag"
+        val c = s"ivf_centroids_${nCentroids}_$lloydIters${suffix}_$tag"
+        val a = s"ivf_assign_${nCentroids}_$lloydIters${suffix}_$tag"
         val (_, centroids, assigned) = ivfIndex(embeddings, nCentroids, lloydIters)
         graft.sources.ManagedTable.write(centroids, c)
         graft.sources.ManagedTable.write(assigned, a, partitionCol = Some("cluster"))
@@ -672,6 +675,14 @@ object Similarity {
       threshold)
 
   private def semanticDedupOverAssigned(assigned: DataFrame,
+      threshold: Double): DataFrame =
+    semanticDedupUnordered(assigned, threshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[semanticDedupOverAssigned]] without the presentation sort — for
+    * composition (the incremental path unions it with the delta-vs-base
+    * between-join and sorts ONCE at the end). */
+  private def semanticDedupUnordered(assigned: DataFrame,
       threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
@@ -686,6 +697,59 @@ object Similarity {
       // partition-column type inference (int for small ids)
       .select(col("id_a"), col("id_b"),
         col("cluster").cast("long").as("cluster"), col("cosine"))
+  }
+
+  /** SemDeDup for a DELTA of newly-arrived vectors against a STANDING
+    * corpus — the embedding tier's arrival-time dedup, completing the
+    * incremental family ([[graft.ops.Dedup.hammingPairs128Between]] is the
+    * fingerprint twin, [[graft.ops.Search.bm25TopKIncremental]] the
+    * retrieval one). The base-trained IVF coarse quantizer persists once
+    * ([[ivfIndexPersisted]], `_base` suffix); arriving vectors are
+    * assigned to those FIXED centroids ([[assignToCentroids]] — the FAISS
+    * add-after-train contract, the same construction the streaming index
+    * upkeep appends through) and compared ONLY within their cluster:
+    * delta × base via a broadcast join against the cluster-partitioned
+    * assignment table, delta × delta via the cluster-local self-join.
+    *
+    * Scale shape: nothing re-clusters and nothing corpus-sized shuffles —
+    * the delta's assignment is one broadcast-argmax pass over the batch,
+    * the between-join broadcasts the ASSIGNED DELTA (batch-sized by the
+    * same contract as the label merge) so the base assignment table
+    * streams through with no shuffle, and the delta self-join is
+    * delta-sized. Cost ∝ delta × avg cluster occupancy, vs rebuild ∝
+    * Σ|cluster|² over the corpus.
+    *
+    * Semantics contract: pairs are defined w.r.t. the BASE-trained
+    * quantizer (retraining on insert would reshuffle cluster boundaries —
+    * FAISS deployments retrain offline, exactly like the periodic rebuild
+    * this path amortizes). The DuckDB oracle replicates the base-trained
+    * chain bit-for-bit, so the gate is hash-exact, not recall-bounded.
+    *
+    * EAGER: the delta assignment is snapshotted (it feeds both join legs
+    * — without it the argmax pass runs twice), so construction triggers
+    * Spark jobs — batch-only, like the banded-hamming family. */
+  def semanticDedupPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String, baseEmb: => DataFrame, deltaEmb: DataFrame,
+      threshold: Double, nCentroids: Int = 32, lloydIters: Int = 2)
+      : DataFrame = {
+    val (centroids, assigned) = ivfIndexPersisted(spark, dir, baseEmb,
+      nCentroids, lloydIters, suffix = "_base")
+    val dAssigned = assignToCentroids(deltaEmb, centroids)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = dAssigned.select(col("cluster"), col("vec_id").as("id_d"),
+      col("embedding").as("emb_d"), col("nsq").as("nsq_d"))
+    val i = assigned.select(col("cluster"), col("vec_id").as("id_i"),
+      col("embedding").as("emb_i"), col("nsq").as("nsq_i"))
+    val between = broadcast(d).join(i, Seq("cluster"))
+      .filter(col("id_d") =!= col("id_i"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("emb_d"), col("emb_i")), col("nsq_d"), col("nsq_i")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id_d"), col("id_i")).as("id_a"),
+        greatest(col("id_d"), col("id_i")).as("id_b"),
+        col("cluster").cast("long").as("cluster"), col("cosine"))
+    between.unionByName(semanticDedupUnordered(dAssigned, threshold))
       .orderBy(col("id_a"), col("id_b"))
   }
 

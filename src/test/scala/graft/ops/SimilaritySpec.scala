@@ -165,6 +165,43 @@ class SimilaritySpec extends AnyFunSuite {
     sem.foreach { case (a, b, c) => assert(exactMap.get((a, b)).contains(c)) }
   }
 
+  test("semanticDedupPairsIncremental: between ∪ delta-self decomposition equals " +
+      "one full assignment over the base-trained centroids") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{dot, normSq, cosinePrenormed}
+    val baseEmb = emb.filter(col("vec_id") % 7 =!= 0)
+    val deltaEmb = emb.filter(col("vec_id") % 7 === 0)
+    val incr = Similarity.semanticDedupPairsIncremental(
+      spark, SparkTestBase.sfDir, baseEmb, deltaEmb, 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("cluster"), r.getAs[Double]("cosine")))
+    assert(incr.nonEmpty, "no delta-touching pairs at the fixture's 0.4 regime")
+    // undecomposed reference: ONE assignment of the full corpus against the
+    // same persisted base-trained centroids, one cluster-local self-join,
+    // filtered to pairs touching a delta vector
+    val (cents, _) = Similarity.ivfIndexPersisted(
+      spark, SparkTestBase.sfDir, baseEmb, suffix = "_base")
+    val assigned = Similarity.assignToCentroids(emb, cents)
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+    val expected = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        cosinePrenormed(dot(col("emb_a"), col("emb_b")), col("nsq_a"), col("nsq_b")))
+      .filter(col("cosine") >= 0.4)
+      .filter(col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
+      .select(col("id_a"), col("id_b"),
+        col("cluster").cast("long").as("cluster"), col("cosine"))
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("cluster"), r.getAs[Double]("cosine")))
+    assert(incr.toSet == expected.toSet)
+    // both delta×base and delta×delta legs are exercised by the fixture
+    assert(incr.exists { case (ia, ib, _, _) => ia % 7 != 0 || ib % 7 != 0 })
+  }
+
   test("pqTopK: substantial recall, exact cosines, k rows per probe") {
     import org.apache.spark.sql.functions._
     val probes = Seq(0L, 1L, 2L, 3L, 4L)
