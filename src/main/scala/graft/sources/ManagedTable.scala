@@ -18,7 +18,16 @@ object ManagedTable {
       new org.apache.hadoop.fs.Path(warehouse), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    // Cluster by the partition column before a dynamic-partition write:
+    // without it every writer task emits a file into every partition it
+    // touches — T tasks × P partitions files (measured: the 320-cluster
+    // IVF assignment table landed as 10,161 files for 49k rows, and the
+    // LISTING + open cost dominated every downstream read). One shuffle
+    // at ingest buys ~1 file per partition forever after — the compaction
+    // every production dynamic-partition writer does.
+    val clustered = partitionCol.fold(df)(p =>
+      df.repartition(org.apache.spark.sql.functions.col(p)))
+    val w = clustered.write.mode(SaveMode.Overwrite).format("parquet")
     partitionCol.fold(w)(p => w.partitionBy(p)).saveAsTable(table)
   }
 
