@@ -722,8 +722,11 @@ object Similarity {
     * Semantics contract: pairs are defined w.r.t. the BASE-trained
     * quantizer (retraining on insert would reshuffle cluster boundaries —
     * FAISS deployments retrain offline, exactly like the periodic rebuild
-    * this path amortizes). The DuckDB oracle replicates the base-trained
-    * chain bit-for-bit, so the gate is hash-exact, not recall-bounded.
+    * this path amortizes), and `baseEmb`/`deltaEmb` must carry DISJOINT
+    * vec_id sets (the family's standing contract — overlapping ids would
+    * double-emit a pair once per leg). The DuckDB oracle replicates the
+    * base-trained chain bit-for-bit, so the gate is hash-exact, not
+    * recall-bounded.
     *
     * EAGER: the delta assignment is snapshotted (it feeds both join legs
     * — without it the argmax pass runs twice), so construction triggers
