@@ -511,6 +511,44 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replica of [[graft.streaming.ParityCheck.embeddingLiveParity]]'s
+    * batch twin: the IVF chain trains on the standing corpus (vec_id
+    * below the 3/5 split), assigns everything, emits all same-cluster
+    * over-threshold pairs, and labels components by recursive closure —
+    * the counts the wave replay must land on, with the parity booleans
+    * stated as the expected literals (a Spark-side parity failure
+    * mismatches them). */
+  def semDedupLiveParitySql(nCentroids: Int = 32, lloydIters: Int = 2,
+      threshold: Double = 0.4): String = {
+    val (ctes, _) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere =
+        "vec_id < (SELECT (MAX(vec_id) + 1) * 3 // 5 FROM embeddings)")
+    s"""WITH RECURSIVE $ctes,
+       |hh AS (SELECT (MAX(vec_id) + 1) * 3 // 5 AS h FROM embeddings),
+       |prs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.e", "b.e")} >= $threshold),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION ALL SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM base
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |labels AS (SELECT a AS vec_id, MIN(b) AS cluster_id
+       |           FROM reach GROUP BY a)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM labels) AS n_vectors,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM prs, hh
+       |     WHERE prs.id_b >= hh.h) AS n_pairs_live,
+       |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+       |    AS n_clusters,
+       |  CAST(0 AS BIGINT) AS n_only_live,
+       |  CAST(0 AS BIGINT) AS n_only_batch,
+       |  true AS parity_ok""".stripMargin
+  }
+
   def fingerprintSql: String =
     s"""SELECT doc_id,
        |  $fpExpr AS fp

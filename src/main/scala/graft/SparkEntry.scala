@@ -125,7 +125,8 @@ object SparkEntry {
     "q_sessionize_stream_parity", "q_counter_increase_stream_parity",
     "q_dedup_stream_parity", "q_funnel_stream_parity",
     "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity",
-    "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity")
+    "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity",
+    "q_semdedup_live_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -508,6 +509,13 @@ object SparkEntry {
     // candidate-set equality folded into the same verdict
     "q_dedup_live_pipeline_parity" -> ((s, dir) =>
       streaming.ParityCheck.livePipelineParity(s, dir)),
+
+    // the EMBEDDING live pipeline gate: waves of arriving vectors run
+    // assign → cluster-local pair → incremental label merge against the
+    // standing base-trained index; final labels and live pairs must equal
+    // the all-at-once batch twin under the same quantizer
+    "q_semdedup_live_parity" -> ((s, dir) =>
+      streaming.ParityCheck.embeddingLiveParity(s, dir)),
 
     // sessionize composed with the counting-percentile construction
     "q_session_length_pcts" -> ((s, dir) =>
@@ -3817,6 +3825,7 @@ object SparkEntry {
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_idx" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_incr" -> OracleSql.semDedupPairsIncrSql(),
+    "q_semdedup_live_parity" -> OracleSql.semDedupLiveParitySql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),

@@ -681,8 +681,9 @@ object Similarity {
 
   /** [[semanticDedupOverAssigned]] without the presentation sort — for
     * composition (the incremental path unions it with the delta-vs-base
-    * between-join and sorts ONCE at the end). */
-  private def semanticDedupUnordered(assigned: DataFrame,
+    * between-join and sorts ONCE at the end; the embedding live-pipeline
+    * gate drives it wave by wave). */
+  private[graft] def semanticDedupUnordered(assigned: DataFrame,
       threshold: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
@@ -740,20 +741,37 @@ object Similarity {
     val dAssigned = assignToCentroids(deltaEmb, centroids)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val d = dAssigned.select(col("cluster"), col("vec_id").as("id_d"),
-      col("embedding").as("emb_d"), col("nsq").as("nsq_d"))
-    val i = assigned.select(col("cluster"), col("vec_id").as("id_i"),
-      col("embedding").as("emb_i"), col("nsq").as("nsq_i"))
-    val between = broadcast(d).join(i, Seq("cluster"))
+    semanticDedupPairsBetween(dAssigned, assigned, threshold)
+      .unionByName(semanticDedupUnordered(dAssigned, threshold))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Cluster-local over-threshold pairs BETWEEN an assigned delta and an
+    * assigned standing corpus (both (vec_id, embedding, nsq, cluster)) —
+    * the delta×base half of [[semanticDedupPairsIncremental]], public so
+    * the wave-replay parity gate can drive it against a GROWING
+    * assignment. The assigned delta BROADCASTS (batch-sized by contract)
+    * so the standing side streams through with no shuffle; emits
+    * canonical (id_a < id_b, cluster, cosine), UNSORTED; delta×delta
+    * pairs are NOT emitted (compose with [[semanticDedupUnordered]] over
+    * the delta, as the incremental path does). Vec_id sets must be
+    * disjoint. */
+  def semanticDedupPairsBetween(deltaAssigned: DataFrame,
+      baseAssigned: DataFrame, threshold: Double): DataFrame = {
+    val d = deltaAssigned.select(col("cluster").cast("long").as("cluster"),
+      col("vec_id").as("id_d"), col("embedding").as("emb_d"),
+      col("nsq").as("nsq_d"))
+    val i = baseAssigned.select(col("cluster").cast("long").as("cluster"),
+      col("vec_id").as("id_i"), col("embedding").as("emb_i"),
+      col("nsq").as("nsq_i"))
+    broadcast(d).join(i, Seq("cluster"))
       .filter(col("id_d") =!= col("id_i"))
       .withColumn("cosine",
         cosinePrenormed(dot(col("emb_d"), col("emb_i")), col("nsq_d"), col("nsq_i")))
       .filter(col("cosine") >= threshold)
       .select(least(col("id_d"), col("id_i")).as("id_a"),
         greatest(col("id_d"), col("id_i")).as("id_b"),
-        col("cluster").cast("long").as("cluster"), col("cosine"))
-    between.unionByName(semanticDedupUnordered(dAssigned, threshold))
-      .orderBy(col("id_a"), col("id_b"))
+        col("cluster"), col("cosine"))
   }
 
   /** Per-label corpus statistics over the embedding column — the sanity

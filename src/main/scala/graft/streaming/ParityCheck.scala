@@ -537,6 +537,97 @@ object ParityCheck {
         "n_only_live", "n_only_batch", "parity_ok")
   }
 
+  /** The EMBEDDING live-dedup pipeline, gated end to end — the vector
+    * twin of [[livePipelineParity]]: a standing corpus (vec_id below the
+    * 3/5 split) holds its base-trained IVF index
+    * ([[graft.ops.Similarity.ivfIndexPersisted]], `_live_base` suffix —
+    * its own key, so it can never collide with q_semdedup_incr's %7-split
+    * index) and its persisted labeling; arrivals replay in `nWaves`
+    * id-ordered waves, and each wave runs the full incremental chain:
+    *
+    *  1. ASSIGN: the wave joins the corpus through
+    *     [[graft.ops.Similarity.assignToCentroids]] against the FIXED
+    *     base-trained centroids (add-after-train — the same append the
+    *     streaming index upkeep performs).
+    *  2. PAIR: cluster-local pairs against everything assigned SO FAR
+    *     ([[graft.ops.Similarity.semanticDedupPairsBetween]] — earlier
+    *     waves included, so cross-wave pairs are found exactly once by
+    *     the later endpoint) plus the within-wave self-join.
+    *  3. LABEL: the wave's pairs merge into the standing labeling via
+    *     [[graft.ops.Dedup.mergeClusterDelta]] — cost ∝ wave.
+    *
+    * The batch twin computes everything at once UNDER THE SAME QUANTIZER
+    * (one assignment of the full corpus to the base-trained centroids,
+    * one cluster self-join, one CC) — the contract under test is the
+    * wave decomposition, not retraining. parity_ok folds the label-table
+    * set-equality, the live-pair set-equality (vs the batch pairs
+    * touching an arrival) and n_pairs_live > 0 (the tier must actually
+    * fire). Output counts are independently restated by the DuckDB
+    * replica (base-trained IVF chain + recursive closure). */
+  def embeddingLiveParity(spark: SparkSession, dir: String,
+      nWaves: Int = 4, threshold: Double = 0.4): DataFrame = {
+    import graft.ops.{Dedup, Similarity}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val splitId = (maxId + 1L) * 3L / 5L
+    val baseEmb = emb.filter(col("vec_id") < splitId)
+    val (cents, baseAssigned) = Similarity.ivfIndexPersisted(spark, dir,
+      baseEmb, suffix = "_live_base")
+    def norm(assigned: org.apache.spark.sql.DataFrame) =
+      assigned.select(col("vec_id"), col("embedding"), col("nsq"),
+        col("cluster").cast("long").as("cluster"))
+    // the standing labeling a previous corpus version persisted
+    var labels = Dedup.nearDupClusters(
+      baseEmb.select(col("vec_id").as("doc_id")),
+      Similarity.semanticDedupUnordered(baseAssigned, threshold)
+        .select(col("id_a"), col("id_b"))).localCheckpoint(true)
+
+    var assignedCur = norm(baseAssigned).localCheckpoint(true)
+    var livePairs = spark.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    val waveSpan = math.max(1L, (maxId + 1L - splitId) / nWaves)
+    var lo = splitId
+    while (lo <= maxId) {
+      val hi = if (lo + waveSpan > maxId) maxId + 1L else lo + waveSpan
+      val waveEmb = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      val wa = Similarity.assignToCentroids(waveEmb, cents)
+        .localCheckpoint(true)
+      val wavePairs = Similarity
+        .semanticDedupPairsBetween(wa, assignedCur, threshold)
+        .unionByName(Similarity.semanticDedupUnordered(wa, threshold))
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      labels = Dedup.mergeClusterDelta(labels,
+        waveEmb.select(col("vec_id").as("doc_id")), wavePairs)
+        .localCheckpoint(true)
+      livePairs = livePairs.unionByName(wavePairs)
+      assignedCur = assignedCur.unionByName(norm(wa)).localCheckpoint(true)
+      lo = hi
+    }
+    livePairs = livePairs.distinct().localCheckpoint(true)
+
+    // ── batch twin under the SAME base-trained quantizer ──
+    val assignedAll = Similarity.assignToCentroids(emb, cents)
+    val allPairs = Similarity.semanticDedupUnordered(assignedAll, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val batchLabels = Dedup.nearDupClusters(
+      emb.select(col("vec_id").as("doc_id")), allPairs).localCheckpoint(true)
+    val batchLive = allPairs.filter(col("id_b") >= splitId) // id_a < id_b:
+      // arrivals hold the HIGH ids, so any pair touching one has id_b ≥ split
+
+    val onlyLive = labels.exceptAll(batchLabels).count()
+    val onlyBatch = batchLabels.exceptAll(labels).count()
+    val pairsAgree = livePairs.exceptAll(batchLive).count() == 0L &&
+      batchLive.exceptAll(livePairs).count() == 0L
+    val nPairsLive = livePairs.count()
+    spark.createDataFrame(Seq(
+      (labels.count(), nPairsLive,
+        labels.select(col("cluster_id")).distinct().count(),
+        onlyLive, onlyBatch,
+        pairsAgree && onlyLive == 0L && onlyBatch == 0L && nPairsLive > 0L)))
+      .toDF("n_vectors", "n_pairs_live", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+  }
+
   private def ttlParityReplay(spark: SparkSession, dir: String,
       horizonMinutes: Int, nBatches: Int, tbl: String,
       arrange: Array[StatefulOps.DocIn] => Array[StatefulOps.DocIn],
