@@ -705,6 +705,33 @@ object Soak {
         scanned.exceptAll(served).count()
       println(f"""SOAK {"phase":"incrbm25","scale":"$tag","docs":$n,"delta_docs":$nDelta,"terms":"${terms.mkString(" ")}","incr_sec":$incrBmSec%.2f,"rebuild_sec":$rebuildBmSec%.2f,"scan_sec":$scanBmSec%.2f,"row_diff":$bmDiff}""")
 
+      // ── text MinHash: constant doc delta vs the persisted base
+      // band-signature index; rebuild twin = the full minHashPairs
+      // self-join (re-shingles and re-signs the whole corpus) ──
+      val isDeltaDoc2 = col("doc_id") % 7 === 0 && col("doc_id") < nBase
+      // UNTIMED: the standing corpus's band index
+      graft.sources.ManagedTable.persisted(spark,
+        s"minhash_bands_3_64_16_base_" +
+          graft.sources.ManagedTable.tag(dir),
+        partitionCol = Some("band"))(
+        Dedup.minHashBanded(docs.filter(!isDeltaDoc2)))
+      val t7 = System.nanoTime()
+      Dedup.minHashPairsIncremental(spark, dir, docs.filter(!isDeltaDoc2),
+        docs.filter(isDeltaDoc2))
+        .write.mode("overwrite").parquet(s"$dir/incr_mh.parquet")
+      val incrMhSec = (System.nanoTime() - t7) / 1e9
+      val t8 = System.nanoTime()
+      Dedup.minHashPairs(docs)
+        .write.mode("overwrite").parquet(s"$dir/full_mh.parquet")
+      val rebuildMhSec = (System.nanoTime() - t8) / 1e9
+      val incrMh = spark.read.parquet(s"$dir/incr_mh.parquet")
+      val touchingMh = spark.read.parquet(s"$dir/full_mh.parquet")
+        .filter((col("id_a") % 7 === 0 && col("id_a") < nBase) ||
+          (col("id_b") % 7 === 0 && col("id_b") < nBase))
+      val mhDiff = incrMh.exceptAll(touchingMh).count() +
+        touchingMh.exceptAll(incrMh).count()
+      println(f"""SOAK {"phase":"incrminhash","scale":"$tag","docs":$n,"delta_docs":$nDelta,"pairs":${incrMh.count()},"incr_sec":$incrMhSec%.2f,"rebuild_sec":$rebuildMhSec%.2f,"pair_diff":$mhDiff}""")
+
       // ── SemDeDup: constant vector delta over the persisted base-trained
       // IVF assignment. nCentroids scales WITH the corpus (the documented
       // 100 TB contract — n/k roughly constant, so cluster occupancy and

@@ -113,8 +113,9 @@ object SparkEntry {
     // incremental merges maintain
     "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr",
     // first runs write the persisted BASE inverted index / pHash index /
-    // base-trained IVF index
-    "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr")
+    // base-trained IVF index / base band-signature index
+    "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
+    "q_dedup_minhash_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -632,6 +633,17 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.documents(s, dir), n = 3, k = 64, bands = 16, threshold = 0.5)),
+
+    // INCREMENTAL minhash: arriving docs (doc_id % 7 == 0) band-join the
+    // persisted base band-signature index + the delta self-join; verify
+    // shingles candidate endpoints only — near-dup against ALL history at
+    // cost ∝ delta (the TTL stream covers the horizon; this covers deep
+    // history). Signature corpus-independence makes the result EXACTLY
+    // the full run's delta-touching slice, same oracle chain
+    "q_dedup_minhash_incr" -> ((s, dir) =>
+      Dedup.minHashPairsIncremental(s, dir,
+        Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0),
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0))),
 
     // 128-bit simhash (FNV vote word + splitmix64-mixed vote word) through
     // hammingPairs128's 4x32-bit banding — radius 24 of 128 keeps the
@@ -3829,6 +3841,13 @@ object SparkEntry {
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),
+    "q_dedup_minhash_incr" ->
+      s"""WITH pairs AS (
+         |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5)}
+         |)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE id_a % 7 = 0 OR id_b % 7 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_ngram" -> OracleSql.minhashPairsSql(bands = 32, threshold = 0.3),
     "q_dedup_simhash" -> OracleSql.simhash128PairsSql(maxHamming = 24),
     "q_pipeline_clean" -> OracleSql.pipelineCleanSql(bands = 16, threshold = 0.5),

@@ -167,6 +167,65 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[minHashPairs]] for a DELTA of newly-arrived documents against a
+    * STANDING corpus — the text tier's arrival-time deep-history pair
+    * generation, closing the one asymmetry in the incremental family:
+    * the TTL streaming LSH answers "near-dup of anything in the recent
+    * horizon", [[historyDedupBloom]] answers "byte-identical to anything
+    * ever seen", and this answers "near-dup of ANYTHING ever seen", batch
+    * over a persisted index like [[hammingPairs128Between]] for images.
+    *
+    * The standing corpus persists its (band, bh, doc_id) band-signature
+    * table ONCE (a MinHash signature is corpus-independent, so the index
+    * never needs retraining — append-only under arrivals, like the
+    * inverted index). The delta's banded frame BROADCASTS into the index
+    * (no shuffle of either side), the delta self-join adds delta×delta
+    * candidates, and the exact-jaccard verify re-attaches shingle sets
+    * ONLY for candidate endpoints: the corpus text scan is pruned by a
+    * broadcast semi-join on the delta-bounded candidate id set before
+    * anything is shingled — nothing corpus-sized is shingled, shuffled,
+    * or banded at arrival time. Same (id_a, id_b, jaccard) rows as the
+    * full [[minHashPairs]] restricted to delta-touching pairs (signature
+    * corpus-independence makes that an exact equality, not a recall
+    * statement). Base/delta doc_id sets must be disjoint. EAGER: the
+    * delta banding is snapshotted (it feeds both join legs). */
+  def minHashPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+      dir: String, baseDocs: => DataFrame, deltaDocs: DataFrame,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val idx = graft.sources.ManagedTable.persisted(spark,
+      s"minhash_bands_${n}_${k}_${bands}_base_" +
+        graft.sources.ManagedTable.tag(dir),
+      partitionCol = Some("band"))(minHashBanded(baseDocs, n, k, bands))
+    val bandedDelta = minHashBanded(deltaDocs, n, k, bands)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val between = broadcast(
+        bandedDelta.select(col("band"), col("bh"), col("doc_id").as("id_d")))
+      .join(idx.select(col("band"), col("bh"), col("doc_id").as("id_i")),
+        Seq("band", "bh"))
+      .select(least(col("id_d"), col("id_i")).as("id_a"),
+        greatest(col("id_d"), col("id_i")).as("id_b"))
+    val selfCand = bandedDelta
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(bandedDelta.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val candidates = between.unionByName(selfCand).distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify shingles ONLY candidate endpoints: the id set is
+    // delta-bounded, so it broadcasts and the corpus text scan streams
+    // through the semi-join without shuffling
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
+    val docs = baseDocs.select(col("doc_id"), col("text"))
+      .unionByName(deltaDocs.select(col("doc_id"), col("text")))
+      .join(broadcast(candIds), Seq("doc_id"))
+    jaccardVerify(candidates, docs, n, threshold)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash, candidates = docs
     * agreeing on at least one of 4 16-bit bands (catches all pairs within
     * hamming distance 3), verified with bit_count(a^b) <= maxHamming. */

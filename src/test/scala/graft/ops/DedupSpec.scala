@@ -185,6 +185,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.values.toSet == Set(0L))
   }
 
+  test("minHashPairsIncremental: equals the full run's delta-touching slice " +
+      "and finds delta-base and delta-delta pairs") {
+    val docs = graft.Tables.documents(spark, SparkTestBase.sfDir)
+    val isDelta = col("doc_id") % 7 === 0
+    val incr = Dedup.minHashPairsIncremental(spark, SparkTestBase.sfDir,
+      docs.filter(!isDelta), docs.filter(isDelta))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minHashPairs(docs)
+      .filter(col("id_a") % 7 === 0 || col("id_b") % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr.nonEmpty, "no delta-touching near-dup pairs in the fixture")
+    assert(incr == full)
+    // the between leg must actually fire (a delta-only result would mean
+    // the persisted index path is silently broken)
+    assert(incr.exists { case (a, b, _) => a % 7 != 0 || b % 7 != 0 })
+  }
+
   test("mergeClusterDelta: merging a pair delta equals the full rebuild") {
     import spark.implicits._
     val baseDocs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L)
@@ -258,7 +275,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("charJaccardPairsPersisted: identical rows to the lazy pairs; memoized") {
-    val dir = graft.SparkTestBase.sfDir
+    val dir = SparkTestBase.sfDir
     val docs = graft.Tables.documents(spark, dir)
     val lazyRows = Dedup.charJaccardPairs(docs, 0.9).collect().toSeq
     val persisted = Dedup.charJaccardPairsPersisted(spark, dir, docs, 0.9)
