@@ -200,9 +200,27 @@ object Dedup {
     val bandedDelta = minHashBanded(deltaDocs, n, k, bands)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minHashPairsAgainst(bandedDelta, idx,
+      baseDocs.select(col("doc_id"), col("text"))
+        .unionByName(deltaDocs.select(col("doc_id"), col("text"))),
+      n, threshold)
+  }
+
+  /** The candidate+verify core of [[minHashPairsIncremental]] over ANY
+    * (banded delta, banded index) pair — public so the deep-history
+    * wave-replay gate can drive it against a GROWING index frame. The
+    * banded delta BROADCASTS into the index (delta×index candidates, no
+    * shuffle of the index) and self-joins for delta×delta; verify
+    * shingles ONLY candidate endpoints — the id set is delta-bounded, so
+    * it broadcasts and `documents`' text scan streams through the
+    * semi-join without shuffling or shingling anything corpus-sized.
+    * `documents` must carry the text for every id either banding can
+    * reference. Callers snapshot `bandedDelta` (it feeds both legs). */
+  def minHashPairsAgainst(bandedDelta: DataFrame, bandedIndex: DataFrame,
+      documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val between = broadcast(
         bandedDelta.select(col("band"), col("bh"), col("doc_id").as("id_d")))
-      .join(idx.select(col("band"), col("bh"), col("doc_id").as("id_i")),
+      .join(bandedIndex.select(col("band"), col("bh"), col("doc_id").as("id_i")),
         Seq("band", "bh"))
       .select(least(col("id_d"), col("id_i")).as("id_a"),
         greatest(col("id_d"), col("id_i")).as("id_b"))
@@ -215,13 +233,9 @@ object Dedup {
     val candidates = between.unionByName(selfCand).distinct()
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verify shingles ONLY candidate endpoints: the id set is
-    // delta-bounded, so it broadcasts and the corpus text scan streams
-    // through the semi-join without shuffling
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
-    val docs = baseDocs.select(col("doc_id"), col("text"))
-      .unionByName(deltaDocs.select(col("doc_id"), col("text")))
+    val docs = documents.select(col("doc_id"), col("text"))
       .join(broadcast(candIds), Seq("doc_id"))
     jaccardVerify(candidates, docs, n, threshold)
   }

@@ -628,6 +628,83 @@ object ParityCheck {
         "n_only_live", "n_only_batch", "parity_ok")
   }
 
+  /** DEEP-HISTORY live near-dup, gated end to end — the batch
+    * complement of [[livePipelineParity]]'s TTL tier: the stream answers
+    * "near-dup of the recent horizon" with bounded state, and THIS flow
+    * answers "near-dup of anything EVER seen" at cost ∝ wave, the two
+    * running side by side in a real deployment. A standing corpus
+    * (doc_id below the 3/5 split) holds its band-signature index and its
+    * labeling; arrivals replay in id-ordered waves, and each wave:
+    *
+    *  1. BANDS itself (shingle+sign over the wave only) and generates
+    *     candidates against everything banded SO FAR
+    *     ([[graft.ops.Dedup.minHashPairsAgainst]] — earlier waves
+    *     included, so cross-wave pairs are found exactly once) plus the
+    *     within-wave self-join;
+    *  2. VERIFIES by exact jaccard over candidate endpoints only;
+    *  3. MERGES its pairs into the standing labeling via
+    *     [[graft.ops.Dedup.mergeClusterDelta]], and appends its banding
+    *     to the index (append-only — signatures never retrain).
+    *
+    * The batch twin is the full [[graft.ops.Dedup.minHashPairs]] over
+    * the whole corpus plus one CC: signature corpus-independence makes
+    * wave-order irrelevant, so the final labeling and the accumulated
+    * live-pair set must EQUAL it exactly. parity_ok folds the label
+    * set-equality, the live-pair set-equality (vs the batch pairs
+    * touching an arrival) and n_pairs_live > 0; the counts are
+    * independently restated by the DuckDB MinHash replica + recursive
+    * closure. */
+  def minhashDeepLiveParity(spark: SparkSession, dir: String,
+      nWaves: Int = 4): DataFrame = {
+    import graft.ops.Dedup
+    val docs = graft.Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val splitId = (maxId + 1L) * 3L / 5L
+    val history = docs.filter(col("doc_id") < splitId)
+    var accBanded = Dedup.minHashBanded(history).localCheckpoint(true)
+    var labels = Dedup.nearDupClusters(history.select(col("doc_id")),
+      Dedup.minHashPairs(history).select(col("id_a"), col("id_b")))
+      .localCheckpoint(true)
+    var livePairs = spark.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    val waveSpan = math.max(1L, (maxId + 1L - splitId) / nWaves)
+    var lo = splitId
+    while (lo <= maxId) {
+      val hi = if (lo + waveSpan > maxId) maxId + 1L else lo + waveSpan
+      val waveDocs = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val wb = Dedup.minHashBanded(waveDocs).localCheckpoint(true)
+      val wavePairs = Dedup.minHashPairsAgainst(wb, accBanded, docs)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      labels = Dedup.mergeClusterDelta(labels,
+        waveDocs.select(col("doc_id")), wavePairs).localCheckpoint(true)
+      livePairs = livePairs.unionByName(wavePairs)
+      accBanded = accBanded.unionByName(wb).localCheckpoint(true)
+      lo = hi
+    }
+    livePairs = livePairs.distinct().localCheckpoint(true)
+
+    // ── batch twin: one full self-join over everything ──
+    val allPairs = Dedup.minHashPairs(docs)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val batchLabels = Dedup.nearDupClusters(docs.select(col("doc_id")),
+      allPairs).localCheckpoint(true)
+    val batchLive = allPairs.filter(col("id_b") >= splitId) // id_a < id_b:
+      // arrivals hold the HIGH ids, so a pair touching one has id_b ≥ split
+
+    val onlyLive = labels.exceptAll(batchLabels).count()
+    val onlyBatch = batchLabels.exceptAll(labels).count()
+    val pairsAgree = livePairs.exceptAll(batchLive).count() == 0L &&
+      batchLive.exceptAll(livePairs).count() == 0L
+    val nPairsLive = livePairs.count()
+    spark.createDataFrame(Seq(
+      (labels.count(), nPairsLive,
+        labels.select(col("cluster_id")).distinct().count(),
+        onlyLive, onlyBatch,
+        pairsAgree && onlyLive == 0L && onlyBatch == 0L && nPairsLive > 0L)))
+      .toDF("n_docs", "n_pairs_live", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+  }
+
   private def ttlParityReplay(spark: SparkSession, dir: String,
       horizonMinutes: Int, nBatches: Int, tbl: String,
       arrange: Array[StatefulOps.DocIn] => Array[StatefulOps.DocIn],
