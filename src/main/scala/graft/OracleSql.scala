@@ -511,6 +511,33 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The WITH-body tail every live-parity replica shares: recursive
+    * closure over `prs` (id_a, id_b) seeded from every `$idCol` of
+    * `$rel`, min-labeling, then the single counts row (n_pairs_live
+    * counts `prs` rows with id_b past the `hh.h` split — arrivals hold
+    * the high ids, so with id_a < id_b that is exactly "touches an
+    * arrival"). Callers define `prs` and `hh`. */
+  private def closureCountsSql(rel: String, idCol: String,
+      nAllName: String): String =
+    s"""edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION ALL SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT $idCol, $idCol FROM $rel
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |labels AS (SELECT a AS id, MIN(b) AS cluster_id
+       |           FROM reach GROUP BY a)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM labels) AS $nAllName,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM prs, hh
+       |     WHERE prs.id_b >= hh.h) AS n_pairs_live,
+       |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+       |    AS n_clusters,
+       |  CAST(0 AS BIGINT) AS n_only_live,
+       |  CAST(0 AS BIGINT) AS n_only_batch,
+       |  true AS parity_ok""".stripMargin
+
   /** Replica of [[graft.streaming.ParityCheck.embeddingLiveParity]]'s
     * batch twin: the IVF chain trains on the standing corpus (vec_id
     * below the 3/5 split), assigns everything, emits all same-cluster
@@ -529,25 +556,32 @@ object OracleSql {
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |  WHERE ${cosSql("a.e", "b.e")} >= $threshold),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM prs
-       |  UNION ALL SELECT id_b, id_a FROM prs),
-       |reach(a, b) AS (
-       |  SELECT vec_id, vec_id FROM base
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-       |labels AS (SELECT a AS vec_id, MIN(b) AS cluster_id
-       |           FROM reach GROUP BY a)
-       |SELECT
-       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM labels) AS n_vectors,
-       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM prs, hh
-       |     WHERE prs.id_b >= hh.h) AS n_pairs_live,
-       |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
-       |    AS n_clusters,
-       |  CAST(0 AS BIGINT) AS n_only_live,
-       |  CAST(0 AS BIGINT) AS n_only_batch,
-       |  true AS parity_ok""".stripMargin
+       |${closureCountsSql("base", "vec_id", "n_vectors")}""".stripMargin
   }
+
+  /** Replica of [[graft.ops.Dedup.minHashPairsIncremental]]: the full
+    * MinHash pair chain restricted to pairs touching the delta
+    * (doc_id % deltaMod == 0) — signature corpus-independence makes the
+    * incremental path exactly this slice. */
+  def minhashPairsIncrSql(bands: Int = 16, threshold: Double = 0.5,
+      deltaMod: Long = 7L): String =
+    s"""WITH pairs AS (
+       |${minhashPairsSql(bands, threshold)}
+       |)
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE id_a % $deltaMod = 0 OR id_b % $deltaMod = 0
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Replica of [[graft.streaming.ParityCheck.minhashDeepLiveParity]]'s
+    * batch twin: the full MinHash pair set plus the shared recursive
+    * component closure. */
+  def minhashDeepLiveParitySql(bands: Int = 16,
+      threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE prs AS (
+       |${minhashPairsSql(bands, threshold)}
+       |),
+       |hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+       |${closureCountsSql("documents", "doc_id", "n_docs")}""".stripMargin
 
   def fingerprintSql: String =
     s"""SELECT doc_id,

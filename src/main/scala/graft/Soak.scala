@@ -708,16 +708,13 @@ object Soak {
       // ── text MinHash: constant doc delta vs the persisted base
       // band-signature index; rebuild twin = the full minHashPairs
       // self-join (re-shingles and re-signs the whole corpus) ──
-      val isDeltaDoc2 = col("doc_id") % 7 === 0 && col("doc_id") < nBase
-      // UNTIMED: the standing corpus's band index
-      graft.sources.ManagedTable.persisted(spark,
-        s"minhash_bands_3_64_16_base_" +
-          graft.sources.ManagedTable.tag(dir),
-        partitionCol = Some("band"))(
-        Dedup.minHashBanded(docs.filter(!isDeltaDoc2)))
+      // UNTIMED: the standing corpus's band index — built through the
+      // same entry point the query path reads, so the timed call can
+      // never silently rebuild a differently-named table
+      Dedup.minHashBandIndexPersisted(spark, dir, docs.filter(!isDeltaDoc))
       val t7 = System.nanoTime()
-      Dedup.minHashPairsIncremental(spark, dir, docs.filter(!isDeltaDoc2),
-        docs.filter(isDeltaDoc2))
+      Dedup.minHashPairsIncremental(spark, dir, docs.filter(!isDeltaDoc),
+        docs.filter(isDeltaDoc))
         .write.mode("overwrite").parquet(s"$dir/incr_mh.parquet")
       val incrMhSec = (System.nanoTime() - t7) / 1e9
       val t8 = System.nanoTime()

@@ -3849,39 +3849,8 @@ object SparkEntry {
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),
-    "q_dedup_minhash_incr" ->
-      s"""WITH pairs AS (
-         |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5)}
-         |)
-         |SELECT id_a, id_b, jaccard FROM pairs
-         |WHERE id_a % 7 = 0 OR id_b % 7 = 0
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // deep-history live gate: the counts the wave replay must land on —
-    // the full MinHash pair set + recursive component closure
-    "q_dedup_deep_live_parity" ->
-      s"""WITH RECURSIVE prs AS (
-         |${OracleSql.minhashPairsSql(bands = 16, threshold = 0.5)}
-         |),
-         |hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION ALL SELECT id_b, id_a FROM prs),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-         |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
-         |           FROM reach GROUP BY a)
-         |SELECT
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM labels) AS n_docs,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM prs, hh
-         |     WHERE prs.id_b >= hh.h) AS n_pairs_live,
-         |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
-         |    AS n_clusters,
-         |  CAST(0 AS BIGINT) AS n_only_live,
-         |  CAST(0 AS BIGINT) AS n_only_batch,
-         |  true AS parity_ok""".stripMargin,
+    "q_dedup_minhash_incr" -> OracleSql.minhashPairsIncrSql(),
+    "q_dedup_deep_live_parity" -> OracleSql.minhashDeepLiveParitySql(),
     "q_dedup_ngram" -> OracleSql.minhashPairsSql(bands = 32, threshold = 0.3),
     "q_dedup_simhash" -> OracleSql.simhash128PairsSql(maxHamming = 24),
     "q_pipeline_clean" -> OracleSql.pipelineCleanSql(bands = 16, threshold = 0.5),

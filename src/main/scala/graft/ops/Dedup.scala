@@ -154,7 +154,15 @@ object Dedup {
     * LSH path and the streaming parity harness, so both verify
     * identically by construction. */
   def jaccardVerify(candidates: DataFrame, documents: DataFrame,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardVerifyUnordered(candidates, documents, n, threshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[jaccardVerify]] without the presentation sort — for composition
+    * under a downstream union/distinct/aggregation, where an
+    * intermediate global sort is a wasted exchange. */
+  private[graft] def jaccardVerifyUnordered(candidates: DataFrame,
+      documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val shingled = documents.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     candidates
       .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -164,7 +172,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** [[minHashPairs]] for a DELTA of newly-arrived documents against a
@@ -192,11 +199,9 @@ object Dedup {
   def minHashPairsIncremental(spark: org.apache.spark.sql.SparkSession,
       dir: String, baseDocs: => DataFrame, deltaDocs: DataFrame,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val idx = graft.sources.ManagedTable.persisted(spark,
-      s"minhash_bands_${n}_${k}_${bands}_base_" +
-        graft.sources.ManagedTable.tag(dir),
-      partitionCol = Some("band"))(minHashBanded(baseDocs, n, k, bands))
+      threshold: Double = 0.5, suffix: String = "_base"): DataFrame = {
+    val idx = minHashBandIndexPersisted(spark, dir, baseDocs, n, k, bands,
+      suffix)
     val bandedDelta = minHashBanded(deltaDocs, n, k, bands)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -204,7 +209,24 @@ object Dedup {
       baseDocs.select(col("doc_id"), col("text"))
         .unionByName(deltaDocs.select(col("doc_id"), col("text"))),
       n, threshold)
+      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The standing corpus's persisted (band, bh, doc_id) band-signature
+    * table — the one artifact [[minHashPairsIncremental]] reads, exposed
+    * so ingest-side prep (and the soak's untimed setup) build EXACTLY the
+    * table the query path will hit instead of duplicating the name
+    * recipe. `suffix` keys indexes built over DIFFERENT base corpora
+    * under the same dir/params (the [[graft.ops.Similarity
+    * .ivfIndexPersisted]] precedent — without it two splits would
+    * silently share the first caller's table). */
+  def minHashBandIndexPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, baseDocs: => DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16, suffix: String = "_base"): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      s"minhash_bands_${n}_${k}_$bands${suffix}_" +
+        graft.sources.ManagedTable.tag(dir),
+      partitionCol = Some("band"))(minHashBanded(baseDocs, n, k, bands))
 
   /** The candidate+verify core of [[minHashPairsIncremental]] over ANY
     * (banded delta, banded index) pair — public so the deep-history
@@ -237,7 +259,10 @@ object Dedup {
       .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
     val docs = documents.select(col("doc_id"), col("text"))
       .join(broadcast(candIds), Seq("doc_id"))
-    jaccardVerify(candidates, docs, n, threshold)
+    // UNSORTED (the composition convention): the wave-replay gate unions
+    // per-wave outputs and [[minHashPairsIncremental]] adds the single
+    // presentation sort its oracle expects
+    jaccardVerifyUnordered(candidates, docs, n, threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash, candidates = docs

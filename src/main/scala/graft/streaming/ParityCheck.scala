@@ -662,8 +662,18 @@ object ParityCheck {
     val splitId = (maxId + 1L) * 3L / 5L
     val history = docs.filter(col("doc_id") < splitId)
     var accBanded = Dedup.minHashBanded(history).localCheckpoint(true)
+    // standing labels from the SAME checkpointed banding (re-running the
+    // shingle+signature pass through minHashPairs would pay the gate's
+    // dominant cost twice): self-join candidates + exact-jaccard verify
+    val histCand = accBanded
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(accBanded.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     var labels = Dedup.nearDupClusters(history.select(col("doc_id")),
-      Dedup.minHashPairs(history).select(col("id_a"), col("id_b")))
+      Dedup.jaccardVerifyUnordered(histCand, history)
+        .select(col("id_a"), col("id_b")))
       .localCheckpoint(true)
     var livePairs = spark.emptyDataFrame
       .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
