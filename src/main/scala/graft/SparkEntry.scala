@@ -112,6 +112,8 @@ object SparkEntry {
     // first run writes the persisted BASE cluster labelings the
     // incremental merges maintain
     "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr",
+    // first runs read the persisted pair/label/index tables they retire
+    "q_dedup_clusters_retire", "q_dedup_survivors_retire", "q_bm25_retire",
     // first runs write the persisted BASE inverted index / pHash index /
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
@@ -687,6 +689,28 @@ object SparkEntry {
     "q_dedup_survivors_incr" -> ((s, dir) =>
       Dedup.survivorsFromLabels(queries("q_dedup_clusters_incr")(s, dir))),
 
+    // RETENTION label maintenance — the dual of the incremental merge:
+    // docs at doc_id % 11 == 0 play the TTL-expired set; the persisted
+    // full-corpus labeling retires them via Dedup.retireClusterDelta at
+    // cost ∝ the components they touch, re-converged from the PERSISTED
+    // pair table's surviving edges (removal can SPLIT a component, so
+    // pass-through labeling of survivors would be wrong). Hash-equal to
+    // a full rebuild over the surviving corpus — the oracle recomputes
+    // the closure over documents WHERE doc_id % 11 <> 0
+    "q_dedup_clusters_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.charJaccardPairsPersisted(s, dir, docs, 0.9)
+      val baseLabels = Dedup.nearDupClustersPersisted(s, dir, docs, pairs, 0.9)
+      Dedup.retireClusterDelta(baseLabels, pairs,
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+    }),
+
+    // the keep list served right after a retention pass — one grouped
+    // count over the retired labeling (hash-equal to the rebuild's, so
+    // the survivors oracle carries over with the same WHERE)
+    "q_dedup_survivors_retire" -> ((s, dir) =>
+      Dedup.survivorsFromLabels(queries("q_dedup_clusters_retire")(s, dir))),
+
     // the one row that still times the full lazy build (pair generation +
     // large-star/small-star convergence in-query) — the write-path cost a
     // capacity planner needs a number for
@@ -935,6 +959,17 @@ object SparkEntry {
       ops.Search.bm25TopKIncremental(s, dir,
         Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0),
         Tables.documents(s, dir).filter(col("doc_id") % 7 === 0),
+        Seq("spark", "vector", "merge"), k = 50)),
+
+    // RETIRED BM25: the full-corpus persisted index drops the % 11 == 0
+    // docs' posting/doclen rows (broadcast anti-join, Dedup.expireRows);
+    // df/N/Σdl recompose from the survivors, so the scores hash-match a
+    // rebuild over the surviving corpus — the reference's TTL semantics
+    // applied to the index artifacts
+    "q_bm25_retire" -> ((s, dir) =>
+      ops.Search.bm25TopKRetired(s, dir, Tables.documents(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id")),
         Seq("spark", "vector", "merge"), k = 50)),
 
     // BM25 off the persisted term-sharded inverted index: partition
@@ -1921,6 +1956,47 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the retire twin: the identical closure over the SURVIVING corpus
+    // (doc_id % 11 <> 0) — pairs, seeds, and labels all restricted, so
+    // the oracle IS the full rebuild the retirement must equal
+    "q_dedup_clusters_retire" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_survivors_retire" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a)
+        |SELECT cluster_id AS doc_id, COUNT(*) AS n_members
+        |FROM labels GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // ordered-pair containment over distinct 3-shingles, source-blocked
     "q_containment" ->
@@ -4103,6 +4179,11 @@ object SparkEntry {
     "q_bm25_idx" -> baseOracleSql("q_bm25"),
     // base-index ∪ delta-batch recomposition is exact — full-corpus oracle
     "q_bm25_incr" -> baseOracleSql("q_bm25"),
+    // retired index = rebuild over the survivors: same scoring SQL with
+    // the d CTE restricted to the surviving corpus (the one `FROM
+    // documents)` in q_bm25's oracle is that CTE's tail)
+    "q_bm25_retire" -> baseOracleSql("q_bm25")
+      .replace("  FROM documents),", "  FROM documents WHERE doc_id % 11 <> 0),"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),

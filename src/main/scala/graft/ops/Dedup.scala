@@ -774,40 +774,16 @@ object Dedup {
     val labelEdges = touchedMembers
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+    // SNAPSHOTTED before the size probe: the probe and the over-bound
+    // distributed contraction are separate consumers, and without the
+    // snapshot `starContract` would recompute the label-edge joins from
+    // scratch after the probe already ran them (the r11 verdict nit) —
+    // delta-sized rows, so the eager snapshot is cheap on both paths
     val subgraph = dEdges.select(col("u").as("id_a"), col("v").as("id_b"))
       .unionByName(labelEdges)
-    // Small-delta fast path: the delta subgraph below DriverMergeEdges
-    // (a few MB) resolves by path-compressed union-find on the driver —
-    // ONE bounded collect instead of ~log(n) star rounds, each of which
-    // costs two joins, two aggregations, a checkpoint, and a convergence
-    // probe in driver-synchronous latency. The merge is LATENCY-bound,
-    // not data-bound, in exactly the small-delta regime it exists for;
-    // a delta past the bound takes the distributed contraction (same
-    // output, proven by the shared oracle and DedupSpec's equality
-    // tests, which run both paths).
-    val limited = subgraph.limit(driverEdgeLimit + 1).collect()
-    val stars =
-      if (limited.length <= driverEdgeLimit) {
-        val parent = scala.collection.mutable.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x // path compression
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        for (row <- limited) {
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (ra != rb) { // min id becomes the root → labels are minima
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        val nodes = limited.iterator
-          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
-        val rows = nodes.iterator.map(n => (find(n), n))
-          .filter { case (u, v) => u != v }.toSeq
-        baseLabels.sparkSession.createDataFrame(rows).toDF("u", "v")
-      } else starContract(subgraph, maxIter, memDisk)
+      .localCheckpoint(true, memDisk)
+    val stars = resolveStars(baseLabels.sparkSession, subgraph, maxIter,
+      driverEdgeLimit, memDisk)
     // every doc whose label may change: touched members, delta-edge
     // endpoints, and the delta's own documents (edge-less ones become
     // singletons); delta-sized by construction. Snapshotted because it
@@ -834,6 +810,165 @@ object Dedup {
       .unionByName(relabeled)
       .orderBy(col("doc_id"))
   }
+
+  /** Shared component resolution for the delta-sized subgraphs the
+    * incremental label paths build ([[mergeClusterDelta]] /
+    * [[retireClusterDelta]]): below `driverEdgeLimit` edges (a few MB of
+    * (long, long) rows) the components resolve by path-compressed
+    * union-find on the driver — ONE bounded collect instead of ~log(n)
+    * star rounds, each of which costs two joins, two aggregations, a
+    * checkpoint, and a convergence probe in driver-synchronous latency
+    * (the small-delta merge is LATENCY-bound, not data-bound, in exactly
+    * the regime it exists for). Past the bound the distributed
+    * [[starContract]] takes over — same output, proven by the shared
+    * oracle and the property rows, which run both paths. `subgraph` must
+    * be snapshotted by the caller (the probe and the distributed
+    * contraction are separate consumers of it). Returns component STARS
+    * (u = component minimum, v = non-minimum member). */
+  private def resolveStars(spark: org.apache.spark.sql.SparkSession,
+      subgraph: DataFrame, maxIter: Int, driverEdgeLimit: Int,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val limited = subgraph.limit(driverEdgeLimit + 1).collect()
+    if (limited.length <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for (row <- limited) {
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // min id becomes the root → labels are minima
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = limited.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+      val rows = nodes.iterator.map(n => (find(n), n))
+        .filter { case (u, v) => u != v }.toSeq
+      spark.createDataFrame(rows).toDF("u", "v")
+    } else starContract(subgraph, maxIter, level)
+  }
+
+  /** RETENTION/REMOVAL delta for the persisted label table — the dual of
+    * [[mergeClusterDelta]]: retire a set of EXPIRED documents (aged out
+    * of TTL, takedown'd, re-licensed away) from an existing (doc_id,
+    * cluster_id) labeling at cost proportional to the components they
+    * touch, not the corpus. Without this, live-pipeline label state grows
+    * with the ALL-TIME corpus (the reference's TTL,
+    * internal/db/db.go:59-65, deletes aged rows from its table; the label
+    * table must follow its corpus).
+    *
+    * Removal is strictly harder than the merge's edge-addition: deleting
+    * a node can SPLIT its component (a bridge document's neighbors lose
+    * their only path), so pass-through labeling of survivors is wrong —
+    * the touched components must RE-CONVERGE from their surviving pair
+    * edges, which is exactly what the persisted pair table
+    * ([[charJaccardPairsPersisted]] / [[nearDupClustersPersisted]]'s
+    * input) holds.
+    *
+    * Semantics: the output equals a FULL [[nearDupClusters]] rebuild over
+    * (corpus − expired) with `pairs` restricted to surviving endpoints —
+    * exact, not approximate. Soundness of the delta-restriction: a pair's
+    * endpoints always share a component, so a component with NO expired
+    * member keeps its exact pair set and its labels cannot change; a
+    * touched component's surviving pair edges are exactly the pair rows
+    * with both endpoints in its surviving member set, and re-converging
+    * them yields the rebuild's labels (component minima over survivors,
+    * including any split parts).
+    *
+    * Steps, each keyed/bounded by the expired-touched components:
+    *  1. touched clusters = labels of expired docs (broadcast semi-join);
+    *  2. touched members = base labels in those clusters (broadcast);
+    *  3. surviving members = touched members − expired;
+    *  4. subgraph = pair rows with BOTH endpoints surviving-touched — two
+    *     broadcast semi-joins, so the pair table STREAMS through one
+    *     narrow scan (never shuffles, same class as the merge's
+    *     base-label scan);
+    *  5. resolve ([[resolveStars]] — driver union-find under the bound,
+    *     star rounds above it); edge-less survivors become singletons;
+    *  6. untouched labels pass through via a broadcast anti-join;
+    *     expired docs simply never re-enter.
+    *
+    * CONTRACT: `baseLabels` must be the [[nearDupClusters]] labeling OF
+    * `pairs` over its corpus (the persisted pair/label tables are built
+    * together, so this holds by construction), and the expired set plus
+    * its touched components must be small relative to memory — the
+    * broadcast regime, same as the merge. A purge approaching the corpus
+    * should take the full rebuild. */
+  def retireClusterDelta(baseLabels: DataFrame, pairs: DataFrame,
+      expiredIds: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Int = DriverMergeEdges): DataFrame = {
+    val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // snapshotted: three broadcast consumers (touched-cluster lookup,
+    // survivor filter, and nothing else corpus-sized) — expired-sized
+    val expired = expiredIds.select(col("doc_id")).distinct()
+      .localCheckpoint(true, memDisk)
+    val touchedClusters = baseLabels
+      .join(broadcast(expired), "doc_id")
+      .select(col("cluster_id")).distinct()
+    // every member of every component an expired doc belongs to —
+    // delta-sized by the contract; snapshotted (three consumers: the
+    // survivor set, the pass-through anti-join, the relabel universe)
+    val touchedMembers = baseLabels
+      .join(broadcast(touchedClusters), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(true, memDisk)
+    val survivors = touchedMembers.select(col("doc_id"))
+      .join(broadcast(expired), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true, memDisk)
+    // surviving pair edges of the touched components: both endpoints must
+    // survive (an edge with an expired endpoint dies with it). The pair
+    // table streams through two broadcast semi-joins — one narrow scan,
+    // no shuffle of the edge set.
+    val subgraph = pairs
+      .select(col("id_a"), col("id_b"))
+      .join(broadcast(survivors.select(col("doc_id").as("id_a"))), Seq("id_a"))
+      .join(broadcast(survivors.select(col("doc_id").as("id_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true, memDisk)
+    val stars = resolveStars(baseLabels.sparkSession, subgraph, maxIter,
+      driverEdgeLimit, memDisk)
+    // survivors of touched components relabel from the re-converged
+    // stars; edge-less survivors (their component split them off, or
+    // their only neighbors expired) become singletons
+    val relabeled = survivors
+      .join(stars.select(col("v").as("doc_id"), col("u").as("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    baseLabels
+      .join(broadcast(touchedMembers.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .unionByName(relabeled)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generic RETENTION pass for the persisted per-document index
+    * artifacts (the band-signature table, the pHash fingerprint index,
+    * the BM25 postings/doclen pair, the IVF assignment): drop every row
+    * whose `idCol` is in the expired set, via a broadcast anti-join —
+    * the expired set is TTL-batch-sized by the retention contract, so
+    * the index streams through one narrow scan with no shuffle.
+    *
+    * Exactness per artifact (each pinned in RetentionSpec): a MinHash
+    * band signature, a pHash fingerprint, a posting row, and a
+    * fixed-centroid IVF assignment are all PER-DOCUMENT derivations
+    * independent of the rest of the corpus, so "index of (corpus −
+    * expired)" IS "index minus expired rows" — and the corpus-level
+    * statistics that are NOT per-document (BM25's N/Σdl/df) recompose
+    * from the pruned doclen/postings at serve time, which is why
+    * [[graft.ops.Search.bm25TopKRetired]] is hash-exact against the
+    * filtered-corpus oracle. The IVF CENTROIDS deliberately stay (the
+    * FAISS train-once contract; [[graft.ops.Similarity.ivfDriftGauge]]
+    * watches their decay). */
+  def expireRows(index: DataFrame, idCol: String,
+      expiredIds: DataFrame): DataFrame =
+    index.join(
+      broadcast(expiredIds.select(col("doc_id").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
 
   /** Dedup KEEP LIST — the actual output corpus of a near-dup pass: one
     * canonical survivor (the minimum doc_id) per connected component,

@@ -214,6 +214,28 @@ object Search {
     bm25Serve(spark, bp.unionByName(dp), bd.unionByName(dd), terms, k, k1, b)
   }
 
+  /** RETIRED BM25 — retrieval after a retention pass, without rebuilding
+    * the index: the persisted postings/doclen tables drop the expired
+    * documents' rows via [[graft.ops.Dedup.expireRows]]' broadcast
+    * anti-join, and every corpus statistic recomposes from what is left —
+    * df is a row count over surviving postings, N and Σdl are sums over
+    * the surviving doclen — so the served scores are bit-identical to a
+    * full rebuild over (corpus − expired), the same oracle with the
+    * expired docs filtered out. This is the retrieval half of the
+    * reference's TTL semantics (internal/db/db.go:59-65) applied to the
+    * index artifacts: state follows the LIVE corpus, and the per-delete
+    * cost is one narrow anti-join pass, not a corpus re-tokenize. */
+  def bm25TopKRetired(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, expiredIds: DataFrame,
+      terms: Seq[String], k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, doclen) = invertedIndexPersisted(spark, dir, documents)
+    bm25Serve(spark,
+      graft.ops.Dedup.expireRows(postings, "doc_id", expiredIds),
+      graft.ops.Dedup.expireRows(doclen, "doc_id", expiredIds),
+      terms, k, k1, b)
+  }
+
   /** Conjunctive (AND) retrieval off the persisted inverted index: the
     * documents containing EVERY query term, with their lengths — the
     * other classic posting-list operation (BM25 is the ranked OR). The

@@ -248,6 +248,71 @@ class DedupSpec extends AnyFunSuite {
     assert(twice(30L) == 30L) // untouched singleton passed through
   }
 
+  test("retireClusterDelta: retiring a bridge SPLITS its component; " +
+      "equals the rebuild on survivors (both resolution paths)") {
+    import spark.implicits._
+    // chain 1-2-3-4: retiring the bridge 2 splits the component into {1}
+    // and {3,4}; 10-11 is untouched and must pass through unscanned;
+    // 20 is an expired singleton that simply disappears
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)
+      .map(i => (i, s"d$i", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(docs, pairs)
+    val expired = Seq(2L, 20L).toDF("doc_id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val retired = asMap(Dedup.retireClusterDelta(labels, pairs, expired))
+    val retiredDist = asMap(
+      Dedup.retireClusterDelta(labels, pairs, expired, driverEdgeLimit = 0))
+    val rebuilt = asMap(Dedup.nearDupClusters(
+      docs.filter(!col("doc_id").isin(2L, 20L)),
+      pairs.filter(!col("id_a").isin(2L, 20L) && !col("id_b").isin(2L, 20L))))
+    assert(retired == rebuilt)
+    assert(retiredDist == rebuilt)
+    assert(retired == Map(1L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("retireClusterDelta: add-then-retire equals the rebuild on the " +
+      "surviving union (the live pipeline's steady-state cycle)") {
+    import spark.implicits._
+    val baseDocs = Seq(1L, 2L, 3L, 10L, 11L)
+      .map(i => (i, s"d$i", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val baseLabels = Dedup.nearDupClusters(baseDocs, basePairs)
+    // arrivals: 40 joins {1,2,3} via 2; then retention expires 2 (the
+    // bridge AND 40's only link into the old component) and 10
+    val deltaDocs = Seq(40L).toDF("doc_id")
+    val deltaPairs = Seq((40L, 2L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusterDelta(baseLabels, deltaDocs, deltaPairs)
+    val allPairs = basePairs.unionByName(deltaPairs)
+    val expired = Seq(2L, 10L).toDF("doc_id")
+    val got = Dedup.retireClusterDelta(merged, allPairs, expired)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rebuilt = Dedup.nearDupClusters(
+      baseDocs.unionByName(deltaDocs.select(col("doc_id"), lit("t").as("text"),
+        lit("en").as("lang"), lit("s").as("source")))
+        .filter(!col("doc_id").isin(2L, 10L)),
+      allPairs.filter(!col("id_a").isin(2L, 10L) && !col("id_b").isin(2L, 10L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == rebuilt)
+    assert(got == Map(1L -> 1L, 3L -> 3L, 40L -> 40L, 11L -> 11L))
+  }
+
+  test("expireRows: per-document index artifacts pruned of expired rows " +
+      "equal the artifacts built over the surviving corpus") {
+    val docs = graft.Tables.documents(spark, SparkTestBase.sfDir)
+    val expired = docs.filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+    val survivors = docs.filter(col("doc_id") % 11 =!= 0)
+    // MinHash band signatures are per-document (corpus-independent), so
+    // expiry of the index == the survivors' index
+    val prunedBands = Dedup.expireRows(
+      Dedup.minHashBanded(docs), "doc_id", expired)
+    assert(prunedBands.exceptAll(Dedup.minHashBanded(survivors)).isEmpty &&
+      Dedup.minHashBanded(survivors).exceptAll(prunedBands).isEmpty)
+    // the expired ids are really gone
+    assert(prunedBands.filter(col("doc_id") % 11 === 0).isEmpty)
+  }
+
   test("shingles: distinct n-grams; short docs degrade to whole-doc shingle") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")

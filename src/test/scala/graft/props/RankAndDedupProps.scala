@@ -189,3 +189,63 @@ object MergeDeltaProps extends Properties("MergeDelta") {
         got == ufLabels(allNodes, baseE ++ deltaE)
     }
 }
+
+/** Retirement law on random graphs — the dual of [[MergeDeltaProps]]: for
+  * ANY edge set, ANY expired subset (bridges, whole components, isolated
+  * nodes) and BOTH resolution paths,
+  * [[graft.ops.Dedup.retireClusterDelta]] over union-find-derived labels
+  * must equal the rebuild's minimal labels on (nodes − expired, edges
+  * among survivors) — including the component SPLITS that make removal
+  * harder than the merge. The add-then-retire composition (a merge
+  * followed by a retirement, the live pipeline's steady-state cycle) is
+  * pinned by the DedupSpec case; this pins the removal step alone against
+  * an independent reference. */
+object RetireDeltaProps extends Properties("RetireDelta") {
+  lazy val spark = SparkTestBase.spark
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(25)
+
+  private def ufLabels(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
+  property("retireClusterDelta == rebuild on survivors for ANY expired subset (both paths)") =
+    forAll(for {
+      n <- Gen.choose(2, 20)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+      expired <- Gen.someOf(0L until n.toLong)
+      dist <- Gen.frequency(4 -> false, 1 -> true)
+    } yield (n, edges.filter(e => e._1 != e._2).take(14),
+      expired.toSet, dist)) {
+      case (n, edges, expired, dist) =>
+        import spark.implicits._
+        val nodes = (0L until n.toLong).toSet
+        val labels = ufLabels(nodes, edges).toSeq.toDF("doc_id", "cluster_id")
+        val pairs =
+          if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+          else edges.toDF("id_a", "id_b")
+        val expiredDf =
+          if (expired.isEmpty) Seq.empty[Long].toDF("doc_id")
+          else expired.toSeq.toDF("doc_id")
+        val got = graft.ops.Dedup.retireClusterDelta(labels, pairs,
+          expiredDf, driverEdgeLimit = if (dist) 0 else 200000)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val surviving = edges.filter(e =>
+          !expired.contains(e._1) && !expired.contains(e._2))
+        got == ufLabels(nodes -- expired, surviving)
+    }
+}
