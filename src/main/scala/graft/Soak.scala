@@ -705,6 +705,28 @@ object Soak {
         scanned.exceptAll(served).count()
       println(f"""SOAK {"phase":"incrbm25","scale":"$tag","docs":$n,"delta_docs":$nDelta,"terms":"${terms.mkString(" ")}","incr_sec":$incrBmSec%.2f,"rebuild_sec":$rebuildBmSec%.2f,"scan_sec":$scanBmSec%.2f,"row_diff":$bmDiff}""")
 
+      // ── DSIR importance weights: constant doc delta over the persisted
+      // base feature/count tables; rebuild twin = the full recompute
+      // (two corpus tokenize passes per invocation). Timing is evidence
+      // only because the rows are asserted bit-equal first. ──
+      import graft.ops.Sampling
+      // UNTIMED: the standing corpus's persisted DSIR artifacts
+      Sampling.importanceIndexPersisted(spark, dir, docs.filter(!isDeltaDoc))
+      val t9 = System.nanoTime()
+      Sampling.importanceWeightsIncremental(spark, dir,
+        docs.filter(!isDeltaDoc), docs.filter(isDeltaDoc))
+        .write.mode("overwrite").parquet(s"$dir/incr_dsir.parquet")
+      val incrDsirSec = (System.nanoTime() - t9) / 1e9
+      val t10 = System.nanoTime()
+      Sampling.importanceWeights(docs)
+        .write.format("noop").mode("overwrite").save()
+      val rebuildDsirSec = (System.nanoTime() - t10) / 1e9
+      val incrDsir = spark.read.parquet(s"$dir/incr_dsir.parquet")
+      val fullDsir = Sampling.importanceWeights(docs)
+      val dsirDiff = incrDsir.exceptAll(fullDsir).count() +
+        fullDsir.exceptAll(incrDsir).count()
+      println(f"""SOAK {"phase":"incrdsir","scale":"$tag","docs":$n,"delta_docs":$nDelta,"rows":${incrDsir.count()},"incr_sec":$incrDsirSec%.2f,"rebuild_sec":$rebuildDsirSec%.2f,"row_diff":$dsirDiff}""")
+
       // ── text MinHash: constant doc delta vs the persisted base
       // band-signature index; rebuild twin = the full minHashPairs
       // self-join (re-shingles and re-signs the whole corpus) ──

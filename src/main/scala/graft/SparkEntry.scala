@@ -117,7 +117,9 @@ object SparkEntry {
     // first runs write the persisted BASE inverted index / pHash index /
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
-    "q_dedup_minhash_incr")
+    "q_dedup_minhash_incr",
+    // first run writes the persisted DSIR feature/count tables
+    "q_importance_weights_incr")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -1117,6 +1119,17 @@ object SparkEntry {
     // the data-selection score, integer-exact on both engines
     "q_importance_weights" -> ((s, dir) =>
       ops.Sampling.importanceWeights(Tables.documents(s, dir))),
+
+    // INCREMENTAL DSIR: the persisted base feature/count tables (docs at
+    // doc_id % 7 != 0, built once) absorb the % 7 == 0 slice with one
+    // delta-only tokenize; bucket counts merge in the ≤B-row table and
+    // rescoring is a broadcast-ppb pass over the persisted features —
+    // bit-identical to the full recompute, so the full-corpus oracle
+    // carries over verbatim
+    "q_importance_weights_incr" -> ((s, dir) =>
+      ops.Sampling.importanceWeightsIncremental(s, dir,
+        Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0),
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0))),
 
     // the EXACT-LLR upgrade: Σ log2(p_t/p_r) in fixed point over the raw
     // counts — rare-but-discriminative features outrank merely-frequent
@@ -3813,6 +3826,9 @@ object SparkEntry {
     "q_data_split" -> OracleSql.splitCountsSql(trainPct = 90, valPct = 5),
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),
     "q_importance_weights" ->
+      OracleSql.importanceWeightsSql(Seq("src1", "src7"), buckets = 4096),
+    // base-artifacts ∪ delta-batch recomposition is exact — same oracle
+    "q_importance_weights_incr" ->
       OracleSql.importanceWeightsSql(Seq("src1", "src7"), buckets = 4096),
     "q_importance_weights_llr" ->
       OracleSql.importanceWeightsLlrSql(Seq("src1", "src7"), buckets = 4096),

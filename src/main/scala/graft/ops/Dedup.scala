@@ -202,15 +202,48 @@ object Dedup {
       threshold: Double = 0.5, suffix: String = "_base"): DataFrame = {
     val idx = minHashBandIndexPersisted(spark, dir, baseDocs, n, k, bands,
       suffix)
+    val lookup = minHashDocTextPersisted(spark, dir, baseDocs, suffix)
     val bandedDelta = minHashBanded(deltaDocs, n, k, bands)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minHashPairsAgainst(bandedDelta, idx,
-      baseDocs.select(col("doc_id"), col("text"))
-        .unionByName(deltaDocs.select(col("doc_id"), col("text"))),
-      n, threshold)
+    val candidates = minHashCandidates(bandedDelta, idx)
+    // candidate-endpoint shard set: candidates are delta-bounded and
+    // already snapshotted, so this is a bounded driver read of ≤
+    // DocTextShards longs — the same class as the BM25 term-shard
+    // literals. The isin filter becomes a PartitionFilter on the lookup
+    // table, so verify-side base-text I/O is ∝ candidate shards, not one
+    // full corpus stream-through per arrival batch.
+    val shards = candidates
+      .select(explode(array(pmod(col("id_a"), lit(DocTextShards)),
+        pmod(col("id_b"), lit(DocTextShards)))).as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val docs = lookup.filter(col("shard").isin(shards: _*))
+      .select(col("doc_id"), col("text"))
+      .unionByName(deltaDocs.select(col("doc_id"), col("text")))
+    verifyCandidates(candidates, docs, n, threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** doc_id shard count of [[minHashDocTextPersisted]] — enough
+    * directories that an arrival batch's candidate endpoints prune most
+    * of the corpus text, few enough that the shard set stays a bounded
+    * literal list. */
+  private val DocTextShards = 64L
+
+  /** The PERSISTED (doc_id, text) lookup the incremental verify reads —
+    * partitioned by `shard = pmod(doc_id, 64)` so a candidate-bounded
+    * shard list prunes whole directories at listing time (the
+    * [[graft.ops.Search.invertedIndexPersisted]] layout applied to
+    * document bodies). A live pipeline persists its corpus text anyway;
+    * this is that table in the layout the verify path wants. */
+  def minHashDocTextPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, baseDocs: => DataFrame,
+      suffix: String = "_base"): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      s"minhash_doctext${suffix}_" + graft.sources.ManagedTable.tag(dir),
+      partitionCol = Some("shard"))(
+      baseDocs.select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(DocTextShards)).as("shard")))
 
   /** The standing corpus's persisted (band, bh, doc_id) band-signature
     * table — the one artifact [[minHashPairsIncremental]] reads, exposed
@@ -239,7 +272,17 @@ object Dedup {
     * `documents` must carry the text for every id either banding can
     * reference. Callers snapshot `bandedDelta` (it feeds both legs). */
   def minHashPairsAgainst(bandedDelta: DataFrame, bandedIndex: DataFrame,
-      documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      documents: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    verifyCandidates(minHashCandidates(bandedDelta, bandedIndex),
+      documents, n, threshold)
+
+  /** The candidate half of [[minHashPairsAgainst]]: delta×index band
+    * collisions (delta BROADCASTS, index streams through unshuffled) ∪
+    * the delta self-join, canonical (id_a < id_b), deduped across bands.
+    * EAGER: snapshotted — every caller fans it into at least two
+    * consumers (the verify joins; the incremental path's shard probe). */
+  private[graft] def minHashCandidates(bandedDelta: DataFrame,
+      bandedIndex: DataFrame): DataFrame = {
     val between = broadcast(
         bandedDelta.select(col("band"), col("bh"), col("doc_id").as("id_d")))
       .join(bandedIndex.select(col("band"), col("bh"), col("doc_id").as("id_i")),
@@ -252,16 +295,23 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val candidates = between.unionByName(selfCand).distinct()
+    between.unionByName(selfCand).distinct()
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The verify half: shingle ONLY candidate endpoints — the id set is
+    * delta-bounded, so it broadcasts and `documents`' text scan streams
+    * through the semi-join without shuffling or shingling anything
+    * corpus-sized. UNSORTED (the composition convention): the wave-replay
+    * gate unions per-wave outputs and [[minHashPairsIncremental]] adds
+    * the single presentation sort its oracle expects. */
+  private def verifyCandidates(candidates: DataFrame, documents: DataFrame,
+      n: Int, threshold: Double): DataFrame = {
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
     val docs = documents.select(col("doc_id"), col("text"))
       .join(broadcast(candIds), Seq("doc_id"))
-    // UNSORTED (the composition convention): the wave-replay gate unions
-    // per-wave outputs and [[minHashPairsIncremental]] adds the single
-    // presentation sort its oracle expects
     jaccardVerifyUnordered(candidates, docs, n, threshold)
   }
 

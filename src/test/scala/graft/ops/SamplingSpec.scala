@@ -235,6 +235,23 @@ class SamplingSpec extends AnyFunSuite {
       "the linear score prefers absolute mass — the delta under test")
   }
 
+  test("importanceWeightsIncremental: bit-identical to the full recompute " +
+      "over base ∪ delta; both legs contribute") {
+    val fixture = graft.Tables.documents(spark, SparkTestBase.sfDir)
+    val isDelta = col("doc_id") % 7 === 0
+    val incr = Sampling.importanceWeightsIncremental(spark,
+      SparkTestBase.sfDir, fixture.filter(!isDelta), fixture.filter(isDelta),
+      buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = Sampling.importanceWeights(fixture, buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(incr.nonEmpty)
+    assert(incr.toSeq == full.toSeq) // exact, row for row, both sorted by doc_id
+    // both base and delta raw documents must be scored (a one-leg result
+    // would mean the persisted feature table or the delta union is broken)
+    assert(incr.exists(_._1 % 7 == 0) && incr.exists(_._1 % 7 != 0))
+  }
+
   test("importanceResample keeps the per-source ceil quota, ranked by score then doc_id") {
     val target = Seq("src1")
     val out = Sampling.importanceResample(docs, target, buckets = 256,
