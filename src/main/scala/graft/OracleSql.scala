@@ -511,6 +511,45 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replica of [[graft.ops.Similarity.ivfDriftGauge]]: the IVF chain
+    * trains on the base corpus only, assigns EVERY vector (a_f), and
+    * each held-out batch's fit is the ppb-floored mean cosine of its
+    * vectors to their ASSIGNED centroid — floor/sum/`//` all
+    * integer-exact, the cosines bit-identical by the chain's standing
+    * proof. Reference batch = even delta ids, new batch = odd. */
+  def ivfDriftSql(nCentroids: Int = 32, lloydIters: Int = 2,
+      deltaMod: Long = 7L, retrainPpb: Long = 50000000L,
+      collapsePpb: Long = 400000000L): String = {
+    val (ctes, last) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere = s"vec_id % $deltaMod <> 0")
+    s"""WITH $ctes,
+       |fit AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    CAST(floor(${cosSql("a.e", "cc.c")} * 1000000000.0) AS BIGINT)
+       |      AS csim_ppb
+       |  FROM a_f a JOIN $last cc ON a.cluster = cc.c_id
+       |  WHERE a.vec_id % $deltaMod = 0),
+       |fr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(csim_ppb) AS s
+       |       FROM fit WHERE vec_id % 2 = 0),
+       |fn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(csim_ppb) AS s
+       |       FROM fit WHERE vec_id % 2 <> 0),
+       |tr AS (SELECT MAX(c) AS mx FROM (
+       |         SELECT COUNT(*) AS c FROM fit
+       |         WHERE vec_id % 2 = 0 GROUP BY cluster)),
+       |tn AS (SELECT MAX(c) AS mx FROM (
+       |         SELECT COUNT(*) AS c FROM fit
+       |         WHERE vec_id % 2 <> 0 GROUP BY cluster))
+       |SELECT fr.n AS n_ref, fn.n AS n_new,
+       |  CAST(fr.s // fr.n AS BIGINT) AS ref_fit_ppb,
+       |  CAST(fn.s // fn.n AS BIGINT) AS new_fit_ppb,
+       |  CAST(fr.s // fr.n - fn.s // fn.n AS BIGINT) AS drift_ppb,
+       |  CAST(tr.mx * 1000000000 // fr.n AS BIGINT) AS ref_top_share_ppb,
+       |  CAST(tn.mx * 1000000000 // fn.n AS BIGINT) AS new_top_share_ppb,
+       |  ((fr.s // fr.n - fn.s // fn.n) > $retrainPpb
+       |    OR tn.mx * 1000000000 // fn.n > $collapsePpb) AS retrain
+       |FROM fr, fn, tr, tn""".stripMargin
+  }
+
   /** The WITH-body tail every live-parity replica shares: recursive
     * closure over `prs` (id_a, id_b) seeded from every `$idCol` of
     * `$rel`, min-labeling, then the single counts row (n_pairs_live

@@ -805,6 +805,58 @@ object Soak {
     }
   }
 
+  /** `ivfdrift` mode: does [[graft.ops.Similarity.ivfDriftGauge]] actually
+    * separate signal from noise? TRUE-growth embeddings at `factor`× the
+    * fixture count train a base index; then the gauge runs over two
+    * batch pairs against those FIXED centroids:
+    *
+    *  - IN-DISTRIBUTION: two fresh batches from the SAME generator
+    *    (ids past the base range) — drift must sit near zero, retrain
+    *    false (the gauge's held-out-vs-held-out design cancels Lloyd's
+    *    overfit gap, so nothing fires on mere sampling noise);
+    *  - SHIFTED: the same new batch pushed into the positive orthant
+    *    (|x| + 0.5 per component — a gross distribution change) — drift
+    *    must cross the 0.05-cosine default threshold and fire retrain.
+    *
+    * Both rows print; the receipt is the gap between them. */
+  def ivfDriftSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    import graft.ops.Similarity
+    val nBase = Tables.embeddings(spark, baseDir).count() * factor
+    val dir = s"$outDir/ivfdrift"
+    // base corpus + two held-out arrival batches, all one generator
+    val all = trueGrowthEmbeddings(spark, baseDir, nBase + 2 * (nBase / 8))
+    all.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = vecs.filter(col("vec_id") < nBase)
+    val refBatch = vecs.filter(col("vec_id") >= nBase &&
+      col("vec_id") < nBase + nBase / 8)
+    val newBatch = vecs.filter(col("vec_id") >= nBase + nBase / 8)
+    val k = (32 * factor).max(32)
+    Similarity.ivfIndexPersisted(spark, dir, base, nCentroids = k,
+      suffix = "_base") // untimed standing artifact
+    def row(name: String, nb: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val r = Similarity.ivfDriftGauge(spark, dir, base, refBatch, nb,
+        nCentroids = k).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""SOAK {"phase":"ivfdrift","case":"$name","n_base":$nBase,"centroids":$k,"n_ref":${r.getLong(0)},"n_new":${r.getLong(1)},"ref_fit_ppb":${r.getLong(2)},"new_fit_ppb":${r.getLong(3)},"drift_ppb":${r.getLong(4)},"ref_top_share_ppb":${r.getLong(5)},"new_top_share_ppb":${r.getLong(6)},"retrain":${r.getBoolean(7)},"sec":$sec%.2f}""")
+    }
+    row("in_distribution", newBatch)
+    // a stuck/collapsed upstream encoder: every vector pushed into one
+    // orthant — mean fit barely moves (the fit gauge's blind spot), the
+    // occupancy signal must fire
+    row("mode_collapse", newBatch.withColumn("embedding",
+      transform(col("embedding"), x => (abs(x) + lit(0.5d)).cast("float"))))
+    // a degenerate encoder emitting axis-spike vectors: occupancy stays
+    // spread, the FIT signal must fire
+    row("axis_spikes", newBatch.withColumn("embedding",
+      transform(col("embedding"), (x, i) =>
+        when(pmod(col("vec_id"), lit(64L)).cast("int") === i, lit(1.0f))
+          .otherwise(lit(0.0f)))))
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -845,6 +897,11 @@ object Soak {
     }
     if (args.lift(3).contains("incrserve")) {
       incrServeSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("ivfdrift")) {
+      ivfDriftSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

@@ -119,7 +119,9 @@ object SparkEntry {
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
     "q_dedup_minhash_incr",
     // first run writes the persisted DSIR feature/count tables
-    "q_importance_weights_incr")
+    "q_importance_weights_incr",
+    // first run writes the base-trained IVF index the gauge reads
+    "q_knn_ivf_drift_check")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -918,6 +920,23 @@ object SparkEntry {
         Similarity.ivfPqTopKPersisted(s, dir, Tables.embeddings(s, dir),
           0L until 10L, 5, nProbe = 8, poolFactor = 16),
         Tables.embeddings(s, dir), 0.6)),
+
+    // IVF DRIFT GAUGE: quantization fit of one held-out arrival batch
+    // (odd % 7 == 0 ids) vs a reference batch (even ones) against the
+    // base-trained persisted centroids — the retrain trigger for the
+    // add-after-train contract, held-out vs held-out so Lloyd's
+    // overfit-to-training gap cancels. In-distribution fixture halves →
+    // drift ≈ 0, retrain = false; the `ivfdrift` soak shows the gauge
+    // moving under a genuinely shifted batch. Every arithmetic step is
+    // ppb-integer or a bit-identical IEEE cosine, so the row
+    // hash-matches its DuckDB replica exactly
+    "q_knn_ivf_drift_check" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val delta = emb.filter(col("vec_id") % 7 === 0)
+      Similarity.ivfDriftGauge(s, dir, emb.filter(col("vec_id") % 7 =!= 0),
+        delta.filter(col("vec_id") % 2 === 0),
+        delta.filter(col("vec_id") % 2 =!= 0))
+    }),
 
     // ───────────────────────── text analysis ──
     "q_text_stats" -> ((s, dir) =>
@@ -3937,6 +3956,7 @@ object SparkEntry {
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_idx" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_incr" -> OracleSql.semDedupPairsIncrSql(),
+    "q_knn_ivf_drift_check" -> OracleSql.ivfDriftSql(),
     "q_semdedup_live_parity" -> OracleSql.semDedupLiveParitySql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,

@@ -774,6 +774,94 @@ object Similarity {
         col("cluster"), col("cosine"))
   }
 
+  /** IVF DRIFT GAUGE — the retrain trigger for the add-after-train
+    * contract every incremental embedding path commits to
+    * ([[semanticDedupPairsIncremental]], the streaming index upkeep):
+    * base-trained centroids are FIXED under arrivals, which is exactly
+    * right until the arrival distribution shifts — then bucket recall
+    * erodes silently. The gauge compares the quantization fit of the
+    * CURRENT arrival batch against a REFERENCE arrival batch (an earlier
+    * in-distribution one), both assigned to the same persisted base
+    * centroids. Comparing two held-out batches is deliberate: comparing
+    * arrivals against the TRAINING corpus' own fit would bake Lloyd's
+    * overfit-to-its-sample gap into the signal (measured ~0.14 cosine at
+    * the fixture scale on an in-distribution delta — pure generalization
+    * gap, zero actual drift), while held-out-vs-held-out cancels it and
+    * isolates the distribution movement.
+    *
+    * TWO signals, because single-signal gauges have measured blind spots
+    * (the `ivfdrift` soak probes all of this):
+    *
+    *  - FIT DRIFT: mean cosine of each batch vector to its assigned
+    *    centroid, in ppb fixed point (floor(csim·10⁹) summed as BIGINT,
+    *    integer-divided — order-free and engine-exact, the q_lm_score
+    *    convention; the cosines themselves are bit-identical IEEE on
+    *    both engines, proven by the semdedup oracle chain). Catches
+    *    diffuse shifts — a degenerate encoder emitting axis-spike
+    *    vectors moves it by 0.068 where in-distribution noise is ~0.0001.
+    *  - OCCUPANCY COLLAPSE: the new batch's largest assigned-cluster
+    *    share. Catches exactly what fit drift CANNOT: a shift
+    *    concentrating arrivals in one direction (mode collapse, a stuck
+    *    upstream model) can keep — even improve — mean centroid cosine
+    *    while 85% of the batch lands in one bucket (measured), which
+    *    destroys IVF's probe economics regardless of fit.
+    *
+    * One output row: (n_ref, n_new, ref_fit_ppb, new_fit_ppb, drift_ppb
+    * = ref − new, ref_top_share_ppb, new_top_share_ppb, retrain).
+    * retrain fires when drift_ppb > retrainDriftPpb (default 0.05
+    * cosine) OR new_top_share_ppb > collapseSharePpb (default 0.40) —
+    * both an order of magnitude above the in-distribution values the
+    * receipt records, and well under the measured shifted cases. RETRAIN
+    * POLICY: when it fires, rebuild the IVF index over (base ∪
+    * accumulated deltas) — the amortized offline retrain FAISS
+    * deployments schedule — and reset the suffix epoch; until then
+    * arrivals keep assigning to the fixed centroids.
+    *
+    * Scale shape: two batch-sized broadcast-argmax passes (each
+    * snapshotted — fit and occupancy are two consumers) folding to 1-row
+    * aggregates — nothing corpus-sized is read at all, so the gauge is
+    * cheap enough to run on every arrival batch. EAGER (batch-only). */
+  def ivfDriftGauge(spark: org.apache.spark.sql.SparkSession, dir: String,
+      baseEmb: => DataFrame, refDelta: DataFrame, newDelta: DataFrame,
+      nCentroids: Int = 32, lloydIters: Int = 2,
+      retrainDriftPpb: Long = 50000000L,
+      collapseSharePpb: Long = 400000000L): DataFrame = {
+    val (centroids, _) = ivfIndexPersisted(spark, dir, baseEmb,
+      nCentroids, lloydIters, suffix = "_base")
+    def fitAndShare(batch: DataFrame): DataFrame = {
+      val assigned = assignToCentroids(batch, centroids)
+        .select(col("cluster").cast("long").as("cluster"),
+          col("embedding"), col("nsq"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val f = assigned
+        .join(broadcast(centroids), col("cluster") === col("c_id"))
+        .select(floor(cosinePrenormed(dot(col("embedding"), col("c_emb")),
+          col("nsq"), col("c_nsq")) * lit(1000000000.0d)).cast("long")
+          .as("csim_ppb"))
+        .agg(count(lit(1)).as("n"), sum(col("csim_ppb")).as("s"))
+      val occ = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L)).as("mx"))
+      f.crossJoin(broadcast(occ))
+        .select(col("n"), expr("s div n").as("fit_ppb"),
+          expr("mx * 1000000000L div n").as("top_share_ppb"))
+    }
+    val r = fitAndShare(refDelta).select(col("n").as("n_ref"),
+      col("fit_ppb").as("ref_fit_ppb"),
+      col("top_share_ppb").as("ref_top_share_ppb"))
+    val d = fitAndShare(newDelta).select(col("n").as("n_new"),
+      col("fit_ppb").as("new_fit_ppb"),
+      col("top_share_ppb").as("new_top_share_ppb"))
+    r.crossJoin(broadcast(d))
+      .select(col("n_ref"), col("n_new"),
+        col("ref_fit_ppb"), col("new_fit_ppb"),
+        (col("ref_fit_ppb") - col("new_fit_ppb")).as("drift_ppb"),
+        col("ref_top_share_ppb"), col("new_top_share_ppb"),
+        ((col("ref_fit_ppb") - col("new_fit_ppb")) > retrainDriftPpb ||
+          col("new_top_share_ppb") > collapseSharePpb).as("retrain"))
+  }
+
   /** Per-label corpus statistics over the embedding column — the sanity
     * profile (cardinality, norm distribution) an embedding pipeline logs
     * before/after normalization. One narrow pass + a tiny label exchange;
