@@ -529,6 +529,78 @@ object Soak {
     }
   }
 
+  /** `retirecc` mode: the update-cost receipt for
+    * [[graft.ops.Dedup.retireClusterDelta]] — the claim under test is
+    * "retiring an expired set from the persisted labeling costs ∝ the
+    * components it touches (plus one narrow pair-table scan), NOT ∝ the
+    * corpus". The expired set is held CONSTANT across scales (doc_id %
+    * 11 == 0 within the 1× id range); the rebuild twin is what a
+    * pipeline without the retire path pays per retention pass:
+    * re-converging connected components over ALL surviving persisted
+    * pairs (no pair re-generation — removal adds no pairs — so the twin
+    * is the CONSERVATIVE comparison; a pair-regenerating rebuild would
+    * only be slower). Timing is evidence only because the label sets
+    * are asserted equal first. A half-size expired set (% 22) times the
+    * vary-delta direction.
+    *
+    * The pair tier here is MinHash (family-bounded components by the
+    * TRUE-growth construction). Char-jaccard over the shared-vocabulary
+    * generator was measured to produce a near-clique (1.1M pairs / 5k
+    * docs, one giant component): an expired doc there touches THE WHOLE
+    * CORPUS, and retire correctly degenerates to the rebuild — exactly
+    * the documented contract boundary ("a purge touching most
+    * components should take the full rebuild"), not the steady-state
+    * regime this receipt measures. */
+  def retireCcSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/retirecc_$tag"
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      // UNTIMED prep — in production these are the standing persisted
+      // artifacts every label reader already depends on
+      graft.ops.Dedup.minHashPairs(docs)
+        .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
+      val pairs = spark.read.parquet(s"$dir/pairs.parquet")
+      graft.ops.Dedup.nearDupClusters(docs, pairs)
+        .write.mode("overwrite").parquet(s"$dir/labels.parquet")
+      val labels = spark.read.parquet(s"$dir/labels.parquet")
+      val isExpired = col("doc_id") % 11 === 0 && col("doc_id") < nBase
+      val expired = docs.filter(isExpired).select(col("doc_id"))
+      val nExp = expired.count()
+      val t0 = System.nanoTime()
+      val retired = graft.ops.Dedup.retireClusterDelta(labels, pairs, expired)
+      retired.write.format("noop").mode("overwrite").save()
+      val retireSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val survPairs = pairs.filter(
+        !(col("id_a") % 11 === 0 && col("id_a") < nBase) &&
+          !(col("id_b") % 11 === 0 && col("id_b") < nBase))
+      val rebuilt = graft.ops.Dedup.nearDupClusters(
+        docs.filter(!isExpired), survPairs)
+      rebuilt.write.format("noop").mode("overwrite").save()
+      val rebuildSec = (System.nanoTime() - t1) / 1e9
+      // timing is only evidence if the answers agree
+      val diff = retired.exceptAll(rebuilt).count() +
+        rebuilt.exceptAll(retired).count()
+      println(f"""SOAK {"phase":"retirecc","scale":"$tag","docs":$n,"expired_docs":$nExp,"retire_sec":$retireSec%.2f,"rebuild_sec":$rebuildSec%.2f,"label_diff":$diff}""")
+
+      // vary-expired-hold-corpus: half the expired set against the same
+      // corpus — cost should track the expired-touched components
+      val isHalf = col("doc_id") % 22 === 0 && col("doc_id") < nBase
+      val halfExp = docs.filter(isHalf).select(col("doc_id"))
+      val nHalf = halfExp.count()
+      val t2 = System.nanoTime()
+      graft.ops.Dedup.retireClusterDelta(labels, pairs, halfExp)
+        .write.format("noop").mode("overwrite").save()
+      val halfSec = (System.nanoTime() - t2) / 1e9
+      println(f"""SOAK {"phase":"retirecc_half","scale":"$tag","docs":$n,"expired_docs":$nHalf,"retire_sec":$halfSec%.2f}""")
+    }
+  }
+
   /** `truegrowthmedia` mode: the TRUE-growth receipts for the
     * image/audio/video near-dup tiers — generate media corpora whose
     * duplicate-FAMILY height is constant as n grows
@@ -902,6 +974,11 @@ object Soak {
     }
     if (args.lift(3).contains("ivfdrift")) {
       ivfDriftSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("retirecc")) {
+      retireCcSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }
