@@ -133,7 +133,8 @@ object SparkEntry {
     "q_dedup_stream_parity", "q_funnel_stream_parity",
     "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity",
     "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity",
-    "q_semdedup_live_parity", "q_dedup_deep_live_parity")
+    "q_semdedup_live_parity", "q_dedup_deep_live_parity",
+    "q_docstream_restart_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -516,6 +517,14 @@ object SparkEntry {
     // candidate-set equality folded into the same verdict
     "q_dedup_live_pipeline_parity" -> ((s, dir) =>
       streaming.ParityCheck.livePipelineParity(s, dir)),
+
+    // the SAME composed scenario driven through the RUNNABLE pipeline
+    // (streaming.DocumentStream — one checkpointed foreachBatch query)
+    // with a STOP after the second micro-batch and a RESTART from the
+    // checkpoint: crash-recovery is part of the gated contract, and the
+    // oracle restates every count independently
+    "q_docstream_restart_parity" -> ((s, dir) =>
+      streaming.ParityCheck.restartPipelineParity(s, dir)),
 
     // the EMBEDDING live pipeline gate: waves of arriving vectors run
     // assign → cluster-local pair → incremental label merge against the
@@ -4198,6 +4207,9 @@ object SparkEntry {
 
   /** Oracles; the alternate-implementation queries share their twin's SQL. */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // the runnable restarted pipeline lands on the hand-driven gate's truth
+    "q_docstream_restart_parity" ->
+      baseOracleSql("q_dedup_live_pipeline_parity"),
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),

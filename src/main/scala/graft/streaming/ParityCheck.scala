@@ -537,6 +537,107 @@ object ParityCheck {
         "n_only_live", "n_only_batch", "parity_ok")
   }
 
+  /** [[livePipelineParity]]'s scenario driven through the RUNNABLE
+    * pipeline instead of driver waves: the arrivals stream through
+    * [[DocumentStream]] — one checkpointed foreachBatch query composing
+    * the same three tiers — with a STOP after the second micro-batch and
+    * a RESTART from the checkpoint, so the row also gates crash-recovery
+    * (batch-keyed idempotent state writes; reads pinned strictly before
+    * the current batch). Same output columns and the SAME DuckDB oracle
+    * as the hand-driven gate: the streamed-vs-twin equalities fold into
+    * parity_ok, and every count is independently restated by the
+    * recursive-closure replica. DocumentStream's horizon predicate is
+    * the symmetric band join the hand-driven gate already proved equal
+    * to the TTL stream's emission set, so the two gates pin the same
+    * truth through two different engines. */
+  def restartPipelineParity(spark: SparkSession, dir: String,
+      horizonMinutes: Int = 60, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val horizonMs = horizonMinutes * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    val all = collectParityDocs(spark, dir, "restartPipelineParity")
+    require(all.nonEmpty, s"no documents in $dir")
+    val splitId = (all.iterator.map(_.doc_id).max + 1L) * 3L / 5L
+    val dupText = all.minBy(_.doc_id).text
+    val arrDocs = all.filter(_.doc_id >= splitId).map(d =>
+      DocumentStream.DocTsIn(d.doc_id, t0Ms + d.doc_id * 60000L,
+        if (d.doc_id % 11 == 0) dupText else d.text))
+    require(arrDocs.nonEmpty, "fixture too small to split")
+    val documents = graft.Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") >= splitId && col("doc_id") % 11 === 0,
+          lit(dupText)).otherwise(col("text")))
+    val history = documents.filter(col("doc_id") < splitId)
+
+    // fresh state + checkpoint per run (a gate, not a standing pipeline)
+    val root = s"target/docstream_gate/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    DocumentStream.init(spark, s"$root/state", history,
+      graft.ops.Dedup.nearDupClusters(history,
+        graft.ops.Dedup.minHashPairs(history)))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocumentStream.DocTsIn]
+    val waves = arrDocs.grouped(
+      math.max(1, arrDocs.length / nBatches)).toSeq
+    var q = DocumentStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", horizonMs)
+    waves.take(2).foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
+    q.stop() // mid-replay crash, simulated
+    q = DocumentStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", horizonMs)
+    try waves.drop(2).foreach { w =>
+      mem.addData(w.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val keptArr = DocumentStream.keptIds(spark, s"$root/state")
+      .filter(col("doc_id") >= splitId).localCheckpoint(true)
+    val livePairs = DocumentStream.livePairs(spark, s"$root/state")
+      .localCheckpoint(true)
+    val liveLabels = DocumentStream.labels(spark, s"$root/state")
+      .localCheckpoint(true)
+
+    // ── batch twin: identical to the hand-driven gate's ──
+    val arrivals = documents.filter(col("doc_id") >= splitId)
+    val keptBatch = arrivals
+      .join(history.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).localCheckpoint(true)
+    val allPairs = graft.ops.Dedup.minHashPairs(documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val histPairs = allPairs.filter(col("id_a") < splitId && col("id_b") < splitId)
+    val livePairsB = allPairs
+      .filter(col("id_a") >= splitId && col("id_b") >= splitId)
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
+      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val batchLabels = graft.ops.Dedup.nearDupClusters(
+      history.select(col("doc_id")).unionByName(keptBatch),
+      histPairs.unionByName(livePairsB)).localCheckpoint(true)
+
+    val survAgree = keptArr.exceptAll(keptBatch).count() == 0L &&
+      keptBatch.exceptAll(keptArr).count() == 0L
+    val pairsAgree = livePairs.exceptAll(livePairsB).count() == 0L &&
+      livePairsB.exceptAll(livePairs).count() == 0L
+    val nKept = liveLabels.count()
+    val nDropped = arrDocs.length.toLong - keptArr.count()
+    val nPairsLive = livePairs.count()
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    val onlyLive = liveLabels.exceptAll(batchLabels).count()
+    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
+    spark.createDataFrame(Seq(
+      (nKept, nDropped, nPairsLive, nClusters, onlyLive, onlyBatch,
+        survAgree && pairsAgree && onlyLive == 0L && onlyBatch == 0L &&
+          nDropped > 0L)))
+      .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+  }
+
   /** The EMBEDDING live-dedup pipeline, gated end to end — the vector
     * twin of [[livePipelineParity]]: a standing corpus (vec_id below the
     * 3/5 split) holds its base-trained IVF index

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The RUNNABLE live-dedup pipeline, held to the same truth as the
+  * wave-replay gate: after streaming the arrival slice in waves — with a
+  * mid-replay STOP, an out-of-band REPLAY of an already-committed batch
+  * (the at-least-once hazard foreachBatch actually has), and a RESTART
+  * from the checkpoint — the served kept/pair/label state must equal the
+  * all-at-once batch twin ([[graft.streaming.ParityCheck
+  * .livePipelineParity]]'s definition, reconstructed from the same
+  * public operators). */
+class DocumentStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("stop mid-replay + batch replay + restart: final state equals the batch twin") {
+    import spark.implicits._
+    val dir = SparkTestBase.sfDir
+    val horizonMs = 60 * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val splitId = (all.map(_._1).max + 1L) * 3L / 5L
+    val dupText = all.minBy(_._1)._2
+    // duplicate traffic: every 11th arrival re-sends the corpus-min text
+    // (the gate's rewrite — the exact tier must actually fire)
+    val arrivals = all.filter(_._1 >= splitId)
+      .map { case (id, tx) => DocumentStream.DocTsIn(id,
+        t0Ms + id * 60000L, if (id % 11 == 0) dupText else tx) }
+    val documents = graft.Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") >= splitId && col("doc_id") % 11 === 0,
+          lit(dupText)).otherwise(col("text")))
+    val history = documents.filter(col("doc_id") < splitId)
+
+    val root = "target/docstream_spec/state"
+    val ckpt = "target/docstream_spec/ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path("target/docstream_spec"), true)
+
+    DocumentStream.init(spark, root, history,
+      graft.ops.Dedup.nearDupClusters(history,
+        graft.ops.Dedup.minHashPairs(history)))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocumentStream.DocTsIn]
+    val waves = arrivals.grouped(math.max(1, arrivals.length / 4)).toSeq
+
+    // waves 1-2, then STOP mid-replay
+    var q = DocumentStream.start(mem.toDF(), root, ckpt, horizonMs)
+    mem.addData(waves(0).toSeq); q.processAllAvailable()
+    mem.addData(waves(1).toSeq); q.processAllAvailable()
+    q.stop()
+
+    // the at-least-once hazard, forced: re-apply the last committed batch
+    // out of band — idempotent batch-keyed writes must leave the state
+    // bit-identical (reads see only batches strictly before it)
+    val keptBefore = DocumentStream.keptIds(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val labelsBefore = DocumentStream.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // wave 2 was the last committed batch — read its id off the state
+    // layout rather than assuming the engine's numbering
+    val lastId = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/kept"))
+      .map(_.getPath.getName.drop(6).toLong).max
+    DocumentStream.processBatch(waves(1).toSeq.toDF(), lastId,
+      root, horizonMs)
+    assert(DocumentStream.keptIds(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq == keptBefore,
+      "replaying a committed batch changed the kept state")
+    assert(DocumentStream.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == labelsBefore,
+      "replaying a committed batch changed the labels")
+
+    // RESTART from the checkpoint; remaining waves
+    q = DocumentStream.start(mem.toDF(), root, ckpt, horizonMs)
+    waves.drop(2).foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // ── batch twin (the gate's definition, all-at-once) ──
+    val keptBatch = documents.filter(col("doc_id") >= splitId)
+      .join(history.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).localCheckpoint(true)
+    val allPairs = graft.ops.Dedup.minHashPairs(documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val histPairs = allPairs
+      .filter(col("id_a") < splitId && col("id_b") < splitId)
+    val livePairsB = allPairs
+      .filter(col("id_a") >= splitId && col("id_b") >= splitId)
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
+      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val batchLabels = graft.ops.Dedup.nearDupClusters(
+      history.select(col("doc_id")).unionByName(keptBatch),
+      histPairs.unionByName(livePairsB))
+
+    // served state == twin, all three surfaces
+    val keptGot = DocumentStream.keptIds(spark, root)
+      .filter(col("doc_id") >= splitId)
+      .collect().map(_.getLong(0)).toSet
+    val keptWant = keptBatch.collect().map(_.getLong(0)).toSet
+    assert(keptGot == keptWant, "kept-survivor set diverged from the twin")
+    assert(keptWant.nonEmpty && keptWant.size < arrivals.length,
+      "the exact tier never fired — the gate would be vacuous")
+
+    val pairsGot = DocumentStream.livePairs(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsWant = livePairsB.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsGot == pairsWant, "live pair set diverged from the twin")
+    assert(pairsWant.nonEmpty, "no live pairs — the near-dup tier is vacuous")
+
+    val labelsGot = DocumentStream.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val labelsWant = batchLabels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labelsGot == labelsWant, "label table diverged from the twin")
+
+    // label storage stayed bounded: at most the init snapshot + two
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/labels"))
+      .length <= 3, "label snapshots were not reaped")
+  }
+}
