@@ -289,6 +289,18 @@ object OracleSql {
         |  CAST(score_ppb // n_feats AS BIGINT) AS mean_ppb
         |FROM w ORDER BY doc_id""".stripMargin
 
+  /** [[graft.ops.Sampling.importanceWeightsIncremental]] — the model
+    * counts cover the FULL corpus (base ∪ delta merge exactly), the
+    * emitted scores restrict to the delta's raw documents: the same
+    * chain as [[importanceWeightsSql]] with the delta slice selected. */
+  def importanceWeightsIncrSql(targetSources: Seq[String], buckets: Int,
+      deltaMod: Long = 7L): String =
+    importanceChain(targetSources, buckets) +
+      s"""
+        |SELECT doc_id, n_feats, score_ppb,
+        |  CAST(score_ppb // n_feats AS BIGINT) AS mean_ppb
+        |FROM w WHERE doc_id % $deltaMod = 0 ORDER BY doc_id""".stripMargin
+
   /** [[graft.ops.Sampling.importanceResample]] — ROW_NUMBER over the
     * identical (score_ppb DESC, doc_id) total order per source, quota =
     * ceil(n_src · keepPerMille / 1000) in integer arithmetic. */

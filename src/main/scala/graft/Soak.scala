@@ -529,6 +529,39 @@ object Soak {
     }
   }
 
+  /** `containab` mode: the snapshot-vs-recompute A/B for
+    * [[graft.ops.Dedup.shingleContainment]]'s corpus-token-sized distinct
+    * shingle frame (the r11 verdict's open measurement): time the
+    * DISK_ONLY snapshot against the drop-the-snapshot
+    * ([[graft.ops.Sampling.importanceWeights]]) convention on TRUE-growth
+    * corpora at 1× and `factor`×, answers asserted equal first. */
+  def containAbSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/containab_$tag"
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def run(name: String, snap: Boolean): Long = {
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.shingleContainment(docs, 3, 50000000L, snapshot = snap)
+          .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = spark.read.parquet(s"$dir/$name.parquet").count()
+        println(f"""SOAK {"phase":"containab","scale":"$tag","docs":$n,"variant":"$name","rows":$rows,"sec":$sec%.2f}""")
+        rows
+      }
+      run("warm", snap = true) // JIT/page-cache warm pass, not compared
+      val a = run("snapshot", snap = true)
+      val b = run("recompute", snap = false)
+      val diff = spark.read.parquet(s"$dir/snapshot.parquet")
+        .exceptAll(spark.read.parquet(s"$dir/recompute.parquet")).count()
+      require(a == b && diff == 0L, s"containment variants disagree: $a vs $b, diff $diff")
+    }
+  }
+
   /** `retirecc` mode: the update-cost receipt for
     * [[graft.ops.Dedup.retireClusterDelta]] — the claim under test is
     * "retiring an expired set from the persisted labeling costs ∝ the
@@ -777,13 +810,16 @@ object Soak {
         scanned.exceptAll(served).count()
       println(f"""SOAK {"phase":"incrbm25","scale":"$tag","docs":$n,"delta_docs":$nDelta,"terms":"${terms.mkString(" ")}","incr_sec":$incrBmSec%.2f,"rebuild_sec":$rebuildBmSec%.2f,"scan_sec":$scanBmSec%.2f,"row_diff":$bmDiff}""")
 
-      // ── DSIR importance weights: constant doc delta over the persisted
-      // base feature/count tables; rebuild twin = the full recompute
-      // (two corpus tokenize passes per invocation). Timing is evidence
-      // only because the rows are asserted bit-equal first. ──
+      // ── DSIR importance weights: a constant arrival batch scores
+      // against the persisted ≤B·|sources|-row count table (merged with
+      // its own delta counts — one delta-only tokenize); the rebuild
+      // twin is the full recompute a pipeline without the maintained
+      // counts pays to score the same arrivals (two corpus tokenize
+      // passes). Timing is evidence only because the rows are asserted
+      // bit-equal to the full recompute's delta slice first. ──
       import graft.ops.Sampling
-      // UNTIMED: the standing corpus's persisted DSIR artifacts
-      Sampling.importanceIndexPersisted(spark, dir, docs.filter(!isDeltaDoc))
+      // UNTIMED: the standing corpus's persisted DSIR count table
+      Sampling.importanceCountsPersisted(spark, dir, docs.filter(!isDeltaDoc))
       val t9 = System.nanoTime()
       Sampling.importanceWeightsIncremental(spark, dir,
         docs.filter(!isDeltaDoc), docs.filter(isDeltaDoc))
@@ -795,6 +831,7 @@ object Soak {
       val rebuildDsirSec = (System.nanoTime() - t10) / 1e9
       val incrDsir = spark.read.parquet(s"$dir/incr_dsir.parquet")
       val fullDsir = Sampling.importanceWeights(docs)
+        .filter(isDeltaDoc)
       val dsirDiff = incrDsir.exceptAll(fullDsir).count() +
         fullDsir.exceptAll(incrDsir).count()
       println(f"""SOAK {"phase":"incrdsir","scale":"$tag","docs":$n,"delta_docs":$nDelta,"rows":${incrDsir.count()},"incr_sec":$incrDsirSec%.2f,"rebuild_sec":$rebuildDsirSec%.2f,"row_diff":$dsirDiff}""")
@@ -802,10 +839,11 @@ object Soak {
       // ── text MinHash: constant doc delta vs the persisted base
       // band-signature index; rebuild twin = the full minHashPairs
       // self-join (re-shingles and re-signs the whole corpus) ──
-      // UNTIMED: the standing corpus's band index — built through the
-      // same entry point the query path reads, so the timed call can
-      // never silently rebuild a differently-named table
+      // UNTIMED: the standing corpus's band index AND doc-text lookup —
+      // built through the same entry points the query path reads, so the
+      // timed call can never silently rebuild differently-named tables
       Dedup.minHashBandIndexPersisted(spark, dir, docs.filter(!isDeltaDoc))
+      Dedup.minHashDocTextPersisted(spark, dir, docs.filter(!isDeltaDoc))
       val t7 = System.nanoTime()
       Dedup.minHashPairsIncremental(spark, dir, docs.filter(!isDeltaDoc),
         docs.filter(isDeltaDoc))
@@ -979,6 +1017,11 @@ object Soak {
     }
     if (args.lift(3).contains("retirecc")) {
       retireCcSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("containab")) {
+      containAbSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

@@ -118,7 +118,7 @@ object SparkEntry {
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
     "q_dedup_minhash_incr",
-    // first run writes the persisted DSIR feature/count tables
+    // first run writes the persisted DSIR count table
     "q_importance_weights_incr",
     // first run writes the base-trained IVF index the gauge reads
     "q_knn_ivf_drift_check")
@@ -1148,12 +1148,13 @@ object SparkEntry {
     "q_importance_weights" -> ((s, dir) =>
       ops.Sampling.importanceWeights(Tables.documents(s, dir))),
 
-    // INCREMENTAL DSIR: the persisted base feature/count tables (docs at
-    // doc_id % 7 != 0, built once) absorb the % 7 == 0 slice with one
-    // delta-only tokenize; bucket counts merge in the ≤B-row table and
-    // rescoring is a broadcast-ppb pass over the persisted features —
-    // bit-identical to the full recompute, so the full-corpus oracle
-    // carries over verbatim
+    // INCREMENTAL DSIR: the persisted ≤B·|sources|-row count table (docs
+    // at doc_id % 7 != 0, built once) absorbs the % 7 == 0 arrival slice
+    // with one delta-only tokenize, and the ARRIVALS score through a
+    // broadcast of the merged ppb model — the keep/resample decision a
+    // curation pipeline makes at arrival time, at cost ∝ delta.
+    // Bit-identical to the full recompute restricted to the delta's raw
+    // docs, which is exactly what the oracle states
     "q_importance_weights_incr" -> ((s, dir) =>
       ops.Sampling.importanceWeightsIncremental(s, dir,
         Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0),
@@ -3855,9 +3856,10 @@ object SparkEntry {
     "q_data_mix" -> OracleSql.mixCountsSql(MixRates),
     "q_importance_weights" ->
       OracleSql.importanceWeightsSql(Seq("src1", "src7"), buckets = 4096),
-    // base-artifacts ∪ delta-batch recomposition is exact — same oracle
+    // count-table ∪ delta recomposition is exact; scores restricted to
+    // the delta slice
     "q_importance_weights_incr" ->
-      OracleSql.importanceWeightsSql(Seq("src1", "src7"), buckets = 4096),
+      OracleSql.importanceWeightsIncrSql(Seq("src1", "src7"), buckets = 4096),
     "q_importance_weights_llr" ->
       OracleSql.importanceWeightsLlrSql(Seq("src1", "src7"), buckets = 4096),
     "q_importance_mix" ->

@@ -598,29 +598,39 @@ object Dedup {
     * n-gram/MinHash tiers, map-side combinable counts on both sides of
     * it, AQE splitting hot shingle keys. Integer-only arithmetic. */
   def shingleContainment(documents: DataFrame, n: Int = 3,
-      thresholdPpb: Long = 500000000L): DataFrame = {
+      thresholdPpb: Long = 500000000L, snapshot: Boolean = true): DataFrame = {
     val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
-    // snapshotted: the distinct shingle explosion feeds BOTH sides of the
-    // candidate self-join below (plus the per-doc size frame) — without
-    // it the tokenize+shingle+distinct pass over the corpus runs three
-    // times, and the snapshot rows are the same ones the join shuffles.
-    // DISK_ONLY, not the default level: this frame is corpus-TOKEN-sized
-    // (larger than the corpus itself), and memory-cached blocks of that
-    // magnitude would compete with the candidate join's shuffle memory —
-    // disk blocks cost a sequential re-read and nothing else. (This is
-    // the one token-scale frame the repo does snapshot: unlike
-    // [[Sampling.importanceWeights]]' explode, which feeds two cheap
-    // keyed aggs, this one feeds a self-JOIN whose sides are separate
-    // subplans, so recompute means re-running the distinct's corpus-wide
-    // shuffle per side.)
-    val sh = documents
+    // snapshotted (default): the distinct shingle explosion feeds BOTH
+    // sides of the candidate self-join below (plus the per-doc size
+    // frame) — without it the tokenize+shingle+distinct pass over the
+    // corpus runs three times, and the snapshot rows are the same ones
+    // the join shuffles. DISK_ONLY, not the default level: this frame is
+    // corpus-TOKEN-sized (larger than the corpus itself), and
+    // memory-cached blocks of that magnitude would compete with the
+    // candidate join's shuffle memory — disk blocks cost a sequential
+    // re-read and nothing else. (This is the one token-scale frame the
+    // repo does snapshot: unlike [[Sampling.importanceWeights]]' explode,
+    // which feeds two cheap keyed aggs, this one feeds a self-JOIN whose
+    // sides are separate subplans, so recompute means re-running the
+    // distinct's corpus-wide shuffle per side.) `snapshot = false` takes
+    // the importanceWeights convention instead — recompute the explode
+    // per consumer, materialize nothing token-scale; the r12 `containab`
+    // receipt measured the DISK_ONLY snapshot 1.05–1.3× FASTER at every
+    // TRUE-growth scale up to 50k docs / 1.3M pairs (the distinct's
+    // corpus-wide shuffle, run once vs three times, outweighs the disk
+    // write), so the snapshot stays the default and the flag remains
+    // the measurement hook.
+    val shRaw = documents
       .withColumn("_tk", toks)
       .filter(size(col("_tk")) >= n)
       .select(col("doc_id"), col("source"), explode(transform(
         sequence(lit(0), size(col("_tk")) - n),
         i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("sh"))
       .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sh = if (snapshot)
+      shRaw.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else shRaw
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     sh.select(col("source"), col("sh"), col("doc_id").as("id_a"))
       .join(sh.select(col("source"), col("sh"), col("doc_id").as("id_b")),

@@ -179,63 +179,44 @@ object Sampling {
           .bitwiseAND(lit(buckets - 1L)).as("b"))
   }
 
-  /** One-time PERSISTED DSIR artifacts for a STANDING corpus — what makes
-    * importance weighting maintainable at arrival time instead of
-    * re-tokenizing the corpus per invocation:
-    *
-    *  - `features` (doc_id, source, b, n): each document's bucket
-    *    occurrence counts, aggregated — the per-document featurization is
-    *    corpus-independent (hash of the document's own n-grams), so the
-    *    table is append-only under arrivals, exactly like the inverted
-    *    index's postings. Scores recompose exactly from it:
-    *    Σ_occ f(b) = Σ_b n·f(b).
-    *  - `bcounts` (b, source, n): per-bucket per-source totals — ≤
-    *    B·|sources| rows, target-AGNOSTIC (any target split derives from
-    *    it by a broadcast-sized aggregation, so one table serves every
-    *    targetSources choice).
-    *
+  /** One-time PERSISTED DSIR state for a STANDING corpus: the per-bucket
+    * per-source feature totals (b, source, n) — at most B·|sources| rows,
+    * the ENTIRE sufficient statistic of the importance model (Laplace
+    * bucket probabilities need nothing but these counts), and
+    * target-AGNOSTIC (any targetSources split derives from it by a
+    * broadcast-sized aggregation, so one table serves every target
+    * choice). Counts over disjoint doc sets ADD, so arrivals maintain the
+    * table with one delta-only tokenize — the corpus is never re-read.
     * Same memoized build-once economics as
     * [[graft.ops.Search.invertedIndexPersisted]]; `suffix` keys tables
     * built over different base corpora under one dir. */
-  def importanceIndexPersisted(spark: org.apache.spark.sql.SparkSession,
+  def importanceCountsPersisted(spark: org.apache.spark.sql.SparkSession,
       dir: String, baseDocs: => DataFrame, buckets: Int = 4096,
-      suffix: String = "_base"): (DataFrame, DataFrame) = {
-    val appId = spark.sparkContext.applicationId
-    val (fName, cName) = graft.sources.ManagedTable.once(
-        s"$appId/dsir_index${suffix}_$buckets/$dir") {
-      val tag = graft.sources.ManagedTable.tag(dir)
-      val f = s"dsir_feat_${buckets}${suffix}_$tag"
-      val c = s"dsir_bcounts_${buckets}${suffix}_$tag"
-      val feat = featureOcc(baseDocs, buckets)
-        .groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("n"))
-      graft.sources.ManagedTable.write(feat, f)
-      graft.sources.ManagedTable.write(
-        feat.groupBy(col("b"), col("source")).agg(sum(col("n")).as("n")), c)
-      (f, c)
-    }
-    (spark.table(fName), spark.table(cName))
-  }
+      suffix: String = "_base"): DataFrame =
+    graft.sources.ManagedTable.persisted(spark,
+      s"dsir_bcounts_${buckets}${suffix}_" +
+        graft.sources.ManagedTable.tag(dir))(
+      featureOcc(baseDocs, buckets)
+        .groupBy(col("b"), col("source")).agg(count(lit(1)).as("n")))
 
-  /** INCREMENTAL [[importanceWeights]] — DSIR scoring over a growing
-    * corpus at cost ∝ delta: the persisted base artifacts
-    * ([[importanceIndexPersisted]]) absorb a newly-arrived delta batch
-    * with ONE delta-only tokenize (its (doc_id, source, b, n) rows union
-    * into the feature table; its per-bucket sums merge into the ≤B-row
-    * count table), and rescoring is a broadcast-ppb pass over the
-    * persisted feature table — no corpus re-tokenize anywhere. The
-    * recomposition is exact, not approximate: bucket counts are sums
-    * over disjoint doc sets, and a document's score Σ_occ (ppb_t − ppb_r)
-    * equals Σ_b n·(ppb_t − ppb_r) over its aggregated feature rows — so
-    * the output is bit-identical to the full [[importanceWeights]]
-    * recompute over (base ∪ delta), same oracle. Base/delta doc_id sets
-    * must be disjoint (the incremental family's standing contract).
+  /** INCREMENTAL DSIR — importance-score a newly-arrived delta batch at
+    * cost ∝ delta, the arrival-time operation a curation pipeline
+    * actually runs (score the arrivals against the corpus-wide model to
+    * decide keep/resample; the standing corpus was scored when it was
+    * selected): the persisted ≤B·|sources|-row count table
+    * ([[importanceCountsPersisted]]) absorbs the delta's bucket counts
+    * with ONE delta-only tokenize — counts over disjoint doc sets add —
+    * and the delta's raw documents score through a broadcast of the
+    * merged ppb table. Nothing corpus-sized is read, tokenized, or
+    * shuffled anywhere.
     *
-    * Scale shape: the delta featurization is batch-sized map work; the
-    * merged counts stay ≤ B rows (snapshotted — two consumers); scoring
-    * streams the narrow persisted feature table through one broadcast
-    * join + keyed agg. EAGER: the delta feature frame is snapshotted (it
-    * feeds the counts merge AND the scoring union). */
+    * The recomposition is exact, not approximate: the merged counts
+    * equal the full corpus's, so the emitted rows are bit-identical to
+    * [[importanceWeights]] over (base ∪ delta) RESTRICTED to the delta's
+    * raw documents — the oracle states exactly that slice. Base/delta
+    * doc_id sets must be disjoint (the incremental family's standing
+    * contract). EAGER: the delta's bucketed occurrences are snapshotted
+    * (they feed the count merge AND the scoring join). */
   def importanceWeightsIncremental(spark: org.apache.spark.sql.SparkSession,
       dir: String, baseDocs: => DataFrame, deltaDocs: DataFrame,
       targetSources: Seq[String] = Seq("src1", "src7"),
@@ -243,20 +224,18 @@ object Sampling {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two")
     require(targetSources.nonEmpty, "need at least one target source")
-    val (feat, bcounts) = importanceIndexPersisted(spark, dir, baseDocs,
-      buckets)
-    val dFeat = featureOcc(deltaDocs, buckets)
+    val bcounts = importanceCountsPersisted(spark, dir, baseDocs, buckets)
+    val dOcc = featureOcc(deltaDocs, buckets)
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isTarget = col("source").isin(targetSources: _*)
-    // merged ≤B-row bucket counts: base totals + the delta's — the only
-    // state the probability model needs, maintained without touching the
-    // base corpus. Snapshotted like importanceWeights' counts (two
-    // consumers: totals and ppb).
+    // merged ≤B-row bucket counts: base totals + the delta's — the model
+    // state after absorbing the arrivals. Snapshotted like
+    // importanceWeights' counts (two consumers: totals and ppb).
     val counts = bcounts
-      .unionByName(dFeat.groupBy(col("b"), col("source"))
+      .unionByName(dOcc.groupBy(col("b"), col("source"))
         .agg(sum(col("n")).as("n")))
       .groupBy(col("b")).agg(
         sum(when(isTarget, col("n")).otherwise(0L)).as("c_t"),
@@ -273,8 +252,7 @@ object Sampling {
           .as("ppb_t"),
         expr(s"cast(c_r + 1 as decimal(38,0)) * 1000000000 div (n_r + $buckets)")
           .as("ppb_r"))
-    feat.unionByName(dFeat)
-      .filter(!isTarget)
+    dOcc.filter(!isTarget)
       .join(broadcast(ppb), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_feats"),

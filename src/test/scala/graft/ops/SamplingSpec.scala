@@ -235,8 +235,8 @@ class SamplingSpec extends AnyFunSuite {
       "the linear score prefers absolute mass — the delta under test")
   }
 
-  test("importanceWeightsIncremental: bit-identical to the full recompute " +
-      "over base ∪ delta; both legs contribute") {
+  test("importanceWeightsIncremental: arrival scores bit-identical to the " +
+      "full recompute's delta slice — the merged counts ARE the model") {
     val fixture = graft.Tables.documents(spark, SparkTestBase.sfDir)
     val isDelta = col("doc_id") % 7 === 0
     val incr = Sampling.importanceWeightsIncremental(spark,
@@ -244,12 +244,12 @@ class SamplingSpec extends AnyFunSuite {
       buckets = 256)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val full = Sampling.importanceWeights(fixture, buckets = 256)
+      .filter(col("doc_id") % 7 === 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(incr.nonEmpty)
-    assert(incr.toSeq == full.toSeq) // exact, row for row, both sorted by doc_id
-    // both base and delta raw documents must be scored (a one-leg result
-    // would mean the persisted feature table or the delta union is broken)
-    assert(incr.exists(_._1 % 7 == 0) && incr.exists(_._1 % 7 != 0))
+    assert(incr.nonEmpty, "no raw delta documents scored")
+    // exact row-for-row equality proves the count merge reproduced the
+    // full-corpus model: a base-side miscount would shift every ppb
+    assert(incr.toSeq == full.toSeq)
   }
 
   test("importanceResample keeps the per-source ceil quota, ranked by score then doc_id") {
