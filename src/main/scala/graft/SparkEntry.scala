@@ -112,8 +112,10 @@ object SparkEntry {
     // first run writes the persisted BASE cluster labelings the
     // incremental merges maintain
     "q_dedup_clusters_incr", "q_dedup_survivors_incr", "q_phash_clusters_incr",
-    // first runs read the persisted pair/label/index tables they retire
+    // first runs read the persisted pair/label/index tables they retire;
+    // the compose row additionally writes + TTLs the month layout once
     "q_dedup_clusters_retire", "q_dedup_survivors_retire", "q_bm25_retire",
+    "q_retention_compose",
     // first runs write the persisted BASE inverted index / pHash index /
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
@@ -723,6 +725,60 @@ object SparkEntry {
     // the survivors oracle carries over with the same WHERE)
     "q_dedup_survivors_retire" -> ((s, dir) =>
       Dedup.survivorsFromLabels(queries("q_dedup_clusters_retire")(s, dir))),
+
+    // RETENTION COMPOSED across the storage and label layers — one
+    // replayed TTL scenario: documents get event times (t0 + doc_id · 6 h,
+    // spanning several months), land in the reference's month-partitioned
+    // LogTable layout, and age out through LogTable.retention (whole-month
+    // directory drops + one boundary-month rewrite, db.go:59-65); the SAME
+    // cutoff drives Dedup.retireClusterDelta over the persisted labeling.
+    // The row asserts the two layers agree on the surviving corpus —
+    // layouts_agree folds both set-differences — and the oracle restates
+    // every count from the id arithmetic (ts ≥ cutoff ⇔ doc_id ≥ the 3/5
+    // split, for ANY epoch: months are UTC-formatted from the same ms
+    // values the cutoff compares against)
+    "q_retention_compose" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val splitId = (maxId + 1L) * 3L / 5L
+      val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val hourMs = 6L * 3600000L
+      val cutoff = new java.sql.Timestamp(t0Ms + splitId * hourMs)
+      val path = graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/ttl_docs/$dir") {
+        val warehouse = new org.apache.hadoop.fs.Path(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val loc = new org.apache.hadoop.fs.Path(warehouse,
+          s"ttl_docs_${graft.sources.ManagedTable.tag(dir)}")
+        val fsys = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(loc)) fsys.delete(loc, true)
+        graft.logs.LogTable.append(
+          docs.withColumn("ts",
+            timestamp_millis(lit(t0Ms) + col("doc_id") * hourMs)),
+          loc.toString, sortCols = Seq("doc_id"))
+        graft.logs.LogTable.retention(s, loc.toString, cutoff,
+          sortCols = Seq("doc_id"))
+        loc.toString
+      }
+      val surviving = s.read.schema(docs.schema
+          .add("ts", org.apache.spark.sql.types.TimestampType)
+          .add("month", org.apache.spark.sql.types.StringType))
+        .parquet(path).select(col("doc_id")).localCheckpoint(true)
+      val pairs = Dedup.charJaccardPairsPersisted(s, dir, docs, 0.9)
+      val baseLabels = Dedup.nearDupClustersPersisted(s, dir, docs, pairs, 0.9)
+      val retired = Dedup.retireClusterDelta(baseLabels, pairs,
+        docs.filter(col("doc_id") < splitId).select(col("doc_id")))
+        .localCheckpoint(true)
+      val onlyLayout = surviving
+        .exceptAll(retired.select(col("doc_id"))).count()
+      val onlyLabels = retired.select(col("doc_id"))
+        .exceptAll(surviving).count()
+      s.createDataFrame(Seq((surviving.count(),
+        docs.count() - surviving.count(),
+        retired.select(col("cluster_id")).distinct().count(),
+        onlyLayout == 0L && onlyLabels == 0L)))
+        .toDF("n_surviving", "n_expired", "n_clusters", "layouts_agree")
+    }),
 
     // the one row that still times the full lazy build (pair generation +
     // large-star/small-star convergence in-query) — the write-path cost a
@@ -2019,6 +2075,37 @@ object SparkEntry {
         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
         |SELECT a AS doc_id, MIN(b) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the composed TTL row: survivors and labels restated from the id
+    // arithmetic (ts ≥ cutoff ⇔ doc_id ≥ the 3/5 split), agreement as
+    // the expected literal — a Spark-side layer divergence mismatches it
+    "q_retention_compose" ->
+      """WITH RECURSIVE hh AS (
+        |  SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+        |d AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE doc_id >= (SELECT h FROM hh)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE jaccard(a.text, b.text) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_surviving,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_expired,
+        |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+        |    AS n_clusters,
+        |  true AS layouts_agree""".stripMargin,
 
     "q_dedup_survivors_retire" ->
       """WITH RECURSIVE d AS (

@@ -67,8 +67,11 @@ object LogTable {
   /** TTL retention (db.go:59-65): drop rows with ts older than `cutoff`.
     * Whole months strictly below the cutoff month are dropped as unit
     * directories (cheap metadata delete at scale); only the single boundary
-    * month is rewritten with a row filter. */
-  def retention(spark: SparkSession, path: String, cutoff: java.sql.Timestamp): Unit = {
+    * month is rewritten with a row filter. `sortCols` mirrors [[append]]:
+    * the rewritten boundary month keeps the layout's sort order, whatever
+    * columns the frame carries. */
+  def retention(spark: SparkSession, path: String, cutoff: java.sql.Timestamp,
+      sortCols: Seq[String] = Seq("service", "ts")): Unit = {
     val fmt = new java.text.SimpleDateFormat("yyyyMM")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     val cutoffMonth = fmt.format(cutoff)
@@ -76,7 +79,7 @@ object LogTable {
     val boundary = df
       .filter(col("month") === cutoffMonth && col("ts") >= lit(cutoff))
       .repartition(col("month"))
-      .sortWithinPartitions("service", "ts")
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
     // Rewrite the boundary month in place (dynamic overwrite), then drop
     // the fully-expired month directories.
     boundary.write
