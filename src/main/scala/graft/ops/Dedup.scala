@@ -760,11 +760,19 @@ object Dedup {
     edges
   }
 
-  /** Delta-subgraph edge bound below which [[mergeClusterDelta]] resolves
-    * components by driver union-find (one bounded collect) instead of
-    * distributed star rounds — ~3 MB of (long, long) rows at the limit,
-    * far under the broadcast sizes the method already commits to. */
-  private val DriverMergeEdges = 200000
+  /** Delta-subgraph edge bound below which [[mergeClusterDelta]] /
+    * [[retireClusterDelta]] resolve components by driver union-find (one
+    * bounded collect) instead of distributed star rounds — ~8 MB of
+    * (long, long) rows at the limit, far under the broadcast sizes the
+    * methods already commit to, and path-compressed union-find over it is
+    * tens of milliseconds where each star round costs two joins, two
+    * aggregations, a checkpoint and a convergence probe in
+    * driver-synchronous latency. (Raised 200k → 500k in r12: the sf0.1
+    * gate's char-jaccard graph is a measured degenerate case — 455
+    * expired docs touch components covering 97% of the corpus, a 369k-edge
+    * surviving subgraph — and the driver path resolves it 2× faster than
+    * the contraction while staying trivially driver-sized.) */
+  private val DriverMergeEdges = 500000
 
   /** INCREMENTAL connected-components maintenance — merge a PAIR DELTA
     * into an existing (doc_id, cluster_id) labeling at cost proportional
@@ -976,9 +984,12 @@ object Dedup {
       .join(broadcast(touchedClusters), "cluster_id")
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint(true, memDisk)
+    // NOT checkpointed: survivors derive from the two frames snapshotted
+    // above by one broadcast anti-join, so per-consumer recompute is a
+    // delta-sized local pass — cheaper than another driver-synchronous
+    // eager-checkpoint round (the retire is latency-bound, like the merge)
     val survivors = touchedMembers.select(col("doc_id"))
       .join(broadcast(expired), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true, memDisk)
     // surviving pair edges of the touched components: both endpoints must
     // survive (an edge with an expired endpoint dies with it). The pair
     // table streams through two broadcast semi-joins — one narrow scan,
@@ -1027,8 +1038,12 @@ object Dedup {
   def expireRows(index: DataFrame, idCol: String,
       expiredIds: DataFrame): DataFrame =
     index.join(
-      broadcast(expiredIds.select(col("doc_id").as(idCol)).distinct()),
+      broadcast(expiredIds
+        .select(col(expiredIds.columns.head).as(idCol)).distinct()),
       Seq(idCol), "left_anti")
+      // a using-column join reorders the key first; hand back the
+      // index's own column order so positional consumers are unaffected
+      .select(index.columns.map(col): _*)
 
   /** Dedup KEEP LIST — the actual output corpus of a near-dup pass: one
     * canonical survivor (the minimum doc_id) per connected component,

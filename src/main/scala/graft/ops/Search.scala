@@ -105,7 +105,7 @@ object Search {
     * aggregates. Shared by the one-time persisted build and the
     * incremental path's delta-batch index ([[bm25TopKIncremental]]):
     * both observe the EXACT token stream the scan path counts. */
-  private def indexFrames(documents: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def indexFrames(documents: DataFrame): (DataFrame, DataFrame) = {
     // Postings are POSITIONAL (sorted 0-based offsets per (tok, doc)):
     // tf queries read the tf column, phrase queries intersect the
     // position lists.

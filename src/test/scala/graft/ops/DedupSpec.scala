@@ -298,21 +298,6 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 3L -> 3L, 40L -> 40L, 11L -> 11L))
   }
 
-  test("expireRows: per-document index artifacts pruned of expired rows " +
-      "equal the artifacts built over the surviving corpus") {
-    val docs = graft.Tables.documents(spark, SparkTestBase.sfDir)
-    val expired = docs.filter(col("doc_id") % 11 === 0).select(col("doc_id"))
-    val survivors = docs.filter(col("doc_id") % 11 =!= 0)
-    // MinHash band signatures are per-document (corpus-independent), so
-    // expiry of the index == the survivors' index
-    val prunedBands = Dedup.expireRows(
-      Dedup.minHashBanded(docs), "doc_id", expired)
-    assert(prunedBands.exceptAll(Dedup.minHashBanded(survivors)).isEmpty &&
-      Dedup.minHashBanded(survivors).exceptAll(prunedBands).isEmpty)
-    // the expired ids are really gone
-    assert(prunedBands.filter(col("doc_id") % 11 === 0).isEmpty)
-  }
-
   test("shingles: distinct n-grams; short docs degrade to whole-doc shingle") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")
