@@ -623,6 +623,21 @@ object OracleSql {
        |WHERE id_a % $deltaMod = 0 OR id_b % $deltaMod = 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Replica of [[graft.ops.Dedup.minHashPairsIncremental]] with
+    * `expiredIds` set: the corpus is (base − expired) ∪ delta — expiry
+    * of the per-document band/lookup rows is exact, so the incremental
+    * path over the retired index equals the full chain over that corpus,
+    * sliced to delta-touching pairs. */
+  def minhashPairsRetireSql(bands: Int = 16, threshold: Double = 0.5,
+      deltaMod: Long = 7L, expireMod: Long = 11L): String =
+    s"""WITH pairs AS (
+       |${minhashPairsSql(bands, threshold, rel =
+        s"(SELECT * FROM documents WHERE doc_id % $deltaMod = 0 OR doc_id % $expireMod <> 0)")}
+       |)
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE id_a % $deltaMod = 0 OR id_b % $deltaMod = 0
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Replica of [[graft.streaming.ParityCheck.minhashDeepLiveParity]]'s
     * batch twin: the full MinHash pair set plus the shared recursive
     * component closure. */

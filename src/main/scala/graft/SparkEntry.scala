@@ -119,7 +119,7 @@ object SparkEntry {
     // first runs write the persisted BASE inverted index / pHash index /
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
-    "q_dedup_minhash_incr",
+    "q_dedup_minhash_incr", "q_dedup_minhash_retire",
     // first run writes the persisted DSIR count table
     "q_importance_weights_incr",
     // first run writes the base-trained IVF index the gauge reads
@@ -669,6 +669,21 @@ object SparkEntry {
       Dedup.minHashPairsIncremental(s, dir,
         Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0),
         Tables.documents(s, dir).filter(col("doc_id") % 7 === 0))),
+
+    // the retention × serving composition: the standing index RETIRES the
+    // base docs at doc_id % 11 == 0 (broadcast anti-join on the persisted
+    // band/lookup rows — Dedup.expireRows), and the % 7 == 0 arrivals
+    // band-join what survives; per-document signature independence makes
+    // the result exactly the incremental run over (base − expired),
+    // which is what the oracle recomputes
+    "q_dedup_minhash_retire" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      Dedup.minHashPairsIncremental(s, dir, base,
+        docs.filter(col("doc_id") % 7 === 0),
+        expiredIds = Some(base.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"))))
+    }),
 
     // 128-bit simhash (FNV vote word + splitmix64-mixed vote word) through
     // hammingPairs128's 4x32-bit banding — radius 24 of 128 keeps the
@@ -4060,6 +4075,7 @@ object SparkEntry {
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),
     "q_dedup_minhash_incr" -> OracleSql.minhashPairsIncrSql(),
+    "q_dedup_minhash_retire" -> OracleSql.minhashPairsRetireSql(),
     "q_dedup_deep_live_parity" -> OracleSql.minhashDeepLiveParitySql(),
     "q_dedup_ngram" -> OracleSql.minhashPairsSql(bands = 32, threshold = 0.3),
     "q_dedup_simhash" -> OracleSql.simhash128PairsSql(maxHamming = 24),

@@ -196,13 +196,24 @@ object Dedup {
     * corpus-independence makes that an exact equality, not a recall
     * statement). Base/delta doc_id sets must be disjoint. EAGER: the
     * delta banding is snapshotted (it feeds both join legs). */
+  /** `expiredIds` composes RETENTION with arrival-time serving: the
+    * persisted band-signature index and doc-text lookup drop the expired
+    * documents' rows through [[expireRows]]' broadcast anti-join before
+    * the delta joins them — so arrivals can never re-pair with retired
+    * documents, and the output equals [[minHashPairsIncremental]] over
+    * (base − expired) exactly (band signatures are per-document, pinned
+    * in RetentionSpec). The physical index rewrite stays an offline
+    * compaction decision; serving-path expiry is one narrow anti-join. */
   def minHashPairsIncremental(spark: org.apache.spark.sql.SparkSession,
       dir: String, baseDocs: => DataFrame, deltaDocs: DataFrame,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, suffix: String = "_base"): DataFrame = {
-    val idx = minHashBandIndexPersisted(spark, dir, baseDocs, n, k, bands,
-      suffix)
-    val lookup = minHashDocTextPersisted(spark, dir, baseDocs, suffix)
+      threshold: Double = 0.5, suffix: String = "_base",
+      expiredIds: Option[DataFrame] = None): DataFrame = {
+    def expire(df: DataFrame): DataFrame =
+      expiredIds.fold(df)(e => expireRows(df, "doc_id", e))
+    val idx = expire(minHashBandIndexPersisted(spark, dir, baseDocs, n, k,
+      bands, suffix))
+    val lookup = expire(minHashDocTextPersisted(spark, dir, baseDocs, suffix))
     val bandedDelta = minHashBanded(deltaDocs, n, k, bands)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

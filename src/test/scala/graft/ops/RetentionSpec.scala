@@ -56,6 +56,31 @@ class RetentionSpec extends AnyFunSuite {
       rebuilt.select(col("vec_id"), col("cluster"))))
   }
 
+  test("minHashPairsIncremental(expiredIds): a retired base doc can no " +
+      "longer pair with arrivals; survivors still can") {
+    import spark.implicits._
+    // base: 1 and 2 share (near-)identical text; delta doc 100 re-sends it.
+    // Without retirement the arrival pairs with BOTH; retiring 1 must
+    // drop exactly the (1, 100) pair — the serving-path TTL bite.
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val base = Seq((1L, t, "en", "s"), (2L, t + " x", "en", "s"),
+      (3L, "completely unrelated words that share nothing at all here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val delta = Seq((100L, t, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = "retspec_minhash" // keys the persisted tables for this corpus
+    def pairs(expired: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minHashPairsIncremental(spark, dir, base, delta,
+        expiredIds = expired)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(None)
+    assert(all.contains((1L, 100L)) && all.contains((2L, 100L)),
+      s"fixture must pair the arrival with both base docs, got $all")
+    val retired = pairs(Some(Seq(1L).toDF("doc_id")))
+    assert(retired == all - ((1L, 100L)),
+      s"retiring doc 1 must drop exactly its pair: $retired")
+  }
+
   test("128-bit fingerprint index: expiry equals the survivors' fingerprints") {
     // simhash128 stands in for the media tiers' (doc_id, sh0, sh1) shape —
     // identical per-document independence, no codec cost in the spec
