@@ -213,6 +213,32 @@ object DocumentStream {
       }
       .start()
 
+  /** The band-state JANITOR — the physical half of the TTL bound the
+    * docstring promises (queries already SKIP aged files via parquet
+    * ts_ms stats; this reclaims their storage): drop every `bands/`
+    * batch directory whose NEWEST event time is older than
+    * (highWaterMs − horizon − lateness). Safety under replay, same
+    * argument as the TTL stream's retention slack: a replayed batch's
+    * arrivals are watermark-admissible (ts ≥ high water − lateness), so
+    * their horizon reaches at most highWater − lateness − horizon — and
+    * every dropped directory sits strictly below that, so no admissible
+    * arrival (fresh or replayed) could have paired with it. Run it
+    * between batches or from a cron, passing the stream's high-water
+    * mark (e.g. the newest event time the pipeline has committed).
+    * Returns the dropped directory count. Per-directory max ts comes
+    * from one narrow column read (parquet footer stats do the work). */
+  def compactBands(spark: SparkSession, root: String, highWaterMs: Long,
+      horizonMs: Long, latenessMs: Long = 600000L): Int = {
+    val f = fs(spark, root)
+    val cut = highWaterMs - horizonMs - latenessMs
+    val dropped = batchDirs(spark, root, "bands", Long.MaxValue).filter { p =>
+      Option(spark.read.parquet(p).agg(max(col("ts_ms"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue) < cut
+    }
+    dropped.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
+    dropped.length
+  }
+
   // ── served outputs (what a reader queries between batches) ──
 
   def keptIds(spark: SparkSession, root: String): DataFrame =

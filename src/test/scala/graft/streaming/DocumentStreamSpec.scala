@@ -128,5 +128,23 @@ class DocumentStreamSpec extends AnyFunSuite {
     // label storage stayed bounded: at most the init snapshot + two
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/labels"))
       .length <= 3, "label snapshots were not reaped")
+
+    // band-state janitor: at the TRUE high-water mark it must drop
+    // EXACTLY the batch directories whose newest event time is beyond
+    // horizon + lateness — no admissible arrival could pair with those —
+    // and nothing fresher (the safety bound)
+    val highWater = arrivals.map(_.ts_ms).max
+    val cut = highWater - horizonMs - 600000L
+    val expectAged = waves.count(_.map(_.ts_ms).max < cut)
+    assert(DocumentStream.compactBands(spark, root, highWater, horizonMs) ==
+      expectAged, "janitor drop set diverged from the horizon+lateness bound")
+    // a high water past everyone's horizon reclaims every directory
+    // (the state ∝ arrival-rate × horizon bound, physically)
+    val farFuture = highWater + horizonMs + 600001L
+    assert(DocumentStream.compactBands(spark, root, farFuture, horizonMs) ==
+      waves.length - expectAged, "janitor failed to reclaim aged band state")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/bands"))
+      .exists(_.getPath.getName.startsWith("batch=")),
+      "aged band directories survived the janitor")
   }
 }
