@@ -4310,6 +4310,20 @@ object SparkEntry {
          |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 
+  /** Restrict an oracle's `documents`-scanning CTE to a WHERE clause —
+    * the retire twins' corpus cut. Textual by necessity (the base oracle
+    * is inline SQL), but GUARDED: the marker must appear exactly once,
+    * so a reformatted base oracle fails the map construction loudly
+    * instead of silently verifying the retire row against the full
+    * corpus (the r12 review finding). */
+  private def restrictDocsCte(sql: String, where: String): String = {
+    val marker = "  FROM documents),"
+    require(sql.indexOf(marker) >= 0 &&
+      sql.indexOf(marker) == sql.lastIndexOf(marker),
+      s"oracle lost its unique '$marker' CTE tail; update restrictDocsCte")
+    sql.replace(marker, s"  FROM documents WHERE $where),")
+  }
+
   /** Oracles; the alternate-implementation queries share their twin's SQL. */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     // the runnable restarted pipeline lands on the hand-driven gate's truth
@@ -4333,10 +4347,9 @@ object SparkEntry {
     // base-index ∪ delta-batch recomposition is exact — full-corpus oracle
     "q_bm25_incr" -> baseOracleSql("q_bm25"),
     // retired index = rebuild over the survivors: same scoring SQL with
-    // the d CTE restricted to the surviving corpus (the one `FROM
-    // documents)` in q_bm25's oracle is that CTE's tail)
-    "q_bm25_retire" -> baseOracleSql("q_bm25")
-      .replace("  FROM documents),", "  FROM documents WHERE doc_id % 11 <> 0),"),
+    // the d CTE restricted to the surviving corpus
+    "q_bm25_retire" -> restrictDocsCte(baseOracleSql("q_bm25"),
+      "doc_id % 11 <> 0"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),
     "q_daily_counts_mv" -> baseOracleSql("q_daily_counts"),

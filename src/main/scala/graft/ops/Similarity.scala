@@ -853,13 +853,19 @@ object Similarity {
     val d = fitAndShare(newDelta).select(col("n").as("n_new"),
       col("fit_ppb").as("new_fit_ppb"),
       col("top_share_ppb").as("new_top_share_ppb"))
+    // an EMPTY batch (a quiet arrival window) is no evidence, not an
+    // alarm: fits/shares stay NULL (0 would read as massive drift) and
+    // the coalesce pins retrain to false instead of NULL — callers that
+    // read the flag positionally must never NPE on a quiet window
     r.crossJoin(broadcast(d))
       .select(col("n_ref"), col("n_new"),
         col("ref_fit_ppb"), col("new_fit_ppb"),
         (col("ref_fit_ppb") - col("new_fit_ppb")).as("drift_ppb"),
         col("ref_top_share_ppb"), col("new_top_share_ppb"),
-        ((col("ref_fit_ppb") - col("new_fit_ppb")) > retrainDriftPpb ||
-          col("new_top_share_ppb") > collapseSharePpb).as("retrain"))
+        (coalesce((col("ref_fit_ppb") - col("new_fit_ppb")) >
+            retrainDriftPpb, lit(false)) ||
+          coalesce(col("new_top_share_ppb") > collapseSharePpb, lit(false)))
+          .as("retrain"))
   }
 
   /** Per-label corpus statistics over the embedding column — the sanity

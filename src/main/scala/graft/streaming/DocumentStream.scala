@@ -41,10 +41,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * as `batch=-1` via [[init]]):
   *  - `hist/`   (doc_id, text)          — survivor texts, append-only
   *  - `kept/`   (doc_id)                — survivor ids, append-only
-  *  - `bands/`  (doc_id, ts_ms, band, bh) — arrival band signatures; the
-  *     horizon predicate skips aged FILES via parquet ts_ms stats, and a
-  *     janitor may physically drop directories older than
-  *     horizon + lateness (state ∝ arrival rate × horizon, the TTL bound)
+  *  - `bands/`  (doc_id, ts_ms, band, bh) — arrival band signatures. The
+  *     two-sided horizon predicate is a JOIN condition, so it cannot
+  *     file-skip by itself; the state ∝ arrival-rate × horizon bound is
+  *     delivered by [[compactBands]] — the janitor that physically drops
+  *     directories older than horizon + lateness (safe because
+  *     [[processBatch]] ENFORCES the lateness admission bound)
   *  - `pairs/`  (id_a, id_b)            — verified kept live pairs
   *  - `labels/` (doc_id, cluster_id)    — FULL snapshot per batch; only
   *     the previous snapshot is needed for replay, so older ones are
@@ -107,17 +109,39 @@ object DocumentStream {
 
   /** The per-batch transaction — public so the spec can also drive a
     * single batch directly. Deterministic given (state before `batchId`,
-    * batch rows), so replays are exact. */
+    * batch rows), so replays are exact.
+    *
+    * ADMISSION (what makes [[compactBands]]' safety argument enforced,
+    * not aspirational): arrivals older than the committed high-water
+    * mark minus `latenessMs` are DROPPED before any tier sees them —
+    * exactly a watermark's admission rule, persisted as a tiny per-batch
+    * `hw/` row so replays apply the same bound. Every surviving arrival
+    * therefore satisfies ts ≥ hw − lateness, and the janitor's cut at
+    * hw − horizon − lateness can never remove a directory an admissible
+    * arrival's horizon reaches. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       horizonMs: Long, latenessMs: Long = 600000L, n: Int = 3,
       threshold: Double = 0.5): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    // the committed high-water mark (max event time over prior batches;
+    // Long.MinValue before any) — the hw/ rows are 1-per-batch, so this
+    // read is bounded by the batch count, and the janitor reaps it too
+    val hw = state(spark, root, "hw", batchId, "ts_ms BIGINT")
+      .agg(max(col("ts_ms"))).head().get(0) match {
+        case null => Long.MinValue
+        case t: java.lang.Long => t.longValue()
+      }
     // snapshot: the batch feeds four consumers (exact tier, banding,
-    // text lookup, ts bounds) — batch-sized by construction
+    // text lookup, ts bounds) — batch-sized by construction. Late rows
+    // beyond the admission bound drop HERE (watermark semantics).
     val b = batch.select(col("doc_id"), col("ts_ms"), col("text"))
+      .filter(col("ts_ms") >= (if (hw == Long.MinValue) Long.MinValue
+        else hw - latenessMs))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (b.isEmpty) return
+    write(b.agg(max(col("ts_ms")).as("ts_ms")), root, "hw", batchId)
 
     // ── tier 1: exact dedup against history, then within-batch ──
     val histTexts = state(spark, root, "hist", batchId,
@@ -158,14 +182,35 @@ object DocumentStream {
       .filter(col("id_a") < col("id_b") &&
         abs(col("ts_a") - col("ts_b")) <= horizonMs)
       .select(col("id_a"), col("id_b"))
-    val keptAll = state(spark, root, "kept", batchId, "doc_id BIGINT")
+    // raw candidates are batch-bounded (band state is horizon-bounded by
+    // the janitor); snapshotted — they feed the endpoint probe AND the
+    // restricted join below
+    val rawCands = between.unionByName(within).distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // kept-endpoint restriction WITHOUT broadcasting all-time state: the
+    // batch-bounded candidate id set broadcasts INTO the kept state (one
+    // narrow streamed scan), and only the surviving endpoint ids — a
+    // subset of the candidate set — broadcast back onto the pairs.
+    // Broadcasting keptAll directly would ship the all-time kept id set
+    // to every executor per batch (unbounded growth — the r12 review
+    // finding).
+    val candIds = rawCands.select(col("id_a").as("doc_id"))
+      .unionByName(rawCands.select(col("id_b").as("doc_id"))).distinct()
+    val keptEnds = state(spark, root, "kept", batchId, "doc_id BIGINT")
       .unionByName(kept.select(col("doc_id")))
-    val cands = between.unionByName(within).distinct()
-      .join(broadcast(keptAll.select(col("doc_id").as("id_a"))), Seq("id_a"))
-      .join(broadcast(keptAll.select(col("doc_id").as("id_b"))), Seq("id_b"))
-    // texts for verify: candidate endpoints are kept arrivals, whose
-    // texts live in the history state (this batch's survivors included)
+      .join(broadcast(candIds), Seq("doc_id"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = rawCands
+      .join(broadcast(keptEnds.select(col("doc_id").as("id_a"))), Seq("id_a"))
+      .join(broadcast(keptEnds.select(col("doc_id").as("id_b"))), Seq("id_b"))
+    // texts for verify: candidate endpoints only — the kept-endpoint set
+    // broadcasts into the history text state, so the corpus-sized hist/
+    // scan streams through narrow and nothing corpus-sized is shingled
+    // (the Dedup.verifyCandidates convention)
     val texts = histTexts.unionByName(kept.select(col("doc_id"), col("text")))
+      .join(broadcast(keptEnds), Seq("doc_id"))
     val verified = graft.ops.Dedup
       .jaccardVerify(cands, texts, n, threshold)
       .select(col("id_a"), col("id_b"))

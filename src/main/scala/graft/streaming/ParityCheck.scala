@@ -377,6 +377,40 @@ object ParityCheck {
         (d.doc_id / 8, graft.functions.SimHash64.mix64(d.doc_id))),
       requireLate = true)
 
+  /** The live-pipeline BATCH TWIN — the all-at-once truth every composed
+    * text gate pins against, defined ONCE so the hand-driven gate
+    * ([[livePipelineParity]]), the runnable-pipeline gate
+    * ([[restartPipelineParity]]) and DocumentStreamSpec cannot drift
+    * apart: kept arrivals = min doc_id per text unseen in history; live
+    * pairs = the full MinHash pair set restricted to kept arrivals
+    * within the id-distance horizon (ts = t0 + doc_id minutes, so the
+    * horizon is id arithmetic); labels = CC over (history pairs ∪ live
+    * pairs) on (history ∪ kept). Returns (keptBatch, livePairsB,
+    * batchLabels), each snapshotted. */
+  private[graft] def livePipelineBatchTwin(documents: DataFrame,
+      history: DataFrame, splitId: Long, horizonMs: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val arrivals = documents.filter(col("doc_id") >= splitId)
+    val keptBatch = arrivals
+      .join(history.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).localCheckpoint(true)
+    val allPairs = graft.ops.Dedup.minHashPairs(documents)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val histPairs = allPairs
+      .filter(col("id_a") < splitId && col("id_b") < splitId)
+    val livePairsB = allPairs
+      .filter(col("id_a") >= splitId && col("id_b") >= splitId)
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
+      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val batchLabels = graft.ops.Dedup.nearDupClusters(
+      history.select(col("doc_id")).unionByName(keptBatch),
+      histPairs.unionByName(livePairsB)).localCheckpoint(true)
+    (keptBatch, livePairsB, batchLabels)
+  }
+
   /** The COMPOSED live-dedup pipeline, gated end to end — the three
     * tiers a 100 TB always-on corpus runs as ONE flow, replayed over a
     * fixture split into deep history and arrivals:
@@ -487,25 +521,10 @@ object ParityCheck {
     val liveLabels = graft.ops.Dedup.mergeClusterDelta(baseLabels, keptArr,
       livePairs).localCheckpoint(true)
 
-    // ── batch twin, computed all-at-once ──
+    // ── batch twin, computed all-at-once (the SHARED definition) ──
     val arrivals = documents.filter(col("doc_id") >= splitId)
-    val keptBatch = arrivals
-      .join(history.select(col("text")), Seq("text"), "left_anti")
-      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id")).localCheckpoint(true)
-    val allPairs = graft.ops.Dedup.minHashPairs(documents)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val histPairs = allPairs.filter(col("id_a") < splitId && col("id_b") < splitId)
-    val livePairsB = allPairs
-      .filter(col("id_a") >= splitId && col("id_b") >= splitId)
-      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
-      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
-      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
-      .select(col("id_a"), col("id_b"))
-    val batchCorpus = history.select(col("doc_id"))
-      .unionByName(keptBatch)
-    val batchLabels = graft.ops.Dedup.nearDupClusters(batchCorpus,
-      histPairs.unionByName(livePairsB)).localCheckpoint(true)
+    val (keptBatch, _, batchLabels) =
+      livePipelineBatchTwin(documents, history, splitId, horizonMs)
 
     // candidate-set parity: streamed candidates vs the horizon-restricted
     // band join over arrivals (pre-verify, pre-keep — tier 2's raw truth)
@@ -601,24 +620,10 @@ object ParityCheck {
     val liveLabels = DocumentStream.labels(spark, s"$root/state")
       .localCheckpoint(true)
 
-    // ── batch twin: identical to the hand-driven gate's ──
-    val arrivals = documents.filter(col("doc_id") >= splitId)
-    val keptBatch = arrivals
-      .join(history.select(col("text")), Seq("text"), "left_anti")
-      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id")).localCheckpoint(true)
-    val allPairs = graft.ops.Dedup.minHashPairs(documents)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val histPairs = allPairs.filter(col("id_a") < splitId && col("id_b") < splitId)
-    val livePairsB = allPairs
-      .filter(col("id_a") >= splitId && col("id_b") >= splitId)
-      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
-      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
-      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
-      .select(col("id_a"), col("id_b"))
-    val batchLabels = graft.ops.Dedup.nearDupClusters(
-      history.select(col("doc_id")).unionByName(keptBatch),
-      histPairs.unionByName(livePairsB)).localCheckpoint(true)
+    // ── batch twin: the SHARED definition (cannot drift from the
+    // hand-driven gate's) ──
+    val (keptBatch, livePairsB, batchLabels) =
+      livePipelineBatchTwin(documents, history, splitId, horizonMs)
 
     val survAgree = keptArr.exceptAll(keptBatch).count() == 0L &&
       keptBatch.exceptAll(keptArr).count() == 0L

@@ -84,24 +84,9 @@ class DocumentStreamSpec extends AnyFunSuite {
     waves.drop(2).foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
     q.stop()
 
-    // ── batch twin (the gate's definition, all-at-once) ──
-    val keptBatch = documents.filter(col("doc_id") >= splitId)
-      .join(history.select(col("text")), Seq("text"), "left_anti")
-      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id")).localCheckpoint(true)
-    val allPairs = graft.ops.Dedup.minHashPairs(documents)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val histPairs = allPairs
-      .filter(col("id_a") < splitId && col("id_b") < splitId)
-    val livePairsB = allPairs
-      .filter(col("id_a") >= splitId && col("id_b") >= splitId)
-      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
-      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
-      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
-      .select(col("id_a"), col("id_b"))
-    val batchLabels = graft.ops.Dedup.nearDupClusters(
-      history.select(col("doc_id")).unionByName(keptBatch),
-      histPairs.unionByName(livePairsB))
+    // ── batch twin: the gate's SHARED definition ──
+    val (keptBatch, livePairsB, batchLabels) =
+      ParityCheck.livePipelineBatchTwin(documents, history, splitId, horizonMs)
 
     // served state == twin, all three surfaces
     val keptGot = DocumentStream.keptIds(spark, root)
