@@ -47,7 +47,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     delivered by [[compactBands]] — the janitor that physically drops
   *     directories older than horizon + lateness (safe because
   *     [[processBatch]] ENFORCES the lateness admission bound)
-  *  - `pairs/`  (id_a, id_b)            — verified kept live pairs
+  *  - `pairs/`  (id_a, id_b)            — verified kept live pairs (plus
+  *     the standing corpus's pair table as `batch=-1` — [[retire]] needs
+  *     real edges to re-converge split components)
   *  - `labels/` (doc_id, cluster_id)    — FULL snapshot per batch; only
   *     the previous snapshot is needed for replay, so older ones are
   *     reaped after each commit (bounded at two snapshots)
@@ -96,15 +98,77 @@ object DocumentStream {
       batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$root/$sub/batch=$batchId")
 
-  /** Initialize the standing state: the deep-history corpus and its
-    * persisted labeling land as `batch=-1`, so the first micro-batch
-    * already screens and merges against them. */
+  /** Initialize the standing state: the deep-history corpus, its
+    * persisted labeling AND its pair table land as `batch=-1`, so the
+    * first micro-batch already screens and merges against them — and
+    * [[retire]] can re-converge history components when expiry splits
+    * them (label edges alone cannot reconstruct a component after node
+    * REMOVAL; the pair edges can — the retireClusterDelta contract). */
   def init(spark: SparkSession, root: String, history: DataFrame,
-      baseLabels: DataFrame): Unit = {
+      historyPairs: DataFrame, baseLabels: DataFrame): Unit = {
     write(history.select(col("doc_id"), col("text")), root, "hist", -1L)
     write(history.select(col("doc_id")), root, "kept", -1L)
+    write(historyPairs.select(col("id_a"), col("id_b")), root, "pairs", -1L)
     write(baseLabels.select(col("doc_id"), col("cluster_id")),
       root, "labels", -1L)
+  }
+
+  /** RETENTION for the runnable pipeline — the reference's TTL
+    * (internal/db/db.go:59-65) applied to EVERY state the stream
+    * maintains, so live state follows the live corpus instead of the
+    * all-time one:
+    *
+    *  - `hist/` and `kept/` drop the expired documents' rows
+    *    ([[graft.ops.Dedup.expireRows]] per batch directory) — so a
+    *    re-sent expired text is genuinely NEW again, exactly the
+    *    reference's TTL semantics;
+    *  - `pairs/` drops every edge with an expired endpoint (an edge dies
+    *    with its node);
+    *  - `labels/`'s latest snapshot retires through
+    *    [[graft.ops.Dedup.retireClusterDelta]] over the PRE-prune pair
+    *    state — touched components re-converge from their surviving
+    *    edges (removal can split), hash-equal to a rebuild on survivors;
+    *  - aged band directories reclaim through [[compactBands]] when a
+    *    high-water mark is supplied.
+    *
+    * OPERATIONAL CONTRACT: run with the stream STOPPED at a committed
+    * checkpoint (the reference's TTL is likewise a maintenance-window
+    * merge). Earlier batches must not replay afterwards — a cleanly
+    * stopped checkpoint guarantees that — and the rewrite itself is
+    * idempotent (pruning is an anti-join; re-running completes a
+    * crashed pass). Each directory rewrite snapshots before overwriting
+    * (Spark cannot overwrite its own input in place). */
+  def retire(spark: SparkSession, root: String, expiredIds: DataFrame,
+      highWaterMs: Option[Long] = None, horizonMs: Long = 3600000L,
+      latenessMs: Long = 600000L): Unit = {
+    val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = expiredIds
+      .select(col(expiredIds.columns.head).as("doc_id")).distinct()
+      .localCheckpoint(true, memDisk)
+    // labels first, from the PRE-prune pair state (retireClusterDelta
+    // does its own surviving-touched restriction, so feeding pruned or
+    // unpruned edges is equivalent — unpruned keeps the contract plain)
+    val pairsState = state(spark, root, "pairs", Long.MaxValue,
+      "id_a BIGINT, id_b BIGINT")
+    val retired = graft.ops.Dedup.retireClusterDelta(
+      labels(spark, root), pairsState, e)
+      .localCheckpoint(true, memDisk)
+    val latest = batchDirs(spark, root, "labels", Long.MaxValue)
+      .maxBy(_.split("batch=").last.toLong)
+    retired.write.mode("overwrite").parquet(latest)
+    // prune the append-only states directory by directory
+    def prune(sub: String, cols: Seq[String]): Unit =
+      batchDirs(spark, root, sub, Long.MaxValue).foreach { p =>
+        val pruned = cols.foldLeft(spark.read.parquet(p))(
+          (df, c) => graft.ops.Dedup.expireRows(df, c, e))
+          .localCheckpoint(true, memDisk)
+        pruned.write.mode("overwrite").parquet(p)
+      }
+    prune("hist", Seq("doc_id"))
+    prune("kept", Seq("doc_id"))
+    prune("pairs", Seq("id_a", "id_b"))
+    highWaterMs.foreach(hw =>
+      compactBands(spark, root, hw, horizonMs, latenessMs))
   }
 
   /** The per-batch transaction — public so the spec can also drive a

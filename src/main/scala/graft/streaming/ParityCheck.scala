@@ -594,9 +594,10 @@ object ParityCheck {
     val fsys = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(root), true)
-    DocumentStream.init(spark, s"$root/state", history,
-      graft.ops.Dedup.nearDupClusters(history,
-        graft.ops.Dedup.minHashPairs(history)))
+    val histPairs0 = graft.ops.Dedup.minHashPairs(history)
+      .localCheckpoint(true)
+    DocumentStream.init(spark, s"$root/state", history, histPairs0,
+      graft.ops.Dedup.nearDupClusters(history, histPairs0))
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -615,7 +616,10 @@ object ParityCheck {
 
     val keptArr = DocumentStream.keptIds(spark, s"$root/state")
       .filter(col("doc_id") >= splitId).localCheckpoint(true)
+    // the pairs STATE also carries the standing corpus's batch=-1 table
+    // (retire's raw material); the live-pair surface is the arrival slice
     val livePairs = DocumentStream.livePairs(spark, s"$root/state")
+      .filter(col("id_a") >= splitId)
       .localCheckpoint(true)
     val liveLabels = DocumentStream.labels(spark, s"$root/state")
       .localCheckpoint(true)

@@ -44,9 +44,10 @@ class DocumentStreamSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path("target/docstream_spec"), true)
 
-    DocumentStream.init(spark, root, history,
-      graft.ops.Dedup.nearDupClusters(history,
-        graft.ops.Dedup.minHashPairs(history)))
+    val histPairs0 = graft.ops.Dedup.minHashPairs(history)
+      .localCheckpoint(true)
+    DocumentStream.init(spark, root, history, histPairs0,
+      graft.ops.Dedup.nearDupClusters(history, histPairs0))
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -98,6 +99,7 @@ class DocumentStreamSpec extends AnyFunSuite {
       "the exact tier never fired — the gate would be vacuous")
 
     val pairsGot = DocumentStream.livePairs(spark, root)
+      .filter(col("id_a") >= splitId) // exclude the standing batch=-1 table
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pairsWant = livePairsB.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -131,5 +133,65 @@ class DocumentStreamSpec extends AnyFunSuite {
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/bands"))
       .exists(_.getPath.getName.startsWith("batch=")),
       "aged band directories survived the janitor")
+
+    // ── full lifecycle: TTL retirement mid-stream ──
+    // expire the oldest third of history plus every current holder of the
+    // duplicate-traffic text, with the stream STOPPED at a committed
+    // checkpoint (the operational contract)
+    val histDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/hist"))
+      .map(_.getPath.toString).filter(_.contains("batch=")).toSeq
+    val expired = DocumentStream.keptIds(spark, root)
+      .filter(col("doc_id") < splitId / 3)
+      .unionByName(spark.read.schema("doc_id BIGINT, text STRING")
+        .parquet(histDirs: _*)
+        .filter(col("text") === dupText).select(col("doc_id")))
+      .distinct().localCheckpoint(true)
+    val expiredSet = expired.collect().map(_.getLong(0)).toSet
+    assert(expiredSet.nonEmpty, "retire scenario needs a non-empty expiry")
+    DocumentStream.retire(spark, root, expired)
+    // every state surface dropped the expired ids
+    val keptAfter = DocumentStream.keptIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAfter.intersect(expiredSet).isEmpty, "kept state kept expired ids")
+    val pairsAfter = DocumentStream.livePairs(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairsAfter.exists(p =>
+      expiredSet.contains(p._1) || expiredSet.contains(p._2)),
+      "pair state kept edges of expired docs")
+    // labels re-converged: hash-equal to a rebuild over the survivors
+    // from the surviving pair edges (splits included)
+    val labelsAfterRetire = DocumentStream.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rebuilt = graft.ops.Dedup.nearDupClusters(
+      DocumentStream.keptIds(spark, root).select(col("doc_id")),
+      DocumentStream.livePairs(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labelsAfterRetire == rebuilt,
+      "retired labels diverged from the rebuild over survivors")
+
+    // RE-ADMISSION — the reference's TTL semantics: the expired text is
+    // genuinely NEW again, so a post-retire re-send is KEPT where every
+    // pre-retire one was dropped (fresh timestamp — the admission bound
+    // is enforced now, a stale ts would be late-dropped)
+    val maxArrivalId = arrivals.map(_.doc_id).max
+    val fresh = DocumentStream.DocTsIn(maxArrivalId + 2,
+      t0Ms + (maxArrivalId + 2) * 60000L, dupText)
+    q = DocumentStream.start(mem.toDF(), root, ckpt, horizonMs)
+    try { mem.addData(Seq(fresh)); q.processAllAvailable() }
+    finally q.stop()
+    val keptFinal = DocumentStream.keptIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptFinal.contains(fresh.doc_id),
+      "a post-retire re-send of the expired text was not re-admitted")
+    // standing invariant across merges AND retires: the label table is
+    // always exactly CC over (kept ids, pair-state edges)
+    val labelsFinal = DocumentStream.labels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ccFinal = graft.ops.Dedup.nearDupClusters(
+      DocumentStream.keptIds(spark, root).select(col("doc_id")),
+      DocumentStream.livePairs(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labelsFinal == ccFinal,
+      "label table drifted from CC over the maintained state")
   }
 }
