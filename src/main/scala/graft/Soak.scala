@@ -529,6 +529,82 @@ object Soak {
     }
   }
 
+  /** `docstream` mode: the runnable live-dedup pipeline
+    * ([[graft.streaming.DocumentStream]]) under TRUE-growth load — the
+    * per-batch latency and state-size receipt the wave-replay gates
+    * don't give. A TRUE-growth corpus splits 3/5 into standing history
+    * and arrivals; arrivals stream through the checkpointed pipeline in
+    * `nWaves` micro-batches (constant batch size as the corpus grows —
+    * the live-serving regime), then a TTL retirement expires the oldest
+    * slice of history and the janitor reclaims aged band state. Printed
+    * per scale: init cost (standing artifacts), per-batch seconds
+    * (median over waves — MUST stay flat as history grows; every
+    * per-batch read of corpus-sized state is candidate-pruned), retire
+    * seconds, and state rows before/after. The final label table is
+    * asserted equal to CC over the maintained kept/pair state (the
+    * standing invariant) before any timing is trusted. */
+  def docStreamSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nWaves: Int = 8): Unit = {
+    import spark.implicits._
+    import graft.streaming.DocumentStream
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/docstream_$tag"
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val splitId = n * 3L / 5L
+      val history = docs.filter(col("doc_id") < splitId)
+      // CONSTANT arrival stream regardless of corpus scale: the last
+      // nBase·2/5 ids play the arrivals (minute-spaced event times)
+      val arrivals = docs.filter(col("doc_id") >= n - nBase * 2L / 5L)
+        .select(col("doc_id"),
+          (lit(t0Ms) + (col("doc_id") - splitId) * 60000L).as("ts_ms"),
+          col("text"))
+        .as[DocumentStream.DocTsIn].collect().sortBy(_.doc_id)
+      val tInit0 = System.nanoTime()
+      val histPairs = graft.ops.Dedup.minHashPairs(history)
+        .localCheckpoint(true)
+      DocumentStream.init(spark, s"$dir/state", history, histPairs,
+        graft.ops.Dedup.nearDupClusters(history, histPairs))
+      val initSec = (System.nanoTime() - tInit0) / 1e9
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[DocumentStream.DocTsIn]
+      val q = DocumentStream.start(mem.toDF(), s"$dir/state",
+        s"$dir/ckpt", horizonMs = 3600000L)
+      val waveSecs = arrivals.grouped(
+          math.max(1, arrivals.length / nWaves)).map { w =>
+        val t = System.nanoTime()
+        mem.addData(w.toSeq); q.processAllAvailable()
+        (System.nanoTime() - t) / 1e9
+      }.toSeq
+      q.stop()
+      val medianWave = waveSecs.sorted.apply(waveSecs.length / 2)
+      // invariant before timing is trusted
+      val labels = DocumentStream.labels(spark, s"$dir/state")
+      val cc = graft.ops.Dedup.nearDupClusters(
+        DocumentStream.keptIds(spark, s"$dir/state").select(col("doc_id")),
+        DocumentStream.livePairs(spark, s"$dir/state"))
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      val keptRows = DocumentStream.keptIds(spark, s"$dir/state").count()
+      // TTL: the oldest half of the standing history expires
+      val expired = history.filter(col("doc_id") < splitId / 2)
+        .select(col("doc_id"))
+      val tR = System.nanoTime()
+      DocumentStream.retire(spark, s"$dir/state", expired,
+        highWaterMs = Some(arrivals.map(_.ts_ms).max))
+      val retireSec = (System.nanoTime() - tR) / 1e9
+      val keptAfter = DocumentStream.keptIds(spark, s"$dir/state").count()
+      println(f"""SOAK {"phase":"docstream","scale":"$tag","docs":$n,"history":${splitId},"arrivals":${arrivals.length},"waves":${waveSecs.length},"init_sec":$initSec%.2f,"median_wave_sec":$medianWave%.2f,"max_wave_sec":${waveSecs.max}%.2f,"label_diff":$diff,"kept_rows":$keptRows,"retire_sec":$retireSec%.2f,"kept_after_retire":$keptAfter}""")
+    }
+  }
+
   /** `containab` mode: the snapshot-vs-recompute A/B for
     * [[graft.ops.Dedup.shingleContainment]]'s corpus-token-sized distinct
     * shingle frame (the r11 verdict's open measurement): time the
@@ -1022,6 +1098,11 @@ object Soak {
     }
     if (args.lift(3).contains("containab")) {
       containAbSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("docstream")) {
+      docStreamSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }
