@@ -825,9 +825,10 @@ object Similarity {
       baseEmb: => DataFrame, refDelta: DataFrame, newDelta: DataFrame,
       nCentroids: Int = 32, lloydIters: Int = 2,
       retrainDriftPpb: Long = 50000000L,
-      collapseSharePpb: Long = 400000000L): DataFrame = {
+      collapseSharePpb: Long = 400000000L,
+      suffix: String = "_base"): DataFrame = {
     val (centroids, _) = ivfIndexPersisted(spark, dir, baseEmb,
-      nCentroids, lloydIters, suffix = "_base")
+      nCentroids, lloydIters, suffix)
     def fitAndShare(batch: DataFrame): DataFrame = {
       val assigned = assignToCentroids(batch, centroids)
         .select(col("cluster").cast("long").as("cluster"),
@@ -867,6 +868,23 @@ object Similarity {
           coalesce(col("new_top_share_ppb") > collapseSharePpb, lit(false)))
           .as("retrain"))
   }
+
+  /** EXECUTE the retrain [[ivfDriftGauge]]'s policy prescribes: rebuild
+    * the IVF index over the ACCUMULATED corpus (base ∪ every delta
+    * admitted since the last epoch) under a fresh epoch suffix — the
+    * amortized offline retrain FAISS deployments schedule. The old
+    * epoch's tables stay addressable until their readers drain (suffix
+    * keys are the version pins — the `ivfIndexPersisted` economics), new
+    * arrivals assign to the NEW epoch's centroids from here on, and the
+    * gauge re-anchors: SimilaritySpec pins the loop end to end — a
+    * shifted batch fires retrain against epoch 0, and after retraining
+    * on (base ∪ shifted), the same distribution measured against epoch 1
+    * sits back under both thresholds. */
+  def ivfRetrainEpoch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: => DataFrame, epoch: Int, nCentroids: Int = 32,
+      lloydIters: Int = 2): (DataFrame, DataFrame) =
+    ivfIndexPersisted(spark, dir, corpus, nCentroids, lloydIters,
+      suffix = s"_epoch$epoch")
 
   /** Per-label corpus statistics over the embedding column — the sanity
     * profile (cardinality, norm distribution) an embedding pipeline logs

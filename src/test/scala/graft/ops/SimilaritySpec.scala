@@ -293,4 +293,32 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sem.contains((i, i + 20000L)), s"exact duplicate of vec $i missed")
     }
   }
+
+  test("drift → retrain loop: a shifted arrival batch fires the gauge " +
+      "against epoch 0; retraining on the accumulated corpus resets it") {
+    import org.apache.spark.sql.functions._
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+    // the arrivals come from a SHIFTED distribution (one-orthant mode
+    // collapse — the gauge's occupancy signal territory)
+    def shift(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+      "embedding", transform(col("embedding"),
+        x => (abs(x) + lit(0.5d)).cast("float")))
+    val refShift = shift(delta.filter(col("vec_id") % 2 === 0))
+    val newShift = shift(delta.filter(col("vec_id") % 2 =!= 0))
+    // epoch 0 (base-trained): an in-distribution reference batch vs the
+    // shifted arrivals — retrain must fire
+    val g0 = Similarity.ivfDriftGauge(spark, SparkTestBase.sfDir, base,
+      delta.filter(col("vec_id") % 2 === 0), newShift).head()
+    assert(g0.getBoolean(7), s"shifted batch did not fire retrain: $g0")
+    // execute the policy: epoch 1 trains on base ∪ the accumulated
+    // shifted arrivals (disjoint ids by the % 7 split)
+    val corpus1 = base.unionByName(refShift).unionByName(newShift)
+    Similarity.ivfRetrainEpoch(spark, SparkTestBase.sfDir, corpus1, epoch = 1)
+    // the same distribution measured against epoch 1 is in-distribution
+    // again: both signals back under threshold
+    val g1 = Similarity.ivfDriftGauge(spark, SparkTestBase.sfDir, corpus1,
+      refShift, newShift, suffix = "_epoch1").head()
+    assert(!g1.getBoolean(7), s"gauge still alarming after retrain: $g1")
+  }
 }
