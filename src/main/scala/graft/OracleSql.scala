@@ -523,6 +523,27 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replica of [[graft.ops.Similarity.semanticDedupPairsIncremental]]
+    * with `expiredIds` set: the chain still TRAINS on the full base
+    * corpus (centroids survive retention — the train-once contract), but
+    * pairs may only touch surviving base vectors or arrivals. */
+  def semDedupPairsRetireSql(nCentroids: Int = 32, lloydIters: Int = 2,
+      threshold: Double = 0.4, deltaMod: Long = 7L,
+      expireMod: Long = 11L): String = {
+    val (ctes, _) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere = s"vec_id % $deltaMod <> 0")
+    val live = (v: String) =>
+      s"($v % $deltaMod = 0 OR $v % $expireMod <> 0)"
+    s"""WITH $ctes
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       |FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.e", "b.e")} >= $threshold
+       |  AND (a.vec_id % $deltaMod = 0 OR b.vec_id % $deltaMod = 0)
+       |  AND ${live("a.vec_id")} AND ${live("b.vec_id")}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Replica of [[graft.ops.Similarity.ivfDriftGauge]]: the IVF chain
     * trains on the base corpus only, assigns EVERY vector (a_f), and
     * each held-out batch's fit is the ppb-floored mean cosine of its

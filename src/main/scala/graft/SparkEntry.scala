@@ -119,7 +119,7 @@ object SparkEntry {
     // first runs write the persisted BASE inverted index / pHash index /
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
-    "q_dedup_minhash_incr", "q_dedup_minhash_retire",
+    "q_dedup_minhash_incr", "q_dedup_minhash_retire", "q_semdedup_retire",
     // first run writes the persisted DSIR count table
     "q_importance_weights_incr",
     // first run writes the base-trained IVF index the gauge reads
@@ -931,6 +931,21 @@ object SparkEntry {
       Similarity.semanticDedupPairsIncremental(s, dir,
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 =!= 0),
         Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0), 0.4)),
+
+    // retention x arrival-time serving on the vector tier: base vectors
+    // at vec_id % 11 == 0 retire from the persisted assignment (broadcast
+    // anti-join; the base-trained CENTROIDS stay — train-once), and the
+    // % 7 == 0 arrivals pair only with what survives — exactly the
+    // incremental run over (base − expired), which the oracle recomputes
+    // under the same base-trained chain
+    "q_semdedup_retire" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      Similarity.semanticDedupPairsIncremental(s, dir, base,
+        emb.filter(col("vec_id") % 7 === 0), 0.4,
+        expiredIds = Some(base.filter(col("vec_id") % 11 === 0)
+          .select(col("vec_id"))))
+    }),
 
     "q_embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(Tables.embeddings(s, dir))),
@@ -4069,6 +4084,7 @@ object SparkEntry {
     "q_semdedup" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_idx" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_incr" -> OracleSql.semDedupPairsIncrSql(),
+    "q_semdedup_retire" -> OracleSql.semDedupPairsRetireSql(),
     "q_knn_ivf_drift_check" -> OracleSql.ivfDriftSql(),
     "q_semdedup_live_parity" -> OracleSql.semDedupLiveParitySql(),
     "q_lang_id" -> OracleSql.langIdSql,

@@ -732,12 +732,24 @@ object Similarity {
     * EAGER: the delta assignment is snapshotted (it feeds both join legs
     * — without it the argmax pass runs twice), so construction triggers
     * Spark jobs — batch-only, like the banded-hamming family. */
+  /** `expiredIds` composes RETENTION with arrival-time serving (the
+    * [[graft.ops.Dedup.minHashPairsIncremental]] pattern on the vector
+    * tier): the persisted cluster-partitioned assignment drops the
+    * expired vectors' rows through [[graft.ops.Dedup.expireRows]]'
+    * broadcast anti-join before the delta joins it — arrivals can never
+    * re-pair with retired vectors, and because assignment under FIXED
+    * centroids is per-vector (RetentionSpec), the output equals the
+    * incremental run over (base − expired) exactly. The CENTROIDS stay
+    * (train-once; [[ivfDriftGauge]] owns their decay), and the physical
+    * partition rewrite stays an offline compaction decision. */
   def semanticDedupPairsIncremental(spark: org.apache.spark.sql.SparkSession,
       dir: String, baseEmb: => DataFrame, deltaEmb: DataFrame,
-      threshold: Double, nCentroids: Int = 32, lloydIters: Int = 2)
-      : DataFrame = {
-    val (centroids, assigned) = ivfIndexPersisted(spark, dir, baseEmb,
+      threshold: Double, nCentroids: Int = 32, lloydIters: Int = 2,
+      expiredIds: Option[DataFrame] = None): DataFrame = {
+    val (centroids, assignedAll) = ivfIndexPersisted(spark, dir, baseEmb,
       nCentroids, lloydIters, suffix = "_base")
+    val assigned = expiredIds.fold(assignedAll)(e =>
+      graft.ops.Dedup.expireRows(assignedAll, "vec_id", e))
     val dAssigned = assignToCentroids(deltaEmb, centroids)
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

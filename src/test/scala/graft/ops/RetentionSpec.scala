@@ -81,6 +81,28 @@ class RetentionSpec extends AnyFunSuite {
       s"retiring doc 1 must drop exactly its pair: $retired")
   }
 
+  test("semanticDedupPairsIncremental(expiredIds): a retired base vector " +
+      "can no longer pair with arrivals; survivors still can") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    // base: 1 and 2 point the same way; delta 100 re-sends that direction.
+    // nCentroids = 1 puts everything in one cluster, so the pair set is
+    // exactly the over-threshold cosine pairs — no seeding sensitivity.
+    val base = Seq((1L, v(1, 0), 0), (2L, v(0.995, 0.1), 0), (3L, v(0, 1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val delta = Seq((100L, v(1, 0.05), 0)).toDF("vec_id", "embedding", "label")
+    def pairs(e: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.semanticDedupPairsIncremental(spark, "retspec_semdedup",
+        base, delta, 0.9, nCentroids = 1, expiredIds = e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(None)
+    assert(all.contains((1L, 100L)) && all.contains((2L, 100L)),
+      s"fixture must pair the arrival with both aligned base vectors: $all")
+    val retired = pairs(Some(Seq(1L).toDF("vec_id")))
+    assert(retired == all - ((1L, 100L)),
+      s"retiring vector 1 must drop exactly its pair: $retired")
+  }
+
   test("128-bit fingerprint index: expiry equals the survivors' fingerprints") {
     // simhash128 stands in for the media tiers' (doc_id, sh0, sh1) shape —
     // identical per-document independence, no codec cost in the spec
