@@ -120,6 +120,7 @@ object SparkEntry {
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
     "q_dedup_minhash_incr", "q_dedup_minhash_retire", "q_semdedup_retire",
+    "q_phash_pairs_retire",
     // first run writes the persisted DSIR count table
     "q_importance_weights_incr",
     // first run writes the base-trained IVF index the gauge reads
@@ -1448,6 +1449,33 @@ object SparkEntry {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // both legs stay UNSORTED; one presentation sort over the union
       Dedup.hammingPairs128Between(deltaH, idx, 3)
+        .unionByName(Dedup.hammingPairs128Unordered(deltaH, 3))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // retention x serving on the IMAGE tier: base images at doc_id % 11
+    // == 0 retire from the persisted fingerprint index (broadcast
+    // anti-join — per-document fingerprints, so expiry is exact), and
+    // arriving images band-join what survives; the closed-form texture
+    // oracle drops exactly the expired endpoints
+    "q_phash_pairs_retire" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val isDelta = col("doc_id") % 21 === 1
+      def hashes(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.pHashes(Multimodal.imagePngMedia(s, d))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1"))
+      val idx = graft.sources.ManagedTable.persisted(s,
+        "phash_index_base_" + graft.sources.ManagedTable.tag(dir))(
+        hashes(docs.filter(!isDelta)))
+      val expired = docs.filter(!isDelta && col("doc_id") % 11 === 0)
+        .select(col("doc_id"))
+      val deltaH = hashes(docs.filter(isDelta)).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingPairs128Between(deltaH,
+        Dedup.expireRows(idx, "doc_id", expired), 3)
         .unionByName(Dedup.hammingPairs128Unordered(deltaH, 3))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -4014,6 +4042,20 @@ object SparkEntry {
         |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
         |  WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1)
         |WHERE id_a % 21 = 1 OR id_b % 21 = 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // retire twin: the same closed-form texture pairs with expired base
+    // endpoints removed (live = delta or not % 11)
+    "q_phash_pairs_retire" ->
+      """SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(0 AS BIGINT) AS hamming
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
+        |  WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1)
+        |WHERE (id_a % 21 = 1 OR id_b % 21 = 1)
+        |  AND (id_a % 21 = 1 OR id_a % 11 <> 0)
+        |  AND (id_b % 21 = 1 OR id_b % 11 <> 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // the incremental image-family merge is exact — same closed-form
