@@ -605,6 +605,86 @@ object Soak {
     }
   }
 
+  /** `docstreamlong` mode: the runnable pipeline under a LONG batch
+    * horizon — the receipt the 8-wave soak cannot give: per-batch cost
+    * must be flat in BATCH COUNT, not just corpus size, which is exactly
+    * what the consolidation fold (the MergeTree background-merge
+    * analogue) buys — without it every batch re-lists and re-opens one
+    * directory per prior batch per state sub. `nBatches` constant-size
+    * micro-batches drive [[graft.streaming.DocumentStream.processBatch]]
+    * DIRECTLY (the wave soak already measures the streaming engine's
+    * trigger latency; this isolates the state-maintenance slope), with
+    * `consolidateEvery` batches between folds. Printed per scale:
+    * median/p99 batch seconds, first/last-third medians (the flatness
+    * verdict in batch count), the consolidation batches' median (the
+    * fold's amortized price), final per-sub directory counts (vs the
+    * one-per-batch count consolidation prevents), and state bytes vs
+    * live-text bytes. The standing invariant (labels == CC over
+    * kept/pairs) is asserted before any timing is trusted. */
+  def docStreamLongSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 120,
+      consolidateEvery: Int = 16): Unit = {
+    import spark.implicits._
+    import graft.streaming.DocumentStream
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val horizonMs = 3600000L
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/docstreamlong_$tag"
+      val root = s"$dir/state"
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val splitId = n * 3L / 5L
+      val history = docs.filter(col("doc_id") < splitId)
+      // CONSTANT arrival stream regardless of corpus scale (the live-
+      // serving regime), minute-spaced event times
+      val arrivals = docs.filter(col("doc_id") >= n - nBase * 2L / 5L)
+        .select(col("doc_id"),
+          (lit(t0Ms) + (col("doc_id") - splitId) * 60000L).as("ts_ms"),
+          col("text"))
+        .as[DocumentStream.DocTsIn].collect().sortBy(_.doc_id)
+      val histPairs = graft.ops.Dedup.minHashPairs(history)
+        .localCheckpoint(true)
+      DocumentStream.init(spark, root, history, histPairs,
+        graft.ops.Dedup.nearDupClusters(history, histPairs))
+      val waves = arrivals.grouped(
+        math.max(1, arrivals.length / nBatches)).toSeq
+      val batchSecs = waves.zipWithIndex.map { case (w, i) =>
+        val t = System.nanoTime()
+        DocumentStream.processBatch(w.toSeq.toDF(), i.toLong, root,
+          horizonMs, consolidateEvery = consolidateEvery)
+        (System.nanoTime() - t) / 1e9
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      def p99(xs: Seq[Double]) = xs.sorted.apply((xs.length - 1) * 99 / 100)
+      val consSecs = batchSecs.zipWithIndex.collect {
+        case (s, i) if i > 0 && i % consolidateEvery == 0 => s }
+      val third = batchSecs.length / 3
+      // invariant before timing is trusted
+      val labels = DocumentStream.labels(spark, root)
+      val cc = graft.ops.Dedup.nearDupClusters(
+        DocumentStream.keptIds(spark, root).select(col("doc_id")),
+        DocumentStream.livePairs(spark, root))
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      def dirCount(sub: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+        if (!fsys.exists(p)) 0
+        else fsys.listStatus(p)
+          .count(_.getPath.getName.startsWith("batch="))
+      }
+      val dirCounts = Seq("hist", "kept", "pairs", "hw", "bands")
+        .map(s => s""""$s":${dirCount(s)}""").mkString(",")
+      def bytes(p: String): Long =
+        fsys.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      println(f"""SOAK {"phase":"docstreamlong","scale":"$tag","docs":$n,"history":$splitId,"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${med(batchSecs)}%.2f,"p99_batch_sec":${p99(batchSecs)}%.2f,"first_third_median":${med(batchSecs.take(third))}%.2f,"last_third_median":${med(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${med(consSecs)}%.2f,"label_diff":$diff,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${bytes(root)},"hist_bytes":${bytes(s"$root/hist")}}""")
+    }
+  }
+
   /** `containab` mode: the snapshot-vs-recompute A/B for
     * [[graft.ops.Dedup.shingleContainment]]'s corpus-token-sized distinct
     * shingle frame (the r11 verdict's open measurement): time the
@@ -1098,6 +1178,11 @@ object Soak {
     }
     if (args.lift(3).contains("containab")) {
       containAbSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("docstreamlong")) {
+      docStreamLongSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

@@ -42,22 +42,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - `hist/`   (doc_id, text)          — survivor texts, append-only
   *  - `kept/`   (doc_id)                — survivor ids, append-only
   *  - `bands/`  (doc_id, ts_ms, band, bh) — arrival band signatures. The
-  *     two-sided horizon predicate is a JOIN condition, so it cannot
-  *     file-skip by itself; the state ∝ arrival-rate × horizon bound is
-  *     delivered by [[compactBands]] — the janitor that physically drops
-  *     directories older than horizon + lateness (safe because
-  *     [[processBatch]] ENFORCES the lateness admission bound)
+  *     two-sided horizon predicate is a JOIN condition on two event
+  *     times, so the per-batch band-state read is a full scan of the
+  *     surviving directories — read-side file-skipping does NOT apply;
+  *     the state ∝ arrival-rate × horizon bound is PHYSICAL, delivered
+  *     by [[compactBands]] (drops whole aged directories) and the
+  *     [[consolidate]] fold's TTL filter (drops aged rows inside the
+  *     consolidated directory), both safe because [[processBatch]]
+  *     ENFORCES the lateness admission bound
   *  - `pairs/`  (id_a, id_b)            — verified kept live pairs (plus
   *     the standing corpus's pair table as `batch=-1` — [[retire]] needs
   *     real edges to re-converge split components)
+  *  - `hw/`     (ts_ms)                 — one committed high-water row
+  *     per batch (the admission bound's memory)
   *  - `labels/` (doc_id, cluster_id)    — FULL snapshot per batch; only
   *     the previous snapshot is needed for replay, so older ones are
   *     reaped after each commit (bounded at two snapshots)
   *
+  * DIRECTORY-COUNT BOUND (the MergeTree background-merge analogue,
+  * reference README.md:33): the append-only states would otherwise grow
+  * one directory per micro-batch FOREVER — at a 100 ms trigger that is
+  * ~864k directories/day, and every batch re-lists and unions all of
+  * them, so listing + parquet-footer cost would dominate per-batch time
+  * long before data volume does. [[consolidate]] folds the committed
+  * batch directories of `hist`/`kept`/`pairs`/`hw`/`bands` into ONE
+  * consolidated directory (crash-safe two-phase rename protocol), so
+  * with `consolidateEvery = K` the per-sub directory count is bounded by
+  * K + 2 regardless of uptime.
+  *
   * Scale shape per batch: one bloom + anti-join against history hashes
   * (narrow, bloom-gated), one broadcast band join of the batch against
-  * the recent band-state (file-skipped to the horizon), batch-sized
-  * verify and label merge. Nothing corpus-sized shuffles at arrival time.
+  * the recent band-state (physically bounded to the horizon by the
+  * janitor + fold filter), batch-sized verify and label merge. Nothing
+  * corpus-sized shuffles at arrival time.
   */
 object DocumentStream {
 
@@ -98,6 +115,138 @@ object DocumentStream {
       batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$root/$sub/batch=$batchId")
 
+  // ── consolidation: the MergeTree background-merge analogue ──
+
+  /** Fold every committed batch directory of `sub` with id in
+    * [0, upTo) into the single directory `batch=(upTo − 1)` — NOT into
+    * the `batch=-1` base: the base snapshot is the standing 100 TB
+    * corpus and must never be rewritten on a maintenance cadence, while
+    * the consolidated arrival level only costs ∝ arrivals-since-init per
+    * fold. (An operator can still fold the arrival level into the base
+    * in a major-compaction window via [[consolidate]]'s `intoBase`.)
+    *
+    * Readers are unaffected: `state(before = N)` for any N ≥ upTo sees
+    * the identical row union, and a replayed batch only ever overwrites
+    * its OWN `batch=N` directory (N ≥ upTo), never the folded one.
+    *
+    * CRASH SAFETY (two-phase commit): the fold first writes the union to
+    * `_stage`, then publishes a `_stage_commit` marker (the commit
+    * point), then deletes the source directories and renames `_stage`
+    * into place, then drops the marker. [[recoverFold]] completes or
+    * aborts an interrupted pass from whichever side of the marker it
+    * died on, and runs before every fold — a replayed consolidation
+    * batch is therefore idempotent. */
+  private def foldSub(spark: SparkSession, root: String, sub: String,
+      upTo: Long, schema: String, intoBase: Boolean,
+      xform: DataFrame => DataFrame): Unit = {
+    recoverFold(spark, root, sub)
+    val f = fs(spark, root)
+    val lo = if (intoBase) -1L else 0L
+    val target = if (intoBase) -1L else upTo - 1L
+    val dirs = batchDirs(spark, root, sub, upTo)
+      .filter(_.split("batch=").last.toLong >= lo)
+    // already consolidated (a replayed consolidation batch, or nothing
+    // arrived since the last fold): leave the folded directory alone
+    if (dirs.isEmpty || dirs.toSet == Set(s"$root/$sub/batch=$target")) return
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage")
+    xform(spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(dirs: _*))
+      .write.mode("overwrite").parquet(stage.toString)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit")
+    val out = f.create(marker, true)
+    out.writeLong(upTo); out.writeBoolean(intoBase); out.close()
+    completeFold(spark, root, sub, upTo, intoBase)
+  }
+
+  private def completeFold(spark: SparkSession, root: String, sub: String,
+      upTo: Long, intoBase: Boolean): Unit = {
+    val f = fs(spark, root)
+    val lo = if (intoBase) -1L else 0L
+    batchDirs(spark, root, sub, upTo)
+      .filter(_.split("batch=").last.toLong >= lo)
+      .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
+    val target = if (intoBase) -1L else upTo - 1L
+    f.rename(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage"),
+      new org.apache.hadoop.fs.Path(s"$root/$sub/batch=$target"))
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit"), false)
+  }
+
+  /** Complete or abort an interrupted fold: a `_stage_commit` marker
+    * means the staged union is the committed truth (finish the swap); a
+    * stage without a marker is an uncommitted write (drop it). State
+    * reads only ever list `batch=*` directories, so both intermediate
+    * shapes are invisible to them. */
+  private def recoverFold(spark: SparkSession, root: String,
+      sub: String): Unit = {
+    val f = fs(spark, root)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit")
+    val stage = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage")
+    if (f.exists(marker)) {
+      if (f.exists(stage)) {
+        val in = f.open(marker)
+        val upTo = in.readLong()
+        val intoBase = in.readBoolean()
+        in.close()
+        completeFold(spark, root, sub, upTo, intoBase)
+      } else f.delete(marker, false) // swap done; only the marker remained
+    } else if (f.exists(stage)) f.delete(stage, true)
+  }
+
+  /** Consolidate every committed state surface below `upToBatch` — call
+    * between batches with the stream stopped, or let [[processBatch]]
+    * invoke it on a `consolidateEvery` cadence (there `upToBatch` is the
+    * current batch id: every directory below it is checkpoint-committed
+    * and immutable, so the fold can never touch a batch that might
+    * replay differently).
+    *
+    *  - `hist`/`kept`/`pairs` fold row-for-row;
+    *  - `hw` folds to its single MAX row — the admission bound only ever
+    *    needs the max over prior batches (this is the reaping the old
+    *    in-code comment wrongly claimed the band janitor performed);
+    *  - `bands` first reclaims whole aged directories via
+    *    [[compactBands]] (parquet-footer max-ts, no Spark job), then
+    *    folds the survivors UNDER the TTL filter ts_ms ≥ highWater −
+    *    horizon − lateness, so the consolidated band directory stays
+    *    horizon-bounded in ROWS, not just directories. Safety is the
+    *    admission bound's: an admissible (fresh or replayed) arrival has
+    *    ts ≥ highWater − lateness, so the oldest band row it can pair
+    *    with sits at ts ≥ highWater − lateness − horizon — exactly the
+    *    cut. The high-water mark is read from the COMMITTED hw rows
+    *    (batches strictly below `upToBatch`), never from an uncommitted
+    *    batch's row, closing the replay hole a wall-clock or
+    *    all-batches-max janitor cut would have.
+    *
+    * `intoBase = true` additionally folds the arrival level into the
+    * `batch=-1` base snapshot — a MAJOR compaction that rewrites the
+    * standing corpus; reserve it for maintenance windows. */
+  def consolidate(spark: SparkSession, root: String, upToBatch: Long,
+      horizonMs: Long, latenessMs: Long = 600000L,
+      intoBase: Boolean = false): Unit = {
+    foldSub(spark, root, "hist", upToBatch, "doc_id BIGINT, text STRING",
+      intoBase, identity)
+    foldSub(spark, root, "kept", upToBatch, "doc_id BIGINT", intoBase,
+      identity)
+    foldSub(spark, root, "pairs", upToBatch, "id_a BIGINT, id_b BIGINT",
+      intoBase, identity)
+    foldSub(spark, root, "hw", upToBatch, "ts_ms BIGINT", intoBase,
+      df => df.agg(max(col("ts_ms")).as("ts_ms"))
+        .filter(col("ts_ms").isNotNull))
+    // committed high water only: hw rows of batches < upToBatch
+    val hw = state(spark, root, "hw", upToBatch, "ts_ms BIGINT")
+      .agg(max(col("ts_ms"))).head().get(0) match {
+        case null => Long.MinValue
+        case t: java.lang.Long => t.longValue()
+      }
+    if (hw != Long.MinValue) {
+      compactBands(spark, root, hw, horizonMs, latenessMs)
+      val cut = hw - horizonMs - latenessMs
+      foldSub(spark, root, "bands",
+        upToBatch, "doc_id BIGINT, band INT, bh BIGINT, ts_ms BIGINT",
+        intoBase, df => df.filter(col("ts_ms") >= cut))
+    }
+  }
+
   /** Initialize the standing state: the deep-history corpus, its
     * persisted labeling AND its pair table land as `batch=-1`, so the
     * first micro-batch already screens and merges against them — and
@@ -124,6 +273,12 @@ object DocumentStream {
     *    reference's TTL semantics;
     *  - `pairs/` drops every edge with an expired endpoint (an edge dies
     *    with its node);
+    *  - `bands/` drops the expired documents' band signatures, so
+    *    arrivals stop generating candidates against retired documents
+    *    immediately instead of until age-out (the kept-endpoint
+    *    restriction already FILTERS such candidates — correctness never
+    *    depended on this — but generating and probing them is wasted
+    *    work ∝ expired-band collisions per batch);
     *  - `labels/`'s latest snapshot retires through
     *    [[graft.ops.Dedup.retireClusterDelta]] over the PRE-prune pair
     *    state — touched components re-converge from their surviving
@@ -141,6 +296,11 @@ object DocumentStream {
   def retire(spark: SparkSession, root: String, expiredIds: DataFrame,
       highWaterMs: Option[Long] = None, horizonMs: Long = 3600000L,
       latenessMs: Long = 600000L): Unit = {
+    // a crashed consolidation may hold committed-but-unswapped rows in a
+    // fold stage the per-directory prune below would miss — finish (or
+    // abort) any interrupted fold before rewriting state
+    Seq("hist", "kept", "pairs", "hw", "bands")
+      .foreach(recoverFold(spark, root, _))
     val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = expiredIds
       .select(col(expiredIds.columns.head).as("doc_id")).distinct()
@@ -167,6 +327,7 @@ object DocumentStream {
     prune("hist", Seq("doc_id"))
     prune("kept", Seq("doc_id"))
     prune("pairs", Seq("id_a", "id_b"))
+    prune("bands", Seq("doc_id"))
     highWaterMs.foreach(hw =>
       compactBands(spark, root, hw, horizonMs, latenessMs))
   }
@@ -182,15 +343,25 @@ object DocumentStream {
     * `hw/` row so replays apply the same bound. Every surviving arrival
     * therefore satisfies ts ≥ hw − lateness, and the janitor's cut at
     * hw − horizon − lateness can never remove a directory an admissible
-    * arrival's horizon reaches. */
+    * arrival's horizon reaches.
+    *
+    * `consolidateEvery > 0` runs [[consolidate]] at the START of every
+    * K-th batch — before any state read, over exactly the
+    * checkpoint-committed batches (ids strictly below this one), so the
+    * per-sub directory count stays bounded at K + 2 for any uptime and a
+    * replayed consolidation batch re-runs the fold idempotently. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       horizonMs: Long, latenessMs: Long = 600000L, n: Int = 3,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5, consolidateEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    if (consolidateEvery > 0 && batchId > 0 &&
+        batchId % consolidateEvery == 0)
+      consolidate(spark, root, batchId, horizonMs, latenessMs)
     if (batch.isEmpty) return
     // the committed high-water mark (max event time over prior batches;
-    // Long.MinValue before any) — the hw/ rows are 1-per-batch, so this
-    // read is bounded by the batch count, and the janitor reaps it too
+    // Long.MinValue before any) — the hw/ rows are 1-per-batch AND the
+    // consolidation fold collapses the committed ones to a single max
+    // row, so this read stays bounded for any uptime
     val hw = state(spark, root, "hw", batchId, "ts_ms BIGINT")
       .agg(max(col("ts_ms"))).head().get(0) match {
         case null => Long.MinValue
@@ -205,7 +376,6 @@ object DocumentStream {
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (b.isEmpty) return
-    write(b.agg(max(col("ts_ms")).as("ts_ms")), root, "hw", batchId)
 
     // ── tier 1: exact dedup against history, then within-batch ──
     val histTexts = state(spark, root, "hist", batchId,
@@ -289,6 +459,12 @@ object DocumentStream {
       spark.read.parquet(s"$root/labels/batch=$prevId"),
       kept.select(col("doc_id")), verified)
     write(merged, root, "labels", batchId)
+    // the high-water row publishes LAST, after every other state write:
+    // an uncommitted batch must never advance the mark an external
+    // janitor could take a cut from — a crash before this line replays
+    // the batch against the OLDER committed hw, whose admission horizon
+    // is exactly what the previous janitor cut was derived from
+    write(b.agg(max(col("ts_ms")).as("ts_ms")), root, "hw", batchId)
     // reap snapshots older than the one THIS batch merged from: a replay
     // of this batch needs exactly `prevId` (empty batches write no
     // snapshot, so prevId can trail batchId by more than one), so
@@ -309,43 +485,81 @@ object DocumentStream {
     spark.read.parquet(latest)
   }
 
-  /** Start the pipeline on a streaming (doc_id, ts_ms, text) frame. */
+  /** Start the pipeline on a streaming (doc_id, ts_ms, text) frame.
+    * `consolidateEvery` bounds the state directory count (see
+    * [[processBatch]]); 0 disables in-stream consolidation. */
   def start(docs: DataFrame, root: String, checkpoint: String,
       horizonMs: Long, latenessMs: Long = 600000L,
-      maxDelayMs: Long = 100L): StreamingQuery =
+      maxDelayMs: Long = 100L, consolidateEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, root, horizonMs, latenessMs)
+        processBatch(batch, batchId, root, horizonMs, latenessMs,
+          consolidateEvery = consolidateEvery)
       }
       .start()
 
-  /** The band-state JANITOR — the physical half of the TTL bound the
-    * docstring promises (queries already SKIP aged files via parquet
-    * ts_ms stats; this reclaims their storage): drop every `bands/`
-    * batch directory whose NEWEST event time is older than
-    * (highWaterMs − horizon − lateness). Safety under replay, same
-    * argument as the TTL stream's retention slack: a replayed batch's
-    * arrivals are watermark-admissible (ts ≥ high water − lateness), so
-    * their horizon reaches at most highWater − lateness − horizon — and
-    * every dropped directory sits strictly below that, so no admissible
-    * arrival (fresh or replayed) could have paired with it. Run it
-    * between batches or from a cron, passing the stream's high-water
-    * mark (e.g. the newest event time the pipeline has committed).
-    * Returns the dropped directory count. Per-directory max ts comes
-    * from one narrow column read (parquet footer stats do the work). */
+  /** The band-state JANITOR — the physical half of the TTL bound (the
+    * horizon predicate is a JOIN condition, so the band-state scan
+    * cannot read-side file-skip; dropping the directories is what bounds
+    * it): drop every `bands/` batch directory whose NEWEST event time is
+    * older than (highWaterMs − horizon − lateness). Safety under replay,
+    * same argument as the TTL stream's retention slack: a replayed
+    * batch's arrivals are watermark-admissible (ts ≥ high water −
+    * lateness), so their horizon reaches at most highWater − lateness −
+    * horizon — and every dropped directory sits strictly below that, so
+    * no admissible arrival (fresh or replayed) could have paired with
+    * it. THE MARK MUST COME FROM COMMITTED STATE: pass the max over
+    * checkpoint-committed hw rows ([[consolidate]] derives exactly that;
+    * [[processBatch]] publishes a batch's hw row only after its other
+    * writes), never a wall clock or an uncommitted batch's event time —
+    * an inflated mark would cut directories a replayed batch's horizon
+    * still reaches. Returns the dropped directory count. Per-directory
+    * max ts comes from the PARQUET FOOTERS directly — no Spark job, cost
+    * ∝ file count, flat in data volume. */
   def compactBands(spark: SparkSession, root: String, highWaterMs: Long,
       horizonMs: Long, latenessMs: Long = 600000L): Int = {
     val f = fs(spark, root)
     val cut = highWaterMs - horizonMs - latenessMs
-    val dropped = batchDirs(spark, root, "bands", Long.MaxValue).filter { p =>
-      Option(spark.read.parquet(p).agg(max(col("ts_ms"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue) < cut
-    }
+    val dropped = batchDirs(spark, root, "bands", Long.MaxValue)
+      .filter(p => dirMaxTs(spark, root, p) < cut)
     dropped.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
     dropped.length
+  }
+
+  /** Newest `ts_ms` in one batch directory, read from the parquet footer
+    * statistics of its part files (Spark always writes INT64 min/max);
+    * falls back to a real scan if any footer lacks the stat. */
+  private def dirMaxTs(spark: SparkSession, root: String,
+      dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    try {
+      parts.iterator.map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try rd.getFooter.getBlocks.asScala.iterator.map { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == "ts_ms")
+            .getOrElse(sys.error(s"no ts_ms chunk in ${st.getPath}"))
+          val s = cc.getStatistics
+          require(s != null && !s.isEmpty && s.hasNonNullValue,
+            s"no ts_ms stats in ${st.getPath}")
+          s.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+        }.foldLeft(Long.MinValue)(math.max)
+        finally rd.close()
+      }.foldLeft(Long.MinValue)(math.max)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Option(spark.read.parquet(dir).agg(max(col("ts_ms"))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+    }
   }
 
   // ── served outputs (what a reader queries between batches) ──

@@ -568,7 +568,14 @@ object ParityCheck {
     * recursive-closure replica. DocumentStream's horizon predicate is
     * the symmetric band join the hand-driven gate already proved equal
     * to the TTL stream's emission set, so the two gates pin the same
-    * truth through two different engines. */
+    * truth through two different engines.
+    *
+    * The pipeline runs with `consolidateEvery = 2`, so the FIRST batch
+    * after the restart is a consolidation batch: the row additionally
+    * gates that folding the committed state directories (the MergeTree
+    * background-merge analogue) straddled by a crash/restart changes no
+    * served row — the fold is read-union-preserving and its two-phase
+    * rename protocol recovers idempotently. */
   def restartPipelineParity(spark: SparkSession, dir: String,
       horizonMinutes: Int = 60, nBatches: Int = 4): DataFrame = {
     import spark.implicits._
@@ -605,11 +612,11 @@ object ParityCheck {
     val waves = arrDocs.grouped(
       math.max(1, arrDocs.length / nBatches)).toSeq
     var q = DocumentStream.start(mem.toDF(), s"$root/state",
-      s"$root/ckpt", horizonMs)
+      s"$root/ckpt", horizonMs, consolidateEvery = 2)
     waves.take(2).foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
     q.stop() // mid-replay crash, simulated
     q = DocumentStream.start(mem.toDF(), s"$root/state",
-      s"$root/ckpt", horizonMs)
+      s"$root/ckpt", horizonMs, consolidateEvery = 2)
     try waves.drop(2).foreach { w =>
       mem.addData(w.toSeq); q.processAllAvailable()
     } finally q.stop()

@@ -194,4 +194,123 @@ class DocumentStreamSpec extends AnyFunSuite {
     assert(labelsFinal == ccFinal,
       "label table drifted from CC over the maintained state")
   }
+
+  test("consolidation: bounded directory counts, replay-idempotent fold, " +
+      "state equal to the unconsolidated twin, retire prunes bands") {
+    import spark.implicits._
+    val dir = SparkTestBase.sfDir
+    val horizonMs = 60 * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val splitId = (all.map(_._1).max + 1L) * 3L / 5L
+    val dupText = all.minBy(_._1)._2
+    val arrivals = all.filter(_._1 >= splitId)
+      .map { case (id, tx) => DocumentStream.DocTsIn(id,
+        t0Ms + id * 60000L, if (id % 11 == 0) dupText else tx) }
+    val history = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < splitId)
+
+    val base = "target/docstream_consolidate_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val histPairs = graft.ops.Dedup.minHashPairs(history)
+      .localCheckpoint(true)
+    val histLabels = graft.ops.Dedup.nearDupClusters(history, histPairs)
+      .localCheckpoint(true)
+    val rootA = s"$base/consolidated"  // consolidateEvery = 4
+    val rootB = s"$base/twin"          // never consolidated
+    DocumentStream.init(spark, rootA, history, histPairs, histLabels)
+    DocumentStream.init(spark, rootB, history, histPairs, histLabels)
+
+    val waves = arrivals.grouped(math.max(1, arrivals.length / 8)).toSeq
+    def batchDf(w: Seq[DocumentStream.DocTsIn]) = w.toDF()
+    def subDirs(root: String, sub: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSeq
+    }
+    def served(root: String) = (
+      DocumentStream.keptIds(spark, root)
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      DocumentStream.livePairs(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      DocumentStream.labels(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+
+    waves.zipWithIndex.foreach { case (w, i) =>
+      DocumentStream.processBatch(batchDf(w.toSeq), i.toLong, rootA,
+        horizonMs, consolidateEvery = 4)
+      if (i == 4) {
+        // a REPLAYED consolidation batch (the at-least-once crash
+        // surface, straddling the fold — only the LAST batch can
+        // replay, so replay it here): every surface must be
+        // bit-identical after the re-run
+        val snap = served(rootA)
+        DocumentStream.processBatch(batchDf(w.toSeq), i.toLong, rootA,
+          horizonMs, consolidateEvery = 4)
+        assert(served(rootA) == snap,
+          "replaying the consolidation batch changed state")
+      }
+      DocumentStream.processBatch(batchDf(w.toSeq), i.toLong, rootB,
+        horizonMs)
+    }
+
+    // every served surface identical to the never-consolidated twin
+    val finalState = served(rootA)
+    assert(finalState == served(rootB),
+      "consolidation changed a served row")
+    // directory counts bounded by the cadence: K recent + consolidated +
+    // base (while the twin holds one per batch + base)
+    for (sub <- Seq("hist", "kept", "pairs", "hw")) {
+      assert(subDirs(rootA, sub).length <= 4 + 2,
+        s"$sub directory count not bounded: ${subDirs(rootA, sub)}")
+      assert(subDirs(rootB, sub).length >= waves.length,
+        s"twin $sub unexpectedly compacted")
+    }
+
+    // an interrupted fold with NO commit marker is aborted on the next
+    // pass (garbage staged data must never swap in)
+    val stage = new org.apache.hadoop.fs.Path(s"$rootA/kept/_stage")
+    fs.mkdirs(stage)
+    DocumentStream.consolidate(spark, rootA, waves.length.toLong, horizonMs)
+    assert(!fs.exists(stage), "uncommitted stage was not aborted")
+    assert(served(rootA) == finalState,
+      "recovery from an uncommitted stage changed state")
+
+    // MAJOR compaction: intoBase folds everything into batch=-1 and
+    // still serves the same rows
+    DocumentStream.consolidate(spark, rootA, waves.length.toLong,
+      horizonMs, intoBase = true)
+    for (sub <- Seq("hist", "kept", "pairs", "hw"))
+      assert(subDirs(rootA, sub) == Seq("batch=-1"),
+        s"intoBase left extra $sub directories: ${subDirs(rootA, sub)}")
+    assert(served(rootA) == finalState,
+      "intoBase compaction changed a served row")
+
+    // retire prunes the expired docs' BAND signatures too — arrivals
+    // stop candidate-generating against retired docs immediately
+    def bandIds(root: String): Set[Long] = {
+      val dirs = subDirs(root, "bands").map(n => s"$root/bands/$n")
+      if (dirs.isEmpty) Set.empty
+      else spark.read
+        .schema("doc_id BIGINT, band INT, bh BIGINT, ts_ms BIGINT")
+        .parquet(dirs: _*)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    }
+    val expired = DocumentStream.keptIds(spark, rootA)
+      .filter(col("doc_id") >= splitId && col("doc_id") % 3 === 0)
+      .localCheckpoint(true)
+    val expiredSet = expired.collect().map(_.getLong(0)).toSet
+    assert(bandIds(rootA).intersect(expiredSet).nonEmpty,
+      "retire-prunes-bands scenario is vacuous: no expired doc holds " +
+        "band state")
+    DocumentStream.retire(spark, rootA, expired)
+    assert(bandIds(rootA).intersect(expiredSet).isEmpty,
+      "band state kept expired docs' signatures")
+  }
 }
