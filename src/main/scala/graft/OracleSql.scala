@@ -406,14 +406,17 @@ object OracleSql {
     * [[semDedupPairsSql]], mirroring [[graft.ops.Similarity.ivfIndex]]. */
   /** `base` (vec_id, e DOUBLE[]) + the XXH64-of-one-long chain ending in
     * `xxh` (vec_id, xxh BIGINT) — Spark's `xxhash64(vec_id)` seed ranking
-    * replicated in HUGEINT arithmetic. Shared by the IVF and PQ replicas. */
-  private def xxhCtes: String = {
+    * replicated in HUGEINT arithmetic. Shared by the IVF and PQ replicas.
+    * `embExpr` substitutes the raw embedding column (the epoch-serve
+    * replica shifts a slice of the corpus bit-exactly before the chain
+    * sees it). */
+  private def xxhCtes(embExpr: String = "embedding"): String = {
     val xxP1 = ulit(-7046029288634856825L) // 0x9E3779B185EBCA87
     val xxP2 = ulit(-4417276706812531889L) // 0xC2B2AE3D27D4EB4F
     val xxP3 = ulit(1609587929392839161L)  // 0x165667B19E3779F9
     val xxP4 = ulit(-8796714831421723037L) // 0x85EBCA77C2B2AE63
     val xxInit = ulit(42L + 2870177450012600261L + 8L) // seed + PRIME5 + len
-    s"""base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""base AS (SELECT vec_id, ($embExpr)::DOUBLE[] AS e FROM embeddings),
        |xu AS (SELECT vec_id, ${s2u("vec_id")} AS lu FROM base),
        |x1 AS (SELECT vec_id, ${mulmod64("lu", xxP2)} AS h FROM xu),
        |x2 AS (SELECT vec_id, ${rotl64("h", 31)} AS h FROM x1),
@@ -426,7 +429,8 @@ object OracleSql {
   }
 
   private def ivfChainCtes(nCentroids: Int, lloydIters: Int,
-      trainWhere: String = "TRUE"): (String, String) = {
+      trainWhere: String = "TRUE",
+      embExpr: String = "embedding"): (String, String) = {
     val q = "1048576.0" // 2^20 quantization of the cluster means
     /** One Lloyd round: assign `train` to `prev`'s centroids, emit `out`.
       * Seeding and refinement run over the TRAIN set only (`trainWhere` —
@@ -450,7 +454,7 @@ object OracleSql {
       .mkString(",\n")
     val last = s"cents$lloydIters"
     val ctes =
-      s"""$xxhCtes,
+      s"""${xxhCtes(embExpr)},
          |train AS (SELECT vec_id, e FROM base WHERE $trainWhere),
          |cents0 AS (
          |  SELECT b.vec_id AS c_id, b.e AS c
@@ -541,6 +545,39 @@ object OracleSql {
        |WHERE ${cosSql("a.e", "b.e")} >= $threshold
        |  AND (a.vec_id % $deltaMod = 0 OR b.vec_id % $deltaMod = 0)
        |  AND ${live("a.vec_id")} AND ${live("b.vec_id")}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replica of the POST-RETRAIN serving path — the closed drift →
+    * retrain → serve loop ([[graft.ops.Similarity.ivfDriftGauge]] fires
+    * → [[graft.ops.Similarity.ivfRetrainEpoch]] rebuilds under a fresh
+    * epoch suffix → [[graft.ops.Similarity.semanticDedupPairsIncremental]]
+    * resumes against the NEW epoch's centroids). Arrivals (vec_id % 7 =
+    * 0) past the first third come from a SHIFTED distribution — each
+    * dimension becomes float(abs(x) + 0.5), the same IEEE double-add and
+    * float-round on both engines, so the shift is bit-exact. The first
+    * two arrival thirds accumulate into the retrain corpus; the last
+    * third is served incrementally against the retrained quantizer. The
+    * replica simply TRAINS FROM SCRATCH on (base ∪ accumulated
+    * arrivals): hash-equality therefore proves
+    * incremental-serve-after-retrain ≡ full rebuild on the accumulated
+    * corpus — the epoch handoff loses nothing. */
+  def semDedupEpochServeSql(nCentroids: Int = 32, lloydIters: Int = 2,
+      threshold: Double = 0.4): String = {
+    val shifted =
+      "CASE WHEN vec_id % 7 = 0 AND vec_id % 3 <> 0 THEN " +
+        "list_transform(embedding, x -> " +
+        "CAST(abs(CAST(x AS DOUBLE)) + 0.5 AS FLOAT)) " +
+        "ELSE embedding END"
+    val isServe = (v: String) => s"($v % 7 = 0 AND $v % 3 = 2)"
+    val (ctes, _) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere = s"NOT ${isServe("vec_id")}", embExpr = shifted)
+    s"""WITH $ctes
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       |FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.e", "b.e")} >= $threshold
+       |  AND (${isServe("a.vec_id")} OR ${isServe("b.vec_id")})
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1011,7 +1048,7 @@ object OracleSql {
 
   def knnPqSql(m: Int = 8, nCodes: Int = 16, nProbes: Int = 10, k: Int = 5,
       poolFactor: Int = 4): String = {
-    s"""WITH $xxhCtes,
+    s"""WITH ${xxhCtes()},
        |${pqCtes(m, nCodes, nProbes)},
        |adc AS (
        |  SELECT l.probe_id, c.vec_id,

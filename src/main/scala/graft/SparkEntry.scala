@@ -116,6 +116,8 @@ object SparkEntry {
     // the compose row additionally writes + TTLs the month layout once
     "q_dedup_clusters_retire", "q_dedup_survivors_retire", "q_bm25_retire",
     "q_retention_compose",
+    // first run builds the dedicated _rwret index copy AND rewrites it
+    "q_bm25_retire_rewrite",
     // first runs write the persisted BASE inverted index / pHash index /
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
@@ -124,7 +126,10 @@ object SparkEntry {
     // first run writes the persisted DSIR count table
     "q_importance_weights_incr",
     // first run writes the base-trained IVF index the gauge reads
-    "q_knn_ivf_drift_check")
+    "q_knn_ivf_drift_check",
+    // first run writes the base-trained index (gauge) AND the retrained
+    // _epoch2 index the serve path reads
+    "q_knn_ivf_epoch_serve")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -1034,6 +1039,33 @@ object SparkEntry {
         delta.filter(col("vec_id") % 2 =!= 0))
     }),
 
+    // the CLOSED drift → retrain → serve loop as one gated row: arrival
+    // thirds d1/d2 come from a shifted distribution (one-orthant mode
+    // collapse — float(abs(x)+0.5), bit-exact on both engines); the
+    // epoch-0 gauge must FIRE on d1 (require — a quiet gauge fails the
+    // row), the policy executes (ivfRetrainEpoch on base ∪ d0 ∪ d1 under
+    // the _epoch2 suffix; epoch 1 is SimilaritySpec's), and d2 then
+    // serves INCREMENTALLY against the new epoch's centroids. The oracle
+    // trains from scratch on the accumulated corpus, so hash-equality
+    // proves the epoch handoff loses nothing vs a full rebuild.
+    "q_knn_ivf_epoch_serve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def shift(df: DataFrame): DataFrame = df.withColumn("embedding",
+        transform(col("embedding"), x => (abs(x) + lit(0.5d)).cast("float")))
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      val arr = emb.filter(col("vec_id") % 7 === 0)
+      val d0 = arr.filter(col("vec_id") % 3 === 0)
+      val d1 = shift(arr.filter(col("vec_id") % 3 === 1))
+      val d2 = shift(arr.filter(col("vec_id") % 3 === 2))
+      val g0 = Similarity.ivfDriftGauge(s, dir, base, d0, d1).head()
+      require(g0.getBoolean(7),
+        s"epoch-0 gauge must fire on the shifted arrival batch: $g0")
+      val corpus1 = base.unionByName(d0).unionByName(d1)
+      Similarity.ivfRetrainEpoch(s, dir, corpus1, epoch = 2)
+      Similarity.semanticDedupPairsIncremental(s, dir, corpus1, d2,
+        threshold = 0.4, suffix = "_epoch2")
+    }),
+
     // ───────────────────────── text analysis ──
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(Tables.documents(s, dir))),
@@ -1085,6 +1117,17 @@ object SparkEntry {
     // applied to the index artifacts
     "q_bm25_retire" -> ((s, dir) =>
       ops.Search.bm25TopKRetired(s, dir, Tables.documents(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id")),
+        Seq("spark", "vector", "merge"), k = 50)),
+
+    // RETIRED BM25, maintenance-window form: the postings/doclen tables
+    // are physically REWRITTEN once (expired rows dropped in place) and
+    // serving reads them through the plain indexed plan — shard pruning
+    // intact, NO per-query anti-join; same rows, same oracle as
+    // q_bm25_retire (serve cost receipt: SCALE.md retire-rewrite rows)
+    "q_bm25_retire_rewrite" -> ((s, dir) =>
+      ops.Search.bm25TopKRetiredRewritten(s, dir, Tables.documents(s, dir),
         Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
           .select(col("doc_id")),
         Seq("spark", "vector", "merge"), k = 50)),
@@ -4128,6 +4171,7 @@ object SparkEntry {
     "q_semdedup_incr" -> OracleSql.semDedupPairsIncrSql(),
     "q_semdedup_retire" -> OracleSql.semDedupPairsRetireSql(),
     "q_knn_ivf_drift_check" -> OracleSql.ivfDriftSql(),
+    "q_knn_ivf_epoch_serve" -> OracleSql.semDedupEpochServeSql(),
     "q_semdedup_live_parity" -> OracleSql.semDedupLiveParitySql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
@@ -4407,6 +4451,10 @@ object SparkEntry {
     // retired index = rebuild over the survivors: same scoring SQL with
     // the d CTE restricted to the surviving corpus
     "q_bm25_retire" -> restrictDocsCte(baseOracleSql("q_bm25"),
+      "doc_id % 11 <> 0"),
+    // the physically-rewritten retired index serves the SAME rows as the
+    // serve-time anti-join path — one oracle for both serve paths
+    "q_bm25_retire_rewrite" -> restrictDocsCte(baseOracleSql("q_bm25"),
       "doc_id % 11 <> 0"),
     // the counting-based twin must reproduce quantile_cont bit-for-bit
     "q_percentiles_big" -> baseOracleSql("q_percentiles"),

@@ -976,10 +976,16 @@ object Dedup {
     * together, so this holds by construction), and the expired set plus
     * its touched components must be small relative to memory — the
     * broadcast regime, same as the merge. A purge approaching the corpus
-    * should take the full rebuild. */
+    * should take the full rebuild — and when the touched components turn
+    * out corpus-sized anyway (the measured char-jaccard near-clique
+    * case), the touched-member/survivor broadcasts are DROPPED above
+    * `broadcastRowLimit` rows instead of shipping a corpus-scale frame
+    * to every executor: the joins degrade to shuffled equi-joins (same
+    * rows, rebuild-class cost) rather than OOMing the executors. */
   def retireClusterDelta(baseLabels: DataFrame, pairs: DataFrame,
       expiredIds: DataFrame, maxIter: Int = 20,
-      driverEdgeLimit: Int = DriverMergeEdges): DataFrame = {
+      driverEdgeLimit: Int = DriverMergeEdges,
+      broadcastRowLimit: Long = 8L << 20): DataFrame = {
     val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // snapshotted: three broadcast consumers (touched-cluster lookup,
     // survivor filter, and nothing else corpus-sized) — expired-sized
@@ -995,6 +1001,14 @@ object Dedup {
       .join(broadcast(touchedClusters), "cluster_id")
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint(true, memDisk)
+    // the smallness contract, ENFORCED: |touched| is a bounded count over
+    // the snapshotted frame (one local pass). Within the regime the
+    // touched/survivor frames broadcast as hinted; above it the hints
+    // drop so Spark shuffles instead of shipping a corpus-scale frame to
+    // every executor — degrade to rebuild-class cost, never OOM.
+    val inBroadcastRegime = touchedMembers.count() <= broadcastRowLimit
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (inBroadcastRegime) broadcast(df) else df
     // NOT checkpointed: survivors derive from the two frames snapshotted
     // above by one broadcast anti-join, so per-consumer recompute is a
     // delta-sized local pass — cheaper than another driver-synchronous
@@ -1007,8 +1021,8 @@ object Dedup {
     // no shuffle of the edge set.
     val subgraph = pairs
       .select(col("id_a"), col("id_b"))
-      .join(broadcast(survivors.select(col("doc_id").as("id_a"))), Seq("id_a"))
-      .join(broadcast(survivors.select(col("doc_id").as("id_b"))), Seq("id_b"))
+      .join(maybeBroadcast(survivors.select(col("doc_id").as("id_a"))), Seq("id_a"))
+      .join(maybeBroadcast(survivors.select(col("doc_id").as("id_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true, memDisk)
     val stars = resolveStars(baseLabels.sparkSession, subgraph, maxIter,
@@ -1022,7 +1036,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     baseLabels
-      .join(broadcast(touchedMembers.select(col("doc_id"))),
+      .join(maybeBroadcast(touchedMembers.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
       .unionByName(relabeled)
       .orderBy(col("doc_id"))
@@ -1047,14 +1061,26 @@ object Dedup {
     * FAISS train-once contract; [[graft.ops.Similarity.ivfDriftGauge]]
     * watches their decay). */
   def expireRows(index: DataFrame, idCol: String,
-      expiredIds: DataFrame): DataFrame =
+      expiredIds: DataFrame): DataFrame = {
+    // pick the expiry key BY NAME when the frame carries `idCol`;
+    // otherwise demand a single column — a positional head() on a
+    // multi-column frame would anti-join on whatever happens to be
+    // first and silently leave expired rows in the index
+    val key =
+      if (expiredIds.columns.contains(idCol)) idCol
+      else {
+        require(expiredIds.columns.length == 1,
+          s"expiredIds carries no '$idCol' column and is not " +
+            s"single-column: (${expiredIds.columns.mkString(", ")})")
+        expiredIds.columns.head
+      }
     index.join(
-      broadcast(expiredIds
-        .select(col(expiredIds.columns.head).as(idCol)).distinct()),
+      broadcast(expiredIds.select(col(key).as(idCol)).distinct()),
       Seq(idCol), "left_anti")
       // a using-column join reorders the key first; hand back the
       // index's own column order so positional consumers are unaffected
       .select(index.columns.map(col): _*)
+  }
 
   /** Dedup KEEP LIST — the actual output corpus of a near-dup pass: one
     * canonical survivor (the minimum doc_id) per connected component,

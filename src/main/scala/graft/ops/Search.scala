@@ -236,6 +236,42 @@ object Search {
       terms, k, k1, b)
   }
 
+  /** [[bm25TopKRetired]]'s MAINTENANCE-WINDOW twin: instead of applying
+    * the expired anti-join at SERVE time per query (right for a fresh
+    * TTL batch, but a standing per-query tax that grows with the expired
+    * set), the persisted postings/doclen tables are physically REWRITTEN
+    * once ([[graft.sources.ManagedTable.rewriteExpired]] — the
+    * [[graft.streaming.DocumentStream.retire]] pattern applied to
+    * ManagedTable artifacts), and serving reads them through the exact
+    * [[bm25TopKIndexed]] plan: shard partition pruning intact, NO
+    * anti-join anywhere — post-rewrite serve cost equals the
+    * never-expired baseline (SCALE.md receipt). The rewrite targets a
+    * DEDICATED `_rwret` index copy so the shared full-corpus index keeps
+    * serving the other query families. Scores are bit-identical to
+    * [[bm25TopKRetired]]'s (df/N/Σdl recompose from the surviving rows
+    * either way), so both serve paths share one oracle. */
+  def bm25TopKRetiredRewritten(spark: org.apache.spark.sql.SparkSession,
+      dir: String, documents: => DataFrame, expiredIds: DataFrame,
+      terms: Seq[String], k: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    val (pName, dName) = graft.sources.ManagedTable.once(
+        s"$appId/bm25_index_rwret/$dir") {
+      val tag = graft.sources.ManagedTable.tag(dir)
+      val p = s"bm25_postings_rwret_$tag"
+      val d = s"bm25_doclen_rwret_$tag"
+      val (postings, doclen) = indexFrames(documents)
+      graft.sources.ManagedTable.write(postings, p, partitionCol = Some("shard"))
+      graft.sources.ManagedTable.write(doclen, d)
+      graft.sources.ManagedTable.rewriteExpired(spark, p, "doc_id",
+        expiredIds, partitionCol = Some("shard"))
+      graft.sources.ManagedTable.rewriteExpired(spark, d, "doc_id",
+        expiredIds)
+      (p, d)
+    }
+    bm25Serve(spark, spark.table(pName), spark.table(dName), terms, k, k1, b)
+  }
+
   /** Conjunctive (AND) retrieval off the persisted inverted index: the
     * documents containing EVERY query term, with their lengths — the
     * other classic posting-list operation (BM25 is the ranked OR). The

@@ -742,12 +742,17 @@ object Similarity {
     * incremental run over (base − expired) exactly. The CENTROIDS stay
     * (train-once; [[ivfDriftGauge]] owns their decay), and the physical
     * partition rewrite stays an offline compaction decision. */
+  /** `suffix` selects WHICH persisted epoch's index serves (default the
+    * base-trained `_base`): after [[ivfRetrainEpoch]] rotates the
+    * quantizer, arrivals resume against the new epoch by passing its
+    * suffix — the serve side of the drift → retrain loop. */
   def semanticDedupPairsIncremental(spark: org.apache.spark.sql.SparkSession,
       dir: String, baseEmb: => DataFrame, deltaEmb: DataFrame,
       threshold: Double, nCentroids: Int = 32, lloydIters: Int = 2,
-      expiredIds: Option[DataFrame] = None): DataFrame = {
+      expiredIds: Option[DataFrame] = None,
+      suffix: String = "_base"): DataFrame = {
     val (centroids, assignedAll) = ivfIndexPersisted(spark, dir, baseEmb,
-      nCentroids, lloydIters, suffix = "_base")
+      nCentroids, lloydIters, suffix)
     val assigned = expiredIds.fold(assignedAll)(e =>
       graft.ops.Dedup.expireRows(assignedAll, "vec_id", e))
     val dAssigned = assignToCentroids(deltaEmb, centroids)

@@ -78,4 +78,29 @@ object ManagedTable {
     }
     spark.table(table)
   }
+
+  /** MAINTENANCE-WINDOW physical rewrite of a persisted per-document
+    * artifact (postings/doclen, band signatures, fingerprints, IVF
+    * assignment): drop the expired rows FROM THE TABLE ITSELF — snapshot
+    * the pruned rows ([[graft.ops.Dedup.expireRows]]' broadcast
+    * anti-join; Spark cannot overwrite its own input in place), then
+    * overwrite the table under the same name and layout.
+    *
+    * This is the amortized twin of serve-time expiry: applying the
+    * anti-join per query is right for a fresh TTL batch, but it is a
+    * standing per-query tax that grows with the expired set; after the
+    * rewrite, serve plans read the index as-is — post-rewrite serve cost
+    * equals the never-expired baseline (receipt in SCALE.md). Same
+    * operational contract as any compaction: run between queries (the
+    * reference's TTL is likewise a maintenance-window merge), and
+    * re-running with the same expiry is an idempotent no-op rewrite. */
+  def rewriteExpired(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, expiredIds: DataFrame,
+      partitionCol: Option[String] = None): Unit = {
+    val pruned = graft.ops.Dedup
+      .expireRows(spark.table(table), idCol, expiredIds)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    write(pruned, table, partitionCol)
+  }
 }

@@ -103,6 +103,32 @@ class RetentionSpec extends AnyFunSuite {
       s"retiring vector 1 must drop exactly its pair: $retired")
   }
 
+  test("physical rewrite (ManagedTable.rewriteExpired): the rewritten " +
+      "table equals the serve-time anti-join, layout preserved") {
+    val tag = "retspec_rw"
+    val (p, _) = Search.indexFrames(docs)
+    graft.sources.ManagedTable.write(p, s"bm25_postings_$tag",
+      partitionCol = Some("shard"))
+    graft.sources.ManagedTable.rewriteExpired(spark, s"bm25_postings_$tag",
+      "doc_id", expired, partitionCol = Some("shard"))
+    val rewritten = spark.table(s"bm25_postings_$tag")
+    // rows: exactly the anti-join's (which RetentionSpec already pins
+    // equal to the survivors' rebuild)
+    assert(setEqual(
+      rewritten.select(p.columns.map(col): _*),
+      Dedup.expireRows(p, "doc_id", expired)))
+    // layout: still shard-partitioned (serve-time pruning must survive),
+    // and re-running the same rewrite is an idempotent no-op
+    assert(spark.sql(s"SHOW PARTITIONS bm25_postings_$tag").count() > 1,
+      "rewrite lost the shard partitioning")
+    graft.sources.ManagedTable.rewriteExpired(spark, s"bm25_postings_$tag",
+      "doc_id", expired, partitionCol = Some("shard"))
+    assert(setEqual(
+      spark.table(s"bm25_postings_$tag").select(p.columns.map(col): _*),
+      Dedup.expireRows(p, "doc_id", expired)),
+      "re-running the rewrite changed rows")
+  }
+
   test("128-bit fingerprint index: expiry equals the survivors' fingerprints") {
     // simhash128 stands in for the media tiers' (doc_id, sh0, sh1) shape —
     // identical per-document independence, no codec cost in the spec
