@@ -139,6 +139,42 @@ object OracleSql {
        |            JOIN shingled sb ON cand.id_b = sb.doc_id)
        |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Replica of [[graft.ops.Dedup.bandIndexHealthGauge]]: the banding
+    * chain runs over all documents, the ref/new arrival batches and the
+    * standing index restrict it by the %-split predicates, and the two
+    * signals (hottest-bucket share of batch docs; collision legs against
+    * the index per batch doc) are integer-ppb — Spark groups buckets by
+    * the slice's xxhash64 where this groups by the slice itself, equal
+    * counts barring a 2⁻⁶⁴ hash collision. */
+  def bandHealthSql(bands: Int = 16, deltaMod: Long = 7L,
+      alertSharePpb: Long = 200000000L,
+      alertCandPpb: Long = 16000000000L): String =
+    s"""WITH ${minhashChain("documents", bands)},
+       |refb AS (SELECT doc_id, b2, slice FROM banded
+       |         WHERE doc_id % $deltaMod = 0 AND doc_id % 2 = 0),
+       |newb AS (SELECT doc_id, b2, slice FROM banded
+       |         WHERE doc_id % $deltaMod = 0 AND doc_id % 2 <> 0),
+       |idx AS (SELECT doc_id, b2, slice FROM banded
+       |        WHERE doc_id % $deltaMod <> 0),
+       |nr AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM refb),
+       |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM newb),
+       |tr AS (SELECT COALESCE(MAX(c), 0) AS mx FROM
+       |         (SELECT COUNT(*) AS c FROM refb GROUP BY b2, slice)),
+       |tn AS (SELECT COALESCE(MAX(c), 0) AS mx FROM
+       |         (SELECT COUNT(*) AS c FROM newb GROUP BY b2, slice)),
+       |cr AS (SELECT COUNT(*) AS hits FROM refb a
+       |       JOIN idx b ON a.b2 = b.b2 AND a.slice = b.slice),
+       |cn AS (SELECT COUNT(*) AS hits FROM newb a
+       |       JOIN idx b ON a.b2 = b.b2 AND a.slice = b.slice)
+       |SELECT nr.n AS n_ref, nn.n AS n_new,
+       |  CAST(tr.mx * 1000000000 // nr.n AS BIGINT) AS ref_top_share_ppb,
+       |  CAST(tn.mx * 1000000000 // nn.n AS BIGINT) AS new_top_share_ppb,
+       |  CAST(cr.hits * 1000000000 // nr.n AS BIGINT) AS ref_cand_ppb,
+       |  CAST(cn.hits * 1000000000 // nn.n AS BIGINT) AS new_cand_ppb,
+       |  (tn.mx * 1000000000 // nn.n > $alertSharePpb
+       |    OR cn.hits * 1000000000 // nn.n > $alertCandPpb) AS alert
+       |FROM nr, nn, tr, tn, cr, cn""".stripMargin
+
   /** Full pair query for [[graft.ops.Dedup.simHashPairs]]: bit-vote SimHash
     * (votes strictly positive ⇔ set-bit count × 2 > token count), 4×16-bit
     * band candidates, hamming verify. */

@@ -685,6 +685,113 @@ object Soak {
     }
   }
 
+  /** `bandhealth` mode: the blind-spot + threshold-calibration receipt
+    * for [[graft.ops.Dedup.bandIndexHealthGauge]] (the ivfdrift soak's
+    * protocol on the text tier). Three cases per scale, each probing one
+    * signal's territory:
+    *
+    *  - `in_distribution`: arrivals from the same generator — BOTH
+    *    signals must stay quiet (this calibrates the thresholds'
+    *    headroom);
+    *  - `template_flood`: every arrival carries one boilerplate text —
+    *    batch concentration must fire at ~1e9 ppb while the collision
+    *    signal shows its blind spot (a CLEAN standing index has nothing
+    *    to collide with);
+    *  - `hot_standing_bucket`: 5% of the BASE shares one template and
+    *    only 10% of each arrival batch brushes it — batch concentration
+    *    stays under threshold (its blind spot) while the collision
+    *    signal must fire (hits ∝ hot-bucket occupancy × bands).
+    *
+    * Both rows print; the receipt is the gap between them. */
+  def bandHealthSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    val nFix = Tables.documents(spark, baseDir).count()
+    val template =
+      lit("click here to unsubscribe from this newsletter and follow our updates")
+    for ((tag, mult) <- Seq("true1x" -> 1, s"true${factor}x" -> factor)) {
+      val nBase = nFix * mult
+      val dir = s"$outDir/bandhealth_$tag"
+      trueGrowthDocuments(spark, baseDir, nBase + 2 * (nBase / 8))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = docs.filter(col("doc_id") < nBase)
+      val refB = docs.filter(col("doc_id") >= nBase &&
+        col("doc_id") < nBase + nBase / 8)
+      val newB = docs.filter(col("doc_id") >= nBase + nBase / 8)
+      def row(name: String, baseDocs: => org.apache.spark.sql.DataFrame,
+          nb: org.apache.spark.sql.DataFrame, suffix: String): Unit = {
+        val t0 = System.nanoTime()
+        val r = graft.ops.Dedup.bandIndexHealthGauge(spark, dir, baseDocs,
+          refB, nb, suffix = suffix).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""SOAK {"phase":"bandhealth","case":"$name","scale":"$tag","n_base":$nBase,"n_ref":${r.getLong(0)},"n_new":${r.getLong(1)},"ref_top_share_ppb":${r.getLong(2)},"new_top_share_ppb":${r.getLong(3)},"ref_cand_ppb":${r.getLong(4)},"new_cand_ppb":${r.getLong(5)},"alert":${r.getBoolean(6)},"sec":$sec%.2f}""")
+      }
+      row("in_distribution", base, newB, "_base")
+      row("template_flood", base, newB.withColumn("text", template), "_base")
+      val hotBase = base.withColumn("text",
+        when(col("doc_id") % 20 === 0, template).otherwise(col("text")))
+      val brushNew = newB.withColumn("text",
+        when(col("doc_id") % 10 === 0, template).otherwise(col("text")))
+      row("hot_standing_bucket", hotBase, brushNew, "_hot")
+    }
+  }
+
+  /** `retirerewrite` mode: the serve-cost A/B behind
+    * [[graft.sources.ManagedTable.rewriteExpired]] — the verdict the
+    * physical-rewrite path must earn: the serve-time anti-join
+    * ([[graft.ops.Search.bm25TopKRetired]]) is a standing per-query tax
+    * that GROWS with the expired set, while the rewritten index
+    * ([[graft.ops.Search.bm25TopKRetiredRewritten]]) serves at the
+    * never-expired baseline. Per scale: baseline indexed serve, the
+    * anti-join serve at three expired fractions (1/11, 1/3, 1/2), the
+    * one-time rewrite cost, and the post-rewrite serve — answers
+    * asserted equal (rewritten rows == anti-join rows for the same
+    * expired set) before any timing is trusted. Serve times are medians
+    * of 5 runs after a warm-up. */
+  def retireRewriteSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    val terms = Seq("spark", "vector", "merge")
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/retrw_$tag"
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def med5(f: => Unit): Double = {
+        f // warm (builds persisted tables on first touch)
+        val xs = (1 to 5).map { _ =>
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        }
+        xs.sorted.apply(2)
+      }
+      val baseSec = med5(
+        graft.ops.Search.bm25TopKIndexed(spark, dir, docs, terms).collect())
+      val antijoin = Seq(11L, 3L, 2L).map { m =>
+        val e = docs.filter(col("doc_id") % m === 0).select(col("doc_id"))
+        m -> med5(
+          graft.ops.Search.bm25TopKRetired(spark, dir, docs, e, terms)
+            .collect())
+      }
+      // the rewrite targets the largest expired set (1/2) — the regime
+      // where the per-query anti-join tax is at its worst
+      val expired = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+      val tRw = System.nanoTime()
+      val rewrittenRows = graft.ops.Search.bm25TopKRetiredRewritten(
+        spark, dir, docs, expired, terms).collect()
+      val rewriteSec = (System.nanoTime() - tRw) / 1e9 // build + rewrite + serve
+      val antijoinRows = graft.ops.Search.bm25TopKRetired(
+        spark, dir, docs, expired, terms).collect()
+      require(rewrittenRows.toSeq == antijoinRows.toSeq,
+        "rewritten serve diverged from the anti-join serve")
+      val servedSec = med5(graft.ops.Search.bm25TopKRetiredRewritten(
+        spark, dir, docs, expired, terms).collect())
+      val aj = antijoin.map { case (m, s) => f""""mod$m":$s%.3f""" }.mkString(",")
+      println(f"""SOAK {"phase":"retirerewrite","scale":"$tag","docs":$n,"base_serve_sec":$baseSec%.3f,"antijoin_serve_sec":{$aj},"rewrite_once_sec":$rewriteSec%.2f,"rewritten_serve_sec":$servedSec%.3f}""")
+    }
+  }
+
   /** `containab` mode: the snapshot-vs-recompute A/B for
     * [[graft.ops.Dedup.shingleContainment]]'s corpus-token-sized distinct
     * shingle frame (the r11 verdict's open measurement): time the
@@ -1178,6 +1285,16 @@ object Soak {
     }
     if (args.lift(3).contains("containab")) {
       containAbSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("bandhealth")) {
+      bandHealthSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("retirerewrite")) {
+      retireRewriteSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

@@ -129,7 +129,10 @@ object SparkEntry {
     "q_knn_ivf_drift_check",
     // first run writes the base-trained index (gauge) AND the retrained
     // _epoch2 index the serve path reads
-    "q_knn_ivf_epoch_serve")
+    "q_knn_ivf_epoch_serve",
+    // first run writes the persisted base band-signature index the
+    // health gauge probes (shared with q_dedup_minhash_incr)
+    "q_dedup_band_health")
 
   /** Verification-harness rows excluded from Bench timing: each replays
     * the fixture through a driver-orchestrated MemoryStream (collect →
@@ -1064,6 +1067,20 @@ object SparkEntry {
       Similarity.ivfRetrainEpoch(s, dir, corpus1, epoch = 2)
       Similarity.semanticDedupPairsIncremental(s, dir, corpus1, d2,
         threshold = 0.4, suffix = "_epoch2")
+    }),
+
+    // band-index HEALTH gauge — the MinHash twin of the IVF drift gauge:
+    // answers never decay (signatures are corpus-independent) but bucket
+    // economics can; two integer-ppb signals (batch concentration +
+    // index collision rate) vs an in-distribution reference, thresholds
+    // calibrated by the bandhealth soak (SCALE.md)
+    "q_dedup_band_health" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      ops.Dedup.bandIndexHealthGauge(s, dir,
+        docs.filter(col("doc_id") % 7 =!= 0),
+        delta.filter(col("doc_id") % 2 === 0),
+        delta.filter(col("doc_id") % 2 =!= 0))
     }),
 
     // ───────────────────────── text analysis ──
@@ -4178,6 +4195,7 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),
     "q_dedup_minhash_incr" -> OracleSql.minhashPairsIncrSql(),
     "q_dedup_minhash_retire" -> OracleSql.minhashPairsRetireSql(),
+    "q_dedup_band_health" -> OracleSql.bandHealthSql(),
     "q_dedup_deep_live_parity" -> OracleSql.minhashDeepLiveParitySql(),
     "q_dedup_ngram" -> OracleSql.minhashPairsSql(bands = 32, threshold = 0.3),
     "q_dedup_simhash" -> OracleSql.simhash128PairsSql(maxHamming = 24),

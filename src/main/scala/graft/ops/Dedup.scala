@@ -272,6 +272,78 @@ object Dedup {
         graft.sources.ManagedTable.tag(dir),
       partitionCol = Some("band"))(minHashBanded(baseDocs, n, k, bands))
 
+  /** BAND-INDEX HEALTH GAUGE — the MinHash twin of
+    * [[graft.ops.Similarity.ivfDriftGauge]], watching the one thing that
+    * can rot in an append-only LSH index: BUCKET ECONOMICS. Signatures
+    * are corpus-independent, so unlike IVF the ANSWERS never decay —
+    * what decays is candidate efficiency: a hot (band, bh) bucket makes
+    * candidate generation quadratic in its occupancy, corpus-wide, and a
+    * shifted arrival stream (templated text, a boilerplate flood)
+    * concentrates new signatures the same way. TWO signals, because each
+    * has a measured blind spot (the `bandhealth` soak probes both):
+    *
+    *  - BATCH CONCENTRATION: the new batch's hottest bucket as a share
+    *    of batch docs (ppb). Catches a template flood in the arrivals
+    *    themselves — which the collision signal misses when the standing
+    *    index is clean (nothing to collide with yet).
+    *  - INDEX COLLISION RATE: the batch's (band, bh) matches against the
+    *    PERSISTED index per batch doc (ppb; 1e9 = one candidate leg per
+    *    doc). Catches arrivals brushing a hot STANDING bucket — which
+    *    batch concentration misses when only a fraction of each batch
+    *    hits it.
+    *
+    * Both are compared against a reference in-distribution batch, like
+    * the IVF gauge, and everything is integer ppb — hash-exact against
+    * the DuckDB replica. ACTION POLICY on alert (unlike IVF there is no
+    * retrain — answers are already exact): re-shard the band layout
+    * (more bands / longer rows cut per-bucket collision probability),
+    * cap hot buckets at verify admission, or quarantine the upstream
+    * template flood. Scale shape: one banding pass per batch
+    * (snapshotted — it feeds the occupancy and collision legs), a
+    * broadcast-hash probe into the index, 1-row aggregates; nothing
+    * corpus-sized shuffles. EAGER (batch-only). */
+  def bandIndexHealthGauge(spark: org.apache.spark.sql.SparkSession,
+      dir: String, baseDocs: => DataFrame, refDelta: DataFrame,
+      newDelta: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+      suffix: String = "_base",
+      alertSharePpb: Long = 200000000L,
+      alertCandPpb: Long = 16000000000L): DataFrame = {
+    val idx = minHashBandIndexPersisted(spark, dir, baseDocs, n, k, bands,
+      suffix)
+    def probe(batch: DataFrame): DataFrame = {
+      val banded = minHashBanded(batch, n, k, bands)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = banded.agg(
+        count_distinct(col("doc_id")).as("n_docs"))
+      val top = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(max(col("c")), lit(0L)).as("mx"))
+      val cand = broadcast(banded.select(col("band"), col("bh")))
+        .join(idx.select(col("band"), col("bh")), Seq("band", "bh"))
+        .agg(count(lit(1)).as("hits"))
+      nDocs.crossJoin(broadcast(top)).crossJoin(broadcast(cand))
+        .select(col("n_docs").as("n"),
+          expr("mx * 1000000000L div n_docs").as("top_share_ppb"),
+          expr("hits * 1000000000L div n_docs").as("cand_ppb"))
+    }
+    val r = probe(refDelta).select(col("n").as("n_ref"),
+      col("top_share_ppb").as("ref_top_share_ppb"),
+      col("cand_ppb").as("ref_cand_ppb"))
+    val d = probe(newDelta).select(col("n").as("n_new"),
+      col("top_share_ppb").as("new_top_share_ppb"),
+      col("cand_ppb").as("new_cand_ppb"))
+    // empty batch (quiet window) → NULL signals, alert pinned false —
+    // the ivfDriftGauge convention
+    r.crossJoin(broadcast(d))
+      .select(col("n_ref"), col("n_new"),
+        col("ref_top_share_ppb"), col("new_top_share_ppb"),
+        col("ref_cand_ppb"), col("new_cand_ppb"),
+        (coalesce(col("new_top_share_ppb") > alertSharePpb, lit(false)) ||
+          coalesce(col("new_cand_ppb") > alertCandPpb, lit(false)))
+          .as("alert"))
+  }
+
   /** The candidate+verify core of [[minHashPairsIncremental]] over ANY
     * (banded delta, banded index) pair — public so the deep-history
     * wave-replay gate can drive it against a GROWING index frame. The

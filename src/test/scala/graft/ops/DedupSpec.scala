@@ -381,4 +381,43 @@ class DedupSpec extends AnyFunSuite {
       (2L, 1L, 2L, 5L, 400000000L)))   // reverse direction is weak
   }
 
+  test("bandIndexHealthGauge: template flood fires batch concentration, " +
+      "a hot standing bucket fires the collision signal, in-distribution " +
+      "stays quiet — each signal's blind spot covered by the other") {
+    import org.apache.spark.sql.functions._
+    val fix = graft.Tables.documents(spark, SparkTestBase.sfDir)
+    val base = fix.filter(col("doc_id") % 7 =!= 0)
+    val delta = fix.filter(col("doc_id") % 7 === 0)
+    val refB = delta.filter(col("doc_id") % 2 === 0)
+    val newB = delta.filter(col("doc_id") % 2 =!= 0)
+    val template =
+      lit("click here to unsubscribe from this newsletter and follow our updates")
+    // in-distribution: quiet (the driver row's case)
+    val quiet = Dedup.bandIndexHealthGauge(spark, SparkTestBase.sfDir,
+      base, refB, newB).head()
+    assert(!quiet.getBoolean(6), s"in-distribution batch alerted: $quiet")
+    // template flood: every arrival shares one text — concentration hits
+    // 1e9 while the CLEAN index gives the collision signal nothing (its
+    // blind spot)
+    val flood = Dedup.bandIndexHealthGauge(spark, SparkTestBase.sfDir,
+      base, refB, newB.withColumn("text", template)).head()
+    assert(flood.getBoolean(6) && flood.getLong(3) == 1000000000L,
+      s"template flood must fire batch concentration: $flood")
+    assert(flood.getLong(5) <= quiet.getLong(5),
+      s"collision signal should NOT see the flood on a clean index: $flood")
+    // hot standing bucket brushed by ~11% of the batch (newB ids are odd
+    // multiples of 7, so the brush predicate must hit odd ids — % 9
+    // selects the multiples of 63): concentration stays under threshold
+    // (ITS blind spot), collisions must fire
+    val hotBase = base.withColumn("text",
+      when(col("doc_id") % 20 === 0, template).otherwise(col("text")))
+    val brush = newB.withColumn("text",
+      when(col("doc_id") % 9 === 0, template).otherwise(col("text")))
+    val hot = Dedup.bandIndexHealthGauge(spark, SparkTestBase.sfDir,
+      hotBase, refB, brush, suffix = "_hotspec").head()
+    assert(hot.getBoolean(6) && hot.getLong(3) <= 200000000L,
+      s"hot standing bucket must fire via collisions, not concentration: $hot")
+    assert(hot.getLong(5) > 16000000000L,
+      s"collision rate must cross the threshold: $hot")
+  }
 }
