@@ -578,12 +578,13 @@ object Soak {
         .MemoryStream[DocumentStream.DocTsIn]
       val q = DocumentStream.start(mem.toDF(), s"$dir/state",
         s"$dir/ckpt", horizonMs = 3600000L)
-      val waveSecs = arrivals.grouped(
-          math.max(1, arrivals.length / nWaves)).map { w =>
+      val waves = arrivals.grouped(
+        math.max(1, arrivals.length / nWaves)).toSeq
+      val waveSecs = waves.map { w =>
         val t = System.nanoTime()
         mem.addData(w.toSeq); q.processAllAvailable()
         (System.nanoTime() - t) / 1e9
-      }.toSeq
+      }
       q.stop()
       val medianWave = waveSecs.sorted.apply(waveSecs.length / 2)
       // invariant before timing is trusted
@@ -593,15 +594,34 @@ object Soak {
         DocumentStream.livePairs(spark, s"$dir/state"))
       val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
       val keptRows = DocumentStream.keptIds(spark, s"$dir/state").count()
-      // TTL: the oldest half of the standing history expires
+      // TTL: the oldest half of the standing history expires, PLUS every
+      // 5th arrival — arrivals are what hold band state, so the retire
+      // receipt can show CANDIDATE GENERATION dropping to the surviving
+      // corpus's (history-only expiry would leave bands untouched and
+      // the candidate probe vacuous)
       val expired = history.filter(col("doc_id") < splitId / 2)
         .select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") >= n - nBase * 2L / 5L &&
+          col("doc_id") % 5 === 0).select(col("doc_id")))
+      // candidate-economics probe: the LAST wave's banding against the
+      // standing band state, before vs after the retire — retired docs
+      // must stop generating candidates immediately, not at age-out
+      val probe = graft.ops.Dedup.minHashBanded(
+          waves.last.toSeq.toDF()
+            .select(col("doc_id"), col("text")))
+        .select(col("band"), col("bh"))
+        .localCheckpoint(true)
+      def candLegs(): Long = probe.join(
+        DocumentStream.bandState(spark, s"$dir/state")
+          .select(col("band"), col("bh")), Seq("band", "bh")).count()
+      val candPre = candLegs()
       val tR = System.nanoTime()
       DocumentStream.retire(spark, s"$dir/state", expired,
         highWaterMs = Some(arrivals.map(_.ts_ms).max))
       val retireSec = (System.nanoTime() - tR) / 1e9
+      val candPost = candLegs()
       val keptAfter = DocumentStream.keptIds(spark, s"$dir/state").count()
-      println(f"""SOAK {"phase":"docstream","scale":"$tag","docs":$n,"history":${splitId},"arrivals":${arrivals.length},"waves":${waveSecs.length},"init_sec":$initSec%.2f,"median_wave_sec":$medianWave%.2f,"max_wave_sec":${waveSecs.max}%.2f,"label_diff":$diff,"kept_rows":$keptRows,"retire_sec":$retireSec%.2f,"kept_after_retire":$keptAfter}""")
+      println(f"""SOAK {"phase":"docstream","scale":"$tag","docs":$n,"history":${splitId},"arrivals":${arrivals.length},"waves":${waveSecs.length},"init_sec":$initSec%.2f,"median_wave_sec":$medianWave%.2f,"max_wave_sec":${waveSecs.max}%.2f,"label_diff":$diff,"kept_rows":$keptRows,"retire_sec":$retireSec%.2f,"kept_after_retire":$keptAfter,"cand_legs_pre_retire":$candPre,"cand_legs_post_retire":$candPost}""")
     }
   }
 

@@ -570,6 +570,13 @@ object DocumentStream {
   def livePairs(spark: SparkSession, root: String): DataFrame =
     state(spark, root, "pairs", Long.MaxValue, "id_a BIGINT, id_b BIGINT")
 
+  /** The standing band-signature state — what an arrival batch joins
+    * for near-dup candidates (exposed so operators and the soak can
+    * measure candidate economics across retire/janitor passes). */
+  def bandState(spark: SparkSession, root: String): DataFrame =
+    state(spark, root, "bands", Long.MaxValue,
+      "doc_id BIGINT, band INT, bh BIGINT, ts_ms BIGINT")
+
   def labels(spark: SparkSession, root: String): DataFrame =
     latestLabels(spark, root, Long.MaxValue)
 }
