@@ -598,23 +598,63 @@ object OracleSql {
     * arrivals): hash-equality therefore proves
     * incremental-serve-after-retrain ≡ full rebuild on the accumulated
     * corpus — the epoch handoff loses nothing. */
+  /** The epoch-serve scenario's bit-exact arrival shift (float(abs(x) +
+    * 0.5) per dimension — IEEE double add + float round on both engines)
+    * applied to every arrival past the first third, and the predicate
+    * naming the served third. Shared by the SemDeDup and kNN epoch
+    * replicas. */
+  private val epochShiftExpr: String =
+    "CASE WHEN vec_id % 7 = 0 AND vec_id % 3 <> 0 THEN " +
+      "list_transform(embedding, x -> " +
+      "CAST(abs(CAST(x AS DOUBLE)) + 0.5 AS FLOAT)) " +
+      "ELSE embedding END"
+  private def epochServePred(v: String): String =
+    s"($v % 7 = 0 AND $v % 3 = 2)"
+
   def semDedupEpochServeSql(nCentroids: Int = 32, lloydIters: Int = 2,
       threshold: Double = 0.4): String = {
-    val shifted =
-      "CASE WHEN vec_id % 7 = 0 AND vec_id % 3 <> 0 THEN " +
-        "list_transform(embedding, x -> " +
-        "CAST(abs(CAST(x AS DOUBLE)) + 0.5 AS FLOAT)) " +
-        "ELSE embedding END"
-    val isServe = (v: String) => s"($v % 7 = 0 AND $v % 3 = 2)"
     val (ctes, _) = ivfChainCtes(nCentroids, lloydIters,
-      trainWhere = s"NOT ${isServe("vec_id")}", embExpr = shifted)
+      trainWhere = s"NOT ${epochServePred("vec_id")}",
+      embExpr = epochShiftExpr)
     s"""WITH $ctes
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
        |  ${cosSql("a.e", "b.e")} AS cosine
        |FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |WHERE ${cosSql("a.e", "b.e")} >= $threshold
-       |  AND (${isServe("a.vec_id")} OR ${isServe("b.vec_id")})
+       |  AND (${epochServePred("a.vec_id")} OR ${epochServePred("b.vec_id")})
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The kNN leg of the post-retrain serving path:
+    * [[graft.ops.Similarity.ivfTopKPersisted]] pointed at the retrained
+    * epoch index — probes and candidates both live in the accumulated
+    * corpus (the served third is NOT in the index; it is the next batch
+    * still in flight), trained from scratch here like
+    * [[semDedupEpochServeSql]], so hash-equality proves kNN serving
+    * resumed against the new epoch's centroids loses nothing vs a full
+    * rebuild. */
+  def knnIvfEpochServeSql(nCentroids: Int = 32, nProbe: Int = 6,
+      lloydIters: Int = 2, nProbes: Int = 10, k: Int = 5): String = {
+    val (ctes, last) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere = s"NOT ${epochServePred("vec_id")}",
+      embExpr = epochShiftExpr)
+    s"""WITH $ctes,
+       |probes AS (
+       |  SELECT b.vec_id AS probe_id, b.e AS pe, cc.c_id AS cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY ${cosSql("b.e", "cc.c")} DESC, cc.c_id) AS r
+       |  FROM base b CROSS JOIN $last cc
+       |  WHERE b.vec_id < $nProbes AND NOT ${epochServePred("b.vec_id")}),
+       |pl AS (SELECT probe_id, pe, cluster FROM probes WHERE r <= $nProbe),
+       |scored AS (
+       |  SELECT p.probe_id, a.vec_id, ${cosSql("a.e", "p.pe")} AS cosine
+       |  FROM a_f a JOIN pl p ON a.cluster = p.cluster
+       |  WHERE a.vec_id <> p.probe_id AND NOT ${epochServePred("a.vec_id")}),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
   }
 
   /** Replica of [[graft.ops.Similarity.ivfDriftGauge]]: the IVF chain

@@ -680,10 +680,12 @@ object Soak {
           horizonMs, consolidateEvery = consolidateEvery)
         (System.nanoTime() - t) / 1e9
       }
-      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      def med(xs: Seq[Double]) =
+        if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
       def p99(xs: Seq[Double]) = xs.sorted.apply((xs.length - 1) * 99 / 100)
       val consSecs = batchSecs.zipWithIndex.collect {
-        case (s, i) if i > 0 && i % consolidateEvery == 0 => s }
+        case (s, i) if consolidateEvery > 0 && i > 0 &&
+          i % consolidateEvery == 0 => s }
       val third = batchSecs.length / 3
       // invariant before timing is trusted
       val labels = DocumentStream.labels(spark, root)
@@ -1319,7 +1321,12 @@ object Soak {
       return
     }
     if (args.lift(3).contains("docstreamlong")) {
-      docStreamLongSoak(spark, factor, baseDir, outDir)
+      // SPARK_GRAFT_CONSOLIDATE_EVERY=0 runs the COUNTERFACTUAL (no
+      // consolidation — one directory per batch forever) so the slope
+      // the fold prevents is measured, not argued
+      docStreamLongSoak(spark, factor, baseDir, outDir,
+        consolidateEvery = sys.env.get("SPARK_GRAFT_CONSOLIDATE_EVERY")
+          .map(_.toInt).getOrElse(16))
       spark.stop()
       return
     }

@@ -24,6 +24,23 @@ object SparkEntry {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** The drift → retrain → serve scenario's splits, shared by the two
+    * epoch rows: base corpus (vec_id % 7 ≠ 0), then arrival thirds d0
+    * (in-distribution) / d1 / d2, with d1 and d2 SHIFTED bit-exactly
+    * (float(abs(x) + 0.5) per dimension — the same IEEE double add +
+    * float round the DuckDB replica performs). */
+  private def epochShiftSplits(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    def shift(df: DataFrame): DataFrame = df.withColumn("embedding",
+      transform(col("embedding"), x => (abs(x) + lit(0.5d)).cast("float")))
+    val arr = emb.filter(col("vec_id") % 7 === 0)
+    (emb.filter(col("vec_id") % 7 =!= 0),
+      arr.filter(col("vec_id") % 3 === 0),
+      shift(arr.filter(col("vec_id") % 3 === 1)),
+      shift(arr.filter(col("vec_id") % 3 === 2)))
+  }
+
   /** One-time month-partitioned copy of the events fixture written through
     * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
     * toYYYYMM(ts)` layout, db.go:51) — the storage side of
@@ -128,8 +145,8 @@ object SparkEntry {
     // first run writes the base-trained IVF index the gauge reads
     "q_knn_ivf_drift_check",
     // first run writes the base-trained index (gauge) AND the retrained
-    // _epoch2 index the serve path reads
-    "q_knn_ivf_epoch_serve",
+    // _epoch2 index the serve paths read
+    "q_knn_ivf_epoch_serve", "q_knn_ivf_epoch_topk",
     // first run writes the persisted base band-signature index the
     // health gauge probes (shared with q_dedup_minhash_incr)
     "q_dedup_band_health")
@@ -1052,14 +1069,7 @@ object SparkEntry {
     // trains from scratch on the accumulated corpus, so hash-equality
     // proves the epoch handoff loses nothing vs a full rebuild.
     "q_knn_ivf_epoch_serve" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      def shift(df: DataFrame): DataFrame = df.withColumn("embedding",
-        transform(col("embedding"), x => (abs(x) + lit(0.5d)).cast("float")))
-      val base = emb.filter(col("vec_id") % 7 =!= 0)
-      val arr = emb.filter(col("vec_id") % 7 === 0)
-      val d0 = arr.filter(col("vec_id") % 3 === 0)
-      val d1 = shift(arr.filter(col("vec_id") % 3 === 1))
-      val d2 = shift(arr.filter(col("vec_id") % 3 === 2))
+      val (base, d0, d1, d2) = epochShiftSplits(s, dir)
       val g0 = Similarity.ivfDriftGauge(s, dir, base, d0, d1).head()
       require(g0.getBoolean(7),
         s"epoch-0 gauge must fire on the shifted arrival batch: $g0")
@@ -1067,6 +1077,20 @@ object SparkEntry {
       Similarity.ivfRetrainEpoch(s, dir, corpus1, epoch = 2)
       Similarity.semanticDedupPairsIncremental(s, dir, corpus1, d2,
         threshold = 0.4, suffix = "_epoch2")
+    }),
+
+    // the kNN leg of the same epoch handoff: top-k serving resumes
+    // against the retrained _epoch2 index (probes and candidates are
+    // accumulated-corpus members; the served third is the next arrival
+    // batch, not yet in any index). The oracle trains from scratch on
+    // the accumulated corpus — hash-equality proves the rotated index
+    // serves exactly what a full rebuild would.
+    "q_knn_ivf_epoch_topk" -> ((s, dir) => {
+      val (base, d0, d1, _) = epochShiftSplits(s, dir)
+      val corpus1 = base.unionByName(d0).unionByName(d1)
+      Similarity.ivfRetrainEpoch(s, dir, corpus1, epoch = 2)
+      Similarity.ivfTopKPersisted(s, dir, corpus1, probeIds = 0L to 9L,
+        k = 5, suffix = "_epoch2")
     }),
 
     // band-index HEALTH gauge — the MinHash twin of the IVF drift gauge:
@@ -4189,6 +4213,7 @@ object SparkEntry {
     "q_semdedup_retire" -> OracleSql.semDedupPairsRetireSql(),
     "q_knn_ivf_drift_check" -> OracleSql.ivfDriftSql(),
     "q_knn_ivf_epoch_serve" -> OracleSql.semDedupEpochServeSql(),
+    "q_knn_ivf_epoch_topk" -> OracleSql.knnIvfEpochServeSql(),
     "q_semdedup_live_parity" -> OracleSql.semDedupLiveParitySql(),
     "q_lang_id" -> OracleSql.langIdSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,

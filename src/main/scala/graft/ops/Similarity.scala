@@ -328,12 +328,16 @@ object Similarity {
     * index table, probed buckets scanned off the cluster-partitioned
     * assignment table (partition pruning does the nProbe/nCentroids cut),
     * exact cosine re-rank. Same parameters → same rows as [[ivfTopK]],
-    * same oracle — only the build cost moved out of the query. */
+    * same oracle — only the build cost moved out of the query. `suffix`
+    * selects which persisted epoch serves (the [[ivfRetrainEpoch]]
+    * rotation — kNN resumes against the new epoch the same way the
+    * incremental SemDeDup path does). */
   def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
       embeddings: => DataFrame, probeIds: Seq[Long], k: Int,
-      nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2): DataFrame = {
+      nCentroids: Int = 32, nProbe: Int = 6, lloydIters: Int = 2,
+      suffix: String = ""): DataFrame = {
     val (centroids, assigned) = ivfIndexPersisted(
-      spark, dir, embeddings, nCentroids, lloydIters)
+      spark, dir, embeddings, nCentroids, lloydIters, suffix)
     val probes = assigned
       .filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"), col("embedding"), col("nsq"))
