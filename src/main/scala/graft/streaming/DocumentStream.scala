@@ -65,10 +65,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * ~864k directories/day, and every batch re-lists and unions all of
   * them, so listing + parquet-footer cost would dominate per-batch time
   * long before data volume does. [[consolidate]] folds the committed
-  * batch directories of `hist`/`kept`/`pairs`/`hw`/`bands` into ONE
-  * consolidated directory (crash-safe two-phase rename protocol), so
-  * with `consolidateEvery = K` the per-sub directory count is bounded by
-  * K + 2 regardless of uptime.
+  * batch directories of `hist`/`kept`/`pairs`/`hw`/`bands` into TIERED
+  * consolidated units (crash-safe two-phase rename protocol; the
+  * binomial ladder of [[tieredFold]]), so with `consolidateEvery = K`
+  * the per-sub directory count is bounded by K + log₂(batches/K) + 2
+  * for any uptime AND each arrival byte is rewritten only O(log batches)
+  * times total — the fold-everything alternative would rewrite every
+  * byte on every fold (T/K times), the write amplification tiered
+  * MergeTree merges exist to avoid.
   *
   * Scale shape per batch: one bloom + anti-join against history hashes
   * (narrow, bloom-gated), one broadcast band join of the batch against
@@ -117,54 +121,60 @@ object DocumentStream {
 
   // ── consolidation: the MergeTree background-merge analogue ──
 
-  /** Fold every committed batch directory of `sub` with id in
-    * [0, upTo) into the single directory `batch=(upTo − 1)` — NOT into
-    * the `batch=-1` base: the base snapshot is the standing 100 TB
-    * corpus and must never be rewritten on a maintenance cadence, while
-    * the consolidated arrival level only costs ∝ arrivals-since-init per
-    * fold. (An operator can still fold the arrival level into the base
-    * in a major-compaction window via [[consolidate]]'s `intoBase`.)
+  /** Fold the batch directories of `sub` with id in [lo, upTo) into the
+    * single directory `batch=(upTo − 1)` (or into the `batch=-1` base
+    * when `intoBase` — the MAJOR compaction that rewrites the standing
+    * corpus; reserve it for maintenance windows).
     *
     * Readers are unaffected: `state(before = N)` for any N ≥ upTo sees
     * the identical row union, and a replayed batch only ever overwrites
-    * its OWN `batch=N` directory (N ≥ upTo), never the folded one.
+    * its OWN `batch=N` directory (N ≥ upTo), never a folded one.
     *
     * CRASH SAFETY (two-phase commit): the fold first writes the union to
-    * `_stage`, then publishes a `_stage_commit` marker (the commit
-    * point), then deletes the source directories and renames `_stage`
-    * into place, then drops the marker. [[recoverFold]] completes or
-    * aborts an interrupted pass from whichever side of the marker it
-    * died on, and runs before every fold — a replayed consolidation
-    * batch is therefore idempotent. */
-  private def foldSub(spark: SparkSession, root: String, sub: String,
-      upTo: Long, schema: String, intoBase: Boolean,
+    * `_stage` (with the unit's `_unit_lo` sidecar — see [[tieredFold]]),
+    * then publishes a `_stage_commit` marker recording (upTo, lo,
+    * intoBase) — the commit point — then deletes the source directories
+    * and renames `_stage` into place, then drops the marker.
+    * [[recoverFold]] completes or aborts an interrupted pass from
+    * whichever side of the marker it died on, and runs before every
+    * fold — a replayed consolidation batch is therefore idempotent. */
+  private def foldRange(spark: SparkSession, root: String, sub: String,
+      lo: Long, upTo: Long, schema: String, intoBase: Boolean,
       xform: DataFrame => DataFrame): Unit = {
     recoverFold(spark, root, sub)
     val f = fs(spark, root)
-    val lo = if (intoBase) -1L else 0L
+    val floor = if (intoBase) -1L else lo
     val target = if (intoBase) -1L else upTo - 1L
     val dirs = batchDirs(spark, root, sub, upTo)
-      .filter(_.split("batch=").last.toLong >= lo)
-    // already consolidated (a replayed consolidation batch, or nothing
-    // arrived since the last fold): leave the folded directory alone
+      .filter(_.split("batch=").last.toLong >= floor)
+    // nothing to fold (a replayed consolidation batch, or an idle sub):
+    // leave the folded directory alone
     if (dirs.isEmpty || dirs.toSet == Set(s"$root/$sub/batch=$target")) return
     val stage = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage")
     xform(spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(schema))
       .parquet(dirs: _*))
       .write.mode("overwrite").parquet(stage.toString)
+    if (!intoBase) {
+      // the unit sidecar: lowest batch id this consolidated run covers —
+      // what the tiered cascade reads to compute unit masses. Underscore
+      // prefix keeps it invisible to Spark's file listing.
+      val s = f.create(new org.apache.hadoop.fs.Path(stage, "_unit_lo"), true)
+      s.writeLong(lo); s.close()
+    }
     val marker = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit")
     val out = f.create(marker, true)
-    out.writeLong(upTo); out.writeBoolean(intoBase); out.close()
-    completeFold(spark, root, sub, upTo, intoBase)
+    out.writeLong(upTo); out.writeLong(lo); out.writeBoolean(intoBase)
+    out.close()
+    completeFold(spark, root, sub, lo, upTo, intoBase)
   }
 
   private def completeFold(spark: SparkSession, root: String, sub: String,
-      upTo: Long, intoBase: Boolean): Unit = {
+      lo: Long, upTo: Long, intoBase: Boolean): Unit = {
     val f = fs(spark, root)
-    val lo = if (intoBase) -1L else 0L
+    val floor = if (intoBase) -1L else lo
     batchDirs(spark, root, sub, upTo)
-      .filter(_.split("batch=").last.toLong >= lo)
+      .filter(_.split("batch=").last.toLong >= floor)
       .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
     val target = if (intoBase) -1L else upTo - 1L
     f.rename(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage"),
@@ -186,11 +196,78 @@ object DocumentStream {
       if (f.exists(stage)) {
         val in = f.open(marker)
         val upTo = in.readLong()
+        val lo = in.readLong()
         val intoBase = in.readBoolean()
         in.close()
-        completeFold(spark, root, sub, upTo, intoBase)
+        completeFold(spark, root, sub, lo, upTo, intoBase)
       } else f.delete(marker, false) // swap done; only the marker remained
     } else if (f.exists(stage)) f.delete(stage, true)
+  }
+
+  /** The `_unit_lo` sidecar of a consolidated unit directory, if any —
+    * raw batch directories carry none. */
+  private def unitLo(f: org.apache.hadoop.fs.FileSystem, root: String,
+      sub: String, id: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$sub/batch=$id/_unit_lo")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(in.readLong()) finally in.close()
+    }
+  }
+
+  /** TIERED fold of one state sub — the binomial/LSM ladder instead of
+    * fold-everything-into-one. A fold-everything scheme rewrites EVERY
+    * arrival byte on EVERY fold: over T batches at cadence K that is
+    * T/K rewrites per byte (at a 1 s trigger and K = 64, ~1,350
+    * rewrites/byte/day) — the write amplification ClickHouse's tiered
+    * MergeTree merges exist to avoid. Here each fold first turns the raw
+    * batch directories into one UNIT (its `_unit_lo` sidecar records the
+    * lowest id it covers — id gaps from empty batches count, so units
+    * exactly partition the id axis and the counter arithmetic is exact),
+    * then merges the two NEWEST units while the newer one's id-mass has
+    * caught up with the older's — the binary-counter invariant: unit
+    * masses strictly increase with age, so there are O(log T) units and
+    * each byte is rewritten O(log T) times TOTAL.
+    *
+    * Replay-idempotent: the cascade is a deterministic function of the
+    * directory listing below `upTo`; after a completed fold the masses
+    * strictly increase with age, so a replayed consolidation batch finds
+    * no raw directories and no mergeable pair — a no-op. Every physical
+    * step is a [[foldRange]] two-phase swap, individually recoverable. */
+  private def tieredFold(spark: SparkSession, root: String, sub: String,
+      upTo: Long, schema: String, xform: DataFrame => DataFrame): Unit = {
+    recoverFold(spark, root, sub)
+    val f = fs(spark, root)
+    def listIds(): Seq[Long] = batchDirs(spark, root, sub, upTo)
+      .map(_.split("batch=").last.toLong).filter(_ >= 0).sorted
+    val ids = listIds()
+    if (ids.isEmpty) return
+    val los = ids.flatMap(id => unitLo(f, root, sub, id).map(id -> _)).toMap
+    val rawIds = ids.filterNot(los.contains)
+    if (rawIds.nonEmpty) {
+      // all raws sit above the newest unit; their unit's mass spans from
+      // just above it (or 0), so empty-batch id gaps are attributed
+      val lo = los.keys.foldLeft(-1L)(math.max) + 1L
+      foldRange(spark, root, sub, lo, rawIds.max + 1, schema,
+        intoBase = false, xform)
+    }
+    var merging = true
+    while (merging) {
+      val ids2 = listIds()
+      val los2 = ids2.flatMap(id => unitLo(f, root, sub, id).map(id -> _)).toMap
+      val units = ids2.filter(los2.contains)
+      merging = units.length >= 2 && {
+        val a = units(units.length - 2)
+        val b = units.last
+        // mass(b) ≥ mass(a) in id units → merge (the binomial ladder)
+        (b - los2(b) >= a - los2(a)) && {
+          foldRange(spark, root, sub, los2(a), b + 1, schema,
+            intoBase = false, xform)
+          true
+        }
+      }
+    }
   }
 
   /** Consolidate every committed state surface below `upToBatch` — call
@@ -217,19 +294,25 @@ object DocumentStream {
     *    batch's row, closing the replay hole a wall-clock or
     *    all-batches-max janitor cut would have.
     *
-    * `intoBase = true` additionally folds the arrival level into the
-    * `batch=-1` base snapshot — a MAJOR compaction that rewrites the
-    * standing corpus; reserve it for maintenance windows. */
+    * Folding is TIERED ([[tieredFold]] — O(log batches) units, O(log
+    * batches) total rewrites per byte), and NEVER touches the
+    * `batch=-1` base on the in-stream cadence: the base snapshot is the
+    * standing 100 TB corpus. `intoBase = true` folds everything into it
+    * — a MAJOR compaction that rewrites the standing corpus; reserve it
+    * for maintenance windows. */
   def consolidate(spark: SparkSession, root: String, upToBatch: Long,
       horizonMs: Long, latenessMs: Long = 600000L,
       intoBase: Boolean = false): Unit = {
-    foldSub(spark, root, "hist", upToBatch, "doc_id BIGINT, text STRING",
-      intoBase, identity)
-    foldSub(spark, root, "kept", upToBatch, "doc_id BIGINT", intoBase,
-      identity)
-    foldSub(spark, root, "pairs", upToBatch, "id_a BIGINT, id_b BIGINT",
-      intoBase, identity)
-    foldSub(spark, root, "hw", upToBatch, "ts_ms BIGINT", intoBase,
+    def fold(sub: String, schema: String,
+        xform: DataFrame => DataFrame): Unit =
+      if (intoBase)
+        foldRange(spark, root, sub, -1L, upToBatch, schema,
+          intoBase = true, xform)
+      else tieredFold(spark, root, sub, upToBatch, schema, xform)
+    fold("hist", "doc_id BIGINT, text STRING", identity)
+    fold("kept", "doc_id BIGINT", identity)
+    fold("pairs", "id_a BIGINT, id_b BIGINT", identity)
+    fold("hw", "ts_ms BIGINT",
       df => df.agg(max(col("ts_ms")).as("ts_ms"))
         .filter(col("ts_ms").isNotNull))
     // committed high water only: hw rows of batches < upToBatch
@@ -241,9 +324,8 @@ object DocumentStream {
     if (hw != Long.MinValue) {
       compactBands(spark, root, hw, horizonMs, latenessMs)
       val cut = hw - horizonMs - latenessMs
-      foldSub(spark, root, "bands",
-        upToBatch, "doc_id BIGINT, band INT, bh BIGINT, ts_ms BIGINT",
-        intoBase, df => df.filter(col("ts_ms") >= cut))
+      fold("bands", "doc_id BIGINT, band INT, bh BIGINT, ts_ms BIGINT",
+        df => df.filter(col("ts_ms") >= cut))
     }
   }
 
@@ -316,13 +398,24 @@ object DocumentStream {
     val latest = batchDirs(spark, root, "labels", Long.MaxValue)
       .maxBy(_.split("batch=").last.toLong)
     retired.write.mode("overwrite").parquet(latest)
-    // prune the append-only states directory by directory
+    // prune the append-only states directory by directory, preserving
+    // each consolidated unit's `_unit_lo` sidecar (the parquet overwrite
+    // would drop it; without it the next tiered fold would demote the
+    // unit to raw and re-fold it — correct but a wasted rewrite)
+    val fsy = fs(spark, root)
     def prune(sub: String, cols: Seq[String]): Unit =
       batchDirs(spark, root, sub, Long.MaxValue).foreach { p =>
+        val id = p.split("batch=").last.toLong
+        val lo = unitLo(fsy, root, sub, id)
         val pruned = cols.foldLeft(spark.read.parquet(p))(
           (df, c) => graft.ops.Dedup.expireRows(df, c, e))
           .localCheckpoint(true, memDisk)
         pruned.write.mode("overwrite").parquet(p)
+        lo.foreach { l =>
+          val s = fsy.create(
+            new org.apache.hadoop.fs.Path(s"$p/_unit_lo"), true)
+          s.writeLong(l); s.close()
+        }
       }
     prune("hist", Seq("doc_id"))
     prune("kept", Seq("doc_id"))
@@ -348,8 +441,9 @@ object DocumentStream {
     * `consolidateEvery > 0` runs [[consolidate]] at the START of every
     * K-th batch — before any state read, over exactly the
     * checkpoint-committed batches (ids strictly below this one), so the
-    * per-sub directory count stays bounded at K + 2 for any uptime and a
-    * replayed consolidation batch re-runs the fold idempotently. */
+    * per-sub directory count stays bounded at K + log₂(batches/K) + 2
+    * for any uptime and a replayed consolidation batch re-runs the fold
+    * idempotently (no raw directories, no mergeable unit pair → no-op). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       horizonMs: Long, latenessMs: Long = 600000L, n: Int = 3,
       threshold: Double = 0.5, consolidateEvery: Int = 0): Unit = {
@@ -360,8 +454,8 @@ object DocumentStream {
     if (batch.isEmpty) return
     // the committed high-water mark (max event time over prior batches;
     // Long.MinValue before any) — the hw/ rows are 1-per-batch AND the
-    // consolidation fold collapses the committed ones to a single max
-    // row, so this read stays bounded for any uptime
+    // consolidation fold collapses them to one max row per tiered unit
+    // (O(log batches)), so this read stays bounded for any uptime
     val hw = state(spark, root, "hw", batchId, "ts_ms BIGINT")
       .agg(max(col("ts_ms"))).head().get(0) match {
         case null => Long.MinValue

@@ -264,8 +264,9 @@ class DocumentStreamSpec extends AnyFunSuite {
     val finalState = served(rootA)
     assert(finalState == served(rootB),
       "consolidation changed a served row")
-    // directory counts bounded by the cadence: K recent + consolidated +
-    // base (while the twin holds one per batch + base)
+    // directory counts bounded by the tiered ladder: ≤ K recent +
+    // log₂(batches/K) units + base (while the twin holds one per batch
+    // + base)
     for (sub <- Seq("hist", "kept", "pairs", "hw")) {
       assert(subDirs(rootA, sub).length <= 4 + 2,
         s"$sub directory count not bounded: ${subDirs(rootA, sub)}")
