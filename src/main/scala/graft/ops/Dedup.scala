@@ -1069,12 +1069,15 @@ object Dedup {
     // every member of every component an expired doc belongs to —
     // delta-sized by the contract; snapshotted (three consumers: the
     // survivor set, the pass-through anti-join, the relabel universe)
+    // PERSIST + count instead of localCheckpoint + count: the count IS
+    // the materializing action, so the smallness guard costs zero extra
+    // jobs over the eager snapshot the frame needed anyway (its three
+    // consumers read the cached blocks either way)
     val touchedMembers = baseLabels
       .join(broadcast(touchedClusters), "cluster_id")
       .select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint(true, memDisk)
-    // the smallness contract, ENFORCED: |touched| is a bounded count over
-    // the snapshotted frame (one local pass). Within the regime the
+      .persist(memDisk)
+    // the smallness contract, ENFORCED: within the regime the
     // touched/survivor frames broadcast as hinted; above it the hints
     // drop so Spark shuffles instead of shipping a corpus-scale frame to
     // every executor — degrade to rebuild-class cost, never OOM.

@@ -313,5 +313,34 @@ class DocumentStreamSpec extends AnyFunSuite {
     DocumentStream.retire(spark, rootA, expired)
     assert(bandIds(rootA).intersect(expiredSet).isEmpty,
       "band state kept expired docs' signatures")
+
+    // ── retire must PRESERVE the tiered units' sidecars: a retire on a
+    // laddered state (rootB never consolidated — consolidate it now,
+    // leaving units + raws) followed by another consolidate must be a
+    // cascade NO-OP (dir set unchanged — a lost sidecar would demote
+    // units to raw and re-fold them), and the retired rows must stay
+    // gone through that no-op
+    // two consolidates leave TWO units (masses 4 and <4 — no cascade)
+    // plus raw dirs: a lost sidecar would demote BOTH units to raw and
+    // the re-consolidation below would visibly re-fold them into one
+    DocumentStream.consolidate(spark, rootB, 4L, horizonMs)
+    DocumentStream.consolidate(spark, rootB, waves.length.toLong - 2,
+      horizonMs)
+    val expiredB = DocumentStream.keptIds(spark, rootB)
+      .filter(col("doc_id") >= splitId && col("doc_id") % 3 === 0)
+      .localCheckpoint(true)
+    DocumentStream.retire(spark, rootB, expiredB)
+    val dirsBefore = Seq("hist", "kept", "pairs", "hw", "bands")
+      .map(s => s -> subDirs(rootB, s).sorted).toMap
+    val servedAfterRetire = served(rootB)
+    DocumentStream.consolidate(spark, rootB, waves.length.toLong - 2,
+      horizonMs)
+    val dirsAfter = Seq("hist", "kept", "pairs", "hw", "bands")
+      .map(s => s -> subDirs(rootB, s).sorted).toMap
+    assert(dirsAfter == dirsBefore,
+      s"re-consolidation after retire re-folded units (sidecars lost): " +
+        s"$dirsBefore -> $dirsAfter")
+    assert(served(rootB) == servedAfterRetire,
+      "the no-op consolidation changed retired state")
   }
 }
