@@ -814,6 +814,60 @@ object Soak {
     }
   }
 
+  /** `mhrewrite` mode: [[retireRewriteSoak]]'s protocol on the MINHASH
+    * tier — the serve-cost A/B behind
+    * [[graft.ops.Dedup.minHashPairsIncrementalRewritten]]. The access
+    * pattern differs from BM25's (per-ARRIVAL-BATCH incremental serving,
+    * not per-query top-k), so the anti-join tax lands differently: every
+    * batch anti-joins the expired set against BOTH the persisted band
+    * index and the shard-pruned doc-text lookup before the delta joins
+    * them. Per scale: the never-expired incremental serve, the anti-join
+    * serve at three expired fractions (1/11, 1/3, 1/2), the one-time
+    * rewrite (targeting the worst 1/2 set), and the post-rewrite serve —
+    * pair sets asserted equal before any timing is trusted. */
+  def mhRewriteSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String): Unit = {
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/mhrw_$tag"
+      trueGrowthDocuments(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      def med5(f: => Unit): Double = {
+        f // warm (builds the persisted _base index on first touch)
+        val xs = (1 to 5).map { _ =>
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        }
+        xs.sorted.apply(2)
+      }
+      val baseSec = med5(graft.ops.Dedup
+        .minHashPairsIncremental(spark, dir, base, delta).collect())
+      val antijoin = Seq(11L, 3L, 2L).map { m =>
+        val e = base.filter(col("doc_id") % m === 0).select(col("doc_id"))
+        m -> med5(graft.ops.Dedup.minHashPairsIncremental(spark, dir,
+          base, delta, expiredIds = Some(e)).collect())
+      }
+      // the rewrite targets the largest expired set (1/2) — the per-batch
+      // anti-join tax at its worst
+      val expired = base.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+      val tRw = System.nanoTime()
+      val rewrittenRows = graft.ops.Dedup.minHashPairsIncrementalRewritten(
+        spark, dir, base, delta, expiredIds = expired).collect()
+      val rewriteSec = (System.nanoTime() - tRw) / 1e9 // build + rewrite + serve
+      val antijoinRows = graft.ops.Dedup.minHashPairsIncremental(
+        spark, dir, base, delta, expiredIds = Some(expired)).collect()
+      require(rewrittenRows.toSeq == antijoinRows.toSeq,
+        "rewritten minhash serve diverged from the anti-join serve")
+      val servedSec = med5(graft.ops.Dedup.minHashPairsIncrementalRewritten(
+        spark, dir, base, delta, expiredIds = expired).collect())
+      val aj = antijoin.map { case (m, s) => f""""mod$m":$s%.3f""" }.mkString(",")
+      println(f"""SOAK {"phase":"mhrewrite","scale":"$tag","docs":$n,"base_serve_sec":$baseSec%.3f,"antijoin_serve_sec":{$aj},"rewrite_once_sec":$rewriteSec%.2f,"rewritten_serve_sec":$servedSec%.3f}""")
+    }
+  }
+
   /** `containab` mode: the snapshot-vs-recompute A/B for
     * [[graft.ops.Dedup.shingleContainment]]'s corpus-token-sized distinct
     * shingle frame (the r11 verdict's open measurement): time the
@@ -1317,6 +1371,11 @@ object Soak {
     }
     if (args.lift(3).contains("retirerewrite")) {
       retireRewriteSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("mhrewrite")) {
+      mhRewriteSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

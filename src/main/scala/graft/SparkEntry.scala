@@ -132,9 +132,10 @@ object SparkEntry {
     // first runs read the persisted pair/label/index tables they retire;
     // the compose row additionally writes + TTLs the month layout once
     "q_dedup_clusters_retire", "q_dedup_survivors_retire", "q_bm25_retire",
-    "q_retention_compose",
-    // first run builds the dedicated _rwret index copy AND rewrites it
-    "q_bm25_retire_rewrite",
+    "q_retention_compose", "q_dedup_clusters_lifecycle",
+    // first runs build the dedicated _rwret index copies AND rewrite them
+    "q_bm25_retire_rewrite", "q_dedup_minhash_retire_rewrite",
+    "q_semdedup_retire_rewrite", "q_phash_pairs_retire_rewrite",
     // first runs write the persisted BASE inverted index / pHash index /
     // base-trained IVF index / base band-signature index
     "q_bm25_incr", "q_phash_pairs_incr", "q_semdedup_incr",
@@ -711,6 +712,21 @@ object SparkEntry {
           .select(col("doc_id"))))
     }),
 
+    // q_dedup_minhash_retire's MAINTENANCE-WINDOW twin: the dedicated
+    // _rwret band index + doc-text lookup are physically REWRITTEN once
+    // (expired rows dropped in place, band/shard partitioning preserved)
+    // and arrivals run the plain incremental plan against them — NO
+    // per-batch anti-join; same pairs, same oracle as the serve-time
+    // expiry path
+    "q_dedup_minhash_retire_rewrite" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      Dedup.minHashPairsIncrementalRewritten(s, dir, base,
+        docs.filter(col("doc_id") % 7 === 0),
+        expiredIds = base.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id")))
+    }),
+
     // 128-bit simhash (FNV vote word + splitmix64-mixed vote word) through
     // hammingPairs128's 4x32-bit banding — radius 24 of 128 keeps the
     // 64-bit tier's 12-of-64 vote-fraction threshold
@@ -766,6 +782,23 @@ object SparkEntry {
     // the survivors oracle carries over with the same WHERE)
     "q_dedup_survivors_retire" -> ((s, dir) =>
       Dedup.survivorsFromLabels(queries("q_dedup_clusters_retire")(s, dir))),
+
+    // the LIFECYCLE composition the merge and retire rows prove only in
+    // isolation: labels maintained through an ARRIVAL epoch
+    // (mergeClusterDelta — q_dedup_clusters_incr's plan, equal to the
+    // full-corpus labeling) and then a RETENTION epoch
+    // (retireClusterDelta over the persisted pair table) must equal the
+    // from-scratch rebuild on the surviving corpus — maintenance deltas
+    // of DIFFERENT kinds compose without drift, so a standing labeling
+    // never needs a rebuild between epochs. Same oracle as
+    // q_dedup_clusters_retire (the closure over doc_id % 11 <> 0)
+    "q_dedup_clusters_lifecycle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merged = queries("q_dedup_clusters_incr")(s, dir)
+      Dedup.retireClusterDelta(merged,
+        Dedup.charJaccardPairsPersisted(s, dir, docs, 0.9),
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+    }),
 
     // RETENTION COMPOSED across the storage and label layers — one
     // replayed TTL scenario: documents get event times (t0 + doc_id · 6 h,
@@ -971,6 +1004,21 @@ object SparkEntry {
         emb.filter(col("vec_id") % 7 === 0), 0.4,
         expiredIds = Some(base.filter(col("vec_id") % 11 === 0)
           .select(col("vec_id"))))
+    }),
+
+    // q_semdedup_retire's MAINTENANCE-WINDOW twin: the dedicated _rwret
+    // cluster-partitioned assignment is physically REWRITTEN once
+    // (expired vectors dropped in place; the base-trained centroids
+    // stay — train-once) and arrivals run the plain incremental plan
+    // against it — NO per-batch anti-join; same pairs, same oracle as
+    // the serve-time expiry path
+    "q_semdedup_retire_rewrite" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      Similarity.semanticDedupPairsIncrementalRewritten(s, dir, base,
+        emb.filter(col("vec_id") % 7 === 0), 0.4,
+        expiredIds = base.filter(col("vec_id") % 11 === 0)
+          .select(col("vec_id")))
     }),
 
     "q_embedding_stats" -> ((s, dir) =>
@@ -1560,6 +1608,39 @@ object SparkEntry {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.hammingPairs128Between(deltaH,
         Dedup.expireRows(idx, "doc_id", expired), 3)
+        .unionByName(Dedup.hammingPairs128Unordered(deltaH, 3))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q_phash_pairs_retire's MAINTENANCE-WINDOW twin (the
+    // bm25TopKRetiredRewritten pattern on the image tier): the dedicated
+    // _rwret fingerprint index is physically REWRITTEN once (expired
+    // rows dropped in place — per-document fingerprints, so the
+    // rewritten index IS the survivors') and arrivals band-join it
+    // through the plain hammingPairs128Between plan, NO per-batch
+    // anti-join; same rows, same closed-form oracle as the serve-time
+    // expiry path
+    "q_phash_pairs_retire_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val isDelta = col("doc_id") % 21 === 1
+      def hashes(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.pHashes(Multimodal.imagePngMedia(s, d))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1"))
+      val name = "phash_index_rwret_" + graft.sources.ManagedTable.tag(dir)
+      graft.sources.ManagedTable.once(
+          s"${s.sparkContext.applicationId}/phash_rwret/$dir") {
+        graft.sources.ManagedTable.persisted(s, name)(
+          hashes(docs.filter(!isDelta)))
+        graft.sources.ManagedTable.rewriteExpired(s, name, "doc_id",
+          docs.filter(!isDelta && col("doc_id") % 11 === 0)
+            .select(col("doc_id")))
+      }
+      val deltaH = hashes(docs.filter(isDelta)).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingPairs128Between(deltaH, s.table(name), 3)
         .unionByName(Dedup.hammingPairs128Unordered(deltaH, 3))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -4142,6 +4223,19 @@ object SparkEntry {
         |  AND (id_b % 21 = 1 OR id_b % 11 <> 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // maintenance-window rewrite serves bit-identical rows — one oracle
+    "q_phash_pairs_retire_rewrite" ->
+      """SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(0 AS BIGINT) AS hamming
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
+        |  WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 1)
+        |WHERE (id_a % 21 = 1 OR id_b % 21 = 1)
+        |  AND (id_a % 21 = 1 OR id_a % 11 <> 0)
+        |  AND (id_b % 21 = 1 OR id_b % 11 <> 0)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // the incremental image-family merge is exact — same closed-form
     // clique oracle as the full labeling
     "q_phash_clusters_incr" ->
@@ -4211,6 +4305,8 @@ object SparkEntry {
     "q_semdedup_idx" -> OracleSql.semDedupPairsSql(),
     "q_semdedup_incr" -> OracleSql.semDedupPairsIncrSql(),
     "q_semdedup_retire" -> OracleSql.semDedupPairsRetireSql(),
+    // maintenance-window rewrite serves bit-identical rows — one oracle
+    "q_semdedup_retire_rewrite" -> OracleSql.semDedupPairsRetireSql(),
     "q_knn_ivf_drift_check" -> OracleSql.ivfDriftSql(),
     "q_knn_ivf_epoch_serve" -> OracleSql.semDedupEpochServeSql(),
     "q_knn_ivf_epoch_topk" -> OracleSql.knnIvfEpochServeSql(),
@@ -4220,6 +4316,8 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.minhashPairsSql(bands = 16, threshold = 0.5),
     "q_dedup_minhash_incr" -> OracleSql.minhashPairsIncrSql(),
     "q_dedup_minhash_retire" -> OracleSql.minhashPairsRetireSql(),
+    // maintenance-window rewrite serves bit-identical rows — one oracle
+    "q_dedup_minhash_retire_rewrite" -> OracleSql.minhashPairsRetireSql(),
     "q_dedup_band_health" -> OracleSql.bandHealthSql(),
     "q_dedup_deep_live_parity" -> OracleSql.minhashDeepLiveParitySql(),
     "q_dedup_ngram" -> OracleSql.minhashPairsSql(bands = 32, threshold = 0.3),
@@ -4483,6 +4581,9 @@ object SparkEntry {
     // the incremental merge is exact: hash-equal to the full rebuild,
     // so the recursive-CTE closure over the FULL pair set is its oracle
     "q_dedup_clusters_incr" -> baseOracleSql("q_dedup_clusters"),
+    // merge-then-retire lifecycle = the retire rebuild on survivors:
+    // maintenance deltas of different kinds compose, one oracle proves it
+    "q_dedup_clusters_lifecycle" -> baseOracleSql("q_dedup_clusters_retire"),
     "q_dedup_survivors_incr" -> baseOracleSql("q_dedup_survivors"),
     "q_dedup_survivors_idx" -> baseOracleSql("q_dedup_survivors"),
     // lazy-build row: same labeling, same transitive oracle

@@ -235,6 +235,47 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[minHashPairsIncremental]]`(expiredIds)`'s MAINTENANCE-WINDOW twin
+    * (the [[graft.ops.Search.bm25TopKRetiredRewritten]] pattern on the
+    * text tier): instead of anti-joining the expired set against the
+    * persisted band index AND the doc-text lookup on every arrival
+    * batch — right for a fresh TTL batch, but a standing per-batch tax
+    * that grows with the expired set — both tables are physically
+    * REWRITTEN once ([[graft.sources.ManagedTable.rewriteExpired]],
+    * expired rows dropped in place, band/shard partitioning preserved),
+    * and serving runs the exact un-expired incremental plan against the
+    * dedicated `_rwret` copies: band broadcast join + shard-pruned text
+    * lookup, NO anti-join anywhere. Band signatures are per-document
+    * (RetentionSpec), so the rewritten index IS the survivors' index and
+    * the emitted pairs are bit-identical to the serve-time-expiry path —
+    * both share one oracle. The `_rwret` copies keep the shared
+    * full-corpus `_base` index serving the other query families. */
+  def minHashPairsIncrementalRewritten(spark: org.apache.spark.sql.SparkSession,
+      dir: String, baseDocs: => DataFrame, deltaDocs: DataFrame,
+      expiredIds: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    graft.sources.ManagedTable.once(
+        s"$appId/minhash_rwret/$dir/${n}_${k}_$bands") {
+      val tag = graft.sources.ManagedTable.tag(dir)
+      // build the dedicated copies (memoized persisted builders), then
+      // drop the expired rows in place — one maintenance pass, not a
+      // per-batch anti-join
+      minHashBandIndexPersisted(spark, dir, baseDocs, n, k, bands, "_rwret")
+      minHashDocTextPersisted(spark, dir, baseDocs, "_rwret")
+      graft.sources.ManagedTable.rewriteExpired(spark,
+        s"minhash_bands_${n}_${k}_${bands}_rwret_$tag", "doc_id",
+        expiredIds, partitionCol = Some("band"))
+      graft.sources.ManagedTable.rewriteExpired(spark,
+        s"minhash_doctext_rwret_$tag", "doc_id",
+        expiredIds, partitionCol = Some("shard"))
+    }
+    // the persisted builders are memoized per (app, table), so this read
+    // path picks up the REWRITTEN tables without rebuilding them
+    minHashPairsIncremental(spark, dir, baseDocs, deltaDocs, n, k, bands,
+      threshold, suffix = "_rwret", expiredIds = None)
+  }
+
   /** doc_id shard count of [[minHashDocTextPersisted]] — enough
     * directories that an arrival batch's candidate endpoints prune most
     * of the corpus text, few enough that the shard set stays a bounded

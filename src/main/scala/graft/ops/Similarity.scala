@@ -767,6 +767,38 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** [[semanticDedupPairsIncremental]]`(expiredIds)`'s MAINTENANCE-WINDOW
+    * twin (the [[graft.ops.Search.bm25TopKRetiredRewritten]] pattern on
+    * the vector tier): instead of anti-joining the expired set against
+    * the cluster-partitioned assignment on every arrival batch, the
+    * assignment table is physically REWRITTEN once
+    * ([[graft.sources.ManagedTable.rewriteExpired]] — expired vectors'
+    * rows dropped in place, cluster partitioning preserved so the probe
+    * pruning survives), and serving runs the exact un-expired incremental
+    * plan against the dedicated `_rwret` epoch: broadcast delta argmax +
+    * cluster-partitioned between-join, NO anti-join anywhere. The
+    * base-trained CENTROIDS stay (train-once — k-means on the same base
+    * is deterministic, so the `_rwret` centroids equal `_base`'s), and
+    * assignment under fixed centroids is per-vector (RetentionSpec), so
+    * the rewritten assignment IS the survivors' — pairs bit-identical to
+    * the serve-time-expiry path, one oracle for both. */
+  def semanticDedupPairsIncrementalRewritten(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      baseEmb: => DataFrame, deltaEmb: DataFrame, threshold: Double,
+      expiredIds: DataFrame, nCentroids: Int = 32,
+      lloydIters: Int = 2): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    graft.sources.ManagedTable.once(
+        s"$appId/ivf_rwret/$dir/${nCentroids}_$lloydIters") {
+      val (_, aName) = ivfIndexTableNames(spark, dir, baseEmb,
+        nCentroids, lloydIters, "_rwret")
+      graft.sources.ManagedTable.rewriteExpired(spark, aName, "vec_id",
+        expiredIds, partitionCol = Some("cluster"))
+    }
+    semanticDedupPairsIncremental(spark, dir, baseEmb, deltaEmb, threshold,
+      nCentroids, lloydIters, expiredIds = None, suffix = "_rwret")
+  }
+
   /** Cluster-local over-threshold pairs BETWEEN an assigned delta and an
     * assigned standing corpus (both (vec_id, embedding, nsq, cluster)) —
     * the delta×base half of [[semanticDedupPairsIncremental]], public so

@@ -129,6 +129,53 @@ class RetentionSpec extends AnyFunSuite {
       "re-running the rewrite changed rows")
   }
 
+  test("minHashPairsIncrementalRewritten: the rewritten-index serve " +
+      "equals the serve-time anti-join bit-for-bit") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val base = Seq((1L, t, "en", "s"), (2L, t + " x", "en", "s"),
+      (3L, "completely unrelated words that share nothing at all here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val delta = Seq((100L, t, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val expired1 = Seq(1L).toDF("doc_id")
+    val dir = "retspec_minhash_rw"
+    val antiJoin = Dedup.minHashPairsIncremental(spark, dir, base, delta,
+      expiredIds = Some(expired1))
+    val rewritten = Dedup.minHashPairsIncrementalRewritten(spark, dir,
+      base, delta, expiredIds = expired1)
+    assert(setEqual(rewritten, antiJoin))
+    assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet == Set((2L, 100L)),
+      "retired doc 1 must be gone from the rewritten index's pairs")
+    // the rewritten copies physically dropped the expired rows
+    assert(spark.table("minhash_bands_3_64_16_rwret_retspec_minhash_rw")
+      .filter(col("doc_id") === 1L).isEmpty)
+    assert(spark.table("minhash_doctext_rwret_retspec_minhash_rw")
+      .filter(col("doc_id") === 1L).isEmpty)
+  }
+
+  test("semanticDedupPairsIncrementalRewritten: the rewritten-assignment " +
+      "serve equals the serve-time anti-join bit-for-bit") {
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val base = Seq((1L, v(1, 0), 0), (2L, v(0.995, 0.1), 0), (3L, v(0, 1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val delta = Seq((100L, v(1, 0.05), 0)).toDF("vec_id", "embedding", "label")
+    val expired1 = Seq(1L).toDF("vec_id")
+    val dir = "retspec_semdedup_rw"
+    val antiJoin = Similarity.semanticDedupPairsIncremental(spark, dir,
+      base, delta, 0.9, nCentroids = 1, expiredIds = Some(expired1))
+    val rewritten = Similarity.semanticDedupPairsIncrementalRewritten(spark,
+      dir, base, delta, 0.9, expiredIds = expired1, nCentroids = 1)
+    assert(setEqual(rewritten, antiJoin))
+    assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet == Set((2L, 100L)),
+      "retired vector 1 must be gone from the rewritten assignment's pairs")
+    assert(spark.table("ivf_assign_1_2_rwret_retspec_semdedup_rw")
+      .filter(col("vec_id") === 1L).isEmpty)
+  }
+
   test("128-bit fingerprint index: expiry equals the survivors' fingerprints") {
     // simhash128 stands in for the media tiers' (doc_id, sh0, sh1) shape —
     // identical per-document independence, no codec cost in the spec
