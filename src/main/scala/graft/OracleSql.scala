@@ -584,6 +584,48 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The runnable vector pipeline's committed gauge-ledger row for the
+    * SHIFTED batch (q_embstream_gauge): [[ivfDriftSql]]'s construction
+    * under the epoch-handoff scenario's splits — centroids trained on
+    * the BASE corpus only (the pipeline's epoch-0 init), reference leg =
+    * the first arrival third raw (the init `refDelta`), new leg = the
+    * second third under the bit-exact one-orthant shift. Hash-equality
+    * pins the in-pipeline per-batch gauge's NUMBERS (not just its
+    * boolean) to the independent replica. */
+  def embStreamGaugeSql(nCentroids: Int = 32, lloydIters: Int = 2,
+      retrainPpb: Long = 50000000L,
+      collapsePpb: Long = 400000000L): String = {
+    val (ctes, last) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere = "vec_id % 7 <> 0",
+      embExpr = epochShiftExpr)
+    val refP = "vec_id % 7 = 0 AND vec_id % 3 = 0"
+    val newP = "vec_id % 7 = 0 AND vec_id % 3 = 1"
+    s"""WITH $ctes,
+       |fit AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    CAST(floor(${cosSql("a.e", "cc.c")} * 1000000000.0) AS BIGINT)
+       |      AS csim_ppb
+       |  FROM a_f a JOIN $last cc ON a.cluster = cc.c_id
+       |  WHERE a.vec_id % 7 = 0 AND a.vec_id % 3 <> 2),
+       |fr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(csim_ppb) AS s
+       |       FROM fit WHERE $refP),
+       |fn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(csim_ppb) AS s
+       |       FROM fit WHERE $newP),
+       |tr AS (SELECT MAX(c) AS mx FROM (
+       |         SELECT COUNT(*) AS c FROM fit WHERE $refP GROUP BY cluster)),
+       |tn AS (SELECT MAX(c) AS mx FROM (
+       |         SELECT COUNT(*) AS c FROM fit WHERE $newP GROUP BY cluster))
+       |SELECT fr.n AS n_ref, fn.n AS n_new,
+       |  CAST(fr.s // fr.n AS BIGINT) AS ref_fit_ppb,
+       |  CAST(fn.s // fn.n AS BIGINT) AS new_fit_ppb,
+       |  CAST(fr.s // fr.n - fn.s // fn.n AS BIGINT) AS drift_ppb,
+       |  CAST(tr.mx * 1000000000 // fr.n AS BIGINT) AS ref_top_share_ppb,
+       |  CAST(tn.mx * 1000000000 // fn.n AS BIGINT) AS new_top_share_ppb,
+       |  ((fr.s // fr.n - fn.s // fn.n) > $retrainPpb
+       |    OR tn.mx * 1000000000 // fn.n > $collapsePpb) AS retrain
+       |FROM fr, fn, tr, tn""".stripMargin
+  }
+
   /** Replica of the POST-RETRAIN serving path — the closed drift →
     * retrain → serve loop ([[graft.ops.Similarity.ivfDriftGauge]] fires
     * → [[graft.ops.Similarity.ivfRetrainEpoch]] rebuilds under a fresh

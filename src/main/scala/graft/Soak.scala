@@ -1055,6 +1055,156 @@ object Soak {
       .select(col("vec_id"), col("embedding"), col("label"))
   }
 
+  /** `embstream` mode: the runnable VECTOR pipeline
+    * ([[graft.streaming.EmbeddingStream]]) under TRUE-growth load — the
+    * vector twin of the `docstream` receipt, plus the two legs only this
+    * pipeline has: the IN-LOOP drift gauge / epoch handoff and the
+    * cluster-probe candidate economics across retire.
+    *
+    * Protocol per scale (×1 and ×factor standing corpus, CONSTANT
+    * arrival stream): init standing artifacts (centroids + assignment +
+    * pair table + labeling + gauge reference), stream the arrivals in
+    * `nWaves` constant-size micro-batches through the checkpointed
+    * query (median wave sec MUST stay flat — per-batch state reads are
+    * candidate- or broadcast-pruned), then:
+    *
+    *  1. EPOCH leg — a SHIFTED batch (one-orthant mode collapse, the
+    *     ivfdrift soak's case) arrives; its committed gauge row must
+    *     FIRE. [[graft.streaming.EmbeddingStream.retrainEpoch]] rotates
+    *     to epoch 1 (timed — the amortized maintenance pass, expected ∝
+    *     corpus), and a SECOND shifted sample arrives under epoch 1: its
+    *     gauge row must be QUIET (re-anchored) and its batch time flat
+    *     vs the pre-retrain waves (serving cost does not inherit the
+    *     retrain's).
+    *  2. RETIRE leg — the oldest half of the base corpus plus every 5th
+    *     arrival expires; labels must re-converge to CC over the
+    *     surviving kept/pair state (label_diff 0 before timing is
+    *     trusted), and the cluster-probe legs (last wave's assignment
+    *     joined on cluster into the standing state — what the
+    *     between-join pays per batch) must DROP ∝ the expired share.
+    *
+    * Wave batches run with `consolidateEvery = 4`, so the fold cost is
+    * inside the medians (the directory-count slope itself is the
+    * docstreamlong receipt — the machinery is the shared
+    * [[graft.streaming.BatchState]]). */
+  def embStreamSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nWaves: Int = 8): Unit = {
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity}
+    import graft.streaming.EmbeddingStream
+    val threshold = 0.4
+    val nBase = Tables.embeddings(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/embstream_$tag"
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      trueGrowthEmbeddings(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val splitId = n * 3L / 5L
+      val base = emb.filter(col("vec_id") < splitId)
+      // CONSTANT arrival stream regardless of corpus scale
+      val arrFrame = emb.filter(col("vec_id") >= n - nBase * 2L / 5L)
+        .select(col("vec_id"), col("embedding"))
+      val arrivals = arrFrame.as[EmbeddingStream.VecIn]
+        .collect().sortBy(_.vec_id)
+      val root = s"$dir/state"
+      val tInit0 = System.nanoTime()
+      val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
+      val basePairs = Similarity.semanticDedupUnordered(
+        Similarity.assignToCentroids(base, cents0), threshold)
+        .localCheckpoint(true)
+      val baseLabels = Dedup.nearDupClusters(
+        base.select(col("vec_id").as("doc_id")),
+        basePairs.select(col("id_a"), col("id_b")))
+      EmbeddingStream.init(spark, root, base, basePairs, baseLabels,
+        refDelta = arrFrame)
+      val initSec = (System.nanoTime() - tInit0) / 1e9
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[EmbeddingStream.VecIn]
+      val q = EmbeddingStream.start(mem.toDF(), root, s"$dir/ckpt",
+        threshold, consolidateEvery = 4)
+      val waves = arrivals.grouped(
+        math.max(1, arrivals.length / nWaves)).toSeq
+      val waveSecs = waves.map { w =>
+        val t = System.nanoTime()
+        mem.addData(w.toSeq); q.processAllAvailable()
+        (System.nanoTime() - t) / 1e9
+      }
+      q.stop()
+      val medianWave = waveSecs.sorted.apply(waveSecs.length / 2)
+      // invariant before timing is trusted
+      def labelDiff(): Long = {
+        val labels = EmbeddingStream.labels(spark, root)
+        val cc = Dedup.nearDupClusters(
+          EmbeddingStream.keptIds(spark, root)
+            .select(col("vec_id").as("doc_id")),
+          EmbeddingStream.livePairs(spark, root)
+            .select(col("id_a"), col("id_b")))
+        labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      }
+      val diff = labelDiff()
+
+      // ── epoch leg: shifted batch fires → retrain → quiet + flat ──
+      def shifted(src: DataFrame, idOffset: Long): DataFrame = src
+        .select((col("vec_id") + lit(idOffset)).as("vec_id"),
+          transform(col("embedding"),
+            x => (abs(x) + lit(0.5d)).cast("float")).as("embedding"))
+      val lastWaveDf = waves.last.toSeq.toDF()
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val firstWaveDf = waves.head.toSeq.toDF()
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val shift1 = shifted(lastWaveDf, n + 1000000L)
+        .localCheckpoint(true)
+      val bFire = nWaves.toLong + 4L // past any replay/consolidation ids
+      val tS1 = System.nanoTime()
+      EmbeddingStream.processBatch(shift1, bFire, root, threshold)
+      val shiftBatchSec = (System.nanoTime() - tS1) / 1e9
+      val gFire = EmbeddingStream.gaugeRows(spark, root)
+        .filter(col("batch_id") === bFire).head()
+      require(gFire.getAs[Boolean]("retrain"),
+        s"shifted batch must fire the in-loop gauge: $gFire")
+      val tRt = System.nanoTime()
+      EmbeddingStream.retrainEpoch(spark, root, 1, refDelta = shift1)
+      val retrainSec = (System.nanoTime() - tRt) / 1e9
+      val shift2 = shifted(firstWaveDf, n + 2000000L)
+        .localCheckpoint(true)
+      val tS2 = System.nanoTime()
+      EmbeddingStream.processBatch(shift2, bFire + 1L, root, threshold)
+      val postEpochBatchSec = (System.nanoTime() - tS2) / 1e9
+      val gQuiet = EmbeddingStream.gaugeRows(spark, root)
+        .filter(col("batch_id") === bFire + 1L).head()
+      require(!gQuiet.getAs[Boolean]("retrain") &&
+          gQuiet.getAs[Int]("epoch") == 1,
+        s"re-anchored gauge must be quiet under epoch 1: $gQuiet")
+
+      // ── retire leg: cluster-probe economics across expiry ──
+      val keptRows = EmbeddingStream.keptIds(spark, root).count()
+      val expired = base.filter(col("vec_id") < splitId / 2)
+        .select(col("vec_id"))
+        .unionByName(emb.filter(col("vec_id") >= n - nBase * 2L / 5L &&
+          col("vec_id") % 5 === 0).select(col("vec_id")))
+      val probe = Similarity.assignToCentroids(lastWaveDf,
+          spark.read.parquet(s"$root/cents/epoch=1"))
+        .select(col("cluster").cast("long").as("cluster"))
+        .localCheckpoint(true)
+      def probeLegs(): Long = probe.join(
+        EmbeddingStream.assignedState(spark, root).select(col("cluster")),
+        Seq("cluster")).count()
+      val legsPre = probeLegs()
+      val tR = System.nanoTime()
+      EmbeddingStream.retire(spark, root, expired)
+      val retireSec = (System.nanoTime() - tR) / 1e9
+      val legsPost = probeLegs()
+      val diffAfter = labelDiff()
+      val keptAfter = EmbeddingStream.keptIds(spark, root).count()
+      println(f"""SOAK {"phase":"embstream","scale":"$tag","vectors":$n,"base":$splitId,"arrivals":${arrivals.length},"waves":${waveSecs.length},"init_sec":$initSec%.2f,"median_wave_sec":$medianWave%.2f,"max_wave_sec":${waveSecs.max}%.2f,"label_diff":$diff,"shift_batch_sec":$shiftBatchSec%.2f,"retrain_sec":$retrainSec%.2f,"post_epoch_batch_sec":$postEpochBatchSec%.2f,"kept_rows":$keptRows,"retire_sec":$retireSec%.2f,"kept_after_retire":$keptAfter,"label_diff_after_retire":$diffAfter,"probe_legs_pre_retire":$legsPre,"probe_legs_post_retire":$legsPost}""")
+    }
+  }
+
   /** `incrserve` mode: TRUE-growth update-cost receipts for the two
     * arrival-time incremental SERVING paths — the claims under test are
     * "generating a delta's near-dup pairs against a persisted fingerprint
@@ -1391,6 +1541,11 @@ object Soak {
     }
     if (args.lift(3).contains("docstream")) {
       docStreamSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("embstream")) {
+      embStreamSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

@@ -41,6 +41,45 @@ object SparkEntry {
       shift(arr.filter(col("vec_id") % 3 === 2)))
   }
 
+  /** The runnable vector pipeline's epoch-handoff lifecycle, built ONCE
+    * per JVM (ManagedTable.once — a standing pipeline's state is built
+    * once, then SERVED): init on the base corpus → d0 arrives → the
+    * SHIFTED d1 arrives and its committed gauge row must FIRE (require —
+    * a quiet gauge fails both rows that read this state) → maintenance
+    * window retrains to epoch 1 re-anchored on the post-shift
+    * distribution → d2 arrives under the new quantizer. Serves
+    * q_embstream_epoch_handoff (d2's pair ledger) and q_embstream_gauge
+    * (d1's health row). */
+  private def embStreamEpochRoot(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/embstream_epoch/$dir") {
+      import graft.streaming.EmbeddingStream
+      val (base, d0, d1, d2) = epochShiftSplits(s, dir)
+      val r =
+        s"target/embstream_epoch/${graft.sources.ManagedTable.tag(dir)}"
+      new org.apache.hadoop.fs.Path(r)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(r), true)
+      val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
+      val basePairs = Similarity.semanticDedupUnordered(
+        Similarity.assignToCentroids(base, cents0), 0.4)
+      val baseLabels = ops.Dedup.nearDupClusters(
+        base.select(col("vec_id").as("doc_id")),
+        basePairs.select(col("id_a"), col("id_b")))
+      EmbeddingStream.init(s, r, base, basePairs, baseLabels,
+        refDelta = d0)
+      def vecs(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
+      EmbeddingStream.processBatch(vecs(d0), 0L, r)
+      EmbeddingStream.processBatch(vecs(d1), 1L, r)
+      val g = EmbeddingStream.gaugeRows(s, r)
+        .filter(col("batch_id") === 1L).head()
+      require(g.getAs[Boolean]("retrain"),
+        s"the in-pipeline gauge must fire on the shifted batch: $g")
+      EmbeddingStream.retrainEpoch(s, r, 1, refDelta = d1)
+      EmbeddingStream.processBatch(vecs(d2), 2L, r)
+      r
+    }
+
   /** One-time month-partitioned copy of the events fixture written through
     * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
     * toYYYYMM(ts)` layout, db.go:51) — the storage side of
@@ -148,6 +187,9 @@ object SparkEntry {
     // first run writes the base-trained index (gauge) AND the retrained
     // _epoch2 index the serve paths read
     "q_knn_ivf_epoch_serve", "q_knn_ivf_epoch_topk",
+    // first run drives the runnable vector pipeline's whole lifecycle
+    // (init → arrivals → gauge fire → epoch retrain → post-retrain batch)
+    "q_embstream_epoch_handoff", "q_embstream_gauge",
     // first run writes the persisted base band-signature index the
     // health gauge probes (shared with q_dedup_minhash_incr)
     "q_dedup_band_health")
@@ -163,7 +205,7 @@ object SparkEntry {
     "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity",
     "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity",
     "q_semdedup_live_parity", "q_dedup_deep_live_parity",
-    "q_docstream_restart_parity")
+    "q_docstream_restart_parity", "q_embstream_restart_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -554,6 +596,14 @@ object SparkEntry {
     // oracle restates every count independently
     "q_docstream_restart_parity" -> ((s, dir) =>
       streaming.ParityCheck.restartPipelineParity(s, dir)),
+
+    // the runnable VECTOR pipeline (streaming.EmbeddingStream — exact
+    // hash tier, fixed-centroid assignment with the inline drift gauge,
+    // cluster-local pairing, label merge) driven through the same
+    // stop/restart/consolidation-straddle protocol; same batch twin and
+    // the same oracle as the hand-driven embedding gate
+    "q_embstream_restart_parity" -> ((s, dir) =>
+      streaming.ParityCheck.embeddingRestartParity(s, dir)),
 
     // the EMBEDDING live pipeline gate: waves of arriving vectors run
     // assign → cluster-local pair → incremental label merge against the
@@ -1126,6 +1176,32 @@ object SparkEntry {
       Similarity.semanticDedupPairsIncremental(s, dir, corpus1, d2,
         threshold = 0.4, suffix = "_epoch2")
     }),
+
+    // the SAME drift → retrain → serve cycle run INSIDE the runnable
+    // vector pipeline (streaming.EmbeddingStream): d0 and the shifted d1
+    // arrive as micro-batches — the inline per-batch gauge must FIRE on
+    // d1's committed health row — then a maintenance window retrains to
+    // epoch 1 (centroids over the standing corpus, in-place directory
+    // reassignment, gauge re-anchor) and d2 arrives as the next batch.
+    // d2's emitted pair set must equal the from-scratch incremental
+    // serve on (base ∪ d0 ∪ d1): the SAME oracle as the batch-side
+    // epoch row, so the two harnesses pin the same handoff truth
+    "q_embstream_epoch_handoff" -> ((s, dir) =>
+      graft.streaming.EmbeddingStream
+        .pairsOfBatch(s, embStreamEpochRoot(s, dir), 2L)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // the same pipeline's committed GAUGE-LEDGER row for the shifted
+    // batch: the inline per-batch gauge's NUMBERS (fit drift + occupancy
+    // in integer ppb), not just its boolean, hash-checked against the
+    // independent DuckDB replica of the handoff scenario
+    "q_embstream_gauge" -> ((s, dir) =>
+      graft.streaming.EmbeddingStream
+        .gaugeRows(s, embStreamEpochRoot(s, dir))
+        .filter(col("batch_id") === 1L)
+        .select(col("n_ref"), col("n_new"), col("ref_fit_ppb"),
+          col("new_fit_ppb"), col("drift_ppb"), col("ref_top_share_ppb"),
+          col("new_top_share_ppb"), col("retrain"))),
 
     // the kNN leg of the same epoch handoff: top-k serving resumes
     // against the retrained _epoch2 index (probes and candidates are
@@ -4572,6 +4648,16 @@ object SparkEntry {
     // the runnable restarted pipeline lands on the hand-driven gate's truth
     "q_docstream_restart_parity" ->
       baseOracleSql("q_dedup_live_pipeline_parity"),
+    // the runnable VECTOR pipeline lands on the hand-driven embedding
+    // gate's truth (shared batch twin, shared counts)
+    "q_embstream_restart_parity" ->
+      baseOracleSql("q_semdedup_live_parity"),
+    // the in-pipeline epoch handoff serves exactly what the batch-side
+    // rotation serves: the from-scratch incremental build on the
+    // accumulated corpus — one oracle pins both harnesses
+    "q_embstream_epoch_handoff" ->
+      baseOracleSql("q_knn_ivf_epoch_serve"),
+    "q_embstream_gauge" -> OracleSql.embStreamGaugeSql(),
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),

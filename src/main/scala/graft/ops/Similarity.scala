@@ -258,6 +258,41 @@ object Similarity {
     (corpus, centroids, assignToCentroids(embeddings, centroids))
   }
 
+  /** The deterministic centroid construction alone (hash-sampled seeds +
+    * Lloyd refinement — the exact subplan [[ivfIndex]] builds), for
+    * consumers that manage their own centroid persistence instead of the
+    * catalog tables ([[graft.streaming.EmbeddingStream]] keys centroids
+    * by epoch directory under its state root). Same corpus rows → same
+    * centroids, regardless of row order: the seed sample orders by
+    * (xxhash64(vec_id), vec_id). */
+  private[graft] def trainCentroids(embeddings: DataFrame,
+      nCentroids: Int = 32, lloydIters: Int = 2): DataFrame =
+    ivfIndex(embeddings, nCentroids, lloydIters)._2
+
+  /** The quantization-fit + occupancy statistics of ONE assigned batch —
+    * the shared kernel of [[ivfDriftGauge]] (which assigns, then calls
+    * this) and the runnable embedding pipeline's inline per-batch gauge
+    * (which reuses the assignment its pair tier already computed, so the
+    * gauge costs two 1-row aggregates, not an extra argmax pass).
+    * `assigned` carries (cluster, embedding, nsq); output is one row
+    * (n, fit_ppb, top_share_ppb) in the integer-ppb convention —
+    * NULL fits/shares on an empty batch (no evidence, not zero). */
+  private[graft] def fitAndShareStats(assigned: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val f = assigned
+      .join(broadcast(centroids), col("cluster") === col("c_id"))
+      .select(floor(cosinePrenormed(dot(col("embedding"), col("c_emb")),
+        col("nsq"), col("c_nsq")) * lit(1000000000.0d)).cast("long")
+        .as("csim_ppb"))
+      .agg(count(lit(1)).as("n"), sum(col("csim_ppb")).as("s"))
+    val occ = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"))
+    f.crossJoin(broadcast(occ))
+      .select(col("n"), expr("s div n").as("fit_ppb"),
+        expr("mx * 1000000000L div n").as("top_share_ppb"))
+  }
+
   /** Assign vectors to FIXED centroids — the FAISS `add()`-after-`train()`
     * contract, and the one assignment construction every IVF consumer
     * shares (the batch index build above, and the STREAMING index upkeep
@@ -888,18 +923,7 @@ object Similarity {
           col("embedding"), col("nsq"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val f = assigned
-        .join(broadcast(centroids), col("cluster") === col("c_id"))
-        .select(floor(cosinePrenormed(dot(col("embedding"), col("c_emb")),
-          col("nsq"), col("c_nsq")) * lit(1000000000.0d)).cast("long")
-          .as("csim_ppb"))
-        .agg(count(lit(1)).as("n"), sum(col("csim_ppb")).as("s"))
-      val occ = assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(max(col("c")), lit(0L)).as("mx"))
-      f.crossJoin(broadcast(occ))
-        .select(col("n"), expr("s div n").as("fit_ppb"),
-          expr("mx * 1000000000L div n").as("top_share_ppb"))
+      fitAndShareStats(assigned, centroids)
     }
     val r = fitAndShare(refDelta).select(col("n").as("n_ref"),
       col("fit_ppb").as("ref_fit_ppb"),

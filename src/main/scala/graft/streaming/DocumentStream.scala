@@ -85,190 +85,44 @@ object DocumentStream {
   /** One streamed document with its event time (epoch ms). */
   final case class DocTsIn(doc_id: Long, ts_ms: Long, text: String)
 
+  // the batch-keyed state machinery is SHARED with the other runnable
+  // pipelines (EmbeddingStream is the vector twin) — one implementation
+  // of the replay/consolidation contract, extracted to [[BatchState]]
   private def fs(spark: SparkSession, root: String) =
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BatchState.fs(spark, root)
 
   private def batchDirs(spark: SparkSession, root: String, sub: String,
-      before: Long): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
-    val f = fs(spark, root)
-    if (!f.exists(dir)) Nil
-    else f.listStatus(dir).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("batch=") &&
-        p.getName.drop(6).toLong < before)
-      .map(_.toString)
-  }
+      before: Long): Seq[String] =
+    BatchState.batchDirs(spark, root, sub, before)
 
-  /** State read as of `before`: the union of all batch partitions with id
-    * strictly below it — a replayed batch sees exactly the pre-batch
-    * state. Empty state → an empty frame with the right schema. */
   private def state(spark: SparkSession, root: String, sub: String,
-      before: Long, schema: String): DataFrame = {
-    val dirs = batchDirs(spark, root, sub, before)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schema))
-    else spark.read.schema(
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
-      .parquet(dirs: _*)
-  }
+      before: Long, schema: String): DataFrame =
+    BatchState.state(spark, root, sub, before, schema)
 
   private def write(df: DataFrame, root: String, sub: String,
       batchId: Long): Unit =
-    df.write.mode("overwrite").parquet(s"$root/$sub/batch=$batchId")
+    BatchState.write(df, root, sub, batchId)
 
-  // ── consolidation: the MergeTree background-merge analogue ──
+  // ── consolidation: the MergeTree background-merge analogue (the fold
+  // protocol itself — two-phase crash-safe swaps, the tiered binomial
+  // ladder, unit sidecars — lives in [[BatchState]]) ──
 
-  /** Fold the batch directories of `sub` with id in [lo, upTo) into the
-    * single directory `batch=(upTo − 1)` (or into the `batch=-1` base
-    * when `intoBase` — the MAJOR compaction that rewrites the standing
-    * corpus; reserve it for maintenance windows).
-    *
-    * Readers are unaffected: `state(before = N)` for any N ≥ upTo sees
-    * the identical row union, and a replayed batch only ever overwrites
-    * its OWN `batch=N` directory (N ≥ upTo), never a folded one.
-    *
-    * CRASH SAFETY (two-phase commit): the fold first writes the union to
-    * `_stage` (with the unit's `_unit_lo` sidecar — see [[tieredFold]]),
-    * then publishes a `_stage_commit` marker recording (upTo, lo,
-    * intoBase) — the commit point — then deletes the source directories
-    * and renames `_stage` into place, then drops the marker.
-    * [[recoverFold]] completes or aborts an interrupted pass from
-    * whichever side of the marker it died on, and runs before every
-    * fold — a replayed consolidation batch is therefore idempotent. */
   private def foldRange(spark: SparkSession, root: String, sub: String,
       lo: Long, upTo: Long, schema: String, intoBase: Boolean,
-      xform: DataFrame => DataFrame): Unit = {
-    recoverFold(spark, root, sub)
-    val f = fs(spark, root)
-    val floor = if (intoBase) -1L else lo
-    val target = if (intoBase) -1L else upTo - 1L
-    val dirs = batchDirs(spark, root, sub, upTo)
-      .filter(_.split("batch=").last.toLong >= floor)
-    // nothing to fold (a replayed consolidation batch, or an idle sub):
-    // leave the folded directory alone
-    if (dirs.isEmpty || dirs.toSet == Set(s"$root/$sub/batch=$target")) return
-    val stage = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage")
-    xform(spark.read.schema(
-        org.apache.spark.sql.types.StructType.fromDDL(schema))
-      .parquet(dirs: _*))
-      .write.mode("overwrite").parquet(stage.toString)
-    if (!intoBase) {
-      // the unit sidecar: lowest batch id this consolidated run covers —
-      // what the tiered cascade reads to compute unit masses. Underscore
-      // prefix keeps it invisible to Spark's file listing.
-      val s = f.create(new org.apache.hadoop.fs.Path(stage, "_unit_lo"), true)
-      s.writeLong(lo); s.close()
-    }
-    val marker = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit")
-    val out = f.create(marker, true)
-    out.writeLong(upTo); out.writeLong(lo); out.writeBoolean(intoBase)
-    out.close()
-    completeFold(spark, root, sub, lo, upTo, intoBase)
-  }
+      xform: DataFrame => DataFrame): Unit =
+    BatchState.foldRange(spark, root, sub, lo, upTo, schema, intoBase, xform)
 
-  private def completeFold(spark: SparkSession, root: String, sub: String,
-      lo: Long, upTo: Long, intoBase: Boolean): Unit = {
-    val f = fs(spark, root)
-    val floor = if (intoBase) -1L else lo
-    batchDirs(spark, root, sub, upTo)
-      .filter(_.split("batch=").last.toLong >= floor)
-      .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
-    val target = if (intoBase) -1L else upTo - 1L
-    f.rename(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage"),
-      new org.apache.hadoop.fs.Path(s"$root/$sub/batch=$target"))
-    f.delete(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit"), false)
-  }
-
-  /** Complete or abort an interrupted fold: a `_stage_commit` marker
-    * means the staged union is the committed truth (finish the swap); a
-    * stage without a marker is an uncommitted write (drop it). State
-    * reads only ever list `batch=*` directories, so both intermediate
-    * shapes are invisible to them. */
   private def recoverFold(spark: SparkSession, root: String,
-      sub: String): Unit = {
-    val f = fs(spark, root)
-    val marker = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit")
-    val stage = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage")
-    if (f.exists(marker)) {
-      if (f.exists(stage)) {
-        val in = f.open(marker)
-        val upTo = in.readLong()
-        val lo = in.readLong()
-        val intoBase = in.readBoolean()
-        in.close()
-        completeFold(spark, root, sub, lo, upTo, intoBase)
-      } else f.delete(marker, false) // swap done; only the marker remained
-    } else if (f.exists(stage)) f.delete(stage, true)
-  }
+      sub: String): Unit =
+    BatchState.recoverFold(spark, root, sub)
 
-  /** The `_unit_lo` sidecar of a consolidated unit directory, if any —
-    * raw batch directories carry none. */
   private def unitLo(f: org.apache.hadoop.fs.FileSystem, root: String,
-      sub: String, id: Long): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/$sub/batch=$id/_unit_lo")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(in.readLong()) finally in.close()
-    }
-  }
+      sub: String, id: Long): Option[Long] =
+    BatchState.unitLo(f, root, sub, id)
 
-  /** TIERED fold of one state sub — the binomial/LSM ladder instead of
-    * fold-everything-into-one. A fold-everything scheme rewrites EVERY
-    * arrival byte on EVERY fold: over T batches at cadence K that is
-    * T/K rewrites per byte (at a 1 s trigger and K = 64, ~1,350
-    * rewrites/byte/day) — the write amplification ClickHouse's tiered
-    * MergeTree merges exist to avoid. Here each fold first turns the raw
-    * batch directories into one UNIT (its `_unit_lo` sidecar records the
-    * lowest id it covers — id gaps from empty batches count, so units
-    * exactly partition the id axis and the counter arithmetic is exact),
-    * then merges the two NEWEST units while the newer one's id-mass has
-    * caught up with the older's — the binary-counter invariant: unit
-    * masses strictly increase with age, so there are O(log T) units and
-    * each byte is rewritten O(log T) times TOTAL.
-    *
-    * Replay-idempotent: the cascade is a deterministic function of the
-    * directory listing below `upTo`; after a completed fold the masses
-    * strictly increase with age, so a replayed consolidation batch finds
-    * no raw directories and no mergeable pair — a no-op. Every physical
-    * step is a [[foldRange]] two-phase swap, individually recoverable. */
   private def tieredFold(spark: SparkSession, root: String, sub: String,
-      upTo: Long, schema: String, xform: DataFrame => DataFrame): Unit = {
-    recoverFold(spark, root, sub)
-    val f = fs(spark, root)
-    def listIds(): Seq[Long] = batchDirs(spark, root, sub, upTo)
-      .map(_.split("batch=").last.toLong).filter(_ >= 0).sorted
-    val ids = listIds()
-    if (ids.isEmpty) return
-    val los = ids.flatMap(id => unitLo(f, root, sub, id).map(id -> _)).toMap
-    val rawIds = ids.filterNot(los.contains)
-    if (rawIds.nonEmpty) {
-      // all raws sit above the newest unit; their unit's mass spans from
-      // just above it (or 0), so empty-batch id gaps are attributed
-      val lo = los.keys.foldLeft(-1L)(math.max) + 1L
-      foldRange(spark, root, sub, lo, rawIds.max + 1, schema,
-        intoBase = false, xform)
-    }
-    var merging = true
-    while (merging) {
-      val ids2 = listIds()
-      val los2 = ids2.flatMap(id => unitLo(f, root, sub, id).map(id -> _)).toMap
-      val units = ids2.filter(los2.contains)
-      merging = units.length >= 2 && {
-        val a = units(units.length - 2)
-        val b = units.last
-        // mass(b) ≥ mass(a) in id units → merge (the binomial ladder)
-        (b - los2(b) >= a - los2(a)) && {
-          foldRange(spark, root, sub, los2(a), b + 1, schema,
-            intoBase = false, xform)
-          true
-        }
-      }
-    }
-  }
+      upTo: Long, schema: String, xform: DataFrame => DataFrame): Unit =
+    BatchState.tieredFold(spark, root, sub, upTo, schema, xform)
 
   /** Consolidate every committed state surface below `upToBatch` — call
     * between batches with the stream stopped, or let [[processBatch]]
@@ -399,23 +253,15 @@ object DocumentStream {
       .maxBy(_.split("batch=").last.toLong)
     retired.write.mode("overwrite").parquet(latest)
     // prune the append-only states directory by directory, preserving
-    // each consolidated unit's `_unit_lo` sidecar (the parquet overwrite
+    // each consolidated unit's `_unit_lo` sidecar
+    // ([[BatchState.rewriteDirPreservingUnit]] — the parquet overwrite
     // would drop it; without it the next tiered fold would demote the
     // unit to raw and re-fold it — correct but a wasted rewrite)
-    val fsy = fs(spark, root)
     def prune(sub: String, cols: Seq[String]): Unit =
       batchDirs(spark, root, sub, Long.MaxValue).foreach { p =>
-        val id = p.split("batch=").last.toLong
-        val lo = unitLo(fsy, root, sub, id)
-        val pruned = cols.foldLeft(spark.read.parquet(p))(
-          (df, c) => graft.ops.Dedup.expireRows(df, c, e))
-          .localCheckpoint(true, memDisk)
-        pruned.write.mode("overwrite").parquet(p)
-        lo.foreach { l =>
-          val s = fsy.create(
-            new org.apache.hadoop.fs.Path(s"$p/_unit_lo"), true)
-          s.writeLong(l); s.close()
-        }
+        BatchState.rewriteDirPreservingUnit(spark, root, sub, p,
+          df => cols.foldLeft(df)(
+            (acc, c) => graft.ops.Dedup.expireRows(acc, c, e)))
       }
     prune("hist", Seq("doc_id"))
     prune("kept", Seq("doc_id"))
@@ -624,37 +470,11 @@ object DocumentStream {
   }
 
   /** Newest `ts_ms` in one batch directory, read from the parquet footer
-    * statistics of its part files (Spark always writes INT64 min/max);
-    * falls back to a real scan if any footer lacks the stat. */
+    * statistics of its part files ([[BatchState.dirMaxLong]] — no Spark
+    * job; falls back to a real scan if any footer lacks the stat). */
   private def dirMaxTs(spark: SparkSession, root: String,
-      dir: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val f = fs(spark, root)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val parts = f.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    try {
-      parts.iterator.map { st =>
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
-        try rd.getFooter.getBlocks.asScala.iterator.map { b =>
-          val cc = b.getColumns.asScala
-            .find(_.getPath.toDotString == "ts_ms")
-            .getOrElse(sys.error(s"no ts_ms chunk in ${st.getPath}"))
-          val s = cc.getStatistics
-          require(s != null && !s.isEmpty && s.hasNonNullValue,
-            s"no ts_ms stats in ${st.getPath}")
-          s.genericGetMax.asInstanceOf[java.lang.Long].longValue()
-        }.foldLeft(Long.MinValue)(math.max)
-        finally rd.close()
-      }.foldLeft(Long.MinValue)(math.max)
-    } catch {
-      case scala.util.control.NonFatal(_) =>
-        Option(spark.read.parquet(dir).agg(max(col("ts_ms"))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-    }
-  }
+      dir: String): Long =
+    BatchState.dirMaxLong(spark, root, dir, "ts_ms")
 
   // ── served outputs (what a reader queries between batches) ──
 

@@ -1,0 +1,384 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The RUNNABLE live EMBEDDING-dedup pipeline — the vector twin of
+  * [[DocumentStream]]: the incremental chain the hand-driven wave gate
+  * ([[ParityCheck.embeddingLiveParity]]) proves, wired as ONE
+  * checkpointed Structured Streaming job, with the IVF health loop
+  * ([[graft.ops.Similarity.ivfDriftGauge]] → retrain → serve) running
+  * INSIDE the pipeline instead of as a separate batch ritual. Per
+  * micro-batch:
+  *
+  *  1. EXACT tier — byte-identical vectors dedup against the standing
+  *     hash state (batch hashes broadcast INTO the corpus-sized state so
+  *     it streams through narrow; only collided hashes broadcast back)
+  *     and within the batch (min vec_id per hash) — repeated upstream
+  *     re-encodes of the same content are dropped before they cost an
+  *     argmax or a pair join.
+  *  2. ASSIGN + GAUGE — survivors assign to the CURRENT EPOCH's fixed
+  *     centroids ([[graft.ops.Similarity.assignToCentroids]] — the FAISS
+  *     add-after-train contract). The same assignment feeds the per-batch
+  *     drift gauge ([[graft.ops.Similarity.fitAndShareStats]] against the
+  *     epoch's persisted reference row), so gauging costs two 1-row
+  *     aggregates, not an extra pass — every batch leaves a
+  *     (fit, occupancy, retrain) health row in `gauge/`.
+  *  3. PAIR — cluster-local over-threshold pairs against the standing
+  *     assigned state ([[graft.ops.Similarity.semanticDedupPairsBetween]]
+  *     — the batch side broadcasts; the corpus side streams through
+  *     unshuffled) plus the within-batch self-join.
+  *  4. LABEL — the batch's pairs merge into the standing labeling via
+  *     [[graft.ops.Dedup.mergeClusterDelta]], cost ∝ batch.
+  *
+  * EPOCH HANDOFF (the drift gauge's retrain policy, closed in-pipeline):
+  * when gauge rows fire, a maintenance window (stream STOPPED at a
+  * committed checkpoint) calls [[retrainEpoch]] — centroids retrain over
+  * the standing corpus ([[graft.ops.Similarity.trainCentroids]] — the
+  * amortized offline rebuild FAISS deployments schedule), every standing
+  * `vecs/` directory is reassigned in place (sidecars preserved), the
+  * gauge re-anchors on a fresh reference row, and an `epoch/` row keyed
+  * by the last committed batch id makes the rotation DETERMINISTIC for
+  * every subsequent batch: batch N's epoch is the max over committed
+  * epoch rows strictly below N, so a replayed batch resolves the same
+  * centroids the original run used.
+  *
+  * RESTART CONTRACT: identical to [[DocumentStream]]'s (the shared
+  * [[BatchState]] machinery) — foreachBatch is at-least-once, so every
+  * state write is keyed by batch id and every state read is pinned
+  * strictly before the current batch; a replayed batch recomputes
+  * against exactly the pre-batch state and overwrites its own
+  * directories with identical rows. EmbeddingStreamSpec kills the query
+  * mid-run, restarts from the checkpoint across a consolidation batch,
+  * and asserts the final pair/label state equals the all-at-once batch
+  * twin ([[ParityCheck.embeddingBatchTwin]] — the SAME definition the
+  * hand-driven gate compares against).
+  *
+  * State layout under `root` (each `batch=<id>` directory overwrite-
+  * idempotent; the standing corpus initializes as `batch=-1` via
+  * [[init]]):
+  *  - `vecs/`   (vec_id, embedding, nsq, cluster) — survivor vectors
+  *     assigned under the current epoch (retrain rewrites `cluster` in
+  *     place — the offline cost the epoch amortizes)
+  *  - `vhash/`  (vec_id, vhash)  — exact-tier hash state
+  *  - `pairs/`  (id_a, id_b, cluster, cosine) — verified semantic pairs
+  *     (plus the standing corpus's pair table as `batch=-1`; [[retire]]
+  *     re-converges split components from real edges)
+  *  - `gauge/`  one health row per non-empty batch (batch_id, n_ref,
+  *     n_new, fit ppb, drift ppb, occupancy ppb, epoch, retrain)
+  *  - `labels/` FULL snapshot per batch, reaped to the previous one
+  *  - `epoch/`  (epoch) rows at `batch=-1` (0) and at each retrain
+  *  - `cents/epoch=<e>`, `gref/epoch=<e>` — per-epoch centroid table and
+  *     gauge reference row (tiny; one directory per epoch, not per batch)
+  *
+  * Directory growth in BATCH COUNT is bounded exactly as in
+  * [[DocumentStream]]: `consolidateEvery = K` runs the tiered
+  * [[BatchState.tieredFold]] over `vecs`/`vhash`/`pairs`/`gauge` at the
+  * start of every K-th batch — K + log₂(batches/K) + 2 directories per
+  * sub for any uptime, O(log batches) rewrites per byte.
+  *
+  * Scale shape per batch: one hash anti-join against the standing hash
+  * state (batch side broadcasts, state streams), one broadcast-argmax
+  * assignment of the batch, one broadcast cluster join of the batch
+  * against the cluster-keyed standing state, batch-sized
+  * label merge, two 1-row gauge aggregates. Nothing corpus-sized
+  * shuffles at arrival time; the corpus-sized work (retrain +
+  * reassignment) happens only in the maintenance window the gauge rows
+  * call for. */
+object EmbeddingStream {
+
+  /** One streamed vector. */
+  final case class VecIn(vec_id: Long, embedding: Array[Float])
+
+  private val VecsSchema =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, nsq DOUBLE, cluster BIGINT"
+  private val VhashSchema = "vec_id BIGINT, vhash BIGINT"
+  private val PairsSchema =
+    "id_a BIGINT, id_b BIGINT, cluster BIGINT, cosine DOUBLE"
+  private val GaugeSchema =
+    "batch_id BIGINT, n_ref BIGINT, n_new BIGINT, ref_fit_ppb BIGINT, " +
+    "new_fit_ppb BIGINT, drift_ppb BIGINT, ref_top_share_ppb BIGINT, " +
+    "new_top_share_ppb BIGINT, epoch INT, retrain BOOLEAN"
+  private val EpochSchema = "epoch INT"
+
+  private val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private def assignedOf(vectors: DataFrame, cents: DataFrame): DataFrame =
+    graft.ops.Similarity.assignToCentroids(
+        vectors.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("embedding"), col("nsq"),
+        col("cluster").cast("long").as("cluster"))
+
+  private def centsOf(spark: SparkSession, root: String,
+      epoch: Int): DataFrame =
+    spark.read.parquet(s"$root/cents/epoch=$epoch")
+
+  /** The epoch a batch resolves: max over COMMITTED epoch rows strictly
+    * below it — deterministic under replay ([[retrainEpoch]] only writes
+    * rows at a stopped committed checkpoint, so the rows a batch can see
+    * never change under it). */
+  private[streaming] def epochOf(spark: SparkSession, root: String,
+      before: Long): Int =
+    BatchState.state(spark, root, "epoch", before, EpochSchema)
+      .agg(max(col("epoch"))).head().getInt(0)
+
+  /** Initialize the standing state: the base corpus trains the epoch-0
+    * centroids and lands assigned as `vecs/batch=-1` (with its hash
+    * state), its persisted labeling AND pair table land as `batch=-1`
+    * (the [[retire]] raw material), and `refDelta` — a held-out
+    * in-distribution arrival sample, NOT the training corpus (training-
+    * corpus fit would bake Lloyd's generalization gap into every drift
+    * reading — the [[graft.ops.Similarity.ivfDriftGauge]] argument) —
+    * anchors the epoch-0 gauge reference row. */
+  def init(spark: SparkSession, root: String, baseEmb: DataFrame,
+      basePairs: DataFrame, baseLabels: DataFrame, refDelta: DataFrame,
+      nCentroids: Int = 32, lloydIters: Int = 2): Unit = {
+    graft.ops.Similarity.trainCentroids(baseEmb, nCentroids, lloydIters)
+      .write.mode("overwrite").parquet(s"$root/cents/epoch=0")
+    val cents = centsOf(spark, root, 0)
+    BatchState.write(assignedOf(baseEmb, cents), root, "vecs", -1L)
+    BatchState.write(baseEmb.select(col("vec_id"),
+      xxhash64(col("embedding")).as("vhash")), root, "vhash", -1L)
+    BatchState.write(basePairs.select(col("id_a"), col("id_b"),
+        col("cluster").cast("long"), col("cosine")),
+      root, "pairs", -1L)
+    BatchState.write(baseLabels.select(col("doc_id"), col("cluster_id")),
+      root, "labels", -1L)
+    graft.ops.Similarity.fitAndShareStats(
+        assignedOf(refDelta, cents), cents)
+      .write.mode("overwrite").parquet(s"$root/gref/epoch=0")
+    import spark.implicits._
+    BatchState.write(Seq(0).toDF("epoch"), root, "epoch", -1L)
+  }
+
+  /** Consolidate every committed state surface below `upToBatch` — the
+    * [[DocumentStream.consolidate]] contract on the vector tier: called
+    * at the start of every K-th batch over exactly the checkpoint-
+    * committed directories. All four subs fold row-for-row (the vector
+    * pipeline's dedup is deep-history — "semantic dup of anything ever
+    * kept" — so no row ages out on a horizon; [[retire]] owns row
+    * retirement). `labels/` is already bounded at two snapshots;
+    * `epoch/`/`cents/`/`gref/` grow one directory per EPOCH, not per
+    * batch. */
+  def consolidate(spark: SparkSession, root: String,
+      upToBatch: Long): Unit = {
+    BatchState.tieredFold(spark, root, "vecs", upToBatch, VecsSchema, identity)
+    BatchState.tieredFold(spark, root, "vhash", upToBatch, VhashSchema, identity)
+    BatchState.tieredFold(spark, root, "pairs", upToBatch, PairsSchema, identity)
+    BatchState.tieredFold(spark, root, "gauge", upToBatch, GaugeSchema, identity)
+  }
+
+  /** The per-batch transaction — public so the spec can drive a single
+    * batch directly. Deterministic given (state before `batchId`, batch
+    * rows): the epoch resolves from committed rows, every read is pinned
+    * below `batchId`, every write overwrites `batch=<batchId>`. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      threshold: Double = 0.4, consolidateEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    if (consolidateEvery > 0 && batchId > 0 &&
+        batchId % consolidateEvery == 0)
+      consolidate(spark, root, batchId)
+    if (batch.isEmpty) return
+    val epoch = epochOf(spark, root, batchId)
+    val cents = centsOf(spark, root, epoch)
+
+    // ── tier 1: exact (byte-identical) vector dedup ──
+    val hashed = batch.select(col("vec_id"), col("embedding"))
+      .withColumn("vhash", xxhash64(col("embedding")))
+      .localCheckpoint(true, memDisk)
+    // batch hashes broadcast INTO the corpus-sized hash state (narrow
+    // streamed scan); only the collided subset — batch-bounded —
+    // broadcasts back for the anti-join. Broadcasting the state itself
+    // would ship the all-time hash set per batch (the DocumentStream
+    // kept-endpoint argument).
+    val dupHashes = BatchState.state(spark, root, "vhash", batchId, VhashSchema)
+      .join(broadcast(hashed.select(col("vhash")).distinct()), Seq("vhash"))
+      .select(col("vhash")).distinct()
+    val fresh = hashed.join(broadcast(dupHashes), Seq("vhash"), "left_anti")
+    val keptIds = fresh.groupBy(col("vhash"))
+      .agg(min(col("vec_id")).as("vec_id")).select(col("vec_id"))
+    val kept = hashed.join(keptIds, Seq("vec_id"))
+      .localCheckpoint(true, memDisk)
+    BatchState.write(kept.select(col("vec_id"), col("vhash")),
+      root, "vhash", batchId)
+
+    // ── tier 2: fixed-centroid assignment + inline drift gauge ──
+    val assigned = assignedOf(kept, cents).localCheckpoint(true, memDisk)
+    BatchState.write(assigned, root, "vecs", batchId)
+    val stats = graft.ops.Similarity.fitAndShareStats(assigned, cents)
+    val gref = spark.read.parquet(s"$root/gref/epoch=$epoch")
+      .select(col("n").as("n_ref"), col("fit_ppb").as("ref_fit_ppb"),
+        col("top_share_ppb").as("ref_top_share_ppb"))
+    val gaugeRow = gref.crossJoin(stats)
+      .select(lit(batchId).as("batch_id"), col("n_ref"),
+        col("n").as("n_new"), col("ref_fit_ppb"),
+        col("fit_ppb").as("new_fit_ppb"),
+        (col("ref_fit_ppb") - col("fit_ppb")).as("drift_ppb"),
+        col("ref_top_share_ppb"),
+        col("top_share_ppb").as("new_top_share_ppb"),
+        lit(epoch).as("epoch"),
+        (coalesce((col("ref_fit_ppb") - col("fit_ppb")) >
+            lit(RetrainDriftPpb), lit(false)) ||
+          coalesce(col("top_share_ppb") > lit(CollapseSharePpb),
+            lit(false))).as("retrain"))
+    BatchState.write(gaugeRow, root, "gauge", batchId)
+
+    // ── tier 3: cluster-local pairs vs standing state + within batch ──
+    val vecsState = BatchState.state(spark, root, "vecs", batchId, VecsSchema)
+    val pairs = graft.ops.Similarity
+      .semanticDedupPairsBetween(assigned, vecsState, threshold)
+      .unionByName(
+        graft.ops.Similarity.semanticDedupUnordered(assigned, threshold))
+      .localCheckpoint(true, memDisk)
+    BatchState.write(pairs, root, "pairs", batchId)
+
+    // ── tier 4: incremental label merge over the previous snapshot ──
+    val prevId = BatchState.batchDirs(spark, root, "labels", batchId)
+      .map(_.split("batch=").last.toLong).max // -1 exists from init
+    val merged = graft.ops.Dedup.mergeClusterDelta(
+      spark.read.parquet(s"$root/labels/batch=$prevId"),
+      kept.select(col("vec_id").as("doc_id")),
+      pairs.select(col("id_a"), col("id_b")))
+    BatchState.write(merged, root, "labels", batchId)
+    val f = BatchState.fs(spark, root)
+    BatchState.batchDirs(spark, root, "labels", prevId)
+      .filter(!_.endsWith("batch=-1"))
+      .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
+  /** Default gauge thresholds — the [[graft.ops.Similarity.ivfDriftGauge]]
+    * calibration (an order of magnitude above measured in-distribution
+    * noise, well under the measured shifted cases — SCALE.md receipts). */
+  val RetrainDriftPpb = 50000000L
+  val CollapseSharePpb = 400000000L
+
+  /** EXECUTE the retrain the gauge rows call for — the in-pipeline form
+    * of [[graft.ops.Similarity.ivfRetrainEpoch]]. OPERATIONAL CONTRACT:
+    * run with the stream STOPPED at a committed checkpoint (the
+    * reference's maintenance-window discipline; earlier batches must not
+    * replay afterwards).
+    *
+    *  - centroids retrain over the STANDING corpus (base ∪ every kept
+    *    arrival) — deterministic in the row set, so the handoff equals a
+    *    from-scratch build on the accumulated corpus
+    *    (EmbeddingStreamSpec + the q_embstream_epoch_handoff oracle);
+    *  - every `vecs/` directory reassigns in place (`_unit_lo` sidecars
+    *    preserved) — the one corpus-sized pass, amortized per epoch;
+    *  - the gauge re-anchors: `refDelta` (a recent in-distribution-NOW
+    *    arrival sample — after a real shift that means the post-shift
+    *    distribution) becomes the new epoch's reference row;
+    *  - the `epoch/` row lands at the last committed batch id, so every
+    *    subsequent batch — and only subsequent batches — resolves the
+    *    new epoch. */
+  def retrainEpoch(spark: SparkSession, root: String, newEpoch: Int,
+      refDelta: DataFrame, nCentroids: Int = 32,
+      lloydIters: Int = 2): Unit = {
+    Seq("vecs", "vhash", "pairs", "gauge")
+      .foreach(BatchState.recoverFold(spark, root, _))
+    val standing = BatchState.state(spark, root, "vecs", Long.MaxValue,
+      VecsSchema).select(col("vec_id"), col("embedding"))
+    graft.ops.Similarity.trainCentroids(standing, nCentroids, lloydIters)
+      .write.mode("overwrite").parquet(s"$root/cents/epoch=$newEpoch")
+    val cents = centsOf(spark, root, newEpoch)
+    BatchState.batchDirs(spark, root, "vecs", Long.MaxValue).foreach { p =>
+      BatchState.rewriteDirPreservingUnit(spark, root, "vecs", p,
+        df => assignedOf(df, cents))
+    }
+    graft.ops.Similarity.fitAndShareStats(assignedOf(refDelta, cents), cents)
+      .write.mode("overwrite").parquet(s"$root/gref/epoch=$newEpoch")
+    val lastCommitted = BatchState.batchDirs(spark, root, "vecs",
+        Long.MaxValue)
+      .map(_.split("batch=").last.toLong).max
+    import spark.implicits._
+    BatchState.write(Seq(newEpoch).toDF("epoch"), root, "epoch",
+      lastCommitted)
+  }
+
+  /** RETENTION — [[DocumentStream.retire]] on the vector tier, with the
+    * same stopped-checkpoint contract: labels re-converge through the
+    * surviving pair edges ([[graft.ops.Dedup.retireClusterDelta]] — the
+    * PRE-prune pair state, since removal can split components), then
+    * every per-vector state surface drops the expired rows in place
+    * (sidecars preserved). A retired vector stops generating pairs
+    * IMMEDIATELY (its `vecs/` row is gone from the between-join) and a
+    * re-sent identical vector is genuinely new again (its `vhash/` row
+    * is gone). */
+  def retire(spark: SparkSession, root: String,
+      expiredIds: DataFrame): Unit = {
+    Seq("vecs", "vhash", "pairs", "gauge")
+      .foreach(BatchState.recoverFold(spark, root, _))
+    val e = expiredIds
+      .select(col(expiredIds.columns.head).as("doc_id")).distinct()
+      .localCheckpoint(true, memDisk)
+    val pairsState = BatchState.state(spark, root, "pairs", Long.MaxValue,
+      PairsSchema).select(col("id_a"), col("id_b"))
+    val retired = graft.ops.Dedup.retireClusterDelta(
+      labels(spark, root), pairsState, e)
+      .localCheckpoint(true, memDisk)
+    val latest = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
+      .maxBy(_.split("batch=").last.toLong)
+    retired.write.mode("overwrite").parquet(latest)
+    def prune(sub: String, cols: Seq[String]): Unit =
+      BatchState.batchDirs(spark, root, sub, Long.MaxValue).foreach { p =>
+        BatchState.rewriteDirPreservingUnit(spark, root, sub, p,
+          df => cols.foldLeft(df)(
+            (acc, c) => graft.ops.Dedup.expireRows(acc, c, e)))
+      }
+    prune("vecs", Seq("vec_id"))
+    prune("vhash", Seq("vec_id"))
+    prune("pairs", Seq("id_a", "id_b"))
+  }
+
+  /** Start the pipeline on a streaming (vec_id, embedding) frame. */
+  def start(vectors: DataFrame, root: String, checkpoint: String,
+      threshold: Double = 0.4, maxDelayMs: Long = 100L,
+      consolidateEvery: Int = 0): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root, threshold,
+          consolidateEvery = consolidateEvery)
+      }
+      .start()
+
+  // ── served outputs (what a reader queries between batches) ──
+
+  def keptIds(spark: SparkSession, root: String): DataFrame =
+    BatchState.state(spark, root, "vecs", Long.MaxValue, VecsSchema)
+      .select(col("vec_id"))
+
+  /** The standing assigned corpus (vec_id, embedding, nsq, cluster) —
+    * what an arrival batch's between-join reads, and what [[retrainEpoch]]
+    * rebuilds from. */
+  def assignedState(spark: SparkSession, root: String): DataFrame =
+    BatchState.state(spark, root, "vecs", Long.MaxValue, VecsSchema)
+
+  def livePairs(spark: SparkSession, root: String): DataFrame =
+    BatchState.state(spark, root, "pairs", Long.MaxValue, PairsSchema)
+
+  /** Health rows, one per non-empty batch — the pipeline's drift ledger
+    * (what an operator alerts on, and what decides [[retrainEpoch]]). */
+  def gaugeRows(spark: SparkSession, root: String): DataFrame =
+    BatchState.state(spark, root, "gauge", Long.MaxValue, GaugeSchema)
+
+  def labels(spark: SparkSession, root: String): DataFrame = {
+    val dirs = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
+    require(dirs.nonEmpty, s"no label snapshot under $root/labels")
+    spark.read.parquet(dirs.maxBy(_.split("batch=").last.toLong))
+  }
+
+  def currentEpoch(spark: SparkSession, root: String): Int =
+    epochOf(spark, root, Long.MaxValue)
+
+  /** One batch's emitted pair set (the epoch-handoff gate serves the
+    * post-retrain batch's pairs through this) — requires the directory
+    * not to have been consolidated past. */
+  def pairsOfBatch(spark: SparkSession, root: String,
+      batchId: Long): DataFrame =
+    spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(PairsSchema))
+      .parquet(s"$root/pairs/batch=$batchId")
+}

@@ -723,11 +723,7 @@ object ParityCheck {
     livePairs = livePairs.distinct().localCheckpoint(true)
 
     // ── batch twin under the SAME base-trained quantizer ──
-    val assignedAll = Similarity.assignToCentroids(emb, cents)
-    val allPairs = Similarity.semanticDedupUnordered(assignedAll, threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val batchLabels = Dedup.nearDupClusters(
-      emb.select(col("vec_id").as("doc_id")), allPairs).localCheckpoint(true)
+    val (allPairs, batchLabels) = embeddingBatchTwin(emb, cents, threshold)
     val batchLive = allPairs.filter(col("id_b") >= splitId) // id_a < id_b:
       // arrivals hold the HIGH ids, so any pair touching one has id_b ≥ split
 
@@ -741,6 +737,122 @@ object ParityCheck {
         labels.select(col("cluster_id")).distinct().count(),
         onlyLive, onlyBatch,
         pairsAgree && onlyLive == 0L && onlyBatch == 0L && nPairsLive > 0L)))
+      .toDF("n_vectors", "n_pairs_live", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+  }
+
+  /** The SHARED all-at-once truth both embedding gates compare against
+    * (the hand-driven [[embeddingLiveParity]] and the runnable
+    * [[embeddingRestartParity]] — one definition, so the two gates
+    * cannot drift): one assignment of the full corpus to the given
+    * base-trained centroids, one cluster-local self-join, one connected-
+    * components labeling. Returns (allPairs (id_a, id_b), labels). */
+  private[graft] def embeddingBatchTwin(emb: DataFrame,
+      cents: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    import graft.ops.{Dedup, Similarity}
+    val assignedAll = Similarity.assignToCentroids(emb, cents)
+    val allPairs = Similarity.semanticDedupUnordered(assignedAll, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val batchLabels = Dedup.nearDupClusters(
+      emb.select(col("vec_id").as("doc_id")), allPairs).localCheckpoint(true)
+    (allPairs, batchLabels)
+  }
+
+  /** [[embeddingLiveParity]]'s scenario driven through the RUNNABLE
+    * vector pipeline ([[EmbeddingStream]] — one checkpointed foreachBatch
+    * query composing exact-hash dedup, fixed-centroid assignment with
+    * the inline drift gauge, cluster-local pairing and the label merge)
+    * with a STOP after the second micro-batch and a RESTART from the
+    * checkpoint, `consolidateEvery = 2` so the first post-restart batch
+    * folds committed state directories — the row gates crash recovery
+    * AND fold-across-restart on the vector tier, exactly what
+    * [[restartPipelineParity]] gates on the document tier. Same output
+    * columns and the SAME DuckDB oracle as the hand-driven gate
+    * (the batch twin is [[embeddingBatchTwin]] — shared by construction),
+    * and the pipeline's own epoch-0 centroids are TRAINED from the same
+    * deterministic construction the persisted `_live_base` index uses
+    * (hash-sampled seeds + Lloyd — same corpus rows, same centroids), so
+    * landing on the gate's counts also pins that equality. */
+  def embeddingRestartParity(spark: SparkSession, dir: String,
+      nBatches: Int = 4, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val splitId = (maxId + 1L) * 3L / 5L
+    val baseEmb = emb.filter(col("vec_id") < splitId)
+    val arrivals = emb.filter(col("vec_id") >= splitId)
+      .select(col("vec_id"), col("embedding"))
+      .as[EmbeddingStream.VecIn].collect().sortBy(_.vec_id)
+    require(arrivals.nonEmpty, "fixture too small to split")
+
+    // fresh state + checkpoint per run (a gate, not a standing pipeline)
+    val root = s"target/embstream_gate/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    // the standing corpus's own pair table + labeling, under the same
+    // deterministic centroids init will train (train-once determinism:
+    // same base rows → same centroids)
+    val cents0 = Similarity.trainCentroids(baseEmb).localCheckpoint(true)
+    val basePairs = Similarity.semanticDedupUnordered(
+        Similarity.assignToCentroids(baseEmb, cents0), threshold)
+      .localCheckpoint(true)
+    val baseLabels = Dedup.nearDupClusters(
+      baseEmb.select(col("vec_id").as("doc_id")),
+      basePairs.select(col("id_a"), col("id_b")))
+    // gauge reference: the earliest arrival slice (held-out,
+    // in-distribution — parity doesn't depend on it, the health rows do)
+    val refHi = splitId + math.max(1L, (maxId + 1L - splitId) / nBatches)
+    EmbeddingStream.init(spark, s"$root/state", baseEmb, basePairs,
+      baseLabels,
+      emb.filter(col("vec_id") >= splitId && col("vec_id") < refHi))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EmbeddingStream.VecIn]
+    val waves = arrivals.grouped(
+      math.max(1, arrivals.length / nBatches)).toSeq
+    var q = EmbeddingStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", threshold, consolidateEvery = 2)
+    waves.take(2).foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
+    q.stop() // mid-run crash, simulated
+    q = EmbeddingStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", threshold, consolidateEvery = 2)
+    try waves.drop(2).foreach { w =>
+      mem.addData(w.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val liveLabels = EmbeddingStream.labels(spark, s"$root/state")
+      .localCheckpoint(true)
+    // arrival-touching pairs: arrivals hold the HIGH ids (id_a < id_b
+    // canonical), and the batch=-1 base pair table only holds base ids
+    val livePairs = EmbeddingStream.livePairs(spark, s"$root/state")
+      .filter(col("id_b") >= splitId)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+
+    // ── batch twin: the SHARED definition, under the PIPELINE's epoch-0
+    // centroids (read back from its state root) ──
+    val (allPairs, batchLabels) = embeddingBatchTwin(emb,
+      spark.read.parquet(s"$root/state/cents/epoch=0"), threshold)
+    val batchLive = allPairs.filter(col("id_b") >= splitId)
+
+    val onlyLive = liveLabels.exceptAll(batchLabels).count()
+    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
+    val pairsAgree = livePairs.exceptAll(batchLive).count() == 0L &&
+      batchLive.exceptAll(livePairs).count() == 0L
+    val nPairsLive = livePairs.count()
+    // every non-empty batch must have left a committed health row with
+    // its epoch pinned at 0 (no retrain fired on in-distribution waves)
+    val gauges = EmbeddingStream.gaugeRows(spark, s"$root/state")
+    val gaugeOk = gauges.count() == waves.length.toLong &&
+      gauges.filter(col("retrain") || col("epoch") =!= 0).count() == 0L
+    spark.createDataFrame(Seq(
+      (liveLabels.count(), nPairsLive,
+        liveLabels.select(col("cluster_id")).distinct().count(),
+        onlyLive, onlyBatch,
+        pairsAgree && gaugeOk && onlyLive == 0L && onlyBatch == 0L &&
+          nPairsLive > 0L)))
       .toDF("n_vectors", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
   }

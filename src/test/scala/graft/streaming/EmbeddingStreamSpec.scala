@@ -1,0 +1,196 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.{Dedup, Similarity}
+
+/** The RUNNABLE vector pipeline ([[EmbeddingStream]]), held to the
+  * hand-driven gate's truth plus the surfaces only the runnable form
+  * has: the exact-hash tier actually dropping byte-identical re-sends,
+  * the drift → retrain → serve epoch handoff resolving deterministically
+  * from committed state, consolidation preserving every served row, and
+  * retention re-converging labels on the survivor corpus. */
+class EmbeddingStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def freshRoot(name: String): String = {
+    val root = s"target/embstream_spec/$name"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    root
+  }
+
+  /** Base/arrival split with the pipeline initialized on the base slice;
+    * returns (root, emb, splitId, cents0). */
+  private def initOn(name: String, threshold: Double = 0.4)
+      : (String, org.apache.spark.sql.DataFrame, Long,
+         org.apache.spark.sql.DataFrame) = {
+    val emb = graft.Tables.embeddings(spark, SparkTestBase.sfDir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val splitId = (maxId + 1L) * 3L / 5L
+    val base = emb.filter(col("vec_id") < splitId)
+    val root = freshRoot(name)
+    val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
+    val basePairs = Similarity.semanticDedupUnordered(
+      Similarity.assignToCentroids(base, cents0), threshold)
+    val baseLabels = Dedup.nearDupClusters(
+      base.select(col("vec_id").as("doc_id")),
+      basePairs.select(col("id_a"), col("id_b")))
+    EmbeddingStream.init(spark, root, base, basePairs, baseLabels,
+      refDelta = emb.filter(col("vec_id") >= splitId))
+    (root, emb, splitId, cents0)
+  }
+
+  private def setEqual(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("exact tier drops byte-identical re-sends; labels equal the survivor twin") {
+    val (root, emb, splitId, cents0) = initOn("exact")
+    // arrivals in two batches; the second batch re-sends the first
+    // base vector's embedding under new ids (plus one in-batch copy)
+    val dupSrc = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    import spark.implicits._
+    val midId = splitId + (emb.filter(col("vec_id") >= splitId).count() / 2)
+    val w1 = emb.filter(col("vec_id") >= splitId && col("vec_id") < midId)
+      .select(col("vec_id"), col("embedding"))
+    val dupIds = Seq(900001L, 900002L)
+    val w2 = emb.filter(col("vec_id") >= midId)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(dupIds.map(id => (id, dupSrc.toArray))
+        .toDF("vec_id", "embedding"))
+    EmbeddingStream.processBatch(w1, 0L, root)
+    EmbeddingStream.processBatch(w2, 1L, root)
+
+    // both re-sends dropped: vec_id 0 already holds that hash
+    val kept = EmbeddingStream.keptIds(spark, root)
+    assert(kept.filter(col("vec_id").isin(dupIds: _*)).isEmpty)
+    assert(kept.count() === emb.count())
+
+    // final labels equal the all-at-once twin over the SURVIVOR corpus
+    val (_, twin) = ParityCheck.embeddingBatchTwin(emb, cents0, 0.4)
+    assert(setEqual(EmbeddingStream.labels(spark, root), twin))
+  }
+
+  test("consolidation preserves every served row and bounds directories") {
+    val (rootA, emb, splitId, _) = initOn("consA")
+    val (rootB, _, _, _) = initOn("consB")
+    val arr = emb.filter(col("vec_id") >= splitId)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val n = arr.count()
+    val ids = arr.select(col("vec_id")).as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val waves = ids.grouped(math.max(1, ids.length / 6)).toSeq
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val batch = arr.filter(col("vec_id").isin(w: _*))
+      EmbeddingStream.processBatch(batch, i.toLong, rootA,
+        consolidateEvery = 2)
+      EmbeddingStream.processBatch(batch, i.toLong, rootB)
+    }
+    // one more consolidation pass over everything committed
+    EmbeddingStream.consolidate(spark, rootA, waves.length.toLong)
+    assert(setEqual(EmbeddingStream.livePairs(spark, rootA),
+      EmbeddingStream.livePairs(spark, rootB)))
+    assert(setEqual(EmbeddingStream.labels(spark, rootA),
+      EmbeddingStream.labels(spark, rootB)))
+    assert(setEqual(EmbeddingStream.keptIds(spark, rootA),
+      EmbeddingStream.keptIds(spark, rootB)))
+    assert(setEqual(EmbeddingStream.gaugeRows(spark, rootA),
+      EmbeddingStream.gaugeRows(spark, rootB)))
+    val f = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(root: String, sub: String) =
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+        .count(_.getPath.getName.startsWith("batch="))
+    Seq("vecs", "vhash", "pairs", "gauge").foreach { sub =>
+      assert(dirs(rootA, sub) < dirs(rootB, sub),
+        s"$sub: consolidation must reduce directory count")
+      // the ladder bound over FOLDED batches: base + O(log) units
+      assert(dirs(rootA, sub) <= 4,
+        s"$sub: ${dirs(rootA, sub)} dirs after full fold")
+    }
+    assert(n > 0)
+  }
+
+  test("epoch handoff: gauge fires on a shifted batch, retrain re-anchors, epoch resolution is committed-state-deterministic") {
+    val (root, emb, splitId, _) = initOn("epoch")
+    def shift(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding",
+        transform(col("embedding"), x => (abs(x) + lit(0.5d)).cast("float")))
+    val arr = emb.filter(col("vec_id") >= splitId)
+      .select(col("vec_id"), col("embedding"))
+    val midId = splitId + (emb.filter(col("vec_id") >= splitId).count() / 2)
+    val d0 = arr.filter(col("vec_id") < midId)
+    val d1 = shift(arr.filter(col("vec_id") >= midId))
+    EmbeddingStream.processBatch(d0, 0L, root)
+    EmbeddingStream.processBatch(d1, 1L, root)
+    val rows = EmbeddingStream.gaugeRows(spark, root)
+      .orderBy(col("batch_id")).collect()
+    assert(!rows(0).getAs[Boolean]("retrain"),
+      s"in-distribution batch must stay quiet: ${rows(0)}")
+    assert(rows(1).getAs[Boolean]("retrain"),
+      s"shifted batch must fire: ${rows(1)}")
+    EmbeddingStream.retrainEpoch(spark, root, 1, refDelta = d1)
+    // committed-state epoch resolution: batches ≤ the retrain point keep
+    // epoch 0; every later batch resolves epoch 1
+    assert(EmbeddingStream.epochOf(spark, root, 1L) === 0)
+    assert(EmbeddingStream.epochOf(spark, root, 2L) === 1)
+    assert(EmbeddingStream.currentEpoch(spark, root) === 1)
+    // re-anchored: the post-shift distribution is quiet under epoch 1
+    // (a DIFFERENT sample of it — shifting d0's vectors — so the exact
+    // tier doesn't drop the batch as byte-identical re-sends)
+    val d1b = shift(d0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    EmbeddingStream.processBatch(d1b, 2L, root)
+    val after = EmbeddingStream.gaugeRows(spark, root)
+      .filter(col("batch_id") === 2L).head()
+    assert(after.getAs[Int]("epoch") === 1)
+    assert(!after.getAs[Boolean]("retrain"),
+      s"re-anchored gauge must be quiet on the new distribution: $after")
+    // the standing state serves under the new quantizer: every vecs row's
+    // cluster equals a fresh assignment to the epoch-1 centroids
+    val cents1 = spark.read.parquet(s"$root/cents/epoch=1")
+    val standing = EmbeddingStream.assignedState(spark, root)
+      .localCheckpoint(true)
+    val reassigned = Similarity.assignToCentroids(
+        standing.select(col("vec_id"), col("embedding")), cents1)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    assert(setEqual(standing.select(col("vec_id"), col("cluster")),
+      reassigned))
+  }
+
+  test("retire: labels re-converge on survivors; retired vectors stop pairing and re-sends are new again") {
+    val (root, emb, splitId, cents0) = initOn("retire")
+    val arr = emb.filter(col("vec_id") >= splitId)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    EmbeddingStream.processBatch(arr, 0L, root)
+    // expire every 5th vector (base and arrivals both)
+    val expired = emb.select(col("vec_id"))
+      .filter(col("vec_id") % 5 === 0).localCheckpoint(true)
+    EmbeddingStream.retire(spark, root, expired)
+    val survivors = emb.join(expired, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    assert(setEqual(EmbeddingStream.keptIds(spark, root),
+      survivors.select(col("vec_id"))))
+    // label truth on survivors under the UNCHANGED epoch-0 quantizer
+    val (survPairs, twin) = ParityCheck.embeddingBatchTwin(
+      survivors, cents0, 0.4)
+    assert(setEqual(EmbeddingStream.labels(spark, root), twin))
+    assert(setEqual(
+      EmbeddingStream.livePairs(spark, root)
+        .select(col("id_a"), col("id_b")),
+      survPairs))
+    // a re-sent expired vector is genuinely new: its hash row is gone,
+    // so it survives the exact tier
+    val resend = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+        col("embedding"))
+    EmbeddingStream.processBatch(resend, 1L, root)
+    assert(EmbeddingStream.keptIds(spark, root)
+      .filter(col("vec_id") === 2000005L).count() === 1L)
+  }
+}
