@@ -139,6 +139,50 @@ object OracleSql {
        |            JOIN shingled sb ON cand.id_b = sb.doc_id)
        |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Replica of [[graft.ops.Dedup.minHashPairsCapped]] under the
+    * template-flood scenario (q_dedup_minhash_capped): every
+    * `floodMod`-th document's text is rewritten to a fixed template —
+    * all its band buckets run hot — and the capped chain EXCLUDES
+    * over-occupied buckets before candidate generation, so the flood
+    * contributes no pairs while organic near-dups (whose buckets sit
+    * under the cap) keep theirs. Bucket occupancy groups by the slice
+    * itself where Spark groups by (band, xxhash64(slice)) — equal
+    * counts barring a 2⁻⁶⁴ collision, the [[bandHealthSql]] argument. */
+  def minhashPairsCappedSql(bands: Int = 16, threshold: Double = 0.5,
+      cap: Int = 16, floodMod: Long = 11L,
+      template: String = CappedFloodTemplate): String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $floodMod = 0 THEN '$template'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |${minhashChain("docs2", bands)},
+       |hot AS (
+       |  SELECT b2, slice FROM banded GROUP BY b2, slice
+       |  HAVING COUNT(*) > $cap),
+       |cool AS (
+       |  SELECT b.doc_id, b.b2, b.slice FROM banded b
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.b2 = b.b2 AND h.slice = b.slice)),
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cool a JOIN cool b
+       |    ON a.b2 = b.b2 AND a.slice = b.slice AND a.doc_id < b.doc_id),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |  FROM cand2 JOIN shingled sa ON cand2.id_a = sa.doc_id
+       |             JOIN shingled sb ON cand2.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The capped row's flood text — shared with the Spark side so the
+    * two corpora rewrite identically. */
+  val CappedFloodTemplate: String =
+    "please click here to unsubscribe from this mailing list and " +
+    "update your notification preferences today"
+
   /** Replica of [[graft.ops.Dedup.bandIndexHealthGauge]]: the banding
     * chain runs over all documents, the ref/new arrival batches and the
     * standing index restrict it by the %-split predicates, and the two

@@ -1222,6 +1222,21 @@ object SparkEntry {
     // economics can; two integer-ppb signals (batch concentration +
     // index collision rate) vs an in-distribution reference, thresholds
     // calibrated by the bandhealth soak (SCALE.md)
+    // the band-health alert's EXECUTABLE remediation: over-occupied LSH
+    // buckets (here a deterministic template flood — every 11th doc's
+    // text rewritten to shared boilerplate) are excluded from candidate
+    // generation before the pair join — the stop-word policy on the LSH
+    // axis, Lucene's maxDocFreq analogue — and the surviving candidates
+    // exact-verify as usual. Deterministically recall-bounded: the
+    // DuckDB oracle applies the SAME occupancy rule, so the policy
+    // itself is the hash-gated contract, and the pair join's worst key
+    // is bounded by cap² instead of flood²
+    "q_dedup_minhash_capped" -> ((s, dir) =>
+      ops.Dedup.minHashPairsCapped(
+        Tables.documents(s, dir).withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            lit(OracleSql.CappedFloodTemplate)).otherwise(col("text"))))),
+
     "q_dedup_band_health" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val delta = docs.filter(col("doc_id") % 7 === 0)
@@ -4658,6 +4673,7 @@ object SparkEntry {
     "q_embstream_epoch_handoff" ->
       baseOracleSql("q_knn_ivf_epoch_serve"),
     "q_embstream_gauge" -> OracleSql.embStreamGaugeSql(),
+    "q_dedup_minhash_capped" -> OracleSql.minhashPairsCappedSql(),
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),

@@ -385,6 +385,53 @@ object Dedup {
           .as("alert"))
   }
 
+  /** HOT-BUCKET CAP — the executable remediation
+    * [[bandIndexHealthGauge]]'s alert policy prescribes ("cap hot
+    * buckets"): an LSH bucket whose occupancy exceeds `cap` makes
+    * candidate generation quadratic in that occupancy while contributing
+    * almost no precision — a bucket runs hot because a shared template
+    * or boilerplate band collides corpus-wide, the stop-word phenomenon
+    * on the LSH axis (Lucene's maxDocFreq analogue). This variant
+    * EXCLUDES over-occupied (band, bh) buckets from candidate generation
+    * entirely and exact-verifies the survivors.
+    *
+    * The semantics are explicitly RECALL-BOUNDED, and deterministically
+    * so: a pair whose EVERY colliding band is hot is missed — but for
+    * template-driven hotness such a pair IS the boilerplate the cap
+    * quarantines, and a true near-dup family under the cap keeps all its
+    * bands. The DuckDB oracle applies the same occupancy rule, so the
+    * row is hash-exact, not a recall statement — the policy itself is
+    * the tested contract (bucket grouping by (band, xxhash64-slice) here
+    * equals the oracle's by-slice grouping barring a 2⁻⁶⁴ collision).
+    *
+    * Scale shape: occupancy is one map-side-combinable count on the
+    * 24-byte band-key rows (the same exchange class as the band join
+    * itself); the hot set is tiny by construction (buckets OVER the cap)
+    * and broadcasts into a LeftAnti prune of the banded frame — the
+    * pair-join's shape is unchanged, its worst key is now bounded by
+    * `cap`, so the join's skew ceiling is cap² per bucket instead of
+    * occupancy². That bound is exactly what a 100 TB corpus needs from
+    * an LSH tier: one template flood can otherwise turn a single bucket
+    * into a corpus-scale quadratic join key. */
+  def minHashPairsCapped(documents: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5, cap: Int = 16): DataFrame = {
+    val banded = minHashBanded(documents, n, k, bands)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val hot = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .select(col("band"), col("bh"))
+    val cool = banded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val candidates = cool
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(cool.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccardVerify(candidates, documents, n, threshold)
+  }
+
   /** The candidate+verify core of [[minHashPairsIncremental]] over ANY
     * (banded delta, banded index) pair — public so the deep-history
     * wave-replay gate can drive it against a GROWING index frame. The

@@ -420,4 +420,34 @@ class DedupSpec extends AnyFunSuite {
     assert(hot.getLong(5) > 16000000000L,
       s"collision rate must cross the threshold: $hot")
   }
+
+  test("minHashPairsCapped: the flood's hot buckets stop pairing; organic " +
+      "pairs survive; capped is a subset of uncapped") {
+    import spark.implicits._
+    // a 40-copy template flood (ids 100-139) over the organic corpus —
+    // every flood bucket holds 40 > cap members; organic near-dup
+    // buckets hold ≤ 2
+    val flood = (100L until 140L).map(id =>
+      (id, "please click here to unsubscribe from this mailing list now",
+        "en", "s9"))
+    val corpus = docs.unionByName(
+      flood.toDF("doc_id", "text", "lang", "source"))
+    val uncapped = Dedup.minHashPairs(corpus)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minHashPairsCapped(corpus, cap = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // the flood paired quadratically uncapped, not at all capped
+    assert(uncapped.count(p => p._1 >= 100L) == 40 * 39 / 2)
+    assert(capped.forall(p => p._1 < 100L && p._2 < 100L))
+    // organic pairs are untouched: (0,1) exact, (2,3) near
+    assert(capped.contains((0L, 1L)) && capped.contains((2L, 3L)))
+    // a cap ABOVE every occupancy degrades to the plain operator
+    val wide = Dedup.minHashPairsCapped(corpus, cap = 1000)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == uncapped)
+  }
 }
