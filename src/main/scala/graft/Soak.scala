@@ -707,6 +707,89 @@ object Soak {
     }
   }
 
+  /** `embstreamlong` mode: [[docStreamLongSoak]]'s batch-count-flatness
+    * receipt on the VECTOR tier — the fold machinery is the shared
+    * [[graft.streaming.BatchState]], but the folded bytes differ (the
+    * `vecs/` state carries full embeddings, the heaviest per-row state
+    * any runnable pipeline folds), so the vector pipeline earns its own
+    * slope measurement. `nBatches` constant-size micro-batches drive
+    * [[graft.streaming.EmbeddingStream.processBatch]] directly with
+    * `consolidateEvery` between folds (0 = the unbounded counterfactual,
+    * `SPARK_GRAFT_CONSOLIDATE_EVERY` selects it); printed per scale:
+    * median/p99 batch seconds, first/last-third medians (the flatness
+    * verdict in BATCH COUNT), the consolidation batches' median, final
+    * per-sub directory counts vs one-per-batch, and state bytes. The
+    * standing invariant (labels == CC over kept/pairs) gates the
+    * timing. */
+  def embStreamLongSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 120,
+      consolidateEvery: Int = 16): Unit = {
+    import graft.ops.{Dedup, Similarity}
+    import graft.streaming.EmbeddingStream
+    val threshold = 0.4
+    val nBase = Tables.embeddings(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/embstreamlong_$tag"
+      val root = s"$dir/state"
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      trueGrowthEmbeddings(spark, baseDir, n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val splitId = n * 3L / 5L
+      val base = emb.filter(col("vec_id") < splitId)
+      val arrFrame = emb.filter(col("vec_id") >= n - nBase * 2L / 5L)
+        .select(col("vec_id"), col("embedding"))
+      import spark.implicits._
+      val arrivals = arrFrame.as[EmbeddingStream.VecIn]
+        .collect().sortBy(_.vec_id)
+      val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
+      val basePairs = Similarity.semanticDedupUnordered(
+        Similarity.assignToCentroids(base, cents0), threshold)
+        .localCheckpoint(true)
+      val baseLabels = Dedup.nearDupClusters(
+        base.select(col("vec_id").as("doc_id")),
+        basePairs.select(col("id_a"), col("id_b")))
+      EmbeddingStream.init(spark, root, base, basePairs, baseLabels,
+        refDelta = arrFrame)
+      val waves = arrivals.grouped(
+        math.max(1, arrivals.length / nBatches)).toSeq
+      val batchSecs = waves.zipWithIndex.map { case (w, i) =>
+        val t = System.nanoTime()
+        EmbeddingStream.processBatch(
+          w.toSeq.toDF().select(col("vec_id"), col("embedding")),
+          i.toLong, root, threshold, consolidateEvery = consolidateEvery)
+        (System.nanoTime() - t) / 1e9
+      }
+      def med(xs: Seq[Double]) =
+        if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
+      def p99(xs: Seq[Double]) = xs.sorted.apply((xs.length - 1) * 99 / 100)
+      val consSecs = batchSecs.zipWithIndex.collect {
+        case (s, i) if consolidateEvery > 0 && i > 0 &&
+          i % consolidateEvery == 0 => s }
+      val third = batchSecs.length / 3
+      val labels = EmbeddingStream.labels(spark, root)
+      val cc = Dedup.nearDupClusters(
+        EmbeddingStream.keptIds(spark, root).select(col("vec_id").as("doc_id")),
+        EmbeddingStream.livePairs(spark, root)
+          .select(col("id_a"), col("id_b")))
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      def dirCount(sub: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+        if (!fsys.exists(p)) 0
+        else fsys.listStatus(p)
+          .count(_.getPath.getName.startsWith("batch="))
+      }
+      val dirCounts = Seq("vecs", "vhash", "pairs", "gauge")
+        .map(s => s""""$s":${dirCount(s)}""").mkString(",")
+      def bytes(p: String): Long =
+        fsys.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      println(f"""SOAK {"phase":"embstreamlong","scale":"$tag","vectors":$n,"base":$splitId,"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${med(batchSecs)}%.2f,"p99_batch_sec":${p99(batchSecs)}%.2f,"first_third_median":${med(batchSecs.take(third))}%.2f,"last_third_median":${med(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${med(consSecs)}%.2f,"label_diff":$diff,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${bytes(root)},"vecs_bytes":${bytes(s"$root/vecs")}}""")
+    }
+  }
+
   /** `bandhealth` mode: the blind-spot + threshold-calibration receipt
     * for [[graft.ops.Dedup.bandIndexHealthGauge]] (the ivfdrift soak's
     * protocol on the text tier). Three cases per scale, each probing one
@@ -1590,6 +1673,13 @@ object Soak {
     }
     if (args.lift(3).contains("docstream")) {
       docStreamSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("embstreamlong")) {
+      embStreamLongSoak(spark, factor, baseDir, outDir,
+        consolidateEvery = sys.env.get("SPARK_GRAFT_CONSOLIDATE_EVERY")
+          .map(_.toInt).getOrElse(16))
       spark.stop()
       return
     }

@@ -288,9 +288,16 @@ object Similarity {
     val occ = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L)).as("mx"))
+    // n = 0 (an EMPTY batch — e.g. every arrival dropped as a
+    // byte-identical re-send) must yield NULL signals, not a
+    // DIVIDE_BY_ZERO: the documented no-evidence convention. CaseWhen
+    // short-circuits, so the div never evaluates on the zero row.
     f.crossJoin(broadcast(occ))
-      .select(col("n"), expr("s div n").as("fit_ppb"),
-        expr("mx * 1000000000L div n").as("top_share_ppb"))
+      .select(col("n"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("s div n")).as("fit_ppb"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("mx * 1000000000L div n")).as("top_share_ppb"))
   }
 
   /** Assign vectors to FIXED centroids — the FAISS `add()`-after-`train()`

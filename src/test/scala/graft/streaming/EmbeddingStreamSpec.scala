@@ -76,6 +76,29 @@ class EmbeddingStreamSpec extends AnyFunSuite {
     assert(setEqual(EmbeddingStream.labels(spark, root), twin))
   }
 
+  test("a fully-duplicate batch (upstream re-send) is a clean no-op") {
+    val (root, emb, splitId, _) = initOn("fulldup")
+    val arr = emb.filter(col("vec_id") >= splitId)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    EmbeddingStream.processBatch(arr, 0L, root)
+    val keptBefore = EmbeddingStream.keptIds(spark, root).count()
+    val labelsBefore = EmbeddingStream.labels(spark, root)
+      .localCheckpoint(true)
+    // the whole batch re-sends already-kept bytes under new ids: every
+    // row must drop at the exact tier and no served state may change
+    val resend = arr.select((col("vec_id") + lit(5000000L)).as("vec_id"),
+      col("embedding"))
+    EmbeddingStream.processBatch(resend, 1L, root)
+    assert(EmbeddingStream.keptIds(spark, root).count() === keptBefore)
+    assert(setEqual(EmbeddingStream.labels(spark, root), labelsBefore))
+    // the batch still leaves its (empty-n) health row — quiet, not NULL
+    // alarms
+    val g = EmbeddingStream.gaugeRows(spark, root)
+      .filter(col("batch_id") === 1L).head()
+    assert(g.getAs[Long]("n_new") === 0L)
+    assert(!g.getAs[Boolean]("retrain"))
+  }
+
   test("consolidation preserves every served row and bounds directories") {
     val (rootA, emb, splitId, _) = initOn("consA")
     val (rootB, _, _, _) = initOn("consB")
