@@ -625,6 +625,23 @@ object Soak {
     }
   }
 
+  // shared long-horizon measurement helpers (docstreamlong +
+  // embstreamlong MUST report through identical formulas — a fix to one
+  // slope receipt's math must not silently diverge from the other's)
+  private def medSec(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
+  private def p99Sec(xs: Seq[Double]): Double =
+    xs.sorted.apply((xs.length - 1) * 99 / 100)
+  private def batchDirCount(fsys: org.apache.hadoop.fs.FileSystem,
+      root: String, sub: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!fsys.exists(p)) 0
+    else fsys.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+  }
+  private def dirBytes(fsys: org.apache.hadoop.fs.FileSystem,
+      p: String): Long =
+    fsys.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+
   /** `docstreamlong` mode: the runnable pipeline under a LONG batch
     * horizon — the receipt the 8-wave soak cannot give: per-batch cost
     * must be flat in BATCH COUNT, not just corpus size, which is exactly
@@ -680,9 +697,6 @@ object Soak {
           horizonMs, consolidateEvery = consolidateEvery)
         (System.nanoTime() - t) / 1e9
       }
-      def med(xs: Seq[Double]) =
-        if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
-      def p99(xs: Seq[Double]) = xs.sorted.apply((xs.length - 1) * 99 / 100)
       val consSecs = batchSecs.zipWithIndex.collect {
         case (s, i) if consolidateEvery > 0 && i > 0 &&
           i % consolidateEvery == 0 => s }
@@ -693,17 +707,9 @@ object Soak {
         DocumentStream.keptIds(spark, root).select(col("doc_id")),
         DocumentStream.livePairs(spark, root))
       val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
-      def dirCount(sub: String): Int = {
-        val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
-        if (!fsys.exists(p)) 0
-        else fsys.listStatus(p)
-          .count(_.getPath.getName.startsWith("batch="))
-      }
       val dirCounts = Seq("hist", "kept", "pairs", "hw", "bands")
-        .map(s => s""""$s":${dirCount(s)}""").mkString(",")
-      def bytes(p: String): Long =
-        fsys.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
-      println(f"""SOAK {"phase":"docstreamlong","scale":"$tag","docs":$n,"history":$splitId,"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${med(batchSecs)}%.2f,"p99_batch_sec":${p99(batchSecs)}%.2f,"first_third_median":${med(batchSecs.take(third))}%.2f,"last_third_median":${med(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${med(consSecs)}%.2f,"label_diff":$diff,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${bytes(root)},"hist_bytes":${bytes(s"$root/hist")}}""")
+        .map(s => s""""$s":${batchDirCount(fsys, root, s)}""").mkString(",")
+      println(f"""SOAK {"phase":"docstreamlong","scale":"$tag","docs":$n,"history":$splitId,"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${medSec(consSecs)}%.2f,"label_diff":$diff,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${dirBytes(fsys, root)},"hist_bytes":${dirBytes(fsys, s"$root/hist")}}""")
     }
   }
 
@@ -745,15 +751,8 @@ object Soak {
       import spark.implicits._
       val arrivals = arrFrame.as[EmbeddingStream.VecIn]
         .collect().sortBy(_.vec_id)
-      val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
-      val basePairs = Similarity.semanticDedupUnordered(
-        Similarity.assignToCentroids(base, cents0), threshold)
-        .localCheckpoint(true)
-      val baseLabels = Dedup.nearDupClusters(
-        base.select(col("vec_id").as("doc_id")),
-        basePairs.select(col("id_a"), col("id_b")))
-      EmbeddingStream.init(spark, root, base, basePairs, baseLabels,
-        refDelta = arrFrame)
+      EmbeddingStream.initFromCorpus(spark, root, base,
+        refDelta = arrFrame, threshold = threshold)
       val waves = arrivals.grouped(
         math.max(1, arrivals.length / nBatches)).toSeq
       val batchSecs = waves.zipWithIndex.map { case (w, i) =>
@@ -763,9 +762,6 @@ object Soak {
           i.toLong, root, threshold, consolidateEvery = consolidateEvery)
         (System.nanoTime() - t) / 1e9
       }
-      def med(xs: Seq[Double]) =
-        if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
-      def p99(xs: Seq[Double]) = xs.sorted.apply((xs.length - 1) * 99 / 100)
       val consSecs = batchSecs.zipWithIndex.collect {
         case (s, i) if consolidateEvery > 0 && i > 0 &&
           i % consolidateEvery == 0 => s }
@@ -776,17 +772,9 @@ object Soak {
         EmbeddingStream.livePairs(spark, root)
           .select(col("id_a"), col("id_b")))
       val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
-      def dirCount(sub: String): Int = {
-        val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
-        if (!fsys.exists(p)) 0
-        else fsys.listStatus(p)
-          .count(_.getPath.getName.startsWith("batch="))
-      }
       val dirCounts = Seq("vecs", "vhash", "pairs", "gauge")
-        .map(s => s""""$s":${dirCount(s)}""").mkString(",")
-      def bytes(p: String): Long =
-        fsys.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
-      println(f"""SOAK {"phase":"embstreamlong","scale":"$tag","vectors":$n,"base":$splitId,"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${med(batchSecs)}%.2f,"p99_batch_sec":${p99(batchSecs)}%.2f,"first_third_median":${med(batchSecs.take(third))}%.2f,"last_third_median":${med(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${med(consSecs)}%.2f,"label_diff":$diff,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${bytes(root)},"vecs_bytes":${bytes(s"$root/vecs")}}""")
+        .map(s => s""""$s":${batchDirCount(fsys, root, s)}""").mkString(",")
+      println(f"""SOAK {"phase":"embstreamlong","scale":"$tag","vectors":$n,"base":$splitId,"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${medSec(consSecs)}%.2f,"label_diff":$diff,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${dirBytes(fsys, root)},"vecs_bytes":${dirBytes(fsys, s"$root/vecs")}}""")
     }
   }
 
@@ -1195,15 +1183,8 @@ object Soak {
         .collect().sortBy(_.vec_id)
       val root = s"$dir/state"
       val tInit0 = System.nanoTime()
-      val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
-      val basePairs = Similarity.semanticDedupUnordered(
-        Similarity.assignToCentroids(base, cents0), threshold)
-        .localCheckpoint(true)
-      val baseLabels = Dedup.nearDupClusters(
-        base.select(col("vec_id").as("doc_id")),
-        basePairs.select(col("id_a"), col("id_b")))
-      EmbeddingStream.init(spark, root, base, basePairs, baseLabels,
-        refDelta = arrFrame)
+      EmbeddingStream.initFromCorpus(spark, root, base,
+        refDelta = arrFrame, threshold = threshold)
       val initSec = (System.nanoTime() - tInit0) / 1e9
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
@@ -1270,6 +1251,11 @@ object Soak {
       val arrN = arrivals.length.toLong
       val corpusN = splitId + arrN
       val copies = math.max(2L, corpusN / (2L * arrN)).toInt
+      // fresh-id stride for synthetic batches: must exceed the batch
+      // size or consecutive accumulation batches' id ranges overlap and
+      // the same vec_id lands twice in standing state (which would
+      // corrupt the labels == CC invariant at arrN > 1M)
+      val stride = math.max(1000000L, 2L * arrN)
       val bFire = waves.length.toLong + 4L // past any replay ids
       // accumulation batches: shifted half-orthant samples drawn from
       // DISTINCT source vectors (base slices cycled by copy) so the
@@ -1285,7 +1271,7 @@ object Soak {
           if (i == 0) arrFrame
           else base.filter(col("vec_id") >= (i - 1).toLong * arrN &&
             col("vec_id") < i.toLong * arrN)
-        val sb = shifted(src, n + 1000000L * (i + 1)).localCheckpoint(true)
+        val sb = shifted(src, n + stride * (i + 1)).localCheckpoint(true)
         val t = System.nanoTime()
         EmbeddingStream.processBatch(sb, bFire + i, root, threshold)
         if (i == 0) shiftBatchSec = (System.nanoTime() - t) / 1e9
@@ -1302,7 +1288,8 @@ object Soak {
       // same half-orthant mode, byte-DISTINCT from every accumulated
       // batch (the exact tier would drop byte-identical re-sends), and
       // large enough that occupancy is measured, not sampled
-      val shift2 = shifted(arrFrame, n + 900000000L, eps = 1.0001d)
+      val shift2 = shifted(arrFrame, n + stride * (copies + 2L),
+          eps = 1.0001d)
         .localCheckpoint(true)
       val tS2 = System.nanoTime()
       EmbeddingStream.processBatch(shift2, bFire + copies, root, threshold)

@@ -60,14 +60,7 @@ object SparkEntry {
       new org.apache.hadoop.fs.Path(r)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(r), true)
-      val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
-      val basePairs = Similarity.semanticDedupUnordered(
-        Similarity.assignToCentroids(base, cents0), 0.4)
-      val baseLabels = ops.Dedup.nearDupClusters(
-        base.select(col("vec_id").as("doc_id")),
-        basePairs.select(col("id_a"), col("id_b")))
-      EmbeddingStream.init(s, r, base, basePairs, baseLabels,
-        refDelta = d0)
+      EmbeddingStream.initFromCorpus(s, r, base, refDelta = d0)
       def vecs(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
       EmbeddingStream.processBatch(vecs(d0), 0L, r)
       EmbeddingStream.processBatch(vecs(d1), 1L, r)
@@ -1222,6 +1215,15 @@ object SparkEntry {
     // economics can; two integer-ppb signals (batch concentration +
     // index collision rate) vs an in-distribution reference, thresholds
     // calibrated by the bandhealth soak (SCALE.md)
+    "q_dedup_band_health" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val delta = docs.filter(col("doc_id") % 7 === 0)
+      ops.Dedup.bandIndexHealthGauge(s, dir,
+        docs.filter(col("doc_id") % 7 =!= 0),
+        delta.filter(col("doc_id") % 2 === 0),
+        delta.filter(col("doc_id") % 2 =!= 0))
+    }),
+
     // the band-health alert's EXECUTABLE remediation: over-occupied LSH
     // buckets (here a deterministic template flood — every 11th doc's
     // text rewritten to shared boilerplate) are excluded from candidate
@@ -1236,15 +1238,6 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("text",
           when(col("doc_id") % 11 === 0,
             lit(OracleSql.CappedFloodTemplate)).otherwise(col("text"))))),
-
-    "q_dedup_band_health" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val delta = docs.filter(col("doc_id") % 7 === 0)
-      ops.Dedup.bandIndexHealthGauge(s, dir,
-        docs.filter(col("doc_id") % 7 =!= 0),
-        delta.filter(col("doc_id") % 2 === 0),
-        delta.filter(col("doc_id") % 2 =!= 0))
-    }),
 
     // ───────────────────────── text analysis ──
     "q_text_stats" -> ((s, dir) =>

@@ -49,11 +49,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * state write is keyed by batch id and every state read is pinned
   * strictly before the current batch; a replayed batch recomputes
   * against exactly the pre-batch state and overwrites its own
-  * directories with identical rows. EmbeddingStreamSpec kills the query
-  * mid-run, restarts from the checkpoint across a consolidation batch,
-  * and asserts the final pair/label state equals the all-at-once batch
-  * twin ([[ParityCheck.embeddingBatchTwin]] — the SAME definition the
-  * hand-driven gate compares against).
+  * directories with identical rows. The stop/restart-across-a-
+  * consolidation gate is [[ParityCheck.embeddingRestartParity]]
+  * (q_embstream_restart_parity): it kills the query mid-run, restarts
+  * from the checkpoint, and asserts the final pair/label state equals
+  * the all-at-once batch twin ([[ParityCheck.embeddingBatchTwin]] — the
+  * SAME definition the hand-driven gate compares against);
+  * EmbeddingStreamSpec drives [[processBatch]] directly for the
+  * tier-level contracts (exact-tier drops, consolidation equivalence,
+  * epoch determinism, retire, the fully-duplicate no-op batch).
   *
   * State layout under `root` (each `batch=<id>` directory overwrite-
   * idempotent; the standing corpus initializes as `batch=-1` via
@@ -150,6 +154,31 @@ object EmbeddingStream {
       .write.mode("overwrite").parquet(s"$root/gref/epoch=0")
     import spark.implicits._
     BatchState.write(Seq(0).toDF("epoch"), root, "epoch", -1L)
+  }
+
+  /** [[init]] with the standing corpus's own artifacts DERIVED here —
+    * the bootstrap every gate/soak/registration shares (one definition,
+    * so a change to init's contract cannot silently diverge a gate from
+    * the pipeline it gates): epoch-0 centroids train on `baseEmb`
+    * (deterministic — same rows, same centroids as any other train on
+    * them), the base pair table is the cluster-local self-join under
+    * those centroids, and the base labeling is its connected
+    * components. A production deployment with PRE-built artifacts calls
+    * [[init]] directly. */
+  def initFromCorpus(spark: SparkSession, root: String, baseEmb: DataFrame,
+      refDelta: DataFrame, threshold: Double = 0.4, nCentroids: Int = 32,
+      lloydIters: Int = 2): Unit = {
+    val cents0 = graft.ops.Similarity
+      .trainCentroids(baseEmb, nCentroids, lloydIters)
+      .localCheckpoint(true, memDisk)
+    val basePairs = graft.ops.Similarity.semanticDedupUnordered(
+        graft.ops.Similarity.assignToCentroids(baseEmb, cents0), threshold)
+      .localCheckpoint(true, memDisk)
+    val baseLabels = graft.ops.Dedup.nearDupClusters(
+      baseEmb.select(col("vec_id").as("doc_id")),
+      basePairs.select(col("id_a"), col("id_b")))
+    init(spark, root, baseEmb, basePairs, baseLabels, refDelta,
+      nCentroids, lloydIters)
   }
 
   /** Consolidate every committed state surface below `upToBatch` — the

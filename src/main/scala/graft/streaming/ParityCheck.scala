@@ -791,22 +791,12 @@ object ParityCheck {
     val fsys = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(root), true)
-    // the standing corpus's own pair table + labeling, under the same
-    // deterministic centroids init will train (train-once determinism:
-    // same base rows → same centroids)
-    val cents0 = Similarity.trainCentroids(baseEmb).localCheckpoint(true)
-    val basePairs = Similarity.semanticDedupUnordered(
-        Similarity.assignToCentroids(baseEmb, cents0), threshold)
-      .localCheckpoint(true)
-    val baseLabels = Dedup.nearDupClusters(
-      baseEmb.select(col("vec_id").as("doc_id")),
-      basePairs.select(col("id_a"), col("id_b")))
     // gauge reference: the earliest arrival slice (held-out,
     // in-distribution — parity doesn't depend on it, the health rows do)
     val refHi = splitId + math.max(1L, (maxId + 1L - splitId) / nBatches)
-    EmbeddingStream.init(spark, s"$root/state", baseEmb, basePairs,
-      baseLabels,
-      emb.filter(col("vec_id") >= splitId && col("vec_id") < refHi))
+    EmbeddingStream.initFromCorpus(spark, s"$root/state", baseEmb,
+      emb.filter(col("vec_id") >= splitId && col("vec_id") < refHi),
+      threshold)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime

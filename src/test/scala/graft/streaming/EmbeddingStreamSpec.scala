@@ -33,15 +33,10 @@ class EmbeddingStreamSpec extends AnyFunSuite {
     val splitId = (maxId + 1L) * 3L / 5L
     val base = emb.filter(col("vec_id") < splitId)
     val root = freshRoot(name)
-    val cents0 = Similarity.trainCentroids(base).localCheckpoint(true)
-    val basePairs = Similarity.semanticDedupUnordered(
-      Similarity.assignToCentroids(base, cents0), threshold)
-    val baseLabels = Dedup.nearDupClusters(
-      base.select(col("vec_id").as("doc_id")),
-      basePairs.select(col("id_a"), col("id_b")))
-    EmbeddingStream.init(spark, root, base, basePairs, baseLabels,
-      refDelta = emb.filter(col("vec_id") >= splitId))
-    (root, emb, splitId, cents0)
+    EmbeddingStream.initFromCorpus(spark, root, base,
+      refDelta = emb.filter(col("vec_id") >= splitId), threshold)
+    // twins compare under the PIPELINE's own epoch-0 centroids
+    (root, emb, splitId, spark.read.parquet(s"$root/cents/epoch=0"))
   }
 
   private def setEqual(a: org.apache.spark.sql.DataFrame,
