@@ -713,6 +713,55 @@ object Soak {
     }
   }
 
+  /** `capflood` mode: the hot-bucket cap's SCALE receipt
+    * ([[graft.ops.Dedup.minHashPairsCapped]] vs the plain operator under
+    * a growing template flood). A TRUE-growth corpus has every 11th
+    * document's text rewritten to shared boilerplate, so the flood's
+    * band buckets hold n/11 members each: the UNCAPPED pair join pays
+    * (n/11)² collisions per flood bucket (candidate count quadratic in
+    * corpus size at FIXED flood fraction — the skew a single hot key
+    * imposes corpus-wide), while the capped operator's occupancy prune
+    * drops those buckets entirely, bounding the worst join key at the
+    * cap. Printed per scale: raw band-collision legs and distinct
+    * verified pairs for both operators, and wall time — the uncapped
+    * slope must be quadratic in the flood count, the capped one flat in
+    * it (organic work only). Answers: capped ⊆ uncapped asserted before
+    * timing is trusted. */
+  def capFloodSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, cap: Int = 16): Unit = {
+    import graft.ops.Dedup
+    val template = graft.OracleSql.CappedFloodTemplate
+    val nBase = Tables.documents(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/capflood_$tag"
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      trueGrowthDocuments(spark, baseDir, n)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          lit(template)).otherwise(col("text")))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val flood = n / 11 + (if (n % 11 > 0) 1 else 0)
+      def run(f: () => org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val t = System.nanoTime()
+        val c = f().count()
+        (c, (System.nanoTime() - t) / 1e9)
+      }
+      val (uncapped, uncappedSec) = run(() => Dedup.minHashPairs(docs))
+      val (capped, cappedSec) = run(() =>
+        Dedup.minHashPairsCapped(docs, cap = cap))
+      // subset invariant before timing is trusted
+      val diff = Dedup.minHashPairsCapped(docs, cap = cap)
+        .select(col("id_a"), col("id_b"))
+        .exceptAll(Dedup.minHashPairs(docs).select(col("id_a"), col("id_b")))
+        .count()
+      require(diff == 0L, s"capped must be a subset of uncapped: $diff")
+      println(f"""SOAK {"phase":"capflood","scale":"$tag","docs":$n,"flood_docs":$flood,"cap":$cap,"uncapped_pairs":$uncapped,"uncapped_sec":$uncappedSec%.2f,"capped_pairs":$capped,"capped_sec":$cappedSec%.2f,"flood_pairs_expected":${flood * (flood - 1) / 2}}""")
+    }
+  }
+
   /** `embstreamlong` mode: [[docStreamLongSoak]]'s batch-count-flatness
     * receipt on the VECTOR tier — the fold machinery is the shared
     * [[graft.streaming.BatchState]], but the folded bytes differ (the
@@ -1660,6 +1709,11 @@ object Soak {
     }
     if (args.lift(3).contains("docstream")) {
       docStreamSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("capflood")) {
+      capFloodSoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }
