@@ -211,12 +211,22 @@ object OracleSql {
        |cn AS (SELECT COUNT(*) AS hits FROM newb a
        |       JOIN idx b ON a.b2 = b.b2 AND a.slice = b.slice)
        |SELECT nr.n AS n_ref, nn.n AS n_new,
-       |  CAST(tr.mx * 1000000000 // nr.n AS BIGINT) AS ref_top_share_ppb,
-       |  CAST(tn.mx * 1000000000 // nn.n AS BIGINT) AS new_top_share_ppb,
-       |  CAST(cr.hits * 1000000000 // nr.n AS BIGINT) AS ref_cand_ppb,
-       |  CAST(cn.hits * 1000000000 // nn.n AS BIGINT) AS new_cand_ppb,
-       |  (tn.mx * 1000000000 // nn.n > $alertSharePpb
-       |    OR cn.hits * 1000000000 // nn.n > $alertCandPpb) AS alert
+       |  CAST(CASE WHEN nr.n = 0 THEN NULL
+       |       ELSE tr.mx * 1000000000 // nr.n END AS BIGINT)
+       |    AS ref_top_share_ppb,
+       |  CAST(CASE WHEN nn.n = 0 THEN NULL
+       |       ELSE tn.mx * 1000000000 // nn.n END AS BIGINT)
+       |    AS new_top_share_ppb,
+       |  CAST(CASE WHEN nr.n = 0 THEN NULL
+       |       ELSE cr.hits * 1000000000 // nr.n END AS BIGINT)
+       |    AS ref_cand_ppb,
+       |  CAST(CASE WHEN nn.n = 0 THEN NULL
+       |       ELSE cn.hits * 1000000000 // nn.n END AS BIGINT)
+       |    AS new_cand_ppb,
+       |  COALESCE(CASE WHEN nn.n = 0 THEN NULL
+       |    ELSE (tn.mx * 1000000000 // nn.n > $alertSharePpb
+       |      OR cn.hits * 1000000000 // nn.n > $alertCandPpb) END, FALSE)
+       |    AS alert
        |FROM nr, nn, tr, tn, cr, cn""".stripMargin
 
   /** Full pair query for [[graft.ops.Dedup.simHashPairs]]: bit-vote SimHash
@@ -660,13 +670,23 @@ object OracleSql {
        |tn AS (SELECT MAX(c) AS mx FROM (
        |         SELECT COUNT(*) AS c FROM fit WHERE $newP GROUP BY cluster))
        |SELECT fr.n AS n_ref, fn.n AS n_new,
-       |  CAST(fr.s // fr.n AS BIGINT) AS ref_fit_ppb,
-       |  CAST(fn.s // fn.n AS BIGINT) AS new_fit_ppb,
-       |  CAST(fr.s // fr.n - fn.s // fn.n AS BIGINT) AS drift_ppb,
-       |  CAST(tr.mx * 1000000000 // fr.n AS BIGINT) AS ref_top_share_ppb,
-       |  CAST(tn.mx * 1000000000 // fn.n AS BIGINT) AS new_top_share_ppb,
-       |  ((fr.s // fr.n - fn.s // fn.n) > $retrainPpb
-       |    OR tn.mx * 1000000000 // fn.n > $collapsePpb) AS retrain
+       |  CAST(CASE WHEN fr.n = 0 THEN NULL ELSE fr.s // fr.n END AS BIGINT)
+       |    AS ref_fit_ppb,
+       |  CAST(CASE WHEN fn.n = 0 THEN NULL ELSE fn.s // fn.n END AS BIGINT)
+       |    AS new_fit_ppb,
+       |  CAST(CASE WHEN fr.n = 0 OR fn.n = 0 THEN NULL
+       |       ELSE fr.s // fr.n - fn.s // fn.n END AS BIGINT) AS drift_ppb,
+       |  CAST(CASE WHEN fr.n = 0 THEN NULL
+       |       ELSE tr.mx * 1000000000 // fr.n END AS BIGINT)
+       |    AS ref_top_share_ppb,
+       |  CAST(CASE WHEN fn.n = 0 THEN NULL
+       |       ELSE tn.mx * 1000000000 // fn.n END AS BIGINT)
+       |    AS new_top_share_ppb,
+       |  (COALESCE(CASE WHEN fr.n = 0 OR fn.n = 0 THEN NULL
+       |      ELSE (fr.s // fr.n - fn.s // fn.n) > $retrainPpb END, FALSE)
+       |    OR COALESCE(CASE WHEN fn.n = 0 THEN NULL
+       |      ELSE tn.mx * 1000000000 // fn.n > $collapsePpb END, FALSE))
+       |    AS retrain
        |FROM fr, fn, tr, tn""".stripMargin
   }
 
@@ -772,13 +792,23 @@ object OracleSql {
        |         SELECT COUNT(*) AS c FROM fit
        |         WHERE vec_id % 2 <> 0 GROUP BY cluster))
        |SELECT fr.n AS n_ref, fn.n AS n_new,
-       |  CAST(fr.s // fr.n AS BIGINT) AS ref_fit_ppb,
-       |  CAST(fn.s // fn.n AS BIGINT) AS new_fit_ppb,
-       |  CAST(fr.s // fr.n - fn.s // fn.n AS BIGINT) AS drift_ppb,
-       |  CAST(tr.mx * 1000000000 // fr.n AS BIGINT) AS ref_top_share_ppb,
-       |  CAST(tn.mx * 1000000000 // fn.n AS BIGINT) AS new_top_share_ppb,
-       |  ((fr.s // fr.n - fn.s // fn.n) > $retrainPpb
-       |    OR tn.mx * 1000000000 // fn.n > $collapsePpb) AS retrain
+       |  CAST(CASE WHEN fr.n = 0 THEN NULL ELSE fr.s // fr.n END AS BIGINT)
+       |    AS ref_fit_ppb,
+       |  CAST(CASE WHEN fn.n = 0 THEN NULL ELSE fn.s // fn.n END AS BIGINT)
+       |    AS new_fit_ppb,
+       |  CAST(CASE WHEN fr.n = 0 OR fn.n = 0 THEN NULL
+       |       ELSE fr.s // fr.n - fn.s // fn.n END AS BIGINT) AS drift_ppb,
+       |  CAST(CASE WHEN fr.n = 0 THEN NULL
+       |       ELSE tr.mx * 1000000000 // fr.n END AS BIGINT)
+       |    AS ref_top_share_ppb,
+       |  CAST(CASE WHEN fn.n = 0 THEN NULL
+       |       ELSE tn.mx * 1000000000 // fn.n END AS BIGINT)
+       |    AS new_top_share_ppb,
+       |  (COALESCE(CASE WHEN fr.n = 0 OR fn.n = 0 THEN NULL
+       |      ELSE (fr.s // fr.n - fn.s // fn.n) > $retrainPpb END, FALSE)
+       |    OR COALESCE(CASE WHEN fn.n = 0 THEN NULL
+       |      ELSE tn.mx * 1000000000 // fn.n > $collapsePpb END, FALSE))
+       |    AS retrain
        |FROM fr, fn, tr, tn""".stripMargin
   }
 

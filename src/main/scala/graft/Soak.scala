@@ -625,6 +625,17 @@ object Soak {
     }
   }
 
+  /** Median of 5 timed runs after one untimed warm-up (the warm-up
+    * builds persisted tables on first touch) — the serve-cost protocol
+    * the rewrite receipts share. */
+  private def med5(f: => Unit): Double = {
+    f
+    val xs = (1 to 5).map { _ =>
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    xs.sorted.apply(2)
+  }
+
   // shared long-horizon measurement helpers (docstreamlong +
   // embstreamlong MUST report through identical formulas — a fix to one
   // slope receipt's math must not silently diverge from the other's)
@@ -901,13 +912,6 @@ object Soak {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      def med5(f: => Unit): Double = {
-        f // warm (builds persisted tables on first touch)
-        val xs = (1 to 5).map { _ =>
-          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
-        }
-        xs.sorted.apply(2)
-      }
       val baseSec = med5(
         graft.ops.Search.bm25TopKIndexed(spark, dir, docs, terms).collect())
       val antijoin = Seq(11L, 3L, 2L).map { m =>
@@ -956,13 +960,6 @@ object Soak {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val base = docs.filter(col("doc_id") % 7 =!= 0)
       val delta = docs.filter(col("doc_id") % 7 === 0)
-      def med5(f: => Unit): Double = {
-        f // warm (builds the persisted _base index on first touch)
-        val xs = (1 to 5).map { _ =>
-          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
-        }
-        xs.sorted.apply(2)
-      }
       val baseSec = med5(graft.ops.Dedup
         .minHashPairsIncremental(spark, dir, base, delta).collect())
       val antijoin = Seq(11L, 3L, 2L).map { m =>

@@ -41,6 +41,19 @@ object SparkEntry {
       shift(arr.filter(col("vec_id") % 3 === 2)))
   }
 
+  /** Decoded 128-bit pHash fingerprints of a document slice — the ONE
+    * definition all three image-tier incremental/retire/rewrite rows
+    * band-join through (they share the closed-form texture oracle, so a
+    * drifted copy would silently diverge a row from its twins). */
+  private def pHashFrame(s: SparkSession,
+      d: DataFrame): DataFrame = {
+    import s.implicits._
+    Multimodal.pHashes(Multimodal.imagePngMedia(s, d))
+      .filter(_.decoded).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1"))
+  }
+
   /** The runnable vector pipeline's epoch-handoff lifecycle, built ONCE
     * per JVM (ManagedTable.once — a standing pipeline's state is built
     * once, then SERVED): init on the base corpus → d0 arrives → the
@@ -1651,17 +1664,12 @@ object SparkEntry {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val isDelta = col("doc_id") % 21 === 1
-      def hashes(d: org.apache.spark.sql.DataFrame) =
-        Multimodal.pHashes(Multimodal.imagePngMedia(s, d))
-          .filter(_.decoded).toDF()
-          .select(col("media_id").as("doc_id"),
-            col("ph0").as("sh0"), col("ph1").as("sh1"))
       val idx = graft.sources.ManagedTable.persisted(s,
         "phash_index_base_" + graft.sources.ManagedTable.tag(dir))(
-        hashes(docs.filter(!isDelta)))
+        pHashFrame(s, docs.filter(!isDelta)))
       // snapshot: the delta fingerprints feed the between-join AND the
       // delta self-join; without it the delta decodes twice
-      val deltaH = hashes(docs.filter(isDelta)).localCheckpoint(true,
+      val deltaH = pHashFrame(s, docs.filter(isDelta)).localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // both legs stay UNSORTED; one presentation sort over the union
       Dedup.hammingPairs128Between(deltaH, idx, 3)
@@ -1678,17 +1686,12 @@ object SparkEntry {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val isDelta = col("doc_id") % 21 === 1
-      def hashes(d: org.apache.spark.sql.DataFrame) =
-        Multimodal.pHashes(Multimodal.imagePngMedia(s, d))
-          .filter(_.decoded).toDF()
-          .select(col("media_id").as("doc_id"),
-            col("ph0").as("sh0"), col("ph1").as("sh1"))
       val idx = graft.sources.ManagedTable.persisted(s,
         "phash_index_base_" + graft.sources.ManagedTable.tag(dir))(
-        hashes(docs.filter(!isDelta)))
+        pHashFrame(s, docs.filter(!isDelta)))
       val expired = docs.filter(!isDelta && col("doc_id") % 11 === 0)
         .select(col("doc_id"))
-      val deltaH = hashes(docs.filter(isDelta)).localCheckpoint(true,
+      val deltaH = pHashFrame(s, docs.filter(isDelta)).localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.hammingPairs128Between(deltaH,
         Dedup.expireRows(idx, "doc_id", expired), 3)
@@ -1708,21 +1711,16 @@ object SparkEntry {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val isDelta = col("doc_id") % 21 === 1
-      def hashes(d: org.apache.spark.sql.DataFrame) =
-        Multimodal.pHashes(Multimodal.imagePngMedia(s, d))
-          .filter(_.decoded).toDF()
-          .select(col("media_id").as("doc_id"),
-            col("ph0").as("sh0"), col("ph1").as("sh1"))
       val name = "phash_index_rwret_" + graft.sources.ManagedTable.tag(dir)
       graft.sources.ManagedTable.once(
           s"${s.sparkContext.applicationId}/phash_rwret/$dir") {
         graft.sources.ManagedTable.persisted(s, name)(
-          hashes(docs.filter(!isDelta)))
+          pHashFrame(s, docs.filter(!isDelta)))
         graft.sources.ManagedTable.rewriteExpired(s, name, "doc_id",
           docs.filter(!isDelta && col("doc_id") % 11 === 0)
             .select(col("doc_id")))
       }
-      val deltaH = hashes(docs.filter(isDelta)).localCheckpoint(true,
+      val deltaH = pHashFrame(s, docs.filter(isDelta)).localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.hammingPairs128Between(deltaH, s.table(name), 3)
         .unionByName(Dedup.hammingPairs128Unordered(deltaH, 3))

@@ -255,7 +255,8 @@ object Dedup {
       expiredIds: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    graft.sources.ManagedTable.once(
+    val fp = graft.sources.ManagedTable.idSetFingerprint(expiredIds, "doc_id")
+    val builtFp = graft.sources.ManagedTable.once(
         s"$appId/minhash_rwret/$dir/${n}_${k}_$bands") {
       val tag = graft.sources.ManagedTable.tag(dir)
       // build the dedicated copies (memoized persisted builders), then
@@ -269,7 +270,10 @@ object Dedup {
       graft.sources.ManagedTable.rewriteExpired(spark,
         s"minhash_doctext_rwret_$tag", "doc_id",
         expiredIds, partitionCol = Some("shard"))
+      fp
     }
+    graft.sources.ManagedTable.requireSameExpiry(builtFp, fp,
+      s"the _rwret MinHash index for $dir")
     // the persisted builders are memoized per (app, table), so this read
     // path picks up the REWRITTEN tables without rebuilding them
     minHashPairsIncremental(spark, dir, baseDocs, deltaDocs, n, k, bands,

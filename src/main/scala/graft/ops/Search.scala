@@ -255,20 +255,27 @@ object Search {
       terms: Seq[String], k: Int = 50,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    val (pName, dName) = graft.sources.ManagedTable.once(
+    val fp = graft.sources.ManagedTable.idSetFingerprint(expiredIds, "doc_id")
+    val (pName, dName, builtFp) = graft.sources.ManagedTable.once(
         s"$appId/bm25_index_rwret/$dir") {
       val tag = graft.sources.ManagedTable.tag(dir)
       val p = s"bm25_postings_rwret_$tag"
       val d = s"bm25_doclen_rwret_$tag"
-      val (postings, doclen) = indexFrames(documents)
+      // the copy sources from the PERSISTED base index, not a corpus
+      // re-tokenize: the base tables are deterministic products of the
+      // same corpus (built here if absent, amortized across families),
+      // so the _rwret copy is a narrow table-to-table write
+      val (postings, doclen) = invertedIndexPersisted(spark, dir, documents)
       graft.sources.ManagedTable.write(postings, p, partitionCol = Some("shard"))
       graft.sources.ManagedTable.write(doclen, d)
       graft.sources.ManagedTable.rewriteExpired(spark, p, "doc_id",
         expiredIds, partitionCol = Some("shard"))
       graft.sources.ManagedTable.rewriteExpired(spark, d, "doc_id",
         expiredIds)
-      (p, d)
+      (p, d, fp)
     }
+    graft.sources.ManagedTable.requireSameExpiry(builtFp, fp,
+      s"the _rwret BM25 index for $dir")
     bm25Serve(spark, spark.table(pName), spark.table(dName), terms, k, k1, b)
   }
 

@@ -830,13 +830,17 @@ object Similarity {
       expiredIds: DataFrame, nCentroids: Int = 32,
       lloydIters: Int = 2): DataFrame = {
     val appId = spark.sparkContext.applicationId
-    graft.sources.ManagedTable.once(
+    val fp = graft.sources.ManagedTable.idSetFingerprint(expiredIds, "vec_id")
+    val builtFp = graft.sources.ManagedTable.once(
         s"$appId/ivf_rwret/$dir/${nCentroids}_$lloydIters") {
       val (_, aName) = ivfIndexTableNames(spark, dir, baseEmb,
         nCentroids, lloydIters, "_rwret")
       graft.sources.ManagedTable.rewriteExpired(spark, aName, "vec_id",
         expiredIds, partitionCol = Some("cluster"))
+      fp
     }
+    graft.sources.ManagedTable.requireSameExpiry(builtFp, fp,
+      s"the _rwret IVF assignment for $dir")
     semanticDedupPairsIncremental(spark, dir, baseEmb, deltaEmb, threshold,
       nCentroids, lloydIters, expiredIds = None, suffix = "_rwret")
   }

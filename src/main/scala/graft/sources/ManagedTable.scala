@@ -94,6 +94,34 @@ object ManagedTable {
     * operational contract as any compaction: run between queries (the
     * reference's TTL is likewise a maintenance-window merge), and
     * re-running with the same expiry is an idempotent no-op rewrite. */
+  /** Cheap order-independent identity of an id set — what the `_rwret`
+    * maintenance builders pin their memoized rewrite to: the physical
+    * table copy is pruned of ONE specific expired set, so a later call
+    * in the same JVM with a DIFFERENT set must fail loudly instead of
+    * silently serving the first call's survivors (the once key alone
+    * cannot distinguish them, and re-running the rewrite on the
+    * already-pruned copy would compound the two sets). Count + summed
+    * per-id hash over the distinct ids (XOR-folded — order-independent
+    * and overflow-free under ANSI, where a BIGINT sum of 64-bit hashes
+    * throws) — collision odds are the 64-bit birthday bound, and a
+    * collision needs the COUNTS equal too. */
+  def idSetFingerprint(expiredIds: DataFrame, idCol: String): String = {
+    import org.apache.spark.sql.functions._
+    val r = expiredIds.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col(idCol))), lit(0L)).as("h")).head()
+    s"${r.getLong(0)}_${r.getLong(1)}"
+  }
+
+  /** Assert a memoized maintenance rewrite was built for THIS expired
+    * set ([[idSetFingerprint]]) — the fail-loud half of the `_rwret`
+    * contract. */
+  def requireSameExpiry(builtFp: String, fp: String, what: String): Unit =
+    require(builtFp == fp,
+      s"$what was already rewritten in this JVM for a DIFFERENT expired " +
+      s"set (built $builtFp, requested $fp); a physical rewrite is " +
+      "per-expiry-set — use a separate dir, or restart the app")
+
   def rewriteExpired(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, expiredIds: DataFrame,
       partitionCol: Option[String] = None): Unit = {

@@ -93,8 +93,13 @@ private[streaming] object BatchState {
     val dirs = batchDirs(spark, root, sub, upTo)
       .filter(_.split("batch=").last.toLong >= floor)
     // nothing to fold (a replayed consolidation batch, or an idle sub):
-    // leave the folded directory alone
-    if (dirs.isEmpty || dirs.toSet == Set(s"$root/$sub/batch=$target")) return
+    // leave the folded directory alone. Compare by directory ID —
+    // batchDirs returns filesystem-qualified paths (file:/abs/...), so a
+    // raw-string comparison against the caller's (possibly relative)
+    // root never matches and the no-op guard would be dead code: every
+    // replayed intoBase fold would physically rewrite the standing base
+    val dirIds = dirs.map(_.split("batch=").last.toLong)
+    if (dirs.isEmpty || dirIds == Seq(target)) return
     val stage = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage")
     xform(spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -107,10 +112,17 @@ private[streaming] object BatchState {
       val s = f.create(new org.apache.hadoop.fs.Path(stage, "_unit_lo"), true)
       s.writeLong(lo); s.close()
     }
+    // marker published ATOMICALLY (temp + rename): a torn marker file
+    // (crash between create and close) would otherwise wedge recovery —
+    // recoverFold's readLong on a short file throws, and it runs before
+    // every subsequent fold AND retire, so the state could neither
+    // complete nor abort without manual surgery
     val marker = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit")
-    val out = f.create(marker, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit.tmp")
+    val out = f.create(tmp, true)
     out.writeLong(upTo); out.writeLong(lo); out.writeBoolean(intoBase)
     out.close()
+    f.rename(tmp, marker)
     completeFold(spark, root, sub, lo, upTo, intoBase)
   }
 
@@ -131,20 +143,36 @@ private[streaming] object BatchState {
     * means the staged union is the committed truth (finish the swap); a
     * stage without a marker is an uncommitted write (drop it). State
     * reads only ever list `batch=*` directories, so both intermediate
-    * shapes are invisible to them. */
+    * shapes are invisible to them.
+    *
+    * The marker is rename-published, so an UNREADABLE marker should not
+    * occur — but defense in depth: if one is found (pre-fix torn write,
+    * filesystem without atomic rename), it is treated as ABSENT and the
+    * stage aborted, which is always safe — sources are only deleted
+    * AFTER a complete marker lands, so an unreadable marker implies the
+    * sources are intact and the fold simply re-runs. */
   def recoverFold(spark: SparkSession, root: String, sub: String): Unit = {
     val f = fs(spark, root)
     val marker = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit")
     val stage = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit.tmp")
+    if (f.exists(tmp)) f.delete(tmp, false) // never-published marker
     if (f.exists(marker)) {
-      if (f.exists(stage)) {
-        val in = f.open(marker)
-        val upTo = in.readLong()
-        val lo = in.readLong()
-        val intoBase = in.readBoolean()
-        in.close()
-        completeFold(spark, root, sub, lo, upTo, intoBase)
-      } else f.delete(marker, false) // swap done; only the marker remained
+      val parsed =
+        try {
+          val in = f.open(marker)
+          try Some((in.readLong(), in.readLong(), in.readBoolean()))
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed match {
+        case Some((upTo, lo, intoBase)) if f.exists(stage) =>
+          completeFold(spark, root, sub, lo, upTo, intoBase)
+        case Some(_) =>
+          f.delete(marker, false) // swap done; only the marker remained
+        case None => // torn marker: abort — sources are still intact
+          f.delete(marker, false)
+          if (f.exists(stage)) f.delete(stage, true)
+      }
     } else if (f.exists(stage)) f.delete(stage, true)
   }
 
@@ -207,6 +235,23 @@ private[streaming] object BatchState {
       .map(_.split("batch=").last.toLong).filter(_ >= 0).sorted
     val ids = listIds()
     if (ids.isEmpty) return
+    val los0 = ids.flatMap(id => unitLo(f, root, sub, id).map(id -> _)).toMap
+    // RE-ADOPT units demoted by a crashed in-place rewrite (retire /
+    // epoch reassignment overwrites a unit directory, then re-writes its
+    // sidecar — a crash between the two loses it). A sidecar-less
+    // directory BELOW the newest unit can never be a raw batch (raws
+    // only ever sit above every unit), and units exactly partition the
+    // id axis, so its lo is one past the next lower directory — an
+    // unadopted orphan would be excluded from every future fold and
+    // silently break the directory-count ladder bound for the rest of
+    // the state's life.
+    val newestUnit = los0.keys.foldLeft(-1L)(math.max)
+    ids.filterNot(los0.contains).filter(_ < newestUnit).foreach { r =>
+      val lo = ids.filter(_ < r).foldLeft(-1L)(math.max) + 1L
+      val s = f.create(
+        new org.apache.hadoop.fs.Path(s"$root/$sub/batch=$r/_unit_lo"), true)
+      s.writeLong(lo); s.close()
+    }
     val los = ids.flatMap(id => unitLo(f, root, sub, id).map(id -> _)).toMap
     val rawIds = ids.filterNot(los.contains)
     if (rawIds.nonEmpty) {

@@ -114,6 +114,61 @@ class BatchStateSpec extends AnyFunSuite {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/s/_stage_commit")))
   }
 
+  test("a TORN commit marker aborts cleanly instead of wedging recovery") {
+    val root = freshRoot("torn")
+    (0L to 2L).foreach(b => writeBatch(root, b, 0 until 2))
+    val all = rowsOf(root, Long.MaxValue)
+    val f = BatchState.fs(spark, root)
+    // simulate a crash mid-marker-write (pre-atomic-publish shape, or a
+    // filesystem without atomic rename): empty marker + complete stage
+    BatchState.state(spark, root, "s", 3L, Schema)
+      .write.parquet(s"$root/s/_stage")
+    f.create(new org.apache.hadoop.fs.Path(s"$root/s/_stage_commit"), true)
+      .close() // zero bytes — readLong would throw
+    BatchState.recoverFold(spark, root, "s")
+    // aborted: both shapes gone, sources intact — and recovery is
+    // callable again (not wedged)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/s/_stage")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/s/_stage_commit")))
+    assert(rowsOf(root, Long.MaxValue) === all)
+    assert(dirIds(root) === Seq(0L, 1L, 2L))
+    BatchState.recoverFold(spark, root, "s") // no-op
+    assert(dirIds(root) === Seq(0L, 1L, 2L))
+  }
+
+  test("a unit demoted by a crashed in-place rewrite (lost sidecar) is " +
+      "re-adopted by the next fold, not orphaned forever") {
+    val root = freshRoot("orphan")
+    // build two units: [0..3] and [4..5]
+    (0L to 3L).foreach(b => writeBatch(root, b, 0 until 2))
+    BatchState.tieredFold(spark, root, "s", 4L, Schema, identity)
+    (4L to 5L).foreach(b => writeBatch(root, b, 0 until 2))
+    BatchState.tieredFold(spark, root, "s", 6L, Schema, identity)
+    val f = BatchState.fs(spark, root)
+    val units = dirIds(root).filter(id =>
+      BatchState.unitLo(f, root, "s", id).isDefined)
+    assert(units.length >= 2, s"need two units, got $units")
+    val older = units.head
+    val origLo = BatchState.unitLo(f, root, "s", older).get
+    // crash window: the rewrite overwrote the directory (sidecar gone)
+    // before re-writing it
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$root/s/batch=$older/_unit_lo"), false)
+    assert(BatchState.unitLo(f, root, "s", older).isEmpty)
+    val all = rowsOf(root, Long.MaxValue)
+    BatchState.tieredFold(spark, root, "s", 6L, Schema, identity)
+    // re-adopted with its exact original span (units partition the id
+    // axis), rows preserved, and the fold cascade still proceeds
+    val adopted = dirIds(root).filter(id =>
+      BatchState.unitLo(f, root, "s", id).isDefined)
+    assert(adopted.nonEmpty)
+    assert(rowsOf(root, Long.MaxValue) === all)
+    val stillThere = dirIds(root).find(_ == older)
+    stillThere.foreach { id =>
+      assert(BatchState.unitLo(f, root, "s", id) === Some(origLo))
+    }
+  }
+
   test("rewriteDirPreservingUnit keeps the unit sidecar through an " +
       "in-place rewrite (a lost sidecar would demote the unit to raw)") {
     val root = freshRoot("sidecar")
