@@ -888,6 +888,174 @@ object OracleSql {
        |WHERE id_a % $deltaMod = 0 OR id_b % $deltaMod = 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared CTE prefix of the CAPPED runnable-pipeline rows
+    * (q_docstream_capped_parity / q_docstream_gauge): the flood rewrite
+    * (every `floodMod`-th ARRIVAL re-sends the corpus-minimum document —
+    * byte-identical duplicate traffic), the full MinHash chain over the
+    * rewritten corpus, and the history/arrival slices. */
+  private def cappedPipelineBase(bands: Int, floodMod: Long): String =
+    s"""hh AS (
+       |  SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+       |docs_sub AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id >= (SELECT h FROM hh) AND doc_id % $floodMod = 0
+       |         THEN (SELECT text FROM documents
+       |               WHERE doc_id = (SELECT MIN(doc_id) FROM documents))
+       |         ELSE text END AS text
+       |  FROM documents),
+       |${minhashChain("docs_sub", bands)},
+       |hist AS (SELECT doc_id, text FROM docs_sub
+       |         WHERE doc_id < (SELECT h FROM hh)),
+       |arr AS (SELECT doc_id, text FROM docs_sub
+       |        WHERE doc_id >= (SELECT h FROM hh)),
+       |arrb AS (SELECT doc_id, b2, slice FROM banded
+       |         WHERE doc_id >= (SELECT h FROM hh)),
+       |kept_arr AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM arr
+       |  WHERE text NOT IN (SELECT text FROM hist)
+       |  GROUP BY text)""".stripMargin
+
+  private def jaccardExpr: String =
+    "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) " +
+      "/ (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+
+  /** Replica of [[graft.streaming.ParityCheck.cappedRestartParity]]:
+    * the GLOBAL-occupancy capped arrival pair set (bucket count over all
+    * arrival band rows > cap → excluded — equal to the per-wave capped
+    * stream under the fixture margins documented at
+    * [[graft.streaming.ParityCheck.CappedFloodMod]]) composed with the
+    * live tiers' horizon / kept-endpoint / exact-verify restrictions,
+    * plus the recursive label closure. `n_hot_batches` restates the
+    * ledger's cap-intervention count as the wave count — the flood is in
+    * every wave by construction. */
+  def cappedPipelineParitySql(bands: Int = 16, threshold: Double = 0.5,
+      cap: Int = 12, floodMod: Long = 3L, horizonIdDist: Long = 60L,
+      nBatches: Long = 4L): String =
+    s"""WITH RECURSIVE ${cappedPipelineBase(bands, floodMod)},
+       |hot AS (SELECT b2, slice FROM arrb GROUP BY b2, slice
+       |        HAVING COUNT(*) > $cap),
+       |cool AS (SELECT b.doc_id, b.b2, b.slice FROM arrb b
+       |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                           WHERE h.b2 = b.b2 AND h.slice = b.slice)),
+       |kept AS (SELECT doc_id FROM hist
+       |         UNION ALL SELECT doc_id FROM kept_arr),
+       |candc AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cool a JOIN cool b
+       |    ON a.b2 = b.b2 AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |  WHERE abs(a.doc_id - b.doc_id) <= $horizonIdDist
+       |    AND a.doc_id IN (SELECT doc_id FROM kept_arr)
+       |    AND b.doc_id IN (SELECT doc_id FROM kept_arr)),
+       |livep AS (
+       |  SELECT c.id_a, c.id_b FROM candc c
+       |  JOIN shingled sa ON c.id_a = sa.doc_id
+       |  JOIN shingled sb ON c.id_b = sb.doc_id
+       |  WHERE $jaccardExpr >= $threshold),
+       |histp AS (
+       |  SELECT cand.id_a, cand.id_b FROM cand, hh
+       |  JOIN shingled sa ON cand.id_a = sa.doc_id
+       |  JOIN shingled sb ON cand.id_b = sb.doc_id
+       |  WHERE cand.id_a < hh.h AND cand.id_b < hh.h
+       |    AND $jaccardExpr >= $threshold),
+       |edges0 AS (
+       |  SELECT id_a, id_b FROM histp
+       |  UNION ALL SELECT id_a, id_b FROM livep),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges0
+       |  UNION ALL SELECT id_b, id_a FROM edges0),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM kept
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+       |           FROM reach GROUP BY a),
+       |nw AS (SELECT (na + GREATEST(1, na // $nBatches) - 1)
+       |         // GREATEST(1, na // $nBatches) AS w
+       |       FROM (SELECT COUNT(*) AS na FROM arr))
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arr)
+       |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_arr) AS n_dropped,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS n_pairs_live,
+       |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+       |    AS n_clusters,
+       |  (SELECT CAST(w AS BIGINT) FROM nw) AS n_hot_batches,
+       |  CAST(0 AS BIGINT) AS n_only_live,
+       |  CAST(0 AS BIGINT) AS n_only_batch,
+       |  true AS parity_ok""".stripMargin
+
+  /** Replica of the capped pipeline's LAST-batch health-ledger row
+    * (q_docstream_gauge): the last wave's banded rows, the per-batch
+    * occupancy cut (wave rows ∪ earlier rows within id-distance
+    * `cutIdDist` = (horizon + lateness)/60 s of the committed
+    * high-water id — physical retention only ever removes rows below
+    * that cut, so the replica needs no janitor model), the capped
+    * candidate set the wave actually generated, and the verified pairs
+    * it committed — all integer ppb like the Spark side. */
+  def docStreamGaugeSql(bands: Int = 16, threshold: Double = 0.5,
+      cap: Int = 12, floodMod: Long = 3L, horizonIdDist: Long = 60L,
+      cutIdDist: Long = 70L, nBatches: Long = 4L,
+      alertSharePpb: Long = 200000000L,
+      alertCandPpb: Long = 16000000000L): String =
+    s"""WITH ${cappedPipelineBase(bands, floodMod)},
+       |arrix AS (SELECT doc_id,
+       |            row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM arr),
+       |prm AS (SELECT COUNT(*) AS na,
+       |          GREATEST(1, COUNT(*) // $nBatches) AS chunk FROM arr),
+       |wv AS (SELECT a.doc_id, a.rn // p.chunk AS wave FROM arrix a, prm p),
+       |lastw AS (SELECT MAX(wave) AS w FROM wv),
+       |wdocs AS (SELECT wv.doc_id FROM wv, lastw WHERE wv.wave = lastw.w),
+       |pdocs AS (SELECT wv.doc_id FROM wv, lastw WHERE wv.wave < lastw.w),
+       |pm AS (SELECT MAX(doc_id) AS m FROM pdocs),
+       |occ AS (
+       |  SELECT b.b2, b.slice, COUNT(*) AS c
+       |  FROM arrb b JOIN wv ON b.doc_id = wv.doc_id
+       |  CROSS JOIN lastw CROSS JOIN pm
+       |  WHERE wv.wave = lastw.w
+       |     OR (wv.wave < lastw.w AND b.doc_id >= pm.m - $cutIdDist)
+       |  GROUP BY b.b2, b.slice),
+       |hotw AS (SELECT b2, slice FROM occ WHERE c > $cap),
+       |wb AS (SELECT b.doc_id, b.b2, b.slice FROM arrb b
+       |       JOIN wdocs w ON b.doc_id = w.doc_id),
+       |coolw AS (SELECT wb.doc_id, wb.b2, wb.slice FROM wb
+       |          WHERE NOT EXISTS (SELECT 1 FROM hotw h
+       |                            WHERE h.b2 = wb.b2 AND h.slice = wb.slice)),
+       |pb AS (SELECT b.doc_id, b.b2, b.slice FROM arrb b
+       |       JOIN pdocs p ON b.doc_id = p.doc_id),
+       |cands AS (
+       |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+       |         GREATEST(a.doc_id, b.doc_id) AS id_b
+       |  FROM coolw a JOIN pb b ON a.b2 = b.b2 AND a.slice = b.slice
+       |  WHERE abs(a.doc_id - b.doc_id) <= $horizonIdDist
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM coolw a JOIN coolw b
+       |    ON a.b2 = b.b2 AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |  WHERE abs(a.doc_id - b.doc_id) <= $horizonIdDist),
+       |pairsw AS (
+       |  SELECT c.id_a, c.id_b FROM cands c
+       |  JOIN shingled sa ON c.id_a = sa.doc_id
+       |  JOIN shingled sb ON c.id_b = sb.doc_id
+       |  WHERE c.id_a IN (SELECT doc_id FROM kept_arr)
+       |    AND c.id_b IN (SELECT doc_id FROM kept_arr)
+       |    AND $jaccardExpr >= $threshold),
+       |topx AS (SELECT COALESCE(MAX(c), 0) AS mx FROM
+       |          (SELECT COUNT(*) AS c FROM wb GROUP BY b2, slice)),
+       |nn AS (SELECT COUNT(*) AS n FROM wdocs),
+       |nc AS (SELECT COUNT(*) AS c FROM cands)
+       |SELECT
+       |  (SELECT CAST(n AS BIGINT) FROM nn) AS n_arrived,
+       |  (SELECT CAST(n AS BIGINT) FROM nn) AS n_admitted,
+       |  (SELECT CAST(mx * 1000000000 // n AS BIGINT) FROM topx, nn)
+       |    AS top_share_ppb,
+       |  (SELECT CAST(c * 1000000000 // n AS BIGINT) FROM nc, nn)
+       |    AS cand_ppb,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hotw) AS hot_buckets,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsw) AS n_pairs,
+       |  ((SELECT mx * 1000000000 // n FROM topx, nn) > $alertSharePpb
+       |    OR (SELECT c * 1000000000 // n FROM nc, nn) > $alertCandPpb)
+       |    AS alert""".stripMargin
+
   /** Replica of [[graft.streaming.ParityCheck.minhashDeepLiveParity]]'s
     * batch twin: the full MinHash pair set plus the shared recursive
     * component closure. */

@@ -86,6 +86,18 @@ object SparkEntry {
       r
     }
 
+  /** The CAPPED runnable document pipeline's scenario state, built ONCE
+    * per JVM ([[graft.streaming.ParityCheck.buildCappedPipeline]] —
+    * flood-mod-3 duplicate traffic, `hotBucketCap` on, restart straddling
+    * a consolidation). Serves q_docstream_capped_parity (final state vs
+    * the capped batch twin) and q_docstream_gauge (the last batch's
+    * inline health-ledger row). */
+  private def docStreamCappedRoot(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/docstream_capped/$dir") {
+      graft.streaming.ParityCheck.buildCappedPipeline(s, dir)
+    }
+
   /** One-time month-partitioned copy of the events fixture written through
     * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
     * toYYYYMM(ts)` layout, db.go:51) — the storage side of
@@ -196,6 +208,9 @@ object SparkEntry {
     // first run drives the runnable vector pipeline's whole lifecycle
     // (init → arrivals → gauge fire → epoch retrain → post-retrain batch)
     "q_embstream_epoch_handoff", "q_embstream_gauge",
+    // first run drives the capped runnable document pipeline (flood
+    // waves, restart, consolidation) whose ledger this row reads
+    "q_docstream_gauge",
     // first run writes the persisted base band-signature index the
     // health gauge probes (shared with q_dedup_minhash_incr)
     "q_dedup_band_health")
@@ -211,7 +226,8 @@ object SparkEntry {
     "q_dedup_minhash_stream_parity", "q_dedup_minhash_ttl_stream_parity",
     "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity",
     "q_semdedup_live_parity", "q_dedup_deep_live_parity",
-    "q_docstream_restart_parity", "q_embstream_restart_parity")
+    "q_docstream_restart_parity", "q_embstream_restart_parity",
+    "q_docstream_capped_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -602,6 +618,29 @@ object SparkEntry {
     // oracle restates every count independently
     "q_docstream_restart_parity" -> ((s, dir) =>
       streaming.ParityCheck.restartPipelineParity(s, dir)),
+
+    // the SAME runnable pipeline with the HOT-BUCKET CAP live (the
+    // minHashPairsCapped kernel as a per-batch LeftAnti prune over the
+    // batch ∪ admission-reachable band state) under a template flood in
+    // EVERY wave: final state must equal the capped batch twin, and the
+    // inline health ledger must show the cap intervening per batch
+    "q_docstream_capped_parity" -> ((s, dir) =>
+      streaming.ParityCheck.cappedRestartParity(s, dir,
+        docStreamCappedRoot(s, dir))),
+
+    // the capped pipeline's committed health-ledger row for the LAST
+    // batch: arrived/admitted counts, hottest-bucket share + candidate
+    // rate (integer ppb), hot-bucket count, verified pairs, alert —
+    // hash-checked against the independent DuckDB replica of the
+    // per-wave occupancy cut
+    "q_docstream_gauge" -> ((s, dir) => {
+      val root = docStreamCappedRoot(s, dir)
+      val g = graft.streaming.DocumentStream.gaugeRows(s, s"$root/state")
+      g.join(g.agg(max(col("batch_id")).as("batch_id")), Seq("batch_id"))
+        .select(col("n_arrived"), col("n_admitted"),
+          col("top_share_ppb"), col("cand_ppb"), col("hot_buckets"),
+          col("n_pairs"), col("alert"))
+    }),
 
     // the runnable VECTOR pipeline (streaming.EmbeddingStream — exact
     // hash tier, fixed-centroid assignment with the inline drift gauge,

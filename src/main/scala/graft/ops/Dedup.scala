@@ -426,6 +426,8 @@ object Dedup {
       .filter(col("occ") > cap)
       .select(col("band"), col("bh"))
     val cool = banded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    // snapshotted: candidates feed the endpoint restriction AND both
+    // verify joins
     val candidates = cool
       .select(col("band"), col("bh"), col("doc_id").as("id_a"))
       .join(cool.select(col("band"), col("bh"), col("doc_id").as("id_b")),
@@ -433,7 +435,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    jaccardVerify(candidates, documents, n, threshold)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // verify restricts the text scan to CANDIDATE ENDPOINTS before
+    // anything is shingled (the incremental family's convention) — the
+    // uncapped path already shingled the corpus once for banding; a
+    // second corpus-wide shingle pass plus a corpus-sized broadcast
+    // side is exactly what the semi-join removes for free
+    verifyCandidates(candidates, documents, n, threshold)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** The candidate+verify core of [[minHashPairsIncremental]] over ANY
@@ -1227,20 +1236,23 @@ object Dedup {
     * filtered-corpus oracle. The IVF CENTROIDS deliberately stay (the
     * FAISS train-once contract; [[graft.ops.Similarity.ivfDriftGauge]]
     * watches their decay). */
+  /** Resolve which column of `expiredIds` is the expiry key: BY NAME
+    * when the frame carries `idCol`; otherwise demand a single column —
+    * a positional head() on a multi-column frame would key on whatever
+    * happens to be first and silently retire the wrong column. Shared
+    * by [[expireRows]] and the runnable pipelines' retire entry points. */
+  def expiryKey(expiredIds: DataFrame, idCol: String): String =
+    if (expiredIds.columns.contains(idCol)) idCol
+    else {
+      require(expiredIds.columns.length == 1,
+        s"expiredIds carries no '$idCol' column and is not " +
+          s"single-column: (${expiredIds.columns.mkString(", ")})")
+      expiredIds.columns.head
+    }
+
   def expireRows(index: DataFrame, idCol: String,
       expiredIds: DataFrame): DataFrame = {
-    // pick the expiry key BY NAME when the frame carries `idCol`;
-    // otherwise demand a single column — a positional head() on a
-    // multi-column frame would anti-join on whatever happens to be
-    // first and silently leave expired rows in the index
-    val key =
-      if (expiredIds.columns.contains(idCol)) idCol
-      else {
-        require(expiredIds.columns.length == 1,
-          s"expiredIds carries no '$idCol' column and is not " +
-            s"single-column: (${expiredIds.columns.mkString(", ")})")
-        expiredIds.columns.head
-      }
+    val key = expiryKey(expiredIds, idCol)
     index.join(
       broadcast(expiredIds.select(col(key).as(idCol)).distinct()),
       Seq(idCol), "left_anti")

@@ -122,7 +122,10 @@ private[streaming] object BatchState {
     val out = f.create(tmp, true)
     out.writeLong(upTo); out.writeLong(lo); out.writeBoolean(intoBase)
     out.close()
-    f.rename(tmp, marker)
+    // rename can fail by RETURNING FALSE (HDFS, object-store adapters)
+    // rather than throwing; proceeding past a false here would let
+    // completeFold delete the sources with no published marker
+    require(f.rename(tmp, marker), s"rename $tmp -> $marker failed")
     completeFold(spark, root, sub, lo, upTo, intoBase)
   }
 
@@ -134,8 +137,12 @@ private[streaming] object BatchState {
       .filter(_.split("batch=").last.toLong >= floor)
       .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
     val target = if (intoBase) -1L else upTo - 1L
-    f.rename(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage"),
-      new org.apache.hadoop.fs.Path(s"$root/$sub/batch=$target"))
+    // a false return here with the marker then deleted would strand the
+    // staged rows where the next recoverFold ABORTS them — fail loudly
+    // instead, leaving marker+stage for recoverFold to complete
+    require(f.rename(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage"),
+        new org.apache.hadoop.fs.Path(s"$root/$sub/batch=$target")),
+      s"rename $root/$sub/_stage -> batch=$target failed")
     f.delete(new org.apache.hadoop.fs.Path(s"$root/$sub/_stage_commit"), false)
   }
 

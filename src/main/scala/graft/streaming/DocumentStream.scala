@@ -55,6 +55,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     real edges to re-converge split components)
   *  - `hw/`     (ts_ms)                 — one committed high-water row
   *     per batch (the admission bound's memory)
+  *  - `gauge/`  one health-ledger row per non-empty batch (batch_id,
+  *     arrived/admitted counts, hottest-bucket share and candidate rate
+  *     in integer ppb, hot-bucket count, verified-pair count, alert) —
+  *     the [[graft.ops.Dedup.bandIndexHealthGauge]] signals computed
+  *     INLINE from the work the batch already did
   *  - `labels/` (doc_id, cluster_id)    — FULL snapshot per batch; only
   *     the previous snapshot is needed for replay, so older ones are
   *     reaped after each commit (bounded at two snapshots)
@@ -84,6 +89,18 @@ object DocumentStream {
 
   /** One streamed document with its event time (epoch ms). */
   final case class DocTsIn(doc_id: Long, ts_ms: Long, text: String)
+
+  /** Per-batch health-ledger row schema (`gauge/`). */
+  private val GaugeSchema =
+    "batch_id BIGINT, n_arrived BIGINT, n_admitted BIGINT, " +
+    "top_share_ppb BIGINT, cand_ppb BIGINT, hot_buckets BIGINT, " +
+    "n_pairs BIGINT, alert BOOLEAN"
+
+  /** Ledger alert thresholds — [[graft.ops.Dedup.bandIndexHealthGauge]]'s
+    * calibrated defaults, absolute here (the inline ledger carries no
+    * reference batch; the hand-driven gauge compares against one). */
+  val AlertSharePpb = 200000000L
+  val AlertCandPpb = 16000000000L
 
   // the batch-keyed state machinery is SHARED with the other runnable
   // pipelines (EmbeddingStream is the vector twin) — one implementation
@@ -166,6 +183,7 @@ object DocumentStream {
     fold("hist", "doc_id BIGINT, text STRING", identity)
     fold("kept", "doc_id BIGINT", identity)
     fold("pairs", "id_a BIGINT, id_b BIGINT", identity)
+    fold("gauge", GaugeSchema, identity)
     fold("hw", "ts_ms BIGINT",
       df => df.agg(max(col("ts_ms")).as("ts_ms"))
         .filter(col("ts_ms").isNotNull))
@@ -235,11 +253,12 @@ object DocumentStream {
     // a crashed consolidation may hold committed-but-unswapped rows in a
     // fold stage the per-directory prune below would miss — finish (or
     // abort) any interrupted fold before rewriting state
-    Seq("hist", "kept", "pairs", "hw", "bands")
+    Seq("hist", "kept", "pairs", "hw", "bands", "gauge")
       .foreach(recoverFold(spark, root, _))
     val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = expiredIds
-      .select(col(expiredIds.columns.head).as("doc_id")).distinct()
+      .select(col(graft.ops.Dedup.expiryKey(expiredIds, "doc_id"))
+        .as("doc_id")).distinct()
       .localCheckpoint(true, memDisk)
     // labels first, from the PRE-prune pair state (retireClusterDelta
     // does its own surviving-touched restriction, so feeding pruned or
@@ -292,8 +311,10 @@ object DocumentStream {
     * idempotently (no raw directories, no mergeable unit pair → no-op). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       horizonMs: Long, latenessMs: Long = 600000L, n: Int = 3,
-      threshold: Double = 0.5, consolidateEvery: Int = 0): Unit = {
+      threshold: Double = 0.5, consolidateEvery: Int = 0,
+      hotBucketCap: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     if (consolidateEvery > 0 && batchId > 0 &&
         batchId % consolidateEvery == 0)
       consolidate(spark, root, batchId, horizonMs, latenessMs)
@@ -307,14 +328,16 @@ object DocumentStream {
         case null => Long.MinValue
         case t: java.lang.Long => t.longValue()
       }
-    // snapshot: the batch feeds four consumers (exact tier, banding,
-    // text lookup, ts bounds) — batch-sized by construction. Late rows
-    // beyond the admission bound drop HERE (watermark semantics).
-    val b = batch.select(col("doc_id"), col("ts_ms"), col("text"))
+    // snapshot ONCE pre-admission (the arrived/admitted delta is a
+    // ledger signal); the admitted view derives by a narrow filter over
+    // the checkpointed partitions, so its several consumers (exact tier,
+    // banding, text lookup, ts bounds) stay cheap. Late rows beyond the
+    // admission bound drop HERE (watermark semantics).
+    val raw = batch.select(col("doc_id"), col("ts_ms"), col("text"))
+      .localCheckpoint(true, memDisk)
+    val b = raw
       .filter(col("ts_ms") >= (if (hw == Long.MinValue) Long.MinValue
         else hw - latenessMs))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (b.isEmpty) return
 
     // ── tier 1: exact dedup against history, then within-batch ──
@@ -341,7 +364,36 @@ object DocumentStream {
     write(bandedB, root, "bands", batchId)
     val bandState = state(spark, root, "bands", batchId,
       "doc_id BIGINT, band INT, bh BIGINT, ts_ms BIGINT")
-    val between = broadcast(bandedB
+    // HOT-BUCKET CAP (the [[graft.ops.Dedup.minHashPairsCapped]] kernel,
+    // live): occupancy counts the batch's banding ∪ the state rows still
+    // inside the admission-reachable window ts ≥ hw − horizon − lateness
+    // — exactly the TTL fold's cut, so the count is IDENTICAL whether or
+    // not a consolidation or janitor pass physically dropped older rows
+    // (physical retention only ever removes below-cut rows) and replay-
+    // deterministic (state pinned strictly before the batch). Over-cap
+    // buckets prune from the batch's banding BEFORE the joins — pruning
+    // the batch side alone kills the bucket's pairs entirely (it is the
+    // join key), bounding the join's worst key at cap² per bucket while
+    // a template flood is in progress, instead of waiting for an
+    // operator to read the gauge and intervene by hand.
+    val hotOpt =
+      if (hotBucketCap <= 0) None
+      else {
+        val cut = if (hw == Long.MinValue) Long.MinValue
+          else hw - horizonMs - latenessMs
+        Some(bandedB.select(col("band"), col("bh"))
+          .unionByName(bandState.filter(col("ts_ms") >= cut)
+            .select(col("band"), col("bh")))
+          .groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > hotBucketCap)
+          .select(col("band"), col("bh"))
+          .localCheckpoint(true, memDisk))
+      }
+    val bandedCool = hotOpt
+      .map(h => bandedB.join(broadcast(h), Seq("band", "bh"), "left_anti"))
+      .getOrElse(bandedB)
+    val between = broadcast(bandedCool
         .select(col("band"), col("bh"), col("doc_id").as("id_d"),
           col("ts_ms").as("ts_d")))
       .join(bandState.select(col("band"), col("bh"),
@@ -349,9 +401,9 @@ object DocumentStream {
       .filter(abs(col("ts_d") - col("ts_i")) <= horizonMs)
       .select(least(col("id_d"), col("id_i")).as("id_a"),
         greatest(col("id_d"), col("id_i")).as("id_b"))
-    val within = bandedB.select(col("band"), col("bh"),
+    val within = bandedCool.select(col("band"), col("bh"),
         col("doc_id").as("id_a"), col("ts_ms").as("ts_a"))
-      .join(bandedB.select(col("band"), col("bh"),
+      .join(bandedCool.select(col("band"), col("bh"),
         col("doc_id").as("id_b"), col("ts_ms").as("ts_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("ts_a") - col("ts_b")) <= horizonMs)
@@ -392,6 +444,37 @@ object DocumentStream {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     write(verified, root, "pairs", batchId)
 
+    // ── inline health ledger: one row per non-empty batch (the
+    // [[EmbeddingStream]] gauge/ pattern on the text tier) — the
+    // [[graft.ops.Dedup.bandIndexHealthGauge]] signals REUSING the
+    // banding/candidates/verify the batch already computed (1-row
+    // aggregates over checkpointed frames; nothing re-scans the corpus),
+    // plus the cap's own accounting (hot-bucket count). A fully-late
+    // batch (admission drops everything) leaves no row — the ledger
+    // records batches that reached the tiers, like the vector twin's. ──
+    val nArr = raw.agg(count(lit(1)).as("n_arrived"))
+    val nAdm = b.agg(count(lit(1)).as("n_admitted"))
+    val top = bandedB.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"))
+    val nCand = rawCands.agg(count(lit(1)).as("n_cand"))
+    val nPairs = verified.agg(count(lit(1)).as("n_pairs"))
+    val nHot = hotOpt
+      .map(_.agg(count(lit(1)).as("hot_buckets")))
+      .getOrElse(spark.range(1).select(lit(0L).as("hot_buckets")))
+    val gaugeRow = nArr.crossJoin(broadcast(nAdm))
+      .crossJoin(broadcast(top)).crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nPairs)).crossJoin(broadcast(nHot))
+      .select(lit(batchId).as("batch_id"), col("n_arrived"),
+        col("n_admitted"),
+        expr("mx * 1000000000L div n_admitted").as("top_share_ppb"),
+        expr("n_cand * 1000000000L div n_admitted").as("cand_ppb"),
+        col("hot_buckets"), col("n_pairs"),
+        (expr("mx * 1000000000L div n_admitted") > AlertSharePpb ||
+          expr("n_cand * 1000000000L div n_admitted") > AlertCandPpb)
+          .as("alert"))
+    write(gaugeRow, root, "gauge", batchId)
+
     // ── tier 3: incremental label merge over the previous snapshot ──
     val prevId = batchDirs(spark, root, "labels", batchId)
       .map(_.split("batch=").last.toLong).max // -1 exists from init
@@ -430,14 +513,15 @@ object DocumentStream {
     * [[processBatch]]); 0 disables in-stream consolidation. */
   def start(docs: DataFrame, root: String, checkpoint: String,
       horizonMs: Long, latenessMs: Long = 600000L,
-      maxDelayMs: Long = 100L, consolidateEvery: Int = 0): StreamingQuery =
+      maxDelayMs: Long = 100L, consolidateEvery: Int = 0,
+      hotBucketCap: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, horizonMs, latenessMs,
-          consolidateEvery = consolidateEvery)
+          consolidateEvery = consolidateEvery, hotBucketCap = hotBucketCap)
       }
       .start()
 
@@ -493,4 +577,10 @@ object DocumentStream {
 
   def labels(spark: SparkSession, root: String): DataFrame =
     latestLabels(spark, root, Long.MaxValue)
+
+  /** Health rows, one per non-empty batch — the pipeline's candidate-
+    * economics ledger (what an operator alerts on; `hot_buckets` > 0
+    * records the cap actually intervening). */
+  def gaugeRows(spark: SparkSession, root: String): DataFrame =
+    state(spark, root, "gauge", Long.MaxValue, GaugeSchema)
 }

@@ -123,9 +123,13 @@ object EmbeddingStream {
     * rows at a stopped committed checkpoint, so the rows a batch can see
     * never change under it). */
   private[streaming] def epochOf(spark: SparkSession, root: String,
-      before: Long): Int =
-    BatchState.state(spark, root, "epoch", before, EpochSchema)
-      .agg(max(col("epoch"))).head().getInt(0)
+      before: Long): Int = {
+    val row = BatchState.state(spark, root, "epoch", before, EpochSchema)
+      .agg(max(col("epoch"))).head()
+    require(!row.isNullAt(0),
+      s"no epoch rows under $root/epoch — call init first")
+    row.getInt(0)
+  }
 
   /** Initialize the standing state: the base corpus trains the epoch-0
     * centroids and lands assigned as `vecs/batch=-1` (with its hash
@@ -137,11 +141,23 @@ object EmbeddingStream {
     * anchors the epoch-0 gauge reference row. */
   def init(spark: SparkSession, root: String, baseEmb: DataFrame,
       basePairs: DataFrame, baseLabels: DataFrame, refDelta: DataFrame,
-      nCentroids: Int = 32, lloydIters: Int = 2): Unit = {
-    graft.ops.Similarity.trainCentroids(baseEmb, nCentroids, lloydIters)
-      .write.mode("overwrite").parquet(s"$root/cents/epoch=0")
+      nCentroids: Int = 32, lloydIters: Int = 2): Unit =
+    initWith(spark, root, baseEmb,
+      graft.ops.Similarity.trainCentroids(baseEmb, nCentroids, lloydIters),
+      None, basePairs, baseLabels, refDelta)
+
+  /** [[init]] with pre-trained epoch-0 centroids (and optionally the
+    * base corpus already assigned under them) — so a caller that
+    * trained/assigned while DERIVING the base artifacts
+    * ([[initFromCorpus]]) does not pay the two heaviest passes twice. */
+  private def initWith(spark: SparkSession, root: String,
+      baseEmb: DataFrame, cents0: DataFrame,
+      baseAssigned: Option[DataFrame], basePairs: DataFrame,
+      baseLabels: DataFrame, refDelta: DataFrame): Unit = {
+    cents0.write.mode("overwrite").parquet(s"$root/cents/epoch=0")
     val cents = centsOf(spark, root, 0)
-    BatchState.write(assignedOf(baseEmb, cents), root, "vecs", -1L)
+    BatchState.write(
+      baseAssigned.getOrElse(assignedOf(baseEmb, cents)), root, "vecs", -1L)
     BatchState.write(baseEmb.select(col("vec_id"),
       xxhash64(col("embedding")).as("vhash")), root, "vhash", -1L)
     BatchState.write(basePairs.select(col("id_a"), col("id_b"),
@@ -168,17 +184,22 @@ object EmbeddingStream {
   def initFromCorpus(spark: SparkSession, root: String, baseEmb: DataFrame,
       refDelta: DataFrame, threshold: Double = 0.4, nCentroids: Int = 32,
       lloydIters: Int = 2): Unit = {
+    // train ONCE and assign ONCE — the derived artifacts (pairs, labels)
+    // and the standing `vecs/` state share the same checkpointed frames
+    // instead of re-running the two heaviest passes inside init
     val cents0 = graft.ops.Similarity
       .trainCentroids(baseEmb, nCentroids, lloydIters)
       .localCheckpoint(true, memDisk)
-    val basePairs = graft.ops.Similarity.semanticDedupUnordered(
-        graft.ops.Similarity.assignToCentroids(baseEmb, cents0), threshold)
+    val assigned0 = assignedOf(baseEmb, cents0)
+      .localCheckpoint(true, memDisk)
+    val basePairs = graft.ops.Similarity
+      .semanticDedupUnordered(assigned0, threshold)
       .localCheckpoint(true, memDisk)
     val baseLabels = graft.ops.Dedup.nearDupClusters(
       baseEmb.select(col("vec_id").as("doc_id")),
       basePairs.select(col("id_a"), col("id_b")))
-    init(spark, root, baseEmb, basePairs, baseLabels, refDelta,
-      nCentroids, lloydIters)
+    initWith(spark, root, baseEmb, cents0, Some(assigned0), basePairs,
+      baseLabels, refDelta)
   }
 
   /** Consolidate every committed state surface below `upToBatch` — the
@@ -338,7 +359,8 @@ object EmbeddingStream {
     Seq("vecs", "vhash", "pairs", "gauge")
       .foreach(BatchState.recoverFold(spark, root, _))
     val e = expiredIds
-      .select(col(expiredIds.columns.head).as("doc_id")).distinct()
+      .select(col(graft.ops.Dedup.expiryKey(expiredIds, "vec_id"))
+        .as("doc_id")).distinct()
       .localCheckpoint(true, memDisk)
     val pairsState = BatchState.state(spark, root, "pairs", Long.MaxValue,
       PairsSchema).select(col("id_a"), col("id_b"))

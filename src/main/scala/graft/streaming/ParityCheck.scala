@@ -654,6 +654,181 @@ object ParityCheck {
         "n_only_live", "n_only_batch", "parity_ok")
   }
 
+  /** The CAPPED gate's scenario constants, shared with its DuckDB
+    * oracle: every `CappedFloodMod`-th arrival re-sends the corpus-
+    * minimum document (byte-identical duplicate traffic — a template
+    * flood), and the live pipeline runs with
+    * `hotBucketCap = CappedHotBucketCap`. The mod/cap pair is chosen so
+    * the per-wave hot set PROVABLY equals the global one on the fixture
+    * (what lets one batch-twin/oracle definition pin a wave-replayed
+    * stream): each wave of ~n/4 id-consecutive arrivals carries ≥
+    * wave/3 − 1 flood copies — above the cap from the wave's own rows
+    * alone, before any state rows count — so every flood bucket is hot
+    * at EVERY wave exactly as it is globally; and organic buckets sit
+    * far under the cap globally (measured max occupancy 2 at sf0.01),
+    * so no prefix can make one hot. A fixture regeneration that broke
+    * either margin would turn the gate red loudly (hash set-equality),
+    * not silently pass. */
+  val CappedFloodMod = 3L
+  val CappedHotBucketCap = 12
+
+  /** The capped scenario's batch twin: the GLOBAL-occupancy capped pair
+    * set over arrivals — [[graft.ops.Dedup.minHashPairsCapped]]'s rule
+    * (bucket occupancy over ALL arrival band rows > cap → excluded)
+    * composed with the live tiers' restrictions (two-sided horizon on
+    * event time = id minutes; kept endpoints; shared exact-jaccard
+    * verify) — equal to the per-wave capped stream under the fixture
+    * margins documented at [[CappedFloodMod]]. */
+  private[graft] def cappedPipelineBatchTwin(documents: DataFrame,
+      history: DataFrame, splitId: Long, horizonMs: Long, cap: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val arrivals = documents.filter(col("doc_id") >= splitId)
+    val keptBatch = arrivals
+      .join(history.select(col("text")), Seq("text"), "left_anti")
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).localCheckpoint(true)
+    val bandedArr = graft.ops.Dedup.minHashBanded(
+        arrivals.select(col("doc_id"), col("text")))
+      .localCheckpoint(true)
+    val hot = bandedArr.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
+      .select(col("band"), col("bh"))
+    val cool = bandedArr.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val cand = cool.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(cool.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
+      .join(keptBatch.select(col("doc_id").as("id_a")), "id_a")
+      .join(keptBatch.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val livePairsC = graft.ops.Dedup.jaccardVerify(cand,
+        arrivals.select(col("doc_id"), col("text")))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val histPairs = graft.ops.Dedup.minHashPairs(history)
+      .select(col("id_a"), col("id_b"))
+    val batchLabels = graft.ops.Dedup.nearDupClusters(
+      history.select(col("doc_id")).unionByName(keptBatch),
+      histPairs.unionByName(livePairsC)).localCheckpoint(true)
+    (keptBatch, livePairsC, batchLabels)
+  }
+
+  /** Build the CAPPED runnable pipeline's state (flood-mod-3 arrivals,
+    * `hotBucketCap` on, consolidation straddled by a mid-run restart —
+    * the [[restartPipelineParity]] protocol) and return its state root.
+    * Built once per JVM by the caller (ManagedTable.once) and SERVED by
+    * both gated rows: q_docstream_capped_parity (final state vs the
+    * capped batch twin) and q_docstream_gauge (the last batch's
+    * health-ledger row, hash-checked against the DuckDB replica). */
+  def buildCappedPipeline(spark: SparkSession, dir: String,
+      horizonMinutes: Int = 60, nBatches: Int = 4): String = {
+    val horizonMs = horizonMinutes * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val all = collectParityDocs(spark, dir, "cappedRestartParity")
+    require(all.nonEmpty, s"no documents in $dir")
+    val splitId = (all.iterator.map(_.doc_id).max + 1L) * 3L / 5L
+    val dupText = all.minBy(_.doc_id).text
+    val arrDocs = all.filter(_.doc_id >= splitId).map(d =>
+      DocumentStream.DocTsIn(d.doc_id, t0Ms + d.doc_id * 60000L,
+        if (d.doc_id % CappedFloodMod == 0) dupText else d.text))
+    require(arrDocs.nonEmpty, "fixture too small to split")
+    val documents = graft.Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") >= splitId &&
+            col("doc_id") % CappedFloodMod === 0,
+          lit(dupText)).otherwise(col("text")))
+    val history = documents.filter(col("doc_id") < splitId)
+
+    val root =
+      s"target/docstream_capped/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val histPairs0 = graft.ops.Dedup.minHashPairs(history)
+      .localCheckpoint(true)
+    DocumentStream.init(spark, s"$root/state", history, histPairs0,
+      graft.ops.Dedup.nearDupClusters(history, histPairs0))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocumentStream.DocTsIn]
+    val waves = arrDocs.grouped(
+      math.max(1, arrDocs.length / nBatches)).toSeq
+    var q = DocumentStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", horizonMs, consolidateEvery = 2,
+      hotBucketCap = CappedHotBucketCap)
+    waves.take(2).foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
+    q.stop() // mid-replay crash, simulated
+    q = DocumentStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", horizonMs, consolidateEvery = 2,
+      hotBucketCap = CappedHotBucketCap)
+    try waves.drop(2).foreach { w =>
+      mem.addData(w.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    root
+  }
+
+  /** The CAPPED runnable pipeline gated end to end over the state
+    * [[buildCappedPipeline]] left behind: final kept/pair/label state
+    * must equal [[cappedPipelineBatchTwin]], the exact tier must have
+    * dropped the byte-identical flood, and the inline health ledger must
+    * show the cap INTERVENING on every batch (hot_buckets > 0 — the
+    * flood is present in every wave by construction). Output counts are
+    * restated independently by the DuckDB oracle (HUGEINT MinHash
+    * replica with the same global occupancy cut + recursive closure). */
+  def cappedRestartParity(spark: SparkSession, dir: String, root: String,
+      horizonMinutes: Int = 60, nBatches: Int = 4): DataFrame = {
+    val horizonMs = horizonMinutes * 60000L
+    val all = collectParityDocs(spark, dir, "cappedRestartParity")
+    val splitId = (all.iterator.map(_.doc_id).max + 1L) * 3L / 5L
+    val dupText = all.minBy(_.doc_id).text
+    val nArr = all.count(_.doc_id >= splitId)
+    val nWaves = {
+      val chunk = math.max(1, nArr / nBatches)
+      (nArr + chunk - 1) / chunk
+    }
+    val documents = graft.Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") >= splitId &&
+            col("doc_id") % CappedFloodMod === 0,
+          lit(dupText)).otherwise(col("text")))
+    val history = documents.filter(col("doc_id") < splitId)
+
+    val keptArr = DocumentStream.keptIds(spark, s"$root/state")
+      .filter(col("doc_id") >= splitId).localCheckpoint(true)
+    val livePairs = DocumentStream.livePairs(spark, s"$root/state")
+      .filter(col("id_a") >= splitId)
+      .localCheckpoint(true)
+    val liveLabels = DocumentStream.labels(spark, s"$root/state")
+      .localCheckpoint(true)
+    val gauges = DocumentStream.gaugeRows(spark, s"$root/state")
+      .localCheckpoint(true)
+
+    val (keptBatch, livePairsB, batchLabels) =
+      cappedPipelineBatchTwin(documents, history, splitId, horizonMs,
+        CappedHotBucketCap)
+
+    val survAgree = keptArr.exceptAll(keptBatch).count() == 0L &&
+      keptBatch.exceptAll(keptArr).count() == 0L
+    val pairsAgree = livePairs.exceptAll(livePairsB).count() == 0L &&
+      livePairsB.exceptAll(livePairs).count() == 0L
+    val nKept = liveLabels.count()
+    val nDropped = nArr.toLong - keptArr.count()
+    val nPairsLive = livePairs.count()
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    val nHotBatches = gauges.filter(col("hot_buckets") > 0).count()
+    val onlyLive = liveLabels.exceptAll(batchLabels).count()
+    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
+    spark.createDataFrame(Seq(
+      (nKept, nDropped, nPairsLive, nClusters, nHotBatches, onlyLive,
+        onlyBatch,
+        survAgree && pairsAgree && onlyLive == 0L && onlyBatch == 0L &&
+          nDropped > 0L && nHotBatches == nWaves.toLong)))
+      .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
+        "n_hot_batches", "n_only_live", "n_only_batch", "parity_ok")
+  }
+
   /** The EMBEDDING live-dedup pipeline, gated end to end — the vector
     * twin of [[livePipelineParity]]: a standing corpus (vec_id below the
     * 3/5 split) holds its base-trained IVF index
