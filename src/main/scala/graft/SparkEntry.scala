@@ -4703,6 +4703,10 @@ object SparkEntry {
     "q_embstream_epoch_handoff" ->
       baseOracleSql("q_knn_ivf_epoch_serve"),
     "q_embstream_gauge" -> OracleSql.embStreamGaugeSql(),
+    // the capped runnable pipeline: global-occupancy capped chain (equal
+    // to the per-wave capped stream under the gate's fixture margins)
+    "q_docstream_capped_parity" -> OracleSql.cappedPipelineParitySql(),
+    "q_docstream_gauge" -> OracleSql.docStreamGaugeSql(),
     "q_dedup_minhash_capped" -> OracleSql.minhashPairsCappedSql(),
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),

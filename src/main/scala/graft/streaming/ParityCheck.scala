@@ -723,6 +723,7 @@ object ParityCheck {
     * health-ledger row, hash-checked against the DuckDB replica). */
   def buildCappedPipeline(spark: SparkSession, dir: String,
       horizonMinutes: Int = 60, nBatches: Int = 4): String = {
+    import spark.implicits._
     val horizonMs = horizonMinutes * 60000L
     val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val all = collectParityDocs(spark, dir, "cappedRestartParity")

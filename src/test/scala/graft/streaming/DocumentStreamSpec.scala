@@ -343,4 +343,161 @@ class DocumentStreamSpec extends AnyFunSuite {
     assert(served(rootB) == servedAfterRetire,
       "the no-op consolidation changed retired state")
   }
+
+  test("hot-bucket cap: flood pairs pruned, organic pair kept, capped " +
+      "restart parity vs the capped twin, ledger records the intervention") {
+    import spark.implicits._
+    val horizonMs = 60 * 60000L
+    val latenessMs = 600000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val cap = 8
+
+    // synthetic corpus with PROVABLE margins (the gate's fixture
+    // argument, constructed): the flood is 15 BYTE-IDENTICAL re-sends of
+    // a history document per wave — identical texts band identically, so
+    // per band ALL of a wave's flood rows land in ONE bucket: every
+    // flood bucket holds ≥ 15 > cap rows from each wave's own banding
+    // (hot at every wave exactly as globally), and every other bucket
+    // holds ≤ a few rows (never hot) — no sub-bucket can straddle the
+    // cap prefix-dependently. The cap's DISCRIMINATION is pinned by two
+    // kept near-dup pairs: one adjacent to the template (its shared
+    // buckets are the flooded ones → the cap must prune it; uncapped
+    // finds it) and one with disjoint vocabulary (cool buckets → both
+    // runs must find it)
+    val template = "the quick brown fox jumps over the lazy dog near " +
+      "the riverbank today at dawn with mist"
+    val organicBase = "completely different subject matter about parquet " +
+      "shuffle partitions and broadcast joins"
+    def organic(i: Int) = s"unrelated organic document number $i with its " +
+      s"own distinct vocabulary token$i payload$i marker$i"
+    val history = (0L until 20L).map(i =>
+      (i, if (i == 0L) template
+          else s"history document $i with standalone text body hist$i"))
+    val arrivals = scala.collection.mutable.ArrayBuffer
+      .empty[DocumentStream.DocTsIn]
+    var id = 100L
+    for (w <- 0 until 4) {
+      for (_ <- 0 until 15) {
+        arrivals += DocumentStream.DocTsIn(id, t0Ms + id * 60000L,
+          template); id += 1
+      }
+      for (o <- 0 until 10) {
+        val tx =
+          if (w == 0 && o == 0) s"$organicBase version one"
+          else if (w == 1 && o == 0) s"$organicBase version two"
+          // ONE-token suffixes: the variants share no shingle beyond the
+          // template's, so any band where they agree carries the
+          // template's own slice — every collision bucket is a flooded
+          // one, which is what makes "the cap prunes this pair" exact
+          else if (w == 0 && o == 1) s"$template extraone"
+          else if (w == 1 && o == 1) s"$template extratwo"
+          else organic(w * 100 + o)
+        arrivals += DocumentStream.DocTsIn(id, t0Ms + id * 60000L, tx)
+        id += 1
+      }
+    }
+    val splitId = 100L
+    val documents = (history.map { case (i, t) => (i, t) } ++
+      arrivals.map(d => (d.doc_id, d.text))).toDF("doc_id", "text")
+    val historyDf = documents.filter(col("doc_id") < splitId)
+      .localCheckpoint(true)
+
+    val base = "target/docstream_cap_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val histPairs = graft.ops.Dedup.minHashPairs(historyDf)
+      .localCheckpoint(true)
+    val histLabels = graft.ops.Dedup.nearDupClusters(historyDf, histPairs)
+      .localCheckpoint(true)
+
+    // ── capped STREAM with a mid-run restart straddling a consolidation ──
+    val rootC = s"$base/capped"
+    DocumentStream.init(spark, rootC, historyDf, histPairs, histLabels)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocumentStream.DocTsIn]
+    val waves = arrivals.toSeq.grouped(25).toSeq
+    var q = DocumentStream.start(mem.toDF(), rootC, s"$base/ckpt",
+      horizonMs, consolidateEvery = 2, hotBucketCap = cap)
+    waves.take(2).foreach { w => mem.addData(w); q.processAllAvailable() }
+    q.stop()
+    q = DocumentStream.start(mem.toDF(), rootC, s"$base/ckpt",
+      horizonMs, consolidateEvery = 2, hotBucketCap = cap)
+    try waves.drop(2).foreach { w =>
+      mem.addData(w); q.processAllAvailable()
+    } finally q.stop()
+
+    // ── uncapped twin root, driven batch-by-batch (same waves) ──
+    val rootU = s"$base/uncapped"
+    DocumentStream.init(spark, rootU, historyDf, histPairs, histLabels)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      DocumentStream.processBatch(w.toDF(), i.toLong, rootU, horizonMs)
+    }
+
+    def pairSet(root: String): Set[(Long, Long)] =
+      DocumentStream.livePairs(spark, root)
+        .filter(col("id_a") >= splitId)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedPairs = pairSet(rootC)
+    val uncappedPairs = pairSet(rootU)
+    def pairOf(prefix: String): (Long, Long) = {
+      val ids = arrivals.filter(d => d.text.startsWith(prefix) &&
+        d.text != template).map(_.doc_id).sorted
+      assert(ids.length == 2); (ids(0), ids(1))
+    }
+    val organicPair = pairOf(organicBase)
+    val tplPair = pairOf(template)
+    // the exact tier drops the byte-identical flood in BOTH runs (no
+    // flood endpoints are kept); uncapped finds both near-dup pairs;
+    // capped must prune the template-adjacent pair (its shared buckets
+    // are the flooded ones) while keeping the organic pair (cool
+    // buckets) — the recall-bounded semantics, pinned exactly
+    assert(uncappedPairs == Set(organicPair, tplPair),
+      s"uncapped pair set unexpected: $uncappedPairs")
+    assert(cappedPairs == Set(organicPair),
+      s"capped pair set unexpected: $cappedPairs")
+
+    // ── capped stream == capped GLOBAL-occupancy batch twin ──
+    val (keptBatch, livePairsB, batchLabels) =
+      ParityCheck.cappedPipelineBatchTwin(documents, historyDf, splitId,
+        horizonMs, cap)
+    val keptArr = DocumentStream.keptIds(spark, rootC)
+      .filter(col("doc_id") >= splitId)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptArr ==
+      keptBatch.collect().map(_.getLong(0)).toSet)
+    assert(cappedPairs ==
+      livePairsB.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "capped stream pairs != capped batch twin")
+    val streamLabels = DocumentStream.labels(spark, rootC)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamLabels ==
+      batchLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap,
+      "capped stream labels != capped batch twin")
+
+    // ── the inline ledger: cap intervened EVERY batch, the uncapped
+    // twin's ledger shows no intervention and a higher candidate rate ──
+    val gC = DocumentStream.gaugeRows(spark, rootC)
+      .orderBy(col("batch_id"))
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("hot_buckets"), r.getAs[Long]("cand_ppb"),
+        r.getAs[Boolean]("alert")))
+    val gU = DocumentStream.gaugeRows(spark, rootU)
+      .orderBy(col("batch_id"))
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("hot_buckets"), r.getAs[Long]("cand_ppb")))
+    assert(gC.length == 4 && gU.length == 4)
+    assert(gC.forall(_._2 > 0),
+      s"capped ledger missing hot-bucket interventions: ${gC.toSeq}")
+    assert(gC.forall(_._4),
+      s"flood batches must alert (top share over threshold): ${gC.toSeq}")
+    assert(gU.forall(_._2 == 0L),
+      s"uncapped ledger claims interventions: ${gU.toSeq}")
+    gC.zip(gU).foreach { case (c, u) =>
+      assert(c._3 < u._3,
+        s"capped candidate rate not below uncapped at batch ${c._1}: " +
+          s"${c._3} vs ${u._3}")
+    }
+  }
 }
