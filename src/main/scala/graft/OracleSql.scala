@@ -597,6 +597,32 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Replica of [[graft.ops.Similarity.semanticDedupPairsCapped]] under
+    * the embedding-flood scenario (q_semdedup_capped): every
+    * `floodMod`-th vector's embedding is rewritten to the corpus-minimum
+    * vector's — the collapsed-cluster shape a mode-collapsed upstream
+    * encoder produces — the IVF chain trains and assigns over the
+    * REWRITTEN corpus (the flood shapes the centroids on both engines
+    * identically), and clusters whose occupancy exceeds `cap` are
+    * excluded from pair generation. Hash-exact like
+    * [[semDedupPairsSql]]: the policy itself is the tested contract. */
+  def semDedupPairsCappedSql(nCentroids: Int = 32, lloydIters: Int = 2,
+      threshold: Double = 0.4, cap: Int = 64, floodMod: Long = 5L): String = {
+    val (ctes, _) = ivfChainCtes(nCentroids, lloydIters,
+      embExpr = s"CASE WHEN vec_id % $floodMod = 0 THEN " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = " +
+        "(SELECT MIN(vec_id) FROM embeddings)) ELSE embedding END")
+    s"""WITH $ctes,
+       |occ AS (SELECT cluster, COUNT(*) AS c FROM a_f GROUP BY cluster),
+       |hot AS (SELECT cluster FROM occ WHERE c > $cap)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       |  ${cosSql("a.e", "b.e")} AS cosine
+       |FROM a_f a JOIN a_f b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.e", "b.e")} >= $threshold
+       |  AND a.cluster NOT IN (SELECT cluster FROM hot)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Replica of [[graft.ops.Similarity.semanticDedupPairsIncremental]]:
     * the IVF chain TRAINS on the base corpus only (`vec_id % deltaMod
     * <> 0` — the add-after-train contract), assigns EVERY vector against

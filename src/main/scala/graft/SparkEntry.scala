@@ -1092,6 +1092,23 @@ object SparkEntry {
     // % 7 == 0 arrivals pair only with what survives — exactly the
     // incremental run over (base − expired), which the oracle recomputes
     // under the same base-trained chain
+    // the vector tier's HOT-CLUSTER CAP under an embedding-template
+    // flood (every 5th vector rewritten to the corpus-minimum vector —
+    // the collapsed-cluster shape a mode-collapsed encoder produces):
+    // over-occupied clusters are quarantined from pair generation, so
+    // the join's worst key is bounded by cap² while the retrain the
+    // gauge prescribes amortizes. Hash-exact: the DuckDB replica applies
+    // the same occupancy rule to the same deterministic assignment.
+    "q_semdedup_capped" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tpl = broadcast(emb.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding").as("tpl_emb")))
+      val rew = emb.crossJoin(tpl).select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("tpl_emb"))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.semanticDedupPairsCapped(rew, 0.4)
+    }),
+
     "q_semdedup_retire" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 7 =!= 0)
@@ -4708,6 +4725,7 @@ object SparkEntry {
     "q_docstream_capped_parity" -> OracleSql.cappedPipelineParitySql(),
     "q_docstream_gauge" -> OracleSql.docStreamGaugeSql(),
     "q_dedup_minhash_capped" -> OracleSql.minhashPairsCappedSql(),
+    "q_semdedup_capped" -> OracleSql.semDedupPairsCappedSql(),
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),

@@ -725,6 +725,45 @@ object Similarity {
     semanticDedupUnordered(assigned, threshold)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** HOT-CLUSTER CAP — [[graft.ops.Dedup.minHashPairsCapped]] on the
+    * vector tier, the executable bound the IVF drift gauge's
+    * `top_share` alert calls for: a COLLAPSED cluster (mode-collapsed
+    * upstream encoder, an embedding-template flood) makes the
+    * cluster-local pair join quadratic in that cluster's occupancy while
+    * contributing almost no dedup value — its members are the flood.
+    * This variant EXCLUDES clusters whose occupancy exceeds `cap` from
+    * pair generation entirely.
+    *
+    * The semantics are explicitly RECALL-BOUNDED, and deterministically
+    * so: every pair inside a quarantined cluster is missed — including
+    * the organic vectors the collapse dragged in (at the receipt fixture
+    * that is 7 of 107 members; the rest ARE the flood). The DuckDB
+    * oracle applies the same occupancy rule to the same deterministic
+    * assignment, so the row is hash-exact — the POLICY is the tested
+    * contract, and the stated operational answer to a firing cap is the
+    * gauge's own: retrain/split in the next maintenance window
+    * ([[ivfRetrainEpoch]]), with the cap bounding the join in the
+    * meantime.
+    *
+    * Scale shape: occupancy is one map-side-combinable count over
+    * (cluster, vec_id) rows; the hot set (clusters OVER the cap) is tiny
+    * by construction and broadcasts into a LeftAnti prune of the
+    * assignment — the pair join's shape is unchanged, its worst key now
+    * bounded by cap², exactly the skew ceiling a 100 TB always-on vector
+    * ingest needs while the retrain amortizes. */
+  def semanticDedupPairsCapped(embeddings: DataFrame, threshold: Double,
+      nCentroids: Int = 32, lloydIters: Int = 2, cap: Int = 64): DataFrame = {
+    val assigned = ivfIndex(embeddings, nCentroids, lloydIters)._3
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .select(col("cluster"))
+    val cool = assigned.join(broadcast(hot), Seq("cluster"), "left_anti")
+    semanticDedupOverAssigned(cool, threshold)
+  }
+
   /** [[semanticDedupOverAssigned]] without the presentation sort — for
     * composition (the incremental path unions it with the delta-vs-base
     * between-join and sorts ONCE at the end; the embedding live-pipeline

@@ -321,4 +321,54 @@ class SimilaritySpec extends AnyFunSuite {
       refShift, newShift, suffix = "_epoch1").head()
     assert(!g1.getBoolean(7), s"gauge still alarming after retrain: $g1")
   }
+
+  test("semanticDedupPairsCapped: collapsed cluster quarantined, cool " +
+      "clusters keep their pairs, degenerates to uncapped above occupancy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // an embedding-template flood: every 5th vector collapses onto the
+    // corpus-minimum vector (byte-identical), concentrating one cluster
+    // far over the cap while organic clusters sit far under it
+    val tpl = broadcast(emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("tpl_emb")))
+    val rew = emb.crossJoin(tpl).select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, col("tpl_emb"))
+        .otherwise(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    val capped = Similarity.semanticDedupPairsCapped(rew, 0.4, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Similarity.semanticDedupPairs(rew, 0.4)
+      .localCheckpoint(true)
+    val uncappedPairs = uncapped.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flood's byte-identical members pair at cosine 1.0 uncapped and
+    // must be quarantined by the cap (the flooded cluster's occupancy is
+    // over any sane cap at this fixture)
+    val floodPairs = uncappedPairs.filter(p => p._1 % 5 == 0 && p._2 % 5 == 0)
+    assert(floodPairs.nonEmpty, "flood scenario vacuous: no flood pairs")
+    assert(capped.intersect(floodPairs).isEmpty,
+      s"capped kept flood pairs: ${capped.intersect(floodPairs).take(5)}")
+    // exact policy equality: capped == uncapped restricted to clusters
+    // whose occupancy (over the same deterministic assignment) is ≤ cap
+    val cents = Similarity.trainCentroids(rew, 32, 2)
+    val hotSet = Similarity.assignToCentroids(rew, cents)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 8)
+      .collect().map(_.getLong(0)).toSet
+    val expected = uncapped.collect()
+      .filter(r => !hotSet(r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == expected,
+      s"capped != uncapped-minus-hot-clusters: " +
+        s"only-capped=${(capped -- expected).take(5)} " +
+        s"only-expected=${(expected -- capped).take(5)}")
+    // a cap above every occupancy must change nothing (the policy's
+    // only lever is the occupancy rule)
+    val cappedHigh = Similarity.semanticDedupPairsCapped(rew, 0.4,
+      cap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedHigh == uncappedPairs,
+      "cap above every occupancy must degenerate to the uncapped pairs")
+  }
 }
