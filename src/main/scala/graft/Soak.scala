@@ -755,21 +755,239 @@ object Soak {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val flood = n / 11 + (if (n % 11 > 0) 1 else 0)
-      def run(f: () => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      // each frame materializes ONCE (timed through the eager snapshot);
+      // the counts AND the subset invariant read the cached rows — the
+      // deliberately-quadratic uncapped flood join must not be re-paid
+      // for a bookkeeping check
+      def run(f: () => org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, Long, Double) = {
         val t = System.nanoTime()
-        val c = f().count()
-        (c, (System.nanoTime() - t) / 1e9)
+        val df = f().localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val c = df.count()
+        (df, c, (System.nanoTime() - t) / 1e9)
       }
-      val (uncapped, uncappedSec) = run(() => Dedup.minHashPairs(docs))
-      val (capped, cappedSec) = run(() =>
-        Dedup.minHashPairsCapped(docs, cap = cap))
+      val (uncappedDf, uncapped, uncappedSec) =
+        run(() => Dedup.minHashPairs(docs))
+      val (cappedDf, capped, cappedSec) =
+        run(() => Dedup.minHashPairsCapped(docs, cap = cap))
       // subset invariant before timing is trusted
-      val diff = Dedup.minHashPairsCapped(docs, cap = cap)
-        .select(col("id_a"), col("id_b"))
-        .exceptAll(Dedup.minHashPairs(docs).select(col("id_a"), col("id_b")))
+      val diff = cappedDf.select(col("id_a"), col("id_b"))
+        .exceptAll(uncappedDf.select(col("id_a"), col("id_b")))
         .count()
       require(diff == 0L, s"capped must be a subset of uncapped: $diff")
       println(f"""SOAK {"phase":"capflood","scale":"$tag","docs":$n,"flood_docs":$flood,"cap":$cap,"uncapped_pairs":$uncapped,"uncapped_sec":$uncappedSec%.2f,"capped_pairs":$capped,"capped_sec":$cappedSec%.2f,"flood_pairs_expected":${flood * (flood - 1) / 2}}""")
+    }
+  }
+
+  /** `semcapflood` mode: the hot-CLUSTER cap's scale receipt
+    * ([[graft.ops.Similarity.semanticDedupPairsCapped]] vs the plain
+    * operator under a growing embedding flood). A TRUE-growth vector
+    * corpus has every 5th embedding rewritten to one template vector —
+    * the collapsed cluster a mode-collapsed upstream encoder produces —
+    * so the flood cluster holds n/5 members: the UNCAPPED cluster-local
+    * join pays (n/5)² pairs in that one cluster (quadratic in corpus
+    * size at fixed flood fraction), the CAPPED operator quarantines it
+    * and pays organic work only. Subset invariant asserted off the
+    * cached frames before timing is trusted. */
+  def semCapFloodSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, cap: Int = 64): Unit = {
+    import graft.ops.Similarity
+    val nBase = Tables.embeddings(spark, baseDir).count()
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/semcapflood_$tag"
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val raw = trueGrowthEmbeddings(spark, baseDir, n)
+      val tpl = broadcast(raw.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding").as("tpl_emb")))
+      raw.crossJoin(tpl).select(col("vec_id"),
+          when(col("vec_id") % 5 === 0, col("tpl_emb"))
+            .otherwise(col("embedding")).as("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val flood = n / 5 + (if (n % 5 > 0) 1 else 0)
+      def run(f: () => org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, Long, Double) = {
+        val t = System.nanoTime()
+        val df = f().localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val c = df.count()
+        (df, c, (System.nanoTime() - t) / 1e9)
+      }
+      val (uncappedDf, uncapped, uncappedSec) =
+        run(() => Similarity.semanticDedupPairs(emb, 0.4))
+      val (cappedDf, capped, cappedSec) =
+        run(() => Similarity.semanticDedupPairsCapped(emb, 0.4, cap = cap))
+      val diff = cappedDf.select(col("id_a"), col("id_b"))
+        .exceptAll(uncappedDf.select(col("id_a"), col("id_b")))
+        .count()
+      require(diff == 0L, s"capped must be a subset of uncapped: $diff")
+      println(f"""SOAK {"phase":"semcapflood","scale":"$tag","vectors":$n,"flood_vecs":$flood,"cap":$cap,"uncapped_pairs":$uncapped,"uncapped_sec":$uncappedSec%.2f,"capped_pairs":$capped,"capped_sec":$cappedSec%.2f,"flood_pairs_expected":${flood * (flood - 1) / 2}}""")
+    }
+  }
+
+  /** `docstreamflood` mode: the hot-bucket cap's receipt on the
+    * RUNNABLE pipeline — [[capFloodSoak]] measured the batch operator;
+    * this drives [[graft.streaming.DocumentStream.processBatch]] itself
+    * under a standing template flood (every batch carries `floodPerBatch`
+    * byte-identical template arrivals alongside constant organic
+    * traffic, sub-second event spacing so the whole run sits inside the
+    * horizon — the worst case, nothing ages out). UNCAPPED, the flood
+    * bucket's between-join legs grow linearly with the accumulated
+    * band state (cumulative quadratic — the per-batch slope this mode
+    * exists to show); CAPPED (`hotBucketCap`), the occupancy prune drops
+    * the flood buckets from every join, so per-batch time stays at the
+    * organic baseline for ANY flood duration. Printed per mode:
+    * first/last-third per-batch medians (the slope verdict), ledger
+    * alert/intervention counts (detection fires in BOTH modes — the cap
+    * is the automatic remediation, not the detector), and the capped
+    * run's standing invariant (labels == CC over kept/pairs) gating the
+    * timing. */
+  def docStreamFloodSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 48, cap: Int = 16,
+      organicPerBatch: Int = 64, floodPerBatch: Int = 64): Unit = {
+    import spark.implicits._
+    import graft.streaming.DocumentStream
+    val template = graft.OracleSql.CappedFloodTemplate
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val horizonMs = 3600000L
+    val nBase = Tables.documents(spark, baseDir).count()
+    val organicNeeded = nBatches.toLong * organicPerBatch
+    val n = math.max(nBase, organicNeeded * 5L / 2L + 10L)
+    val dir = s"$outDir/docstreamflood"
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+    trueGrowthDocuments(spark, baseDir, n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val splitId = n * 3L / 5L
+    val history = docs.filter(col("doc_id") < splitId)
+    val organicPool = docs.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("text"))
+      .limit(organicNeeded.toInt)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    require(organicPool.length == organicNeeded,
+      s"organic pool short: ${organicPool.length} < $organicNeeded")
+    var floodId = n + 1000000L
+    var k = 0L
+    val waves = (0 until nBatches).map { i =>
+      val organic = organicPool.slice(i * organicPerBatch,
+        (i + 1) * organicPerBatch)
+      val rows = (organic.map { case (id, tx) => (id, tx) } ++
+        (0 until floodPerBatch).map { _ =>
+          floodId += 1; (floodId, template)
+        }).map { case (id, tx) =>
+          k += 1; DocumentStream.DocTsIn(id, t0Ms + k * 500L, tx)
+        }
+      rows.toSeq
+    }
+    val histPairs = graft.ops.Dedup.minHashPairs(history)
+      .localCheckpoint(true)
+    val histLabels = graft.ops.Dedup.nearDupClusters(history, histPairs)
+      .localCheckpoint(true)
+    for ((mode, hc) <- Seq("uncapped" -> 0, "capped" -> cap)) {
+      val root = s"$dir/$mode"
+      DocumentStream.init(spark, root, history, histPairs, histLabels)
+      val batchSecs = waves.zipWithIndex.map { case (w, i) =>
+        val t = System.nanoTime()
+        DocumentStream.processBatch(w.toDF(), i.toLong, root,
+          horizonMs, consolidateEvery = 16, hotBucketCap = hc)
+        (System.nanoTime() - t) / 1e9
+      }
+      val third = batchSecs.length / 3
+      val g = DocumentStream.gaugeRows(spark, root)
+        .agg(count(when(col("alert"), 1)).as("alerts"),
+          count(when(col("hot_buckets") > 0, 1)).as("interventions"),
+          sum(col("cand_ppb")).as("cand_ppb_sum")).head()
+      // standing invariant before timing is trusted
+      val labels = DocumentStream.labels(spark, root)
+      val cc = graft.ops.Dedup.nearDupClusters(
+        DocumentStream.keptIds(spark, root).select(col("doc_id")),
+        DocumentStream.livePairs(spark, root))
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      require(diff == 0L, s"$mode labels != CC: $diff")
+      println(f"""SOAK {"phase":"docstreamflood","mode":"$mode","cap":$hc,"batches":$nBatches,"organic_per_batch":$organicPerBatch,"flood_per_batch":$floodPerBatch,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"alerts":${g.getLong(0)},"interventions":${g.getLong(1)},"cand_ppb_sum":${g.getLong(2)}}""")
+    }
+  }
+
+  /** `fpstreamlong` mode: [[docStreamLongSoak]]'s batch-count-flatness
+    * receipt on the MEDIA tier ([[graft.streaming.FingerprintStream]]):
+    * a TRUE-growth texture-family image corpus (real PNG bytes through
+    * the real javax.imageio codec — the dominant per-batch cost) splits
+    * into a standing fingerprint index and a CONSTANT arrival stream
+    * regardless of corpus scale; `nBatches` constant-size micro-batches
+    * drive [[graft.streaming.FingerprintStream.processBatch]] with the
+    * tiered consolidation on its cadence
+    * (`SPARK_GRAFT_CONSOLIDATE_EVERY=0` = the unbounded counterfactual).
+    * Printed per scale: median/p99 batch seconds, first/last-third
+    * medians (flatness in BATCH COUNT and in CORPUS SIZE), final
+    * directory counts vs one-per-batch, state bytes — gated by the
+    * standing invariant labels == CC over index/pairs. */
+  def fpStreamLongSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 60,
+      consolidateEvery: Int = 16): Unit = {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal}
+    import graft.streaming.FingerprintStream
+    val nBase = Tables.documents(spark, baseDir).count()
+    def docsOf(m: Long): DataFrame =
+      spark.range(m).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(8L))).as("source"))
+    for ((tag, n) <- Seq("true1x" -> nBase, s"true${factor}x" -> nBase * factor)) {
+      val dir = s"$outDir/fpstreamlong_$tag"
+      val root = s"$dir/state"
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val docs = docsOf(n)
+      val splitId = n * 3L / 5L
+      // constant arrival stream regardless of corpus scale
+      val arrFrom = n - nBase * 2L / 5L
+      def fpOf(d: DataFrame): DataFrame =
+        Multimodal.pHashes(Multimodal.imagePngMediaTrueGrowth(spark, d))
+          .filter(_.decoded).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("ph0").as("sh0"), col("ph1").as("sh1"))
+      val baseFps = fpOf(docs.filter(col("doc_id") < splitId))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val basePairs = Dedup.hammingPairs128(baseFps, 3)
+        .localCheckpoint(true)
+      FingerprintStream.init(spark, root, baseFps, basePairs,
+        Dedup.nearDupClusters(baseFps.select(col("doc_id")),
+          basePairs.select(col("id_a"), col("id_b"))))
+      val arrivals = Multimodal.imagePngMediaTrueGrowth(spark,
+          docs.filter(col("doc_id") >= arrFrom))
+        .collect().sortBy(_.media_id).toSeq
+      val waves = arrivals.grouped(
+        math.max(1, arrivals.length / nBatches)).toSeq
+      val batchSecs = waves.zipWithIndex.map { case (w, i) =>
+        val t = System.nanoTime()
+        FingerprintStream.processBatch(spark.createDataset(w).toDF(),
+          i.toLong, root, maxHamming = 3,
+          consolidateEvery = consolidateEvery)
+        (System.nanoTime() - t) / 1e9
+      }
+      val consSecs = batchSecs.zipWithIndex.collect {
+        case (s, i) if consolidateEvery > 0 && i > 0 &&
+          i % consolidateEvery == 0 => s }
+      val third = batchSecs.length / 3
+      // standing invariant before timing is trusted
+      val labels = FingerprintStream.labels(spark, root)
+      val cc = Dedup.nearDupClusters(
+        FingerprintStream.indexedFps(spark, root).select(col("doc_id")),
+        FingerprintStream.livePairs(spark, root)
+          .select(col("id_a"), col("id_b")))
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      require(diff == 0L, s"labels != CC at $tag: $diff")
+      val dirCounts = Seq("fps", "pairs", "gauge")
+        .map(s => s""""$s":${batchDirCount(fsys, root, s)}""").mkString(",")
+      println(f"""SOAK {"phase":"fpstreamlong","scale":"$tag","docs":$n,"images":${n / 3},"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${medSec(consSecs)}%.2f,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${dirBytes(fsys, root)}}""")
     }
   }
 
@@ -1711,6 +1929,25 @@ object Soak {
     }
     if (args.lift(3).contains("capflood")) {
       capFloodSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("semcapflood")) {
+      semCapFloodSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("docstreamflood")) {
+      docStreamFloodSoak(spark, factor, baseDir, outDir,
+        floodPerBatch = sys.env.get("SPARK_GRAFT_FLOOD_PER_BATCH")
+          .map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("fpstreamlong")) {
+      fpStreamLongSoak(spark, factor, baseDir, outDir,
+        consolidateEvery = sys.env.get("SPARK_GRAFT_CONSOLIDATE_EVERY")
+          .map(_.toInt).getOrElse(16))
       spark.stop()
       return
     }

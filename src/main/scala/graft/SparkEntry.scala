@@ -227,7 +227,7 @@ object SparkEntry {
     "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity",
     "q_semdedup_live_parity", "q_dedup_deep_live_parity",
     "q_docstream_restart_parity", "q_embstream_restart_parity",
-    "q_docstream_capped_parity")
+    "q_docstream_capped_parity", "q_fpstream_restart_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -649,6 +649,16 @@ object SparkEntry {
     // the same oracle as the hand-driven embedding gate
     "q_embstream_restart_parity" -> ((s, dir) =>
       streaming.ParityCheck.embeddingRestartParity(s, dir)),
+
+    // the runnable FINGERPRINT (media) pipeline — the third tier over
+    // the shared BatchState: arrivals decode through the real PNG codec
+    // per micro-batch (corrupt payloads quarantine into the ledger),
+    // band-join the persisted fingerprint index, merge labels; stop
+    // after wave 2, restart straddling a consolidation; final state
+    // equals the all-at-once batch twin, counts restated by the
+    // closed-form texture oracle without decoding a pixel
+    "q_fpstream_restart_parity" -> ((s, dir) =>
+      streaming.ParityCheck.fingerprintRestartParity(s, dir)),
 
     // the EMBEDDING live pipeline gate: waves of arriving vectors run
     // assign → cluster-local pair → incremental label merge against the
@@ -4726,6 +4736,34 @@ object SparkEntry {
     "q_docstream_gauge" -> OracleSql.docStreamGaugeSql(),
     "q_dedup_minhash_capped" -> OracleSql.minhashPairsCappedSql(),
     "q_semdedup_capped" -> OracleSql.semDedupPairsCappedSql(),
+    // the media pipeline gate: closed-form texture-class truth — image
+    // docs form hamming-0 cliques per doc_id % 5 class; corrupt
+    // (% 13 == 0) arrivals quarantine and leave every surface
+    "q_fpstream_restart_parity" ->
+      """WITH hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+        |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |quar AS (SELECT doc_id FROM img, hh
+        |         WHERE doc_id >= hh.h AND doc_id % 13 = 0),
+        |inc AS (SELECT doc_id FROM img
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM quar)),
+        |arrinc AS (SELECT doc_id FROM inc, hh WHERE doc_id >= hh.h),
+        |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |        FROM inc a JOIN inc b
+        |          ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5),
+        |livep AS (SELECT id_a, id_b FROM prs, hh WHERE id_b >= hh.h),
+        |labels AS (SELECT a.doc_id,
+        |  (SELECT MIN(b.doc_id) FROM inc b
+        |   WHERE b.doc_id % 5 = a.doc_id % 5) AS cluster_id
+        |  FROM inc a)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arrinc) AS n_indexed,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM quar) AS n_quarantined,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS n_pairs_live,
+        |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+        |    AS n_clusters,
+        |  CAST(0 AS BIGINT) AS n_only_live,
+        |  CAST(0 AS BIGINT) AS n_only_batch,
+        |  true AS parity_ok""".stripMargin,
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),

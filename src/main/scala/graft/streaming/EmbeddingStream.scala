@@ -224,7 +224,8 @@ object EmbeddingStream {
     * rows): the epoch resolves from committed rows, every read is pinned
     * below `batchId`, every write overwrites `batch=<batchId>`. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
-      threshold: Double = 0.4, consolidateEvery: Int = 0): Unit = {
+      threshold: Double = 0.4, consolidateEvery: Int = 0,
+      hotClusterCap: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (consolidateEvery > 0 && batchId > 0 &&
         batchId % consolidateEvery == 0)
@@ -275,11 +276,33 @@ object EmbeddingStream {
     BatchState.write(gaugeRow, root, "gauge", batchId)
 
     // ── tier 3: cluster-local pairs vs standing state + within batch ──
+    // HOT-CLUSTER CAP ([[graft.ops.Similarity.semanticDedupPairsCapped]]
+    // live): a mode-collapsed BATCH — the flood shape the inline gauge's
+    // top_share signal detects — would otherwise make the within-batch
+    // self-join quadratic in the collapsed cluster's batch occupancy and
+    // the between-join's broadcast side flood-sized for that key.
+    // Occupancy is the BATCH's (deliberately: standing-cluster size
+    // grows with the corpus — a total-occupancy rule would eventually
+    // quarantine every cluster); over-cap clusters prune from the
+    // batch's pair-join side only, which kills the cluster's pairs
+    // entirely (it is the join key) while the vectors still land in
+    // `vecs/`/`vhash/` — quarantined from pairing until the retrain the
+    // gauge prescribes, exactly the batch operator's stated policy.
+    val assignedCool =
+      if (hotClusterCap <= 0) assigned
+      else {
+        val hot = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > hotClusterCap)
+          .select(col("cluster"))
+          .localCheckpoint(true, memDisk)
+        assigned.join(broadcast(hot), Seq("cluster"), "left_anti")
+      }
     val vecsState = BatchState.state(spark, root, "vecs", batchId, VecsSchema)
     val pairs = graft.ops.Similarity
-      .semanticDedupPairsBetween(assigned, vecsState, threshold)
+      .semanticDedupPairsBetween(assignedCool, vecsState, threshold)
       .unionByName(
-        graft.ops.Similarity.semanticDedupUnordered(assigned, threshold))
+        graft.ops.Similarity.semanticDedupUnordered(assignedCool, threshold))
       .localCheckpoint(true, memDisk)
     BatchState.write(pairs, root, "pairs", batchId)
 
@@ -384,14 +407,15 @@ object EmbeddingStream {
   /** Start the pipeline on a streaming (vec_id, embedding) frame. */
   def start(vectors: DataFrame, root: String, checkpoint: String,
       threshold: Double = 0.4, maxDelayMs: Long = 100L,
-      consolidateEvery: Int = 0): StreamingQuery =
+      consolidateEvery: Int = 0, hotClusterCap: Int = 0): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, threshold,
-          consolidateEvery = consolidateEvery)
+          consolidateEvery = consolidateEvery,
+          hotClusterCap = hotClusterCap)
       }
       .start()
 

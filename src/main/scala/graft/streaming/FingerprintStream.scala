@@ -1,0 +1,231 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The RUNNABLE live FINGERPRINT (media) pipeline — the third tier over
+  * the shared [[BatchState]] machinery ([[DocumentStream]] is the text
+  * twin, [[EmbeddingStream]] the vector one): arriving media decode and
+  * fingerprint per micro-batch, near-dup candidates band-join the
+  * PERSISTED fingerprint index, and labels merge incrementally. Per
+  * batch:
+  *
+  *  1. DECODE + FINGERPRINT — the batch's media rows run the real-codec
+  *     perceptual hash ([[graft.ops.Multimodal.pHashes]] — javax.imageio
+  *     parse, DCT, sign bits); undecodable payloads QUARANTINE (counted
+  *     in the ledger, excluded from every downstream tier — the
+  *     reference quarantine convention, not a crash). The codec pass is
+  *     the dominant per-batch cost and runs ONCE (the fingerprint frame
+  *     is snapshotted; only 3-column (doc_id, sh0, sh1) rows flow on).
+  *  2. PAIR — Hamming-banded candidates against the standing index
+  *     ([[graft.ops.Dedup.hammingPairs128Between]] — the batch's 4-rows-
+  *     per-doc banding BROADCASTS; the corpus-sized index STREAMS
+  *     through unshuffled) plus the within-batch self-join
+  *     ([[graft.ops.Dedup.hammingPairs128]]'s kernel), both exact-
+  *     verified by summed popcount.
+  *  3. INDEX + LABEL — the batch's fingerprints append to `fps/` (a
+  *     pHash is corpus-independent, so the index never retrains —
+  *     append-only like the band-signature table) and the pairs merge
+  *     into the standing labeling via
+  *     [[graft.ops.Dedup.mergeClusterDelta]], cost ∝ batch.
+  *
+  * There is deliberately NO exact byte tier: on the perceptual axis a
+  * byte-identical re-send is just the hamming-0 extreme of the near-dup
+  * family the band join already catches, and the batch family
+  * (q_phash_pairs / q_phash_clusters) has no byte tier either — the
+  * stream must land on the same truth the batch rows pin.
+  *
+  * RESTART CONTRACT: identical to the other two pipelines (the shared
+  * [[BatchState]] keyed-write/pinned-read discipline) — a replayed batch
+  * recomputes against exactly the pre-batch state and overwrites its own
+  * directories. The gate is [[ParityCheck.fingerprintRestartParity]]
+  * (q_fpstream_restart_parity): stop after the second wave, restart from
+  * the checkpoint (straddling a consolidation), and the final
+  * index/pair/label state must equal the all-at-once batch twin — whose
+  * truth the closed-form texture oracle restates without decoding a
+  * pixel (reference: formanojhr/clickhouse-observability models ingest
+  * the same way — idempotent batch inserts into a keyed table,
+  * internal/db/db.go:59).
+  *
+  * State layout under `root` (each `batch=<id>` directory overwrite-
+  * idempotent; the standing corpus initializes as `batch=-1` via
+  * [[init]]):
+  *  - `fps/`    (doc_id, sh0, sh1) — the fingerprint index
+  *  - `pairs/`  (id_a, id_b, hamming) — verified pairs (base pair table
+  *     lands as `batch=-1`; [[retire]] re-converges from real edges)
+  *  - `gauge/`  one ledger row per non-empty batch (batch_id, arrived,
+  *     decoded, quarantined, pairs)
+  *  - `labels/` FULL snapshot per batch, reaped to the previous one
+  *
+  * Directory growth bounded by [[BatchState.tieredFold]] on the
+  * `consolidateEvery` cadence — K + log₂(batches/K) + 2 per sub for any
+  * uptime, O(log batches) rewrites per byte.
+  *
+  * Scale shape per batch: one codec pass ∝ batch (the only row-heavy
+  * work, embarrassingly parallel), one broadcast band join against the
+  * index (no shuffle of either side), batch-sized label merge, 1-row
+  * ledger aggregates. Nothing corpus-sized shuffles at arrival time;
+  * retention is [[retire]]'s maintenance-window pass. */
+object FingerprintStream {
+
+  private val FpsSchema = "doc_id BIGINT, sh0 BIGINT, sh1 BIGINT"
+  private val PairsSchema = "id_a BIGINT, id_b BIGINT, hamming BIGINT"
+  private val GaugeSchema =
+    "batch_id BIGINT, n_arrived BIGINT, n_decoded BIGINT, " +
+    "n_quarantined BIGINT, n_pairs BIGINT"
+
+  private val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Initialize the standing state: the base corpus's fingerprint index,
+    * pair table and labeling land as `batch=-1` (the same artifacts the
+    * batch q_phash rows persist), so the first micro-batch already
+    * band-joins and merges against them. */
+  def init(spark: SparkSession, root: String, baseFps: DataFrame,
+      basePairs: DataFrame, baseLabels: DataFrame): Unit = {
+    BatchState.write(baseFps.select(col("doc_id"), col("sh0"), col("sh1")),
+      root, "fps", -1L)
+    BatchState.write(basePairs.select(col("id_a"), col("id_b"),
+      col("hamming").cast("long").as("hamming")), root, "pairs", -1L)
+    BatchState.write(baseLabels.select(col("doc_id"), col("cluster_id")),
+      root, "labels", -1L)
+  }
+
+  /** Consolidate every committed state surface below `upToBatch` — the
+    * shared [[BatchState.tieredFold]] contract. All three subs fold
+    * row-for-row (fingerprint dedup is deep-history; [[retire]] owns row
+    * retirement); `labels/` is already bounded at two snapshots. */
+  def consolidate(spark: SparkSession, root: String,
+      upToBatch: Long): Unit = {
+    BatchState.tieredFold(spark, root, "fps", upToBatch, FpsSchema, identity)
+    BatchState.tieredFold(spark, root, "pairs", upToBatch, PairsSchema,
+      identity)
+    BatchState.tieredFold(spark, root, "gauge", upToBatch, GaugeSchema,
+      identity)
+  }
+
+  /** The per-batch transaction — public so the spec and soak can drive a
+    * single batch directly. Deterministic given (state before `batchId`,
+    * batch rows). `batch` carries [[graft.ops.Multimodal.MediaRow]]-
+    * shaped rows (media_id, kind, payload, source). */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      maxHamming: Int = 3, consolidateEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (consolidateEvery > 0 && batchId > 0 &&
+        batchId % consolidateEvery == 0)
+      consolidate(spark, root, batchId)
+    if (batch.isEmpty) return
+
+    // ── tier 1: decode + fingerprint (the codec pass runs ONCE — the
+    // snapshot feeds the quarantine count, the index write and both
+    // pair-join legs with 3-column rows) ──
+    val hashed = graft.ops.Multimodal.pHashes(
+        batch.as[graft.ops.Multimodal.MediaRow])
+      .toDF()
+      .localCheckpoint(true, memDisk)
+    val fp = hashed.filter(col("decoded"))
+      .select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1"))
+    BatchState.write(fp, root, "fps", batchId)
+
+    // ── tier 2: banded candidates vs the standing index + within batch ──
+    val fpsState = BatchState.state(spark, root, "fps", batchId, FpsSchema)
+    val pairs = graft.ops.Dedup
+      .hammingPairs128Between(fp, fpsState, maxHamming)
+      .unionByName(
+        graft.ops.Dedup.hammingPairs128Unordered(fp, maxHamming))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint(true, memDisk)
+    BatchState.write(pairs, root, "pairs", batchId)
+
+    // ── tier 3: incremental label merge over the previous snapshot ──
+    val prevId = BatchState.batchDirs(spark, root, "labels", batchId)
+      .map(_.split("batch=").last.toLong).max // -1 exists from init
+    val merged = graft.ops.Dedup.mergeClusterDelta(
+      spark.read.parquet(s"$root/labels/batch=$prevId"),
+      fp.select(col("doc_id")),
+      pairs.select(col("id_a"), col("id_b")))
+    BatchState.write(merged, root, "labels", batchId)
+    val f = BatchState.fs(spark, root)
+    BatchState.batchDirs(spark, root, "labels", prevId)
+      .filter(!_.endsWith("batch=-1"))
+      .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    // ── inline ledger: arrived / decoded / quarantined / pairs ──
+    val nArr = hashed.agg(count(lit(1)).as("n_arrived"),
+      count(when(col("decoded"), 1)).as("n_decoded"),
+      count(when(!col("decoded"), 1)).as("n_quarantined"))
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    BatchState.write(nArr.crossJoin(broadcast(nPairs))
+        .select(lit(batchId).as("batch_id"), col("n_arrived"),
+          col("n_decoded"), col("n_quarantined"), col("n_pairs")),
+      root, "gauge", batchId)
+  }
+
+  /** RETENTION — the [[EmbeddingStream.retire]] contract on the media
+    * tier (stream STOPPED at a committed checkpoint): labels re-converge
+    * through surviving pair edges
+    * ([[graft.ops.Dedup.retireClusterDelta]]), then `fps/` and `pairs/`
+    * drop the expired rows in place (sidecars preserved). A retired
+    * image stops generating candidates IMMEDIATELY (its index row is
+    * gone) and a re-sent copy is genuinely new again. */
+  def retire(spark: SparkSession, root: String,
+      expiredIds: DataFrame): Unit = {
+    Seq("fps", "pairs", "gauge")
+      .foreach(BatchState.recoverFold(spark, root, _))
+    val e = expiredIds
+      .select(col(graft.ops.Dedup.expiryKey(expiredIds, "doc_id"))
+        .as("doc_id")).distinct()
+      .localCheckpoint(true, memDisk)
+    val pairsState = BatchState.state(spark, root, "pairs", Long.MaxValue,
+      PairsSchema).select(col("id_a"), col("id_b"))
+    val retired = graft.ops.Dedup.retireClusterDelta(
+      labels(spark, root), pairsState, e)
+      .localCheckpoint(true, memDisk)
+    val latest = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
+      .maxBy(_.split("batch=").last.toLong)
+    retired.write.mode("overwrite").parquet(latest)
+    def prune(sub: String, cols: Seq[String]): Unit =
+      BatchState.batchDirs(spark, root, sub, Long.MaxValue).foreach { p =>
+        BatchState.rewriteDirPreservingUnit(spark, root, sub, p,
+          df => cols.foldLeft(df)(
+            (acc, c) => graft.ops.Dedup.expireRows(acc, c, e)))
+      }
+    prune("fps", Seq("doc_id"))
+    prune("pairs", Seq("id_a", "id_b"))
+  }
+
+  /** Start the pipeline on a streaming MediaRow frame. */
+  def start(media: DataFrame, root: String, checkpoint: String,
+      maxHamming: Int = 3, maxDelayMs: Long = 100L,
+      consolidateEvery: Int = 0): StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root, maxHamming,
+          consolidateEvery = consolidateEvery)
+      }
+      .start()
+
+  // ── served outputs (what a reader queries between batches) ──
+
+  /** The standing fingerprint index — what an arrival batch band-joins. */
+  def indexedFps(spark: SparkSession, root: String): DataFrame =
+    BatchState.state(spark, root, "fps", Long.MaxValue, FpsSchema)
+
+  def livePairs(spark: SparkSession, root: String): DataFrame =
+    BatchState.state(spark, root, "pairs", Long.MaxValue, PairsSchema)
+
+  /** Ledger rows, one per non-empty batch (decode health + pair flow). */
+  def gaugeRows(spark: SparkSession, root: String): DataFrame =
+    BatchState.state(spark, root, "gauge", Long.MaxValue, GaugeSchema)
+
+  def labels(spark: SparkSession, root: String): DataFrame = {
+    val dirs = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
+    require(dirs.nonEmpty, s"no label snapshot under $root/labels")
+    spark.read.parquet(dirs.maxBy(_.split("batch=").last.toLong))
+  }
+}

@@ -830,6 +830,117 @@ object ParityCheck {
         "n_hot_batches", "n_only_live", "n_only_batch", "parity_ok")
   }
 
+  /** The runnable FINGERPRINT (media) pipeline, gated end to end — the
+    * third tier over the shared [[BatchState]]
+    * ([[graft.streaming.FingerprintStream]]): the image slice's base
+    * corpus holds its persisted fingerprint index / pair table /
+    * labeling, arrivals replay in id-ordered waves through the real
+    * codec path with a STOP after the second wave and a RESTART from the
+    * checkpoint (straddling a consolidation), and arrivals with
+    * doc_id % 13 == 0 carry a TRUNCATED payload — the quarantine tier
+    * must fire and the ledger must count it. Final index/pair/label
+    * state must equal the all-at-once batch twin (fingerprints of every
+    * decodable image doc, one banded self-join, one CC) — whose counts
+    * the CLOSED-FORM texture oracle restates without decoding a pixel
+    * (same-class cliques at hamming 0, the q_phash_pairs truth). */
+  def fingerprintRestartParity(spark: SparkSession, dir: String,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val splitId = (maxId + 1L) * 3L / 5L
+
+    val baseFps = graft.ops.Multimodal.pHashes(
+        graft.ops.Multimodal.imagePngMedia(spark,
+          docs.filter(col("doc_id") < splitId)))
+      .filter(_.decoded).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1"))
+      .localCheckpoint(true)
+    val basePairs = graft.ops.Dedup.hammingPairs128(baseFps, 3)
+      .localCheckpoint(true)
+    val baseLabels = graft.ops.Dedup.nearDupClusters(
+      baseFps.select(col("doc_id")),
+      basePairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+
+    val arrMedia = graft.ops.Multimodal.imagePngMedia(spark,
+        docs.filter(col("doc_id") >= splitId))
+      .collect().sortBy(_.media_id)
+      .map(m => if (m.media_id % 13 == 0)
+        m.copy(payload = m.payload.take(10)) else m)
+      .toSeq
+    require(arrMedia.nonEmpty, "fixture too small to split")
+    require(arrMedia.exists(_.media_id % 13 == 0),
+      "quarantine scenario vacuous: no corrupt arrival")
+
+    val root = s"target/fpstream_gate/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    FingerprintStream.init(spark, s"$root/state", baseFps, basePairs,
+      baseLabels)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.ops.Multimodal.MediaRow]
+    val waves = arrMedia.grouped(
+      math.max(1, arrMedia.length / nBatches)).toSeq
+    var q = FingerprintStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", maxHamming = 3, consolidateEvery = 2)
+    waves.take(2).foreach { w => mem.addData(w); q.processAllAvailable() }
+    q.stop() // mid-replay crash, simulated
+    q = FingerprintStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", maxHamming = 3, consolidateEvery = 2)
+    try waves.drop(2).foreach { w =>
+      mem.addData(w); q.processAllAvailable()
+    } finally q.stop()
+
+    val idxArr = FingerprintStream.indexedFps(spark, s"$root/state")
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("sh0"), col("sh1"))
+      .localCheckpoint(true)
+    // pair canonical order puts the (larger-id) arrival at id_b, so the
+    // arrival-touching slice is exactly id_b >= split
+    val livePairs = FingerprintStream.livePairs(spark, s"$root/state")
+      .filter(col("id_b") >= splitId)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val liveLabels = FingerprintStream.labels(spark, s"$root/state")
+      .localCheckpoint(true)
+    val nQuarantined = FingerprintStream.gaugeRows(spark, s"$root/state")
+      .agg(coalesce(sum(col("n_quarantined")), lit(0L))).head().getLong(0)
+
+    // ── batch twin: every decodable image doc at once ──
+    val arrFpB = graft.ops.Multimodal.pHashes(
+        spark.createDataset(arrMedia))
+      .filter(_.decoded).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1"))
+      .localCheckpoint(true)
+    val allFps = baseFps.unionByName(arrFpB)
+    val pairsAll = graft.ops.Dedup.hammingPairs128(allFps, 3)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val livePairsB = pairsAll.filter(col("id_b") >= splitId)
+    val batchLabels = graft.ops.Dedup.nearDupClusters(
+      allFps.select(col("doc_id")), pairsAll).localCheckpoint(true)
+
+    val fpsAgree = idxArr.exceptAll(arrFpB).count() == 0L &&
+      arrFpB.exceptAll(idxArr).count() == 0L
+    val pairsAgree = livePairs.exceptAll(livePairsB).count() == 0L &&
+      livePairsB.exceptAll(livePairs).count() == 0L
+    val onlyLive = liveLabels.exceptAll(batchLabels).count()
+    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
+    val nIndexed = idxArr.count()
+    val nPairsLive = livePairs.count()
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    spark.createDataFrame(Seq(
+      (nIndexed, nQuarantined, nPairsLive, nClusters, onlyLive, onlyBatch,
+        fpsAgree && pairsAgree && onlyLive == 0L && onlyBatch == 0L &&
+          nQuarantined > 0L)))
+      .toDF("n_indexed", "n_quarantined", "n_pairs_live", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+  }
+
   /** The EMBEDDING live-dedup pipeline, gated end to end — the vector
     * twin of [[livePipelineParity]]: a standing corpus (vec_id below the
     * 3/5 split) holds its base-trained IVF index

@@ -314,6 +314,14 @@ class DocumentStreamSpec extends AnyFunSuite {
     assert(bandIds(rootA).intersect(expiredSet).isEmpty,
       "band state kept expired docs' signatures")
 
+    // the expiry key resolves BY NAME: a (text, other_id) frame without
+    // a doc_id column must fail loudly, not retire the text column
+    val badFrame = Seq(("junk", 1L)).toDF("text", "other_id")
+    val keyErr = intercept[IllegalArgumentException] {
+      DocumentStream.retire(spark, rootA, badFrame)
+    }
+    assert(keyErr.getMessage.contains("single-column"))
+
     // ── retire must PRESERVE the tiered units' sidecars: a retire on a
     // laddered state (rootB never consolidated — consolidate it now,
     // leaving units + raws) followed by another consolidate must be a

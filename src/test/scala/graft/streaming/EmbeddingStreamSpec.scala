@@ -71,6 +71,61 @@ class EmbeddingStreamSpec extends AnyFunSuite {
     assert(setEqual(EmbeddingStream.labels(spark, root), twin))
   }
 
+  test("hot-cluster cap: a mode-collapsed batch's flood cluster is " +
+      "quarantined from pairing; organic clusters keep theirs") {
+    import spark.implicits._
+    val (rootC, emb, splitId, _) = initOn("hotcap")
+    val (rootU, _, _, _) = initOn("hotcap_twin")
+    // a flood batch: the arrivals plus many near-copies of one base
+    // vector (distinct bytes — a tiny per-copy nudge — so the exact
+    // tier keeps them and they all assign to that vector's cluster)
+    val src = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val floodRows = (0 until 40).map { i =>
+      val v = src.clone(); v(0) = v(0) + (i + 1) * 1e-4f
+      (800000L + i, v)
+    }
+    val batch = emb.filter(col("vec_id") >= splitId)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(floodRows.toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    EmbeddingStream.processBatch(batch, 0L, rootC, hotClusterCap = 30)
+    EmbeddingStream.processBatch(batch, 0L, rootU)
+    val floodIds = floodRows.map(_._1).toSet
+    def pairsOf(root: String): Set[(Long, Long)] =
+      EmbeddingStream.livePairs(spark, root)
+        .filter(col("id_a") >= splitId || col("id_b") >= splitId)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairsOf(rootC)
+    val uncapped = pairsOf(rootU)
+    // uncapped: the flood pairs (near-copies of one vector, cosine ~1);
+    // capped: the flood cluster is over the cap, so NO flood-touching
+    // pair survives — while pairs wholly outside it are identical
+    assert(uncapped.count(p => floodIds(p._1) || floodIds(p._2)) > 100,
+      s"flood scenario vacuous: ${uncapped.size}")
+    assert(capped.forall(p => !floodIds(p._1) && !floodIds(p._2)),
+      "capped batch still paired the flood cluster")
+    // the flood vectors are QUARANTINED, not dropped: still indexed
+    assert(EmbeddingStream.keptIds(spark, rootC)
+      .filter(col("vec_id").isin(floodIds.toSeq: _*)).count()
+      === floodIds.size.toLong)
+    // capped == uncapped minus pairs touching the flood CLUSTER (the
+    // hot cluster is the flood's assigned cluster; organic arrivals
+    // assigned there quarantine too — the stated recall consequence)
+    val hotCluster = EmbeddingStream.assignedState(spark, rootC)
+      .filter(col("vec_id") === floodRows.head._1)
+      .select(col("cluster")).head().getLong(0)
+    val clusterIds = EmbeddingStream.assignedState(spark, rootC)
+      .filter(col("cluster") === hotCluster)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val expected = uncapped.filter(p =>
+      !(clusterIds(p._1) && clusterIds(p._2)))
+    assert(capped == expected,
+      s"capped != uncapped-minus-hot-cluster: only-capped=" +
+        s"${(capped -- expected).take(3)} only-expected=" +
+        s"${(expected -- capped).take(3)}")
+  }
+
   test("a fully-duplicate batch (upstream re-send) is a clean no-op") {
     val (root, emb, splitId, _) = initOn("fulldup")
     val arr = emb.filter(col("vec_id") >= splitId)
@@ -210,5 +265,23 @@ class EmbeddingStreamSpec extends AnyFunSuite {
     EmbeddingStream.processBatch(resend, 1L, root)
     assert(EmbeddingStream.keptIds(spark, root)
       .filter(col("vec_id") === 2000005L).count() === 1L)
+    // the expiry key resolves BY NAME: a multi-column frame without a
+    // vec_id column must fail loudly instead of silently keying on
+    // whatever column happens to be first
+    import spark.implicits._
+    val bad = Seq(("junk", 10L)).toDF("note", "other_id")
+    val err = intercept[IllegalArgumentException] {
+      EmbeddingStream.retire(spark, root, bad)
+    }
+    assert(err.getMessage.contains("single-column"))
+    // and a frame that CARRIES vec_id (not first) keys on it by name
+    val survivorsNow = EmbeddingStream.keptIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val target = survivorsNow.head
+    EmbeddingStream.retire(spark, root,
+      Seq(("junk", target)).toDF("note", "vec_id"))
+    assert(!EmbeddingStream.keptIds(spark, root)
+      .collect().map(_.getLong(0)).toSet.contains(target),
+      "by-name expiry did not retire the vec_id column's row")
   }
 }

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.{Dedup, Multimodal}
+
+/** The runnable FINGERPRINT (media) pipeline's tier-level contracts,
+  * driven batch-by-batch on a synthetic real-PNG corpus (the texture
+  * classes make the truth closed-form: same doc_id % 5 class → hamming 0
+  * cliques; cross-class ≈ 64 bits apart). The stop/restart-across-
+  * consolidation gate is [[ParityCheck.fingerprintRestartParity]]
+  * (q_fpstream_restart_parity); this spec pins replay idempotency,
+  * consolidation equivalence, the quarantine ledger, and retire. */
+class FingerprintStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("batches land on the closed-form truth; replay idempotent; " +
+      "quarantine counted; consolidation no-op on served rows; retire " +
+      "prunes index and re-converges labels") {
+    import spark.implicits._
+    // 40 real PNG images (ids ≡ 1 mod 3 — imagePngMedia's slice), five
+    // texture classes by id % 5
+    val ids = (0L until 40L).map(i => i * 3 + 1)
+    val docs = ids.map(id => (id, s"src${id % 8}")).toDF("doc_id", "source")
+    val media = Multimodal.imagePngMedia(spark, docs)
+      .collect().sortBy(_.media_id)
+    val (baseMedia, arrMediaRaw) = media.splitAt(25)
+    // one corrupt arrival: truncated payload must quarantine, not crash
+    val corruptId = arrMediaRaw(2).media_id
+    val arrMedia = arrMediaRaw.map(m =>
+      if (m.media_id == corruptId) m.copy(payload = m.payload.take(10))
+      else m)
+
+    def fpOf(ms: Seq[Multimodal.MediaRow]) =
+      Multimodal.pHashes(spark.createDataset(ms.toSeq))
+        .filter(_.decoded).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ph0").as("sh0"), col("ph1").as("sh1"))
+
+    val base = "target/fpstream_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val root = s"$base/state"
+    val baseFps = fpOf(baseMedia.toSeq).localCheckpoint(true)
+    val basePairs = Dedup.hammingPairs128(baseFps, 3).localCheckpoint(true)
+    FingerprintStream.init(spark, root, baseFps, basePairs,
+      Dedup.nearDupClusters(baseFps.select(col("doc_id")),
+        basePairs.select(col("id_a"), col("id_b"))))
+
+    val waves = arrMedia.toSeq.grouped(5).toSeq
+    def served() = (
+      FingerprintStream.indexedFps(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq,
+      FingerprintStream.livePairs(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      FingerprintStream.labels(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      FingerprintStream.processBatch(spark.createDataset(w).toDF(),
+        i.toLong, root, maxHamming = 3, consolidateEvery = 2)
+      if (i == 1) {
+        // the at-least-once hazard: replaying the committed batch must
+        // leave every surface bit-identical
+        val snap = served()
+        FingerprintStream.processBatch(spark.createDataset(w).toDF(),
+          i.toLong, root, maxHamming = 3, consolidateEvery = 2)
+        assert(served() == snap, "replay changed state")
+      }
+    }
+
+    // ── closed-form truth: decoded docs form hamming-0 class cliques ──
+    val decodedIds = ids.filter(_ != corruptId)
+    val expectLabels = decodedIds.map(id =>
+      id -> decodedIds.filter(_ % 5 == id % 5).min).toMap
+    val (fpsNow, pairsNow, labelsNow) = served()
+    assert(labelsNow == expectLabels,
+      s"labels != closed-form cliques")
+    assert(fpsNow.map(_._1).toSet == decodedIds.toSet,
+      "index != decoded doc set")
+    val expectPairs = (for {
+      a <- decodedIds; b <- decodedIds
+      if a < b && a % 5 == b % 5
+    } yield (a, b)).sorted
+    assert(pairsNow == expectPairs, "pair state != class cliques")
+
+    // ── quarantine ledger: exactly the corrupt arrival, nothing else ──
+    val g = FingerprintStream.gaugeRows(spark, root)
+      .agg(sum(col("n_arrived")), sum(col("n_decoded")),
+        sum(col("n_quarantined")), sum(col("n_pairs"))).head()
+    assert(g.getLong(0) == arrMedia.length.toLong)
+    assert(g.getLong(1) == arrMedia.length.toLong - 1L)
+    assert(g.getLong(2) == 1L, s"quarantine count wrong: $g")
+
+    // ── a consolidation pass changes no served row and bounds dirs ──
+    val before = served()
+    FingerprintStream.consolidate(spark, root, waves.length.toLong)
+    assert(served() == before, "consolidation changed a served row")
+    for (sub <- Seq("fps", "pairs", "gauge")) {
+      val dirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$sub"))
+        .map(_.getPath.getName).count(_.startsWith("batch="))
+      assert(dirs <= 4, s"$sub not consolidated: $dirs dirs")
+    }
+
+    // ── retire one class: index/pairs pruned, labels re-converge ──
+    val expiredClass = 1L // ids ≡ 1 mod 5 among image ids
+    val expired = decodedIds.filter(_ % 5 == expiredClass)
+    FingerprintStream.retire(spark, root,
+      expired.toDF("doc_id"))
+    val (fpsR, pairsR, labelsR) = served()
+    assert(fpsR.map(_._1).toSet ==
+      decodedIds.toSet -- expired, "retire left expired index rows")
+    assert(pairsR.forall(p =>
+      !expired.contains(p._1) && !expired.contains(p._2)),
+      "retire left expired pair endpoints")
+    val survivors = decodedIds.filterNot(_ % 5 == expiredClass)
+    val expectRetired = survivors.map(id =>
+      id -> survivors.filter(_ % 5 == id % 5).min).toMap
+    assert(labelsR == expectRetired,
+      "retired labels != closed-form cliques over survivors")
+    // a multi-column expiry frame with the id NOT first must fail loudly
+    val bad = expired.map(id => (s"junk$id", id)).toDF("text", "other_id")
+    val err = intercept[IllegalArgumentException] {
+      FingerprintStream.retire(spark, root, bad)
+    }
+    assert(err.getMessage.contains("single-column"))
+  }
+}
