@@ -113,14 +113,28 @@ object Bench {
         ",\"med_a\":" + r3(halfMedian(s, 0)) +
         ",\"med_b\":" + r3(if (s.size > 1) halfMedian(s, 1) else s.head) + "}"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // CANARY set: five long-stable, trivially-planned queries (a pruned
+    // scan + top-K, a one-exchange agg, a month-pruned scan, a codec
+    // map, a tiny grouped sum). None has been touched since round 10,
+    // so their geomean moves ONLY with the box — divide a
+    // round-over-round ratio by the canary ratio before calling a
+    // delta a regression (the r13→r14 triage found a whole-run +19%
+    // that was entirely drift; this makes that subtraction standard).
+    val canaryNames = Seq("q_logs_flagship", "q1_pricing",
+      "q6_forecast_revenue", "q_partition_prune", "q_image_resize")
+      .filter(ok.contains)
+    val canary =
+      if (canaryNames.isEmpty) 0.0
+      else math.exp(canaryNames
+        .map(n => math.log(median(samples(n)))).sum / canaryNames.size)
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"canary_geomean_sec":${r3(canary)},"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
     // The stdout line is budget-capped: slowest queries first (they carry
     // the performance signal), stop before the line outgrows the tail
     // window, and record how many small queries were elided.
     val budget = 1600
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"canary_geomean_sec":${r3(canary)},"queries":{"""
     val footer = s"""},"omitted":NNN,"errors":$errs,"detail":"bench_full.json","sf":"$sfDir"}"""
     val bySlowest = med.sortBy(-_._2)
     val parts = scala.collection.mutable.ArrayBuffer[String]()
