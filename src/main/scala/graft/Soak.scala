@@ -817,15 +817,22 @@ object Soak {
         val c = df.count()
         (df, c, (System.nanoTime() - t) / 1e9)
       }
+      // n/k stays constant across scales (the semanticDedupPairs
+      // contract: cluster count scales with the corpus so per-cluster
+      // work is bounded) — a FIXED k at growing n would push every
+      // organic cluster over the cap and the receipt would measure the
+      // miscalibration, not the flood
+      val k = math.max(32L, n / 16L).toInt
       val (uncappedDf, uncapped, uncappedSec) =
-        run(() => Similarity.semanticDedupPairs(emb, 0.4))
+        run(() => Similarity.semanticDedupPairs(emb, 0.4, nCentroids = k))
       val (cappedDf, capped, cappedSec) =
-        run(() => Similarity.semanticDedupPairsCapped(emb, 0.4, cap = cap))
+        run(() => Similarity.semanticDedupPairsCapped(emb, 0.4,
+          nCentroids = k, cap = cap))
       val diff = cappedDf.select(col("id_a"), col("id_b"))
         .exceptAll(uncappedDf.select(col("id_a"), col("id_b")))
         .count()
       require(diff == 0L, s"capped must be a subset of uncapped: $diff")
-      println(f"""SOAK {"phase":"semcapflood","scale":"$tag","vectors":$n,"flood_vecs":$flood,"cap":$cap,"uncapped_pairs":$uncapped,"uncapped_sec":$uncappedSec%.2f,"capped_pairs":$capped,"capped_sec":$cappedSec%.2f,"flood_pairs_expected":${flood * (flood - 1) / 2}}""")
+      println(f"""SOAK {"phase":"semcapflood","scale":"$tag","vectors":$n,"ncentroids":$k,"flood_vecs":$flood,"cap":$cap,"uncapped_pairs":$uncapped,"uncapped_sec":$uncappedSec%.2f,"capped_pairs":$capped,"capped_sec":$cappedSec%.2f,"flood_pairs_expected":${flood * (flood - 1) / 2}}""")
     }
   }
 

@@ -308,7 +308,18 @@ object DocumentStream {
     * checkpoint-committed batches (ids strictly below this one), so the
     * per-sub directory count stays bounded at K + log₂(batches/K) + 2
     * for any uptime and a replayed consolidation batch re-runs the fold
-    * idempotently (no raw directories, no mergeable unit pair → no-op). */
+    * idempotently (no raw directories, no mergeable unit pair → no-op).
+    *
+    * `hotBucketCap > 0` engages the live hot-bucket cap (the
+    * [[graft.ops.Dedup.minHashPairsCapped]] policy in-stream): buckets
+    * whose occupancy over (batch banding ∪ admission-reachable band
+    * state) exceeds the cap are pruned from both candidate joins and
+    * counted in the batch's ledger row — a template flood is quarantined
+    * the moment it arrives, bounding the join's worst key at cap² until
+    * an operator re-shards or the flood is cut upstream. Explicitly
+    * RECALL-BOUNDED, per the batch operator's contract; the capped
+    * restart-parity gate (q_docstream_capped_parity) pins the policy
+    * against its DuckDB replica. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       horizonMs: Long, latenessMs: Long = 600000L, n: Int = 3,
       threshold: Double = 0.5, consolidateEvery: Int = 0,
