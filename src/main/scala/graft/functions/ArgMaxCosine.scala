@@ -70,15 +70,24 @@ object ArgMaxCosine {
   final class Cents(val ids: Array[Long], val embs: Array[Array[Double]],
       val norms: Array[Double])
 
-  /** Cheap revalidation key: every row of one query carries the same
+  /** Cheap PREFILTER key: every row of one query carries the same
     * broadcast centroid set, but the ArrayData wrapper object differs per
-    * access — identity caching would miss every row and re-decode
-    * nCentroids×dim floats. The key folds EVERY centroid's id and norm
-    * bits into one FNV-style 64-bit hash — O(n) per row without the dim
-    * factor (~dim× cheaper than a re-decode), and unlike a boundary-only
-    * key it cannot alias two centroid sets that share n, the first and the
-    * last centroid but differ in the middle (two corpora with ids 0..n-1
-    * would collide on boundaries alone). */
+    * access — identity caching would miss every row (or, worse, falsely
+    * hit a reused mutable buffer) — so the cache revalidates by content.
+    * The key folds EVERY centroid's id and norm bits into one FNV-style
+    * 64-bit hash, O(n) per row without the dim factor.
+    *
+    * The key alone is NOT sufficient to trust a hit: two DIFFERENT
+    * centroid sets can share every id and every norm while differing in
+    * the embeddings (measured, not hypothetical — the SemDedupIncrProps
+    * grid corpora produce such pairs across trials, and two production
+    * queries in one executor thread could too; a stale hit then assigns
+    * every row against the WRONG quantizer). On a key hit, [[sameCents]]
+    * verifies the full decoded content against the cached arrays — an
+    * allocation-free primitive compare, the same O(n·dim) class as one
+    * argmax pass — and any mismatch reparses. Staleness is therefore
+    * impossible, not just unlikely; the key only bounds how often the
+    * verify runs against unrelated sets. */
   private final case class Key(n: Int, hash: Long)
 
   private val cache = new ThreadLocal[(Key, Cents)]
@@ -94,6 +103,36 @@ object ArgMaxCosine {
       i += 1
     }
     Key(n, h)
+  }
+
+  /** Full-content equality of the incoming centroid array against a
+    * cached decode — ids, norms, dims and every embedding component
+    * (compared on the DECODED double values, the exact numbers compute
+    * uses). Primitive loops, no allocation. */
+  private def sameCents(cents: ArrayData, centFloat: Boolean,
+      c: Cents): Boolean = {
+    val n = cents.numElements()
+    if (n != c.ids.length) return false
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 3)
+      if (row.getLong(0) != c.ids(i)) return false
+      if (java.lang.Double.doubleToLongBits(row.getDouble(2)) !=
+          java.lang.Double.doubleToLongBits(c.norms(i))) return false
+      val arr = row.getArray(1)
+      val e = c.embs(i)
+      val m = arr.numElements()
+      if (m != e.length) return false
+      var j = 0
+      while (j < m) {
+        val x = if (centFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        if (java.lang.Double.doubleToLongBits(x) !=
+            java.lang.Double.doubleToLongBits(e(j))) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
   }
 
   private def parse(cents: ArrayData, centFloat: Boolean): Cents = {
@@ -127,7 +166,8 @@ object ArgMaxCosine {
     if (n == 0) return -1L
     val k = key(cents)
     var cached = cache.get()
-    if (cached == null || cached._1 != k) {
+    if (cached == null || cached._1 != k ||
+        !sameCents(cents, centFloat, cached._2)) {
       cached = (k, parse(cents, centFloat))
       cache.set(cached)
     }

@@ -45,6 +45,26 @@ class ArgMaxCosineSpec extends AnyFunSuite {
     assert(ArgMaxCosine.compute(probe, 1.0, b, false, false) == 2L)
   }
 
+  test("cache cannot alias two sets sharing EVERY id and norm but " +
+      "differing in the embeddings (verify-on-hit)") {
+    // the SemDedupIncrProps falsification class: equal ids, equal norms,
+    // embeddings swapped — the id+norm prefilter key is identical by
+    // construction, so only the full-content verify can tell them apart;
+    // a stale hit would assign the probe against the WRONG quantizer
+    val a = cents(
+      (0L, Array(1.0, 0.0), 1.0),
+      (1L, Array(0.0, 1.0), 1.0))
+    val b = cents(
+      (0L, Array(0.0, 1.0), 1.0),
+      (1L, Array(1.0, 0.0), 1.0))
+    val probe = emb(1.0, 0.0)
+    assert(ArgMaxCosine.compute(probe, 1.0, a, false, false) == 0L)
+    // same thread, immediately after: B swaps the embeddings under the
+    // SAME prefilter key — the answer must flip
+    assert(ArgMaxCosine.compute(probe, 1.0, b, false, false) == 1L)
+    assert(ArgMaxCosine.compute(probe, 1.0, a, false, false) == 0L)
+  }
+
   test("dimension mismatch throws instead of silently truncating the dot") {
     val cs = cents((0L, Array(1.0, 0.0, 0.0), 1.0))
     val e = intercept[IllegalArgumentException] {
