@@ -98,6 +98,15 @@ object SparkEntry {
       graft.streaming.ParityCheck.buildCappedPipeline(s, dir)
     }
 
+  /** The media pipeline's gate state, built once per JVM
+    * ([[graft.streaming.ParityCheck.buildFingerprintPipeline]]) — serves
+    * q_fpstream_restart_parity and q_fpstream_gauge. */
+  private def fpStreamRoot(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/fpstream_gate/$dir") {
+      graft.streaming.ParityCheck.buildFingerprintPipeline(s, dir)
+    }
+
   /** One-time month-partitioned copy of the events fixture written through
     * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
     * toYYYYMM(ts)` layout, db.go:51) — the storage side of
@@ -211,6 +220,9 @@ object SparkEntry {
     // first run drives the capped runnable document pipeline (flood
     // waves, restart, consolidation) whose ledger this row reads
     "q_docstream_gauge",
+    // first run drives the media pipeline's gate scenario (codec waves,
+    // quarantine, restart) whose ledger this row reads
+    "q_fpstream_gauge",
     // first run writes the persisted base band-signature index the
     // health gauge probes (shared with q_dedup_minhash_incr)
     "q_dedup_band_health")
@@ -658,7 +670,19 @@ object SparkEntry {
     // equals the all-at-once batch twin, counts restated by the
     // closed-form texture oracle without decoding a pixel
     "q_fpstream_restart_parity" -> ((s, dir) =>
-      streaming.ParityCheck.fingerprintRestartParity(s, dir)),
+      streaming.ParityCheck.fingerprintRestartParity(s, dir,
+        fpStreamRoot(s, dir))),
+
+    // the media pipeline's committed ledger row for the LAST batch
+    // (decode health + pair flow) — hash-checked against the closed-form
+    // per-wave replica (no pixel decoded on the oracle side)
+    "q_fpstream_gauge" -> ((s, dir) => {
+      val root = fpStreamRoot(s, dir)
+      val g = graft.streaming.FingerprintStream.gaugeRows(s, s"$root/state")
+      g.join(g.agg(max(col("batch_id")).as("batch_id")), Seq("batch_id"))
+        .select(col("n_arrived"), col("n_decoded"),
+          col("n_quarantined"), col("n_pairs"))
+    }),
 
     // the EMBEDDING live pipeline gate: waves of arriving vectors run
     // assign → cluster-local pair → incremental label merge against the
@@ -4764,6 +4788,36 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_only_live,
         |  CAST(0 AS BIGINT) AS n_only_batch,
         |  true AS parity_ok""".stripMargin,
+
+    // the media ledger's last-batch row, per-wave closed-form: arrivals
+    // split id-ordered into ceil(n/chunk) waves of chunk = max(1, n//4);
+    // a pair is committed at its LATER endpoint's wave
+    "q_fpstream_gauge" ->
+      """WITH hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+        |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |quar AS (SELECT doc_id FROM img, hh
+        |         WHERE doc_id >= hh.h AND doc_id % 13 = 0),
+        |inc AS (SELECT doc_id FROM img
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM quar)),
+        |arr AS (SELECT doc_id FROM img, hh WHERE doc_id >= hh.h),
+        |arrix AS (SELECT doc_id,
+        |            row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM arr),
+        |prm AS (SELECT GREATEST(1, COUNT(*) // 4) AS chunk FROM arr),
+        |wv AS (SELECT a.doc_id, a.rn // p.chunk AS wave FROM arrix a, prm p),
+        |lastw AS (SELECT MAX(wave) AS w FROM wv),
+        |wdocs AS (SELECT wv.doc_id FROM wv, lastw WHERE wv.wave = lastw.w),
+        |pairsw AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inc a JOIN inc b
+        |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
+        |  WHERE b.doc_id IN (SELECT doc_id FROM wdocs))
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdocs) AS n_arrived,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdocs
+        |     WHERE doc_id % 13 <> 0) AS n_decoded,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdocs
+        |     WHERE doc_id % 13 = 0) AS n_quarantined,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsw) AS n_pairs""".stripMargin,
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),

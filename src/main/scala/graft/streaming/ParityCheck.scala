@@ -843,35 +843,58 @@ object ParityCheck {
     * decodable image doc, one banded self-join, one CC) — whose counts
     * the CLOSED-FORM texture oracle restates without decoding a pixel
     * (same-class cliques at hamming 0, the q_phash_pairs truth). */
-  def fingerprintRestartParity(spark: SparkSession, dir: String,
-      nBatches: Int = 4): DataFrame = {
-    import spark.implicits._
+  /** The media-gate ARRIVAL fixture: the image slice above the split,
+    * id-sorted, with every 13th arrival's payload truncated (the
+    * quarantine scenario). Shared by the builder and the parity row. */
+  private def fpArrivalMedia(spark: SparkSession, dir: String,
+      splitId: Long): Seq[graft.ops.Multimodal.MediaRow] = {
     val docs = graft.Tables.documents(spark, dir)
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val splitId = (maxId + 1L) * 3L / 5L
-
-    val baseFps = graft.ops.Multimodal.pHashes(
-        graft.ops.Multimodal.imagePngMedia(spark,
-          docs.filter(col("doc_id") < splitId)))
-      .filter(_.decoded).toDF()
-      .select(col("media_id").as("doc_id"),
-        col("ph0").as("sh0"), col("ph1").as("sh1"))
-      .localCheckpoint(true)
-    val basePairs = graft.ops.Dedup.hammingPairs128(baseFps, 3)
-      .localCheckpoint(true)
-    val baseLabels = graft.ops.Dedup.nearDupClusters(
-      baseFps.select(col("doc_id")),
-      basePairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
-
-    val arrMedia = graft.ops.Multimodal.imagePngMedia(spark,
+    val arr = graft.ops.Multimodal.imagePngMedia(spark,
         docs.filter(col("doc_id") >= splitId))
       .collect().sortBy(_.media_id)
       .map(m => if (m.media_id % 13 == 0)
         m.copy(payload = m.payload.take(10)) else m)
       .toSeq
-    require(arrMedia.nonEmpty, "fixture too small to split")
-    require(arrMedia.exists(_.media_id % 13 == 0),
+    require(arr.nonEmpty, "fixture too small to split")
+    require(arr.exists(_.media_id % 13 == 0),
       "quarantine scenario vacuous: no corrupt arrival")
+    arr
+  }
+
+  private def fpBaseFps(spark: SparkSession, dir: String,
+      splitId: Long): DataFrame = {
+    import spark.implicits._
+    graft.ops.Multimodal.pHashes(
+        graft.ops.Multimodal.imagePngMedia(spark,
+          graft.Tables.documents(spark, dir)
+            .filter(col("doc_id") < splitId)))
+      .filter(_.decoded).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1"))
+  }
+
+  private def fpSplitId(spark: SparkSession, dir: String): Long = {
+    val maxId = graft.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    (maxId + 1L) * 3L / 5L
+  }
+
+  /** Build the media pipeline's gate state (waves through the real codec
+    * path, corrupt %13 arrivals, restart straddling a consolidation) and
+    * return its root — built once per JVM by the caller
+    * (ManagedTable.once) and SERVED by q_fpstream_restart_parity and
+    * q_fpstream_gauge. */
+  def buildFingerprintPipeline(spark: SparkSession, dir: String,
+      nBatches: Int = 4): String = {
+    import spark.implicits._
+    val splitId = fpSplitId(spark, dir)
+    val baseFps = fpBaseFps(spark, dir, splitId).localCheckpoint(true)
+    val basePairs = graft.ops.Dedup.hammingPairs128(baseFps, 3)
+      .localCheckpoint(true)
+    val baseLabels = graft.ops.Dedup.nearDupClusters(
+      baseFps.select(col("doc_id")),
+      basePairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+    val arrMedia = fpArrivalMedia(spark, dir, splitId)
 
     val root = s"target/fpstream_gate/${graft.sources.ManagedTable.tag(dir)}"
     val fsys = new org.apache.hadoop.fs.Path(root)
@@ -894,6 +917,15 @@ object ParityCheck {
     try waves.drop(2).foreach { w =>
       mem.addData(w); q.processAllAvailable()
     } finally q.stop()
+    root
+  }
+
+  def fingerprintRestartParity(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    import spark.implicits._
+    val splitId = fpSplitId(spark, dir)
+    val baseFps = fpBaseFps(spark, dir, splitId).localCheckpoint(true)
+    val arrMedia = fpArrivalMedia(spark, dir, splitId)
 
     val idxArr = FingerprintStream.indexedFps(spark, s"$root/state")
       .filter(col("doc_id") >= splitId)
