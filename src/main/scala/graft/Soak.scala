@@ -836,6 +836,82 @@ object Soak {
     }
   }
 
+  /** `embstreamflood` mode: [[docStreamFloodSoak]] on the VECTOR
+    * pipeline — every batch carries `floodPerBatch` near-copies of one
+    * base vector (distinct bytes, a per-copy component nudge, so the
+    * exact tier keeps them and they all assign to one cluster) alongside
+    * constant organic traffic. UNCAPPED, the flood cluster's
+    * between-join legs grow linearly with the standing state (cumulative
+    * quadratic) and every leg is a dim-wide cosine; CAPPED
+    * (`hotClusterCap`), the batch-occupancy prune quarantines the
+    * cluster per batch and per-batch time stays at the organic baseline.
+    * The capped run's labels == CC invariant gates the timing; the
+    * inline gauge's top_share fires in BOTH modes (detection is not the
+    * remediation). */
+  def embStreamFloodSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 32, cap: Int = 30,
+      organicPerBatch: Int = 64, floodPerBatch: Int = 128): Unit = {
+    import spark.implicits._
+    import graft.streaming.EmbeddingStream
+    val nBase = Tables.embeddings(spark, baseDir).count()
+    val organicNeeded = nBatches.toLong * organicPerBatch
+    val n = math.max(nBase, organicNeeded * 5L / 2L + 10L)
+    val dir = s"$outDir/embstreamflood"
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+    trueGrowthEmbeddings(spark, baseDir, n)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val splitId = n * 3L / 5L
+    val base = emb.filter(col("vec_id") < splitId)
+    val organicPool = emb.filter(col("vec_id") >= splitId)
+      .orderBy(col("vec_id")).limit(organicNeeded.toInt)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(organicPool.length == organicNeeded,
+      s"organic pool short: ${organicPool.length}")
+    val src = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    var k = 0
+    val waves = (0 until nBatches).map { i =>
+      val organic = organicPool.slice(i * organicPerBatch,
+        (i + 1) * organicPerBatch).toSeq
+      val flood = (0 until floodPerBatch).map { _ =>
+        k += 1
+        val v = src.clone(); v(0) = v(0) + k * 1e-4f
+        (9000000L + k, v)
+      }
+      organic ++ flood
+    }
+    for ((mode, hc) <- Seq("uncapped" -> 0, "capped" -> cap)) {
+      val root = s"$dir/$mode"
+      EmbeddingStream.initFromCorpus(spark, root, base,
+        refDelta = emb.filter(col("vec_id") >= splitId))
+      val batchSecs = waves.zipWithIndex.map { case (w, i) =>
+        val t = System.nanoTime()
+        EmbeddingStream.processBatch(w.toDF("vec_id", "embedding"),
+          i.toLong, root, consolidateEvery = 16, hotClusterCap = hc)
+        (System.nanoTime() - t) / 1e9
+      }
+      val third = batchSecs.length / 3
+      val nPairs = EmbeddingStream.livePairs(spark, root).count()
+      val alerts = EmbeddingStream.gaugeRows(spark, root)
+        .filter(col("retrain")).count()
+      // standing invariant before timing is trusted
+      val labels = EmbeddingStream.labels(spark, root)
+      val cc = graft.ops.Dedup.nearDupClusters(
+        EmbeddingStream.keptIds(spark, root)
+          .select(col("vec_id").as("doc_id")),
+        EmbeddingStream.livePairs(spark, root)
+          .select(col("id_a"), col("id_b")))
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      require(diff == 0L, s"$mode labels != CC: $diff")
+      println(f"""SOAK {"phase":"embstreamflood","mode":"$mode","cap":$hc,"batches":$nBatches,"organic_per_batch":$organicPerBatch,"flood_per_batch":$floodPerBatch,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"pairs":$nPairs,"gauge_alerts":$alerts}""")
+    }
+  }
+
   /** `docstreamflood` mode: the hot-bucket cap's receipt on the
     * RUNNABLE pipeline — [[capFloodSoak]] measured the batch operator;
     * this drives [[graft.streaming.DocumentStream.processBatch]] itself
@@ -1936,6 +2012,13 @@ object Soak {
     }
     if (args.lift(3).contains("capflood")) {
       capFloodSoak(spark, factor, baseDir, outDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("embstreamflood")) {
+      embStreamFloodSoak(spark, factor, baseDir, outDir,
+        floodPerBatch = sys.env.get("SPARK_GRAFT_FLOOD_PER_BATCH")
+          .map(_.toInt).getOrElse(128))
       spark.stop()
       return
     }
