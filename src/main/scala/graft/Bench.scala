@@ -51,16 +51,23 @@ object Bench {
     // the first measured query isn't charged one-time JVM startup cost.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_EXCLUDE=q_a,q_b drops named rows from BOTH the
+    // warm and timed loops — the A/B lever for JVM-state bisects (e.g.
+    // "does skipping the pipeline-scenario builds move an unrelated
+    // family's minima?"); the emitted nqueries records the smaller set.
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // Pay every one-time layout/index write BEFORE timing starts (the
     // builders memoize per JVM, so the timed rounds read the layouts).
-    for (name <- SparkEntry.layoutQueries)
+    for (name <- SparkEntry.layoutQueries if !excluded.contains(name))
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.toString.linesIterator.next()}") }
     // Parity/harness rows stay in the correctness gate but out of the
     // timing loop (their wall time is MemoryStream replay, not a query).
-    val names = (SparkEntry.queries.keySet -- SparkEntry.verificationOnly)
-      .toSeq.sorted
+    val names = (SparkEntry.queries.keySet -- SparkEntry.verificationOnly
+      -- excluded).toSeq.sorted
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val failures = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
@@ -127,14 +134,46 @@ object Bench {
       if (canaryNames.isEmpty) 0.0
       else math.exp(canaryNames
         .map(n => math.log(median(samples(n)))).sum / canaryNames.size)
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"canary_geomean_sec":${r3(canary)},"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // `canary_n` makes a shrunken basis VISIBLE: if a canary query ever
+    // errors, the geomean silently changes composition — the count (5
+    // expected) is the flag a round-over-round comparison must check.
+    val canaryN = canaryNames.size
+    // ── the canary subtraction as a FIELD, not an evening: read the
+    // PREVIOUS committed bench_full.json before overwriting it, compute
+    // the shared-query median-ratio geomean, divide by the canary ratio.
+    // normalized ≈ 1.0 means "the suite moved with the box"; the raw and
+    // canary components ship alongside so the division is auditable. ──
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
+      "bench_full.json")
+    val (prevMed, prevCanary) = (try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8")
+      val M = """"([A-Za-z0-9_]+)":\{"min":[0-9.]+,"median":([0-9.]+)""".r
+      val C = """"canary_geomean_sec":([0-9.]+)""".r
+      (M.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap,
+        C.findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(0.0))
+    } catch { case _: Throwable => (Map.empty[String, Double], 0.0) })
+    val sharedPrev = ok.filter(n => prevMed.getOrElse(n, 0.0) > 0.0)
+    val rawVsPrev =
+      if (sharedPrev.isEmpty) 0.0
+      else math.exp(sharedPrev
+        .map(n => math.log(median(samples(n)) / prevMed(n))).sum /
+        sharedPrev.size)
+    val canaryRatio =
+      if (canary > 0.0 && prevCanary > 0.0) canary / prevCanary else 0.0
+    val normVsPrev =
+      if (rawVsPrev > 0.0 && canaryRatio > 0.0) rawVsPrev / canaryRatio
+      else 0.0
+    val vsPrev = s""""vs_prev":{"shared_n":${sharedPrev.size},"raw_geomean":${r3(rawVsPrev)},"canary_ratio":${r3(canaryRatio)},"normalized_geomean":${r3(normVsPrev)}}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"canary_geomean_sec":${r3(canary)},"canary_n":$canaryN,$vsPrev,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
     // The stdout line is budget-capped: slowest queries first (they carry
     // the performance signal), stop before the line outgrows the tail
     // window, and record how many small queries were elided.
     val budget = 1600
-    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"canary_geomean_sec":${r3(canary)},"queries":{"""
+    val header = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"canary_geomean_sec":${r3(canary)},"canary_n":$canaryN,$vsPrev,"queries":{"""
     val footer = s"""},"omitted":NNN,"errors":$errs,"detail":"bench_full.json","sf":"$sfDir"}"""
     val bySlowest = med.sortBy(-_._2)
     val parts = scala.collection.mutable.ArrayBuffer[String]()

@@ -937,6 +937,15 @@ object Soak {
     val template = graft.OracleSql.CappedFloodTemplate
     val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val horizonMs = 3600000L
+    // the soak's premise is "the whole run sits inside the horizon —
+    // nothing ages out of the uncapped measurement"; at 500 ms spacing
+    // that bounds rows-per-run, so an oversized env override must fail
+    // loudly here rather than silently age early flood state out
+    val spanMs = nBatches.toLong * (organicPerBatch + floodPerBatch) * 500L
+    require(spanMs <= horizonMs,
+      s"event span ${spanMs} ms exceeds the $horizonMs ms horizon — " +
+      "lower nBatches/organicPerBatch/SPARK_GRAFT_FLOOD_PER_BATCH so " +
+      "the whole run stays horizon-resident")
     val nBase = Tables.documents(spark, baseDir).count()
     val organicNeeded = nBatches.toLong * organicPerBatch
     val n = math.max(nBase, organicNeeded * 5L / 2L + 10L)
@@ -1072,6 +1081,281 @@ object Soak {
         .map(s => s""""$s":${batchDirCount(fsys, root, s)}""").mkString(",")
       println(f"""SOAK {"phase":"fpstreamlong","scale":"$tag","docs":$n,"images":${n / 3},"arrivals":${arrivals.length},"batches":${waves.length},"consolidate_every":$consolidateEvery,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"consolidation_median_sec":${medSec(consSecs)}%.2f,"dirs":{$dirCounts},"unconsolidated_dirs_per_sub":${waves.length + 1},"state_bytes":${dirBytes(fsys, root)}}""")
     }
+  }
+
+  /** `fpstreamflood` mode: the hot-bucket cap's receipt on the MEDIA
+    * pipeline — [[docStreamFloodSoak]]'s protocol with a DECODABLE
+    * template-image flood (every batch carries `floodPerBatch`
+    * byte-identical copies of one fixed texture alongside constant
+    * organic TRUE-growth image traffic; quarantine never fires — the
+    * payloads parse fine, which is exactly why the cap has to exist).
+    * UNCAPPED, each batch's flood banding joins ALL prior flood
+    * fingerprints in the standing index — between-leg candidates grow
+    * linearly per batch, cumulative quadratic, and the junk pairs
+    * persist into `pairs/` and the label merge; CAPPED
+    * (`hotBucketCap` — batch-side occupancy, the vector tier's rule),
+    * the flood buckets prune from both legs at arrival and per-batch
+    * time stays at the organic baseline. Printed per mode: first/last-
+    * third per-batch medians (the slope verdict), persisted pair count
+    * (the junk the cap keeps out of the corpus), ledger
+    * alert/intervention counts, with the capped run's standing
+    * invariant (labels == CC over index/pairs) gating the timing. */
+  def fpStreamFloodSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 32, cap: Int = 30,
+      organicPerBatch: Int = 48, floodPerBatch: Int = 64): Unit = {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal}
+    import graft.streaming.FingerprintStream
+    val dir = s"$outDir/fpstreamflood"
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // organic arrivals: true-growth texture families (block 15 — every
+    // per-batch band bucket sits well under the cap); image ids ≡ 1 mod
+    // 3, so `organicNeeded` images span 3× that many doc ids
+    val organicNeeded = nBatches * organicPerBatch
+    val mTotal = (organicNeeded.toLong * 2L + 10L) * 3L
+    val splitM = mTotal / 2L
+    def docsOf(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(8L))).as("source"))
+    def fpOf(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      Multimodal.pHashes(Multimodal.imagePngMediaTrueGrowth(spark, d))
+        .filter(_.decoded).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ph0").as("sh0"), col("ph1").as("sh1"))
+    val baseFps = fpOf(docsOf(0L, splitM)).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val basePairs = Dedup.hammingPairs128(baseFps, 3).localCheckpoint(true)
+    val baseLabels = Dedup.nearDupClusters(
+      baseFps.select(col("doc_id")),
+      basePairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+    val organicPool = Multimodal.imagePngMediaTrueGrowth(spark,
+        docsOf(splitM, mTotal))
+      .collect().sortBy(_.media_id).take(organicNeeded).toSeq
+    require(organicPool.length == organicNeeded,
+      s"organic pool short: ${organicPool.length} < $organicNeeded")
+    // the flood payload: ONE fixed texture from a seed range no fixture
+    // or generator uses (4.0e9 — doc textures sit at 1.0e9+, audio
+    // 1.1e9+, video 2.0e9+/3.0e9+), so the flood never collides with
+    // organic traffic; byte-identical copies under fresh ids, exactly a
+    // re-posted viral image
+    val floodPayload = Multimodal.pngBytes(
+      Multimodal.textureImage(4000000000L, 0))
+    var floodId = mTotal + 1000000L
+    val waves = (0 until nBatches).map { i =>
+      organicPool.slice(i * organicPerBatch, (i + 1) * organicPerBatch) ++
+        (0 until floodPerBatch).map { _ =>
+          floodId += 1
+          Multimodal.MediaRow(floodId, "image", floodPayload, "flood")
+        }
+    }
+    for ((mode, hc) <- Seq("uncapped" -> 0, "capped" -> cap)) {
+      val root = s"$dir/$mode"
+      FingerprintStream.init(spark, root, baseFps, basePairs, baseLabels)
+      val batchSecs = waves.zipWithIndex.map { case (w, i) =>
+        val t = System.nanoTime()
+        FingerprintStream.processBatch(spark.createDataset(w).toDF(),
+          i.toLong, root, maxHamming = 3, consolidateEvery = 16,
+          hotBucketCap = hc)
+        (System.nanoTime() - t) / 1e9
+      }
+      val third = batchSecs.length / 3
+      val nPairs = FingerprintStream.livePairs(spark, root).count()
+      val g = FingerprintStream.gaugeRows(spark, root)
+        .agg(count(when(col("alert"), 1)).as("alerts"),
+          count(when(col("hot_buckets") > 0, 1)).as("interventions"),
+          coalesce(sum(col("n_quarantined")), lit(0L)).as("quar")).head()
+      // standing invariant before timing is trusted
+      val labels = FingerprintStream.labels(spark, root)
+      val cc = Dedup.nearDupClusters(
+        FingerprintStream.indexedFps(spark, root).select(col("doc_id")),
+        FingerprintStream.livePairs(spark, root)
+          .select(col("id_a"), col("id_b")))
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      require(diff == 0L, s"$mode labels != CC: $diff")
+      println(f"""SOAK {"phase":"fpstreamflood","mode":"$mode","cap":$hc,"batches":$nBatches,"organic_per_batch":$organicPerBatch,"flood_per_batch":$floodPerBatch,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"pairs":$nPairs,"alerts":${g.getLong(0)},"interventions":${g.getLong(1)},"quarantined":${g.getLong(2)}}""")
+    }
+    Seq(baseFps, basePairs, baseLabels)
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** `coresidency` mode: all THREE runnable pipelines in ONE session
+    * against one executor pool — the production shape none of the
+    * per-tier flatness receipts covers. Phase 1 runs each tier SOLO
+    * (fresh roots, `nBatches` constant-size batches, per-batch
+    * timings); phase 2 re-initializes fresh roots and drives the same
+    * batches CO-RESIDENT — each round launches the three tiers'
+    * processBatch on concurrent threads over the shared SparkContext
+    * and joins them (concurrent tieredFolds, shared shuffle/disk/GC).
+    * Printed per tier: solo vs co-resident medians and their ratio,
+    * plus co-resident first/last-third medians (cross-tier flatness),
+    * gated by each tier's standing invariant (labels == CC) on the
+    * co-resident roots. */
+  def coResidencySoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 24, perBatch: Int = 48): Unit = {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal}
+    import graft.streaming.{DocumentStream, EmbeddingStream, FingerprintStream}
+    val dir = s"$outDir/coresidency"
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val horizonMs = 3600000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val need = nBatches * perBatch
+
+    // ── TEXT fixture ──
+    val nD = math.max(Tables.documents(spark, baseDir).count(),
+      need.toLong * 5L / 2L + 10L)
+    trueGrowthDocuments(spark, baseDir, nD)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docsD = spark.read.parquet(s"$dir/documents.parquet")
+    val splitD = nD * 3L / 5L
+    val histD = docsD.filter(col("doc_id") < splitD)
+    val poolD = docsD.filter(col("doc_id") >= splitD)
+      .select(col("doc_id"), col("text")).limit(need)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    require(poolD.length == need, s"doc pool short: ${poolD.length}")
+    var k = 0L
+    val docWaves = (0 until nBatches).map { i =>
+      poolD.slice(i * perBatch, (i + 1) * perBatch).map { case (id, tx) =>
+        k += 1; DocumentStream.DocTsIn(id, t0Ms + k * 500L, tx)
+      }.toSeq
+    }
+    val histPairsD = Dedup.minHashPairs(histD).localCheckpoint(true)
+    val histLabelsD = Dedup.nearDupClusters(histD, histPairsD)
+      .localCheckpoint(true)
+
+    // ── VECTOR fixture ──
+    val nE = math.max(Tables.embeddings(spark, baseDir).count(),
+      need.toLong * 5L / 2L + 10L)
+    trueGrowthEmbeddings(spark, baseDir, nE)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val embD = spark.read.parquet(s"$dir/embeddings.parquet")
+    val splitE = nE * 3L / 5L
+    val baseE = embD.filter(col("vec_id") < splitE)
+    val poolE = embD.filter(col("vec_id") >= splitE)
+      .orderBy(col("vec_id")).limit(need)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(poolE.length == need, s"emb pool short: ${poolE.length}")
+    val embWaves = (0 until nBatches).map(i =>
+      poolE.slice(i * perBatch, (i + 1) * perBatch).toSeq)
+
+    // ── MEDIA fixture (codec-dominated — half the per-batch rows) ──
+    val imgPerBatch = math.max(8, perBatch / 2)
+    val needImgs = nBatches * imgPerBatch
+    val mTotal = (needImgs.toLong * 2L + 10L) * 3L
+    val splitM = mTotal / 2L
+    def docsOf(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(8L))).as("source"))
+    val baseFpsM = Multimodal.pHashes(
+        Multimodal.imagePngMediaTrueGrowth(spark, docsOf(0L, splitM)))
+      .filter(_.decoded).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val basePairsM = Dedup.hammingPairs128(baseFpsM, 3).localCheckpoint(true)
+    val baseLabelsM = Dedup.nearDupClusters(
+      baseFpsM.select(col("doc_id")),
+      basePairsM.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+    val poolM = Multimodal.imagePngMediaTrueGrowth(spark,
+        docsOf(splitM, mTotal))
+      .collect().sortBy(_.media_id).take(needImgs).toSeq
+    require(poolM.length == needImgs, s"media pool short: ${poolM.length}")
+    val mediaWaves = (0 until nBatches).map(i =>
+      poolM.slice(i * imgPerBatch, (i + 1) * imgPerBatch))
+
+    // ── per-tier drivers over a given root ──
+    def initTier(name: String, root: String): Unit = name match {
+      case "text" =>
+        DocumentStream.init(spark, root, histD, histPairsD, histLabelsD)
+      case "vector" =>
+        EmbeddingStream.initFromCorpus(spark, root, baseE,
+          refDelta = embD.filter(col("vec_id") >= splitE))
+      case "media" =>
+        FingerprintStream.init(spark, root, baseFpsM, basePairsM,
+          baseLabelsM)
+    }
+    def runBatch(name: String, root: String, i: Int): Unit = name match {
+      case "text" => DocumentStream.processBatch(docWaves(i).toDF(),
+        i.toLong, root, horizonMs, consolidateEvery = 8)
+      case "vector" => EmbeddingStream.processBatch(
+        embWaves(i).toDF("vec_id", "embedding"), i.toLong, root,
+        consolidateEvery = 8)
+      case "media" => FingerprintStream.processBatch(
+        spark.createDataset(mediaWaves(i)).toDF(), i.toLong, root,
+        maxHamming = 3, consolidateEvery = 8)
+    }
+    val tiers = Seq("text", "vector", "media")
+
+    // ── phase 1: each tier SOLO ──
+    val solo = tiers.map { name =>
+      val root = s"$dir/solo_$name"
+      initTier(name, root)
+      name -> (0 until nBatches).map { i =>
+        val t = System.nanoTime()
+        runBatch(name, root, i)
+        (System.nanoTime() - t) / 1e9
+      }
+    }.toMap
+
+    // ── phase 2: CO-RESIDENT — per round, all three tiers concurrently ──
+    tiers.foreach(n => initTier(n, s"$dir/co_$n"))
+    val coSecs = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    (0 until nBatches).foreach { i =>
+      val threads = tiers.map { name =>
+        new Thread(() => {
+          try {
+            val t = System.nanoTime()
+            runBatch(name, s"$dir/co_$name", i)
+            val sec = (System.nanoTime() - t) / 1e9
+            coSecs.synchronized { coSecs(name) = coSecs(name) :+ sec }
+          } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        }, s"coresidency-$name")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      Option(failure.get()).foreach(throw _)
+    }
+
+    // ── invariants + verdicts ──
+    for (name <- tiers) {
+      val root = s"$dir/co_$name"
+      val (labels, cc) = name match {
+        case "text" => (DocumentStream.labels(spark, root),
+          Dedup.nearDupClusters(
+            DocumentStream.keptIds(spark, root).select(col("doc_id")),
+            DocumentStream.livePairs(spark, root)))
+        case "vector" => (EmbeddingStream.labels(spark, root),
+          Dedup.nearDupClusters(
+            EmbeddingStream.keptIds(spark, root)
+              .select(col("vec_id").as("doc_id")),
+            EmbeddingStream.livePairs(spark, root)
+              .select(col("id_a"), col("id_b"))))
+        case "media" => (FingerprintStream.labels(spark, root),
+          Dedup.nearDupClusters(
+            FingerprintStream.indexedFps(spark, root)
+              .select(col("doc_id")),
+            FingerprintStream.livePairs(spark, root)
+              .select(col("id_a"), col("id_b"))))
+      }
+      val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
+      require(diff == 0L, s"co-resident $name labels != CC: $diff")
+      val co = coSecs(name)
+      val third = co.length / 3
+      val ratio = medSec(co) / medSec(solo(name))
+      println(f"""SOAK {"phase":"coresidency","tier":"$name","batches":$nBatches,"solo_median_sec":${medSec(solo(name))}%.2f,"co_median_sec":${medSec(co)}%.2f,"co_over_solo":$ratio%.2f,"co_first_third_median":${medSec(co.take(third))}%.2f,"co_last_third_median":${medSec(co.takeRight(third))}%.2f,"co_p99_sec":${p99Sec(co)}%.2f}""")
+    }
+    Seq(histPairsD, histLabelsD, baseFpsM, basePairsM, baseLabelsM)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** `embstreamlong` mode: [[docStreamLongSoak]]'s batch-count-flatness
@@ -2031,6 +2315,18 @@ object Soak {
       docStreamFloodSoak(spark, factor, baseDir, outDir,
         floodPerBatch = sys.env.get("SPARK_GRAFT_FLOOD_PER_BATCH")
           .map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("fpstreamflood")) {
+      fpStreamFloodSoak(spark, factor, baseDir, outDir,
+        floodPerBatch = sys.env.get("SPARK_GRAFT_FLOOD_PER_BATCH")
+          .map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("coresidency")) {
+      coResidencySoak(spark, factor, baseDir, outDir)
       spark.stop()
       return
     }

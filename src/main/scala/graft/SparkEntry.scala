@@ -107,6 +107,17 @@ object SparkEntry {
       graft.streaming.ParityCheck.buildFingerprintPipeline(s, dir)
     }
 
+  /** The CAPPED media pipeline's gate state, built once per JVM
+    * ([[graft.streaming.ParityCheck.buildCappedFingerprintPipeline]] —
+    * a DECODABLE template-image flood with `hotBucketCap` on, restart
+    * straddling a consolidation) — serves q_fpstream_capped_parity and
+    * q_fpstream_capped_gauge. */
+  private def fpStreamCappedRoot(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/fpstream_capped/$dir") {
+      graft.streaming.ParityCheck.buildCappedFingerprintPipeline(s, dir)
+    }
+
   /** One-time month-partitioned copy of the events fixture written through
     * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
     * toYYYYMM(ts)` layout, db.go:51) — the storage side of
@@ -220,9 +231,9 @@ object SparkEntry {
     // first run drives the capped runnable document pipeline (flood
     // waves, restart, consolidation) whose ledger this row reads
     "q_docstream_gauge",
-    // first run drives the media pipeline's gate scenario (codec waves,
-    // quarantine, restart) whose ledger this row reads
-    "q_fpstream_gauge",
+    // first runs drive the media pipeline's gate scenarios (codec waves,
+    // quarantine / template flood, restart) whose ledgers these rows read
+    "q_fpstream_gauge", "q_fpstream_alerts", "q_fpstream_capped_gauge",
     // first run writes the persisted base band-signature index the
     // health gauge probes (shared with q_dedup_minhash_incr)
     "q_dedup_band_health")
@@ -239,7 +250,8 @@ object SparkEntry {
     "q_dedup_minhash_late_stream_parity", "q_dedup_live_pipeline_parity",
     "q_semdedup_live_parity", "q_dedup_deep_live_parity",
     "q_docstream_restart_parity", "q_embstream_restart_parity",
-    "q_docstream_capped_parity", "q_fpstream_restart_parity")
+    "q_docstream_capped_parity", "q_fpstream_restart_parity",
+    "q_fpstream_capped_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -674,14 +686,55 @@ object SparkEntry {
         fpStreamRoot(s, dir))),
 
     // the media pipeline's committed ledger row for the LAST batch
-    // (decode health + pair flow) — hash-checked against the closed-form
-    // per-wave replica (no pixel decoded on the oracle side)
+    // (decode health + pair flow + the defense columns: hot_buckets,
+    // quar_ppb, alert) — hash-checked against the closed-form per-wave
+    // replica (no pixel decoded on the oracle side)
     "q_fpstream_gauge" -> ((s, dir) => {
       val root = fpStreamRoot(s, dir)
       val g = graft.streaming.FingerprintStream.gaugeRows(s, s"$root/state")
       g.join(g.agg(max(col("batch_id")).as("batch_id")), Seq("batch_id"))
         .select(col("n_arrived"), col("n_decoded"),
-          col("n_quarantined"), col("n_pairs"))
+          col("n_quarantined"), col("n_pairs"), col("hot_buckets"),
+          col("quar_ppb"), col("alert"))
+    }),
+
+    // the media ledger's QUARANTINE-RATE alert policy over the whole
+    // run: corrupt (%13) arrivals quarantine per payload, and every
+    // batch whose quarantine share exceeds the 5% threshold marks its
+    // ledger row — the "corrupted upstream batch pages someone" receipt,
+    // restated closed-form from the id classes
+    "q_fpstream_alerts" -> ((s, dir) => {
+      val root = fpStreamRoot(s, dir)
+      graft.streaming.FingerprintStream.gaugeRows(s, s"$root/state")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("n_quarantined")).as("quar_total"),
+          count(when(col("alert"), 1)).as("n_alerts"))
+    }),
+
+    // the CAPPED media pipeline gated end to end: a DECODABLE
+    // template-image flood — traffic quarantine CANNOT stop — under the
+    // live hot-bucket cap, with a restart straddling a consolidation;
+    // final index/pair/label state must equal the per-wave capped batch
+    // twin and the ledger's hot-bucket accounting must match the twin's
+    // per-wave hot sets exactly (counts restated by the closed-form
+    // texture oracle)
+    "q_fpstream_capped_parity" -> ((s, dir) =>
+      streaming.ParityCheck.fpCappedRestartParity(s, dir,
+        fpStreamCappedRoot(s, dir))),
+
+    // the capped media run's WHOLE-LEDGER verdict: batches, arrivals,
+    // cap interventions (hot bucket count), alert count, committed
+    // pairs, quarantines — the "defense actually fired" receipt on the
+    // media tier, restated closed-form per wave by the texture oracle
+    "q_fpstream_capped_gauge" -> ((s, dir) => {
+      val root = fpStreamCappedRoot(s, dir)
+      graft.streaming.FingerprintStream.gaugeRows(s, s"$root/state")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("n_arrived")).as("arrived_total"),
+          sum(col("hot_buckets")).as("hot_buckets_total"),
+          count(when(col("alert"), 1)).as("n_alerts"),
+          sum(col("n_pairs")).as("pairs_total"),
+          sum(col("n_quarantined")).as("quar_total"))
     }),
 
     // the EMBEDDING live pipeline gate: waves of arriving vectors run
@@ -1740,6 +1793,36 @@ object SparkEntry {
           .select(col("media_id").as("doc_id"),
             col("ph0").as("sh0"), col("ph1").as("sh1")),
         maxHamming = 3)
+    }),
+
+    // the hot-bucket cap on the HAMMING-BAND axis, batch form (the
+    // q_dedup_minhash_capped policy for media): every even media_id
+    // re-sends the corpus-minimum image's bytes — a byte-identical
+    // DECODABLE template flood — and band buckets whose occupancy
+    // exceeds a quarter of the image corpus are excluded from pair
+    // generation (the flood class runs ~0.6·corpus hot at any SF while
+    // organic texture classes sit at ~0.1·corpus — the scale-free
+    // margin a fixed absolute cap cannot give). The DuckDB oracle
+    // applies the same occupancy rule per texture class, so the POLICY
+    // is the hash-gated contract
+    "q_phash_pairs_capped" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.imagePngMedia(s, Tables.documents(s, dir))
+        .toDF()
+      val tpl = broadcast(media.orderBy(col("media_id")).limit(1)
+        .select(col("payload").as("tpl_payload")))
+      val flooded = media.crossJoin(tpl).select(col("media_id"),
+        col("kind"),
+        when(col("media_id") % 2 === 0, col("tpl_payload"))
+          .otherwise(col("payload")).as("payload"), col("source"))
+        .as[Multimodal.MediaRow]
+      val fp = Multimodal.pHashes(flooded).filter(_.decoded).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ph0").as("sh0"), col("ph1").as("sh1"))
+      val nImg = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1).count()
+      Dedup.hammingPairs128Capped(fp, maxHamming = 3,
+        cap = (nImg / 4L).toInt)
     }),
 
     // arrival-time pair GENERATION against the persisted fingerprint
@@ -4817,7 +4900,146 @@ object SparkEntry {
         |     WHERE doc_id % 13 <> 0) AS n_decoded,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdocs
         |     WHERE doc_id % 13 = 0) AS n_quarantined,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsw) AS n_pairs""".stripMargin,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsw) AS n_pairs,
+        |  CAST(0 AS BIGINT) AS hot_buckets,
+        |  (SELECT CAST((COUNT(*) FILTER (WHERE doc_id % 13 = 0))
+        |     * 1000000000 // COUNT(*) AS BIGINT) FROM wdocs) AS quar_ppb,
+        |  (SELECT (COUNT(*) FILTER (WHERE doc_id % 13 = 0))
+        |     * 1000000000 // COUNT(*) > 50000000 FROM wdocs)
+        |    AS alert""".stripMargin,
+
+    // the quarantine-rate alert policy over the uncapped media run's
+    // whole ledger: one row per wave; a wave with ≥ 1 corrupt arrival in
+    // ~16 sits above the 5% threshold and marks alert
+    "q_fpstream_alerts" ->
+      """WITH hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+        |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |arr AS (SELECT doc_id FROM img, hh WHERE doc_id >= hh.h),
+        |arrix AS (SELECT doc_id,
+        |            row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM arr),
+        |prm AS (SELECT GREATEST(1, COUNT(*) // 4) AS chunk FROM arr),
+        |wv AS (SELECT a.doc_id, a.rn // p.chunk AS wave FROM arrix a, prm p),
+        |wq AS (SELECT wave, COUNT(*) AS n,
+        |         COUNT(*) FILTER (WHERE doc_id % 13 = 0) AS q
+        |       FROM wv GROUP BY wave)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wq) AS n_batches,
+        |  (SELECT CAST(SUM(q) AS BIGINT) FROM wq) AS quar_total,
+        |  (SELECT CAST(COUNT(*) FILTER
+        |     (WHERE q * 1000000000 // n > 50000000) AS BIGINT) FROM wq)
+        |    AS n_alerts""".stripMargin,
+
+    // the CAPPED media pipeline: per-wave batch-side occupancy cut over
+    // the texture classes (a hot band bucket IS a hot class — four
+    // buckets per class; flood = even media_ids re-sending the
+    // corpus-minimum image), pairs committed at the later endpoint's
+    // wave iff that wave left the class cool, plus the recursive label
+    // closure over base cliques ∪ committed pairs
+    "q_fpstream_capped_parity" ->
+      """WITH RECURSIVE
+        |hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+        |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |c0 AS (SELECT MIN(doc_id) % 5 AS c FROM img),
+        |eff AS (SELECT i.doc_id,
+        |          CASE WHEN i.doc_id >= hh.h AND i.doc_id % 2 = 0
+        |               THEN (SELECT c FROM c0) ELSE i.doc_id % 5 END AS cls
+        |        FROM img i, hh),
+        |arr AS (SELECT e.doc_id, e.cls FROM eff e, hh
+        |        WHERE e.doc_id >= hh.h),
+        |basec AS (SELECT e.doc_id, e.cls FROM eff e, hh
+        |          WHERE e.doc_id < hh.h),
+        |arrix AS (SELECT doc_id,
+        |            row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM arr),
+        |prm AS (SELECT GREATEST(1, COUNT(*) // 4) AS chunk FROM arr),
+        |wv AS (SELECT a.doc_id, a.rn // p.chunk AS wave FROM arrix a, prm p),
+        |aw AS (SELECT r.doc_id, r.cls, w.wave FROM arr r
+        |       JOIN wv w ON r.doc_id = w.doc_id),
+        |occ AS (SELECT wave, cls, COUNT(*) AS c FROM aw GROUP BY wave, cls),
+        |hot AS (SELECT wave, cls FROM occ WHERE c > 5),
+        |livep AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM eff a JOIN aw b ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |                    WHERE h.wave = b.wave AND h.cls = b.cls)),
+        |edges0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM basec a JOIN basec b
+        |    ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |  UNION ALL SELECT id_a, id_b FROM livep),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
+        |          UNION ALL SELECT id_b, id_a FROM edges0),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM img
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arr) AS n_indexed,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS n_pairs_live,
+        |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+        |    AS n_clusters,
+        |  (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM hot)
+        |    AS hot_buckets_total,
+        |  (SELECT CAST(COUNT(DISTINCT wave) AS BIGINT) FROM hot)
+        |    AS n_hot_batches,
+        |  CAST(0 AS BIGINT) AS n_only_live,
+        |  CAST(0 AS BIGINT) AS n_only_batch,
+        |  true AS parity_ok""".stripMargin,
+
+    // the capped run's whole-ledger verdict, same per-wave closed form
+    "q_fpstream_capped_gauge" ->
+      """WITH hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+        |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |c0 AS (SELECT MIN(doc_id) % 5 AS c FROM img),
+        |eff AS (SELECT i.doc_id,
+        |          CASE WHEN i.doc_id >= hh.h AND i.doc_id % 2 = 0
+        |               THEN (SELECT c FROM c0) ELSE i.doc_id % 5 END AS cls
+        |        FROM img i, hh),
+        |arr AS (SELECT e.doc_id, e.cls FROM eff e, hh
+        |        WHERE e.doc_id >= hh.h),
+        |arrix AS (SELECT doc_id,
+        |            row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM arr),
+        |prm AS (SELECT GREATEST(1, COUNT(*) // 4) AS chunk FROM arr),
+        |wv AS (SELECT a.doc_id, a.rn // p.chunk AS wave FROM arrix a, prm p),
+        |aw AS (SELECT r.doc_id, r.cls, w.wave FROM arr r
+        |       JOIN wv w ON r.doc_id = w.doc_id),
+        |occ AS (SELECT wave, cls, COUNT(*) AS c FROM aw GROUP BY wave, cls),
+        |hot AS (SELECT wave, cls FROM occ WHERE c > 5),
+        |livep AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM eff a JOIN aw b ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+        |                    WHERE h.wave = b.wave AND h.cls = b.cls))
+        |SELECT
+        |  (SELECT CAST(COUNT(DISTINCT wave) AS BIGINT) FROM wv)
+        |    AS n_batches,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arr) AS arrived_total,
+        |  (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM hot)
+        |    AS hot_buckets_total,
+        |  (SELECT CAST(COUNT(DISTINCT wave) AS BIGINT) FROM hot)
+        |    AS n_alerts,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS pairs_total,
+        |  CAST(0 AS BIGINT) AS quar_total""".stripMargin,
+
+    // the batch capped pHash operator: classes over a quarter of the
+    // image corpus (the flood) emit no pairs; organic classes keep
+    // their hamming-0 cliques
+    "q_phash_pairs_capped" ->
+      """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |c0 AS (SELECT MIN(doc_id) % 5 AS c FROM img),
+        |eff AS (SELECT doc_id,
+        |          CASE WHEN doc_id % 2 = 0 THEN (SELECT c FROM c0)
+        |               ELSE doc_id % 5 END AS cls FROM img),
+        |capn AS (SELECT COUNT(*) // 4 AS cap FROM img),
+        |occ AS (SELECT cls, COUNT(*) AS c FROM eff GROUP BY cls),
+        |cool AS (SELECT e.doc_id, e.cls FROM eff e
+        |         JOIN occ o ON e.cls = o.cls CROSS JOIN capn
+        |         WHERE o.c <= capn.cap)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM cool a JOIN cool b ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_session_window" -> baseOracleSql("q_sessionize"),
     "q_top_events_agg" -> baseOracleSql("q_top_events_per_user"),
     "q5_local_supplier_bkt" -> baseOracleSql("q5_local_supplier"),

@@ -599,16 +599,41 @@ object Dedup {
     * matched hash values. */
   private[graft] def hammingPairs128Unordered(hashed: DataFrame,
       maxHamming: Int, extra: Seq[String] = Nil,
-      targetBlock: Int = 4096): DataFrame = {
+      targetBlock: Int = 4096): DataFrame =
+    hammingPairs128FromBanded(hammingBanding128(hashed, extra),
+      maxHamming, extra, targetBlock)
+
+  /** The 4×32-bit banding of a 128-bit fingerprint frame — (doc_id, sh0,
+    * sh1[, extra…], band, bh), four rows per fingerprint (each 32-bit
+    * word of the hash is one band; maxHamming ≤ 3 < 4 bands guarantees
+    * one untouched band, so every qualifying pair collides on ≥ 1
+    * bucket). ONE definition of the bucket key, shared by the self-join,
+    * the delta-vs-index join, the capped batch operator and the live
+    * media pipeline's hot-bucket occupancy count — the occupancy a cap
+    * prunes on must be counted over exactly the buckets the joins key
+    * on. */
+  private[graft] def hammingBanding128(hashed: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
     def word(b: Int): Column = if (b < 2) col("sh0") else col("sh1")
     val keep = Seq(col("doc_id"), col("sh0"), col("sh1")) ++ extra.map(col)
-    val banded = hashed.select(keep :+
+    hashed.select(keep :+
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(word(b), (b % 2) * 32)
             .bitwiseAND(lit(0xffffffffL)).as("bh"))): _*)).as("bb"): _*)
       .select(keep :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
-    bandedSelfJoin(banded, Seq("sh0", "sh1") ++ extra, targetBlock)
+  }
+
+  /** [[hammingPairs128Unordered]]'s join half over an ALREADY-BANDED
+    * frame ([[hammingBanding128]] rows, possibly hot-bucket-pruned) —
+    * the live media pipeline bands its batch ONCE, applies the
+    * occupancy prune, and feeds the surviving band rows to both pair
+    * legs instead of re-banding per leg. */
+  private[graft] def hammingPairs128FromBanded(banded: DataFrame,
+      maxHamming: Int, extra: Seq[String] = Nil,
+      targetBlock: Int = 4096, snapshotted: Boolean = false): DataFrame =
+    bandedSelfJoin(banded, Seq("sh0", "sh1") ++ extra, targetBlock,
+        snapshotted)
       .distinct()
       .withColumn("hamming",
         (bit_count(col("sh0_a").bitwiseXOR(col("sh0_b"))) +
@@ -616,6 +641,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a") +: col("id_b") +: col("hamming") +:
         extra.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b"))): _*)
+
+  /** [[hammingPairs128]] with the [[minHashPairsCapped]] hot-bucket
+    * policy on the HAMMING-BAND axis — the media tier's template-flood
+    * containment, batch form: (band, bh) buckets whose occupancy exceeds
+    * `cap` are excluded from pair generation entirely. A flooded
+    * fingerprint family collides on ALL FOUR of its band buckets
+    * (near-identical images hash identically, so the family IS each
+    * bucket), which uncapped makes the band join quadratic in the flood
+    * size; capped, the join's worst key is bounded at cap² per bucket.
+    * Explicitly RECALL-BOUNDED, deterministically: any fingerprint
+    * family larger than the cap — flood or organically viral — emits no
+    * pairs until an operator intervenes; the DuckDB oracle
+    * (q_phash_pairs_capped) applies the same occupancy rule, so the row
+    * is hash-exact and the POLICY is the tested contract. Occupancy is
+    * one map-side-combinable count over the 4-rows-per-doc band keys;
+    * the hot set (buckets OVER the cap) is tiny by construction and
+    * broadcasts into a LeftAnti prune — the pair join's shape is
+    * unchanged. */
+  def hammingPairs128Capped(hashed: DataFrame, maxHamming: Int,
+      cap: Int): DataFrame = {
+    val banded = hammingBanding128(hashed)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val hot = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .select(col("band"), col("bh"))
+    val cool = banded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    hammingPairs128FromBanded(cool, maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Banded hamming pairs BETWEEN a small delta frame and a large index
@@ -636,22 +690,23 @@ object Dedup {
     * [[hammingPairs128]] over the delta alone and union — the registered
     * incremental queries do). */
   def hammingPairs128Between(delta: DataFrame, index: DataFrame,
-      maxHamming: Int): DataFrame = {
-    def band(df: DataFrame, suffix: String): DataFrame = {
-      def word(b: Int): Column =
-        if (b < 2) col(s"sh0$suffix") else col(s"sh1$suffix")
-      val renamed = df.select(col("doc_id").as(s"id$suffix"),
-        col("sh0").as(s"sh0$suffix"), col("sh1").as(s"sh1$suffix"))
-      renamed.select(col(s"id$suffix"), col(s"sh0$suffix"), col(s"sh1$suffix"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(word(b), (b % 2) * 32)
-              .bitwiseAND(lit(0xffffffffL)).as("bh"))): _*)).as("bb"))
-        .select(col(s"id$suffix"), col(s"sh0$suffix"), col(s"sh1$suffix"),
-          col("bb.band").as("band"), col("bb.bh").as("bh"))
-    }
-    broadcast(band(delta, "_d"))
-      .join(band(index, "_i"), Seq("band", "bh"))
+      maxHamming: Int): DataFrame =
+    hammingPairs128BetweenBanded(hammingBanding128(delta), index, maxHamming)
+
+  /** [[hammingPairs128Between]] taking a PRE-BANDED delta
+    * ([[hammingBanding128]] rows, possibly hot-bucket-pruned) — the live
+    * media pipeline's between-leg: the batch bands once, prunes, and the
+    * surviving band rows broadcast into one streamed index scan. */
+  private[graft] def hammingPairs128BetweenBanded(bandedDelta: DataFrame,
+      index: DataFrame, maxHamming: Int): DataFrame = {
+    val d = bandedDelta.select(col("doc_id").as("id_d"),
+      col("sh0").as("sh0_d"), col("sh1").as("sh1_d"),
+      col("band"), col("bh"))
+    val i = hammingBanding128(index).select(col("doc_id").as("id_i"),
+      col("sh0").as("sh0_i"), col("sh1").as("sh1_i"),
+      col("band"), col("bh"))
+    broadcast(d)
+      .join(i, Seq("band", "bh"))
       .filter(col("id_d") =!= col("id_i"))
       .select(least(col("id_d"), col("id_i")).as("id_a"),
         greatest(col("id_d"), col("id_i")).as("id_b"),
@@ -700,10 +755,14 @@ object Dedup {
     * max-bucket probe run jobs at DataFrame-build time); callers'
     * public docstrings carry the batch-only warning. */
   private def bandedSelfJoin(banded: DataFrame, payload: Seq[String],
-      targetBlock: Int = 4096): DataFrame = {
+      targetBlock: Int = 4096, snapshotted: Boolean = false): DataFrame = {
     val t = math.max(targetBlock, 1)
-    val snap = banded.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // `snapshotted = true`: the caller already holds `banded` (or its
+    // checkpointed parent) materialized and OWNS the unpersist — the
+    // live pipelines pass it so a per-batch call pins no extra frame
+    val snap = if (snapshotted) banded
+      else banded.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val maxBucket = Option(snap.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("_bc")).agg(max(col("_bc"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -288,6 +288,9 @@ object DocumentStream {
     prune("bands", Seq("doc_id"))
     highWaterMs.foreach(hw =>
       compactBands(spark, root, hw, horizonMs, latenessMs))
+    e.unpersist(blocking = false)
+    retired.unpersist(blocking = false)
+    ()
   }
 
   /** The per-batch transaction — public so the spec can also drive a
@@ -339,17 +342,18 @@ object DocumentStream {
         case null => Long.MinValue
         case t: java.lang.Long => t.longValue()
       }
-    // snapshot ONCE pre-admission (the arrived/admitted delta is a
-    // ledger signal); the admitted view derives by a narrow filter over
-    // the checkpointed partitions, so its several consumers (exact tier,
-    // banding, text lookup, ts bounds) stay cheap. Late rows beyond the
-    // admission bound drop HERE (watermark semantics).
+    // snapshot the ADMITTED view only — its several consumers (exact
+    // tier, banding, text lookup, ts bounds) all read post-admission
+    // rows; the arrived count (a ledger signal) re-scans the unpersisted
+    // micro-batch source once, so a fully-late batch pays no checkpoint
+    // materialization for rows it then drops entirely. Late rows beyond
+    // the admission bound drop HERE (watermark semantics).
     val raw = batch.select(col("doc_id"), col("ts_ms"), col("text"))
-      .localCheckpoint(true, memDisk)
     val b = raw
       .filter(col("ts_ms") >= (if (hw == Long.MinValue) Long.MinValue
         else hw - latenessMs))
-    if (b.isEmpty) return
+      .localCheckpoint(true, memDisk)
+    if (b.isEmpty) { b.unpersist(blocking = false); return }
 
     // ── tier 1: exact dedup against history, then within-batch ──
     val histTexts = state(spark, root, "hist", batchId,
@@ -507,6 +511,12 @@ object DocumentStream {
     batchDirs(spark, root, "labels", prevId)
       .filter(!_.endsWith("batch=-1"))
       .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
+    // the batch's checkpoint blocks serve nothing once its state is on
+    // disk — free them now instead of waiting for the ContextCleaner
+    // (a long-lived session would otherwise pin one frame set per batch)
+    Seq(b, kept, bandedB, rawCands, keptEnds, verified)
+      .foreach(_.unpersist(blocking = false))
+    hotOpt.foreach(_.unpersist(blocking = false))
   }
 
   /** Unlike the append-only states, `labels/` holds SNAPSHOTS: the state

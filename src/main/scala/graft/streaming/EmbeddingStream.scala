@@ -200,6 +200,8 @@ object EmbeddingStream {
       basePairs.select(col("id_a"), col("id_b")))
     initWith(spark, root, baseEmb, cents0, Some(assigned0), basePairs,
       baseLabels, refDelta)
+    Seq(cents0, assigned0, basePairs)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** Consolidate every committed state surface below `upToBatch` — the
@@ -288,16 +290,16 @@ object EmbeddingStream {
     // entirely (it is the join key) while the vectors still land in
     // `vecs/`/`vhash/` — quarantined from pairing until the retrain the
     // gauge prescribes, exactly the batch operator's stated policy.
-    val assignedCool =
-      if (hotClusterCap <= 0) assigned
-      else {
-        val hot = assigned.groupBy(col("cluster"))
-          .agg(count(lit(1)).as("occ"))
-          .filter(col("occ") > hotClusterCap)
-          .select(col("cluster"))
-          .localCheckpoint(true, memDisk)
-        assigned.join(broadcast(hot), Seq("cluster"), "left_anti")
-      }
+    val hotOpt =
+      if (hotClusterCap <= 0) None
+      else Some(assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > hotClusterCap)
+        .select(col("cluster"))
+        .localCheckpoint(true, memDisk))
+    val assignedCool = hotOpt
+      .map(h => assigned.join(broadcast(h), Seq("cluster"), "left_anti"))
+      .getOrElse(assigned)
     val vecsState = BatchState.state(spark, root, "vecs", batchId, VecsSchema)
     val pairs = graft.ops.Similarity
       .semanticDedupPairsBetween(assignedCool, vecsState, threshold)
@@ -318,6 +320,12 @@ object EmbeddingStream {
     BatchState.batchDirs(spark, root, "labels", prevId)
       .filter(!_.endsWith("batch=-1"))
       .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
+    // the batch's checkpoint blocks serve nothing once its state is on
+    // disk — free them now instead of waiting for the ContextCleaner
+    // (a long-lived session would otherwise pin one frame set per batch)
+    Seq(hashed, kept, assigned, pairs)
+      .foreach(_.unpersist(blocking = false))
+    hotOpt.foreach(_.unpersist(blocking = false))
   }
 
   /** Default gauge thresholds — the [[graft.ops.Similarity.ivfDriftGauge]]
@@ -402,6 +410,9 @@ object EmbeddingStream {
     prune("vecs", Seq("vec_id"))
     prune("vhash", Seq("vec_id"))
     prune("pairs", Seq("id_a", "id_b"))
+    e.unpersist(blocking = false)
+    retired.unpersist(blocking = false)
+    ()
   }
 
   /** Start the pipeline on a streaming (vec_id, embedding) frame. */

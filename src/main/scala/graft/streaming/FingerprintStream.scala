@@ -55,7 +55,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - `pairs/`  (id_a, id_b, hamming) — verified pairs (base pair table
   *     lands as `batch=-1`; [[retire]] re-converges from real edges)
   *  - `gauge/`  one ledger row per non-empty batch (batch_id, arrived,
-  *     decoded, quarantined, pairs)
+  *     decoded, quarantined, pairs, hot_buckets, quar_ppb, alert —
+  *     decode health, pair flow, and the flood defense's own
+  *     accounting)
   *  - `labels/` FULL snapshot per batch, reaped to the previous one
   *
   * Directory growth bounded by [[BatchState.tieredFold]] on the
@@ -73,7 +75,17 @@ object FingerprintStream {
   private val PairsSchema = "id_a BIGINT, id_b BIGINT, hamming BIGINT"
   private val GaugeSchema =
     "batch_id BIGINT, n_arrived BIGINT, n_decoded BIGINT, " +
-    "n_quarantined BIGINT, n_pairs BIGINT"
+    "n_quarantined BIGINT, n_pairs BIGINT, hot_buckets BIGINT, " +
+    "quar_ppb BIGINT, alert BOOLEAN"
+
+  /** Quarantine-rate alert threshold (integer parts-per-billion of the
+    * batch's arrivals): a quarantine share above this marks the batch's
+    * ledger row `alert` — a corrupted upstream batch or a codec
+    * regression looks exactly like this, and per-payload quarantine
+    * would otherwise hide it (the pipeline keeps running, the corpus
+    * silently stops growing). 5% — an order of magnitude over the
+    * organic decode-failure rate, well under any real upstream break. */
+  val AlertQuarPpb = 50000000L
 
   private val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -107,9 +119,28 @@ object FingerprintStream {
   /** The per-batch transaction — public so the spec and soak can drive a
     * single batch directly. Deterministic given (state before `batchId`,
     * batch rows). `batch` carries [[graft.ops.Multimodal.MediaRow]]-
-    * shaped rows (media_id, kind, payload, source). */
+    * shaped rows (media_id, kind, payload, source).
+    *
+    * `hotBucketCap > 0` engages the live hot-bucket cap — the
+    * [[graft.ops.Dedup.hammingPairs128Capped]] policy in-stream, with
+    * the BATCH-side occupancy rule (the vector tier's
+    * [[EmbeddingStream]] `hotClusterCap` convention: the standing `fps/`
+    * index legitimately grows with the corpus, so only the ARRIVAL
+    * distribution is a flood signal on this tier). Band buckets whose
+    * occupancy over the batch's own banding exceeds the cap prune from
+    * the batch side of BOTH pair legs — the batch side is the join key
+    * owner, so pruning it kills the bucket's pairs entirely, bounding
+    * the join's worst key at cap² while a decodable template-image flood
+    * is in progress (quarantine only covers UNDECODABLE payloads; a
+    * decodable flood walks straight past it). Index writes stay
+    * UNCAPPED: the fingerprints are real arrivals and retention owns
+    * their lifecycle; only pair generation is throttled. Explicitly
+    * RECALL-BOUNDED, per the batch operator's contract; the capped
+    * restart-parity gate (q_fpstream_capped_parity) pins the policy
+    * against its closed-form DuckDB replica. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
-      maxHamming: Int = 3, consolidateEvery: Int = 0): Unit = {
+      maxHamming: Int = 3, consolidateEvery: Int = 0,
+      hotBucketCap: Int = 0): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (consolidateEvery > 0 && batchId > 0 &&
@@ -129,12 +160,28 @@ object FingerprintStream {
         col("ph0").as("sh0"), col("ph1").as("sh1"))
     BatchState.write(fp, root, "fps", batchId)
 
-    // ── tier 2: banded candidates vs the standing index + within batch ──
+    // ── tier 2: banded candidates vs the standing index + within batch,
+    // under the hot-bucket cap. The batch bands ONCE (the banding feeds
+    // the occupancy count and both legs), over-cap buckets broadcast
+    // into a LeftAnti prune of the batch side BEFORE either join. ──
+    val bandedFp = graft.ops.Dedup.hammingBanding128(fp)
+      .localCheckpoint(true, memDisk)
+    val hotOpt =
+      if (hotBucketCap <= 0) None
+      else Some(bandedFp.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > hotBucketCap)
+        .select(col("band"), col("bh"))
+        .localCheckpoint(true, memDisk))
+    val cooled = hotOpt
+      .map(h => bandedFp.join(broadcast(h), Seq("band", "bh"), "left_anti"))
+      .getOrElse(bandedFp)
     val fpsState = BatchState.state(spark, root, "fps", batchId, FpsSchema)
     val pairs = graft.ops.Dedup
-      .hammingPairs128Between(fp, fpsState, maxHamming)
+      .hammingPairs128BetweenBanded(cooled, fpsState, maxHamming)
       .unionByName(
-        graft.ops.Dedup.hammingPairs128Unordered(fp, maxHamming))
+        graft.ops.Dedup.hammingPairs128FromBanded(cooled, maxHamming,
+          snapshotted = true)) // cooled reads the checkpointed banding
       .select(col("id_a"), col("id_b"), col("hamming"))
       .localCheckpoint(true, memDisk)
     BatchState.write(pairs, root, "pairs", batchId)
@@ -152,15 +199,36 @@ object FingerprintStream {
       .filter(!_.endsWith("batch=-1"))
       .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true))
 
-    // ── inline ledger: arrived / decoded / quarantined / pairs ──
+    // ── inline ledger: arrived / decoded / quarantined / pairs, plus
+    // the defense's own accounting — hot_buckets (the cap intervening),
+    // quar_ppb and the alert verdict (hot buckets OR a quarantine-rate
+    // spike — a corrupted upstream batch must page someone even though
+    // per-payload quarantine keeps the pipeline itself alive) ──
     val nArr = hashed.agg(count(lit(1)).as("n_arrived"),
       count(when(col("decoded"), 1)).as("n_decoded"),
       count(when(!col("decoded"), 1)).as("n_quarantined"))
     val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val nHot = hotOpt
+      .map(_.agg(count(lit(1)).as("hot_buckets")))
+      .getOrElse(spark.range(1).select(lit(0L).as("hot_buckets")))
     BatchState.write(nArr.crossJoin(broadcast(nPairs))
+        .crossJoin(broadcast(nHot))
         .select(lit(batchId).as("batch_id"), col("n_arrived"),
-          col("n_decoded"), col("n_quarantined"), col("n_pairs")),
+          col("n_decoded"), col("n_quarantined"), col("n_pairs"),
+          col("hot_buckets"),
+          expr("n_quarantined * 1000000000L div n_arrived").as("quar_ppb"),
+          (col("hot_buckets") > 0L ||
+            expr("n_quarantined * 1000000000L div n_arrived") >
+              AlertQuarPpb).as("alert")),
       root, "gauge", batchId)
+    // the batch's checkpoint blocks serve nothing once its state is on
+    // disk — free them now instead of waiting for the ContextCleaner
+    // (a long-lived session would otherwise pin one frame set per batch)
+    hashed.unpersist(blocking = false)
+    bandedFp.unpersist(blocking = false)
+    hotOpt.foreach(_.unpersist(blocking = false))
+    pairs.unpersist(blocking = false)
+    ()
   }
 
   /** RETENTION — the [[EmbeddingStream.retire]] contract on the media
@@ -194,19 +262,23 @@ object FingerprintStream {
       }
     prune("fps", Seq("doc_id"))
     prune("pairs", Seq("id_a", "id_b"))
+    e.unpersist(blocking = false)
+    retired.unpersist(blocking = false)
+    ()
   }
 
   /** Start the pipeline on a streaming MediaRow frame. */
   def start(media: DataFrame, root: String, checkpoint: String,
       maxHamming: Int = 3, maxDelayMs: Long = 100L,
-      consolidateEvery: Int = 0): StreamingQuery =
+      consolidateEvery: Int = 0, hotBucketCap: Int = 0): StreamingQuery =
     media.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, maxHamming,
-          consolidateEvery = consolidateEvery)
+          consolidateEvery = consolidateEvery,
+          hotBucketCap = hotBucketCap)
       }
       .start()
 

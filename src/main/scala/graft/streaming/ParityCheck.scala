@@ -636,22 +636,22 @@ object ParityCheck {
     val (keptBatch, livePairsB, batchLabels) =
       livePipelineBatchTwin(documents, history, splitId, horizonMs)
 
-    val survAgree = keptArr.exceptAll(keptBatch).count() == 0L &&
-      keptBatch.exceptAll(keptArr).count() == 0L
-    val pairsAgree = livePairs.exceptAll(livePairsB).count() == 0L &&
-      livePairsB.exceptAll(livePairs).count() == 0L
-    val nKept = liveLabels.count()
-    val nDropped = arrDocs.length.toLong - keptArr.count()
-    val nPairsLive = livePairs.count()
+    val (kOnlyL, kOnlyB, nKeptArr, _) = diffCounts(keptArr, keptBatch)
+    val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, livePairsB)
+    val (onlyLive, onlyBatch, nKept, _) = diffCounts(liveLabels, batchLabels)
+    val survAgree = kOnlyL == 0L && kOnlyB == 0L
+    val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
+    val nDropped = arrDocs.length.toLong - nKeptArr
     val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
-    val onlyLive = liveLabels.exceptAll(batchLabels).count()
-    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
-    spark.createDataFrame(Seq(
+    val result = spark.createDataFrame(Seq(
       (nKept, nDropped, nPairsLive, nClusters, onlyLive, onlyBatch,
         survAgree && pairsAgree && onlyLive == 0L && onlyBatch == 0L &&
           nDropped > 0L)))
       .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
+    Seq(keptArr, livePairs, liveLabels, keptBatch, livePairsB, batchLabels,
+      histPairs0).foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** The CAPPED gate's scenario constants, shared with its DuckDB
@@ -711,6 +711,7 @@ object ParityCheck {
     val batchLabels = graft.ops.Dedup.nearDupClusters(
       history.select(col("doc_id")).unionByName(keptBatch),
       histPairs.unionByName(livePairsC)).localCheckpoint(true)
+    bandedArr.unpersist(blocking = false)
     (keptBatch, livePairsC, batchLabels)
   }
 
@@ -767,6 +768,7 @@ object ParityCheck {
     try waves.drop(2).foreach { w =>
       mem.addData(w.toSeq); q.processAllAvailable()
     } finally q.stop()
+    histPairs0.unpersist(blocking = false)
     root
   }
 
@@ -810,24 +812,26 @@ object ParityCheck {
       cappedPipelineBatchTwin(documents, history, splitId, horizonMs,
         CappedHotBucketCap)
 
-    val survAgree = keptArr.exceptAll(keptBatch).count() == 0L &&
-      keptBatch.exceptAll(keptArr).count() == 0L
-    val pairsAgree = livePairs.exceptAll(livePairsB).count() == 0L &&
-      livePairsB.exceptAll(livePairs).count() == 0L
-    val nKept = liveLabels.count()
-    val nDropped = nArr.toLong - keptArr.count()
-    val nPairsLive = livePairs.count()
+    // single-pass set comparisons: one aggregated job per state surface
+    // instead of two exceptAll traversals + separate counts
+    val (kOnlyL, kOnlyB, nKeptArr, _) = diffCounts(keptArr, keptBatch)
+    val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, livePairsB)
+    val (onlyLive, onlyBatch, nKept, _) = diffCounts(liveLabels, batchLabels)
+    val survAgree = kOnlyL == 0L && kOnlyB == 0L
+    val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
+    val nDropped = nArr.toLong - nKeptArr
     val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
     val nHotBatches = gauges.filter(col("hot_buckets") > 0).count()
-    val onlyLive = liveLabels.exceptAll(batchLabels).count()
-    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
-    spark.createDataFrame(Seq(
+    val result = spark.createDataFrame(Seq(
       (nKept, nDropped, nPairsLive, nClusters, nHotBatches, onlyLive,
         onlyBatch,
         survAgree && pairsAgree && onlyLive == 0L && onlyBatch == 0L &&
           nDropped > 0L && nHotBatches == nWaves.toLong)))
       .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
         "n_hot_batches", "n_only_live", "n_only_batch", "parity_ok")
+    Seq(keptArr, livePairs, liveLabels, gauges, keptBatch, livePairsB,
+      batchLabels).foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** The runnable FINGERPRINT (media) pipeline, gated end to end — the
@@ -917,6 +921,8 @@ object ParityCheck {
     try waves.drop(2).foreach { w =>
       mem.addData(w); q.processAllAvailable()
     } finally q.stop()
+    Seq(baseFps, basePairs, baseLabels)
+      .foreach(_.unpersist(blocking = false))
     root
   }
 
@@ -956,21 +962,220 @@ object ParityCheck {
     val batchLabels = graft.ops.Dedup.nearDupClusters(
       allFps.select(col("doc_id")), pairsAll).localCheckpoint(true)
 
-    val fpsAgree = idxArr.exceptAll(arrFpB).count() == 0L &&
-      arrFpB.exceptAll(idxArr).count() == 0L
-    val pairsAgree = livePairs.exceptAll(livePairsB).count() == 0L &&
-      livePairsB.exceptAll(livePairs).count() == 0L
-    val onlyLive = liveLabels.exceptAll(batchLabels).count()
-    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
-    val nIndexed = idxArr.count()
-    val nPairsLive = livePairs.count()
+    val (fOnlyL, fOnlyB, nIndexed, _) = diffCounts(idxArr, arrFpB)
+    val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, livePairsB)
+    val (onlyLive, onlyBatch, _, _) = diffCounts(liveLabels, batchLabels)
+    val fpsAgree = fOnlyL == 0L && fOnlyB == 0L
+    val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
     val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
-    spark.createDataFrame(Seq(
+    val result = spark.createDataFrame(Seq(
       (nIndexed, nQuarantined, nPairsLive, nClusters, onlyLive, onlyBatch,
         fpsAgree && pairsAgree && onlyLive == 0L && onlyBatch == 0L &&
           nQuarantined > 0L)))
       .toDF("n_indexed", "n_quarantined", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
+    Seq(baseFps, idxArr, livePairs, liveLabels, arrFpB, pairsAll,
+      batchLabels).foreach(_.unpersist(blocking = false))
+    result
+  }
+
+  /** Bidirectional multiset difference + sizes in ONE aggregated pass —
+    * (onlyA, onlyB, nA, nB) over the frames' full column set. Each
+    * parity gate previously ran `a.exceptAll(b).count()`,
+    * `b.exceptAll(a).count()` and separate `count()`s — five traversals
+    * of the same state; a grouped count per side joined full-outer
+    * folds all four numbers into one job (exceptAll's multiset
+    * semantics exactly: only-in-A = Σ max(cntA − cntB, 0)). NULL-free
+    * frames only (every gated state surface is): a NULL key would not
+    * match itself across the join where exceptAll would cancel it. */
+  private[streaming] def diffCounts(a: DataFrame,
+      b: DataFrame): (Long, Long, Long, Long) = {
+    val cols = a.columns.toSeq
+    require(b.columns.toSeq == cols,
+      s"diffCounts column mismatch: $cols vs ${b.columns.toSeq}")
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_ca"))
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_cb"))
+    val r = ca.join(cb, cols, "full_outer")
+      .select(coalesce(col("_ca"), lit(0L)).as("ca"),
+        coalesce(col("_cb"), lit(0L)).as("cb"))
+      .agg(
+        coalesce(sum(greatest(col("ca") - col("cb"), lit(0L))), lit(0L)),
+        coalesce(sum(greatest(col("cb") - col("ca"), lit(0L))), lit(0L)),
+        coalesce(sum(col("ca")), lit(0L)),
+        coalesce(sum(col("cb")), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** The capped MEDIA gate's hot-bucket cap — chosen against the texture
+    * fixture's per-wave class occupancies (measured at the 500-doc
+    * fixture: flood class 9-10 per full wave, organic classes ≤ 2), so
+    * the flood class is hot in every full wave and organic classes never
+    * are; the trailing remainder wave is naturally under-cap, which the
+    * per-wave twin and oracle model rather than assume away. */
+  val FpCappedHotBucketCap = 5
+
+  /** The capped media-gate ARRIVAL fixture: the image slice above the
+    * split, id-sorted, every EVEN media_id's payload replaced by the
+    * corpus-minimum image's bytes — a byte-identical DECODABLE template
+    * flood (image ids are ≡ 1 mod 3, so id parity alternates and every
+    * id-consecutive wave carries ~half flood copies). Deliberately no
+    * corruption here: quarantine has its own gate
+    * ([[fingerprintRestartParity]]); this one isolates the cap —
+    * a decodable flood is exactly the traffic quarantine CANNOT stop. */
+  private def fpCappedArrivalMedia(spark: SparkSession, dir: String,
+      splitId: Long): Seq[graft.ops.Multimodal.MediaRow] = {
+    val all = graft.ops.Multimodal.imagePngMedia(spark,
+        graft.Tables.documents(spark, dir))
+      .collect().sortBy(_.media_id)
+    val template = all.head.payload // corpus-minimum image, class min%5
+    val arr = all.filter(_.media_id >= splitId)
+      .map(m => if (m.media_id % 2 == 0) m.copy(payload = template) else m)
+      .toSeq
+    require(arr.exists(_.media_id % 2 == 0),
+      "flood scenario vacuous: no even-id arrival")
+    arr
+  }
+
+  /** Build the CAPPED media pipeline's gate state (template-flood waves,
+    * `hotBucketCap` on, restart straddling a consolidation) and return
+    * its root — built once per JVM by the caller (ManagedTable.once),
+    * SERVED by q_fpstream_capped_parity and q_fpstream_capped_gauge. */
+  def buildCappedFingerprintPipeline(spark: SparkSession, dir: String,
+      nBatches: Int = 4): String = {
+    import spark.implicits._
+    val splitId = fpSplitId(spark, dir)
+    val baseFps = fpBaseFps(spark, dir, splitId).localCheckpoint(true)
+    val basePairs = graft.ops.Dedup.hammingPairs128(baseFps, 3)
+      .localCheckpoint(true)
+    val baseLabels = graft.ops.Dedup.nearDupClusters(
+      baseFps.select(col("doc_id")),
+      basePairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+    val arrMedia = fpCappedArrivalMedia(spark, dir, splitId)
+
+    val root =
+      s"target/fpstream_capped/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    FingerprintStream.init(spark, s"$root/state", baseFps, basePairs,
+      baseLabels)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.ops.Multimodal.MediaRow]
+    val waves = arrMedia.grouped(
+      math.max(1, arrMedia.length / nBatches)).toSeq
+    var q = FingerprintStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", maxHamming = 3, consolidateEvery = 2,
+      hotBucketCap = FpCappedHotBucketCap)
+    waves.take(2).foreach { w => mem.addData(w); q.processAllAvailable() }
+    q.stop() // mid-replay crash, simulated
+    q = FingerprintStream.start(mem.toDF(), s"$root/state",
+      s"$root/ckpt", maxHamming = 3, consolidateEvery = 2,
+      hotBucketCap = FpCappedHotBucketCap)
+    try waves.drop(2).foreach { w =>
+      mem.addData(w); q.processAllAvailable()
+    } finally q.stop()
+    Seq(baseFps, basePairs, baseLabels)
+      .foreach(_.unpersist(blocking = false))
+    root
+  }
+
+  /** The CAPPED media pipeline gated end to end over the state
+    * [[buildCappedFingerprintPipeline]] left behind: final
+    * index/pair/label state must equal a PER-WAVE capped batch twin
+    * (the stream's own wave decomposition replayed sequentially —
+    * batch-side occupancy cut per wave, index writes uncapped), and the
+    * ledger's hot-bucket accounting must match the twin's per-wave hot
+    * sets exactly. The DuckDB oracle restates every count closed-form
+    * from the texture classes (a hot band bucket IS a hot class — four
+    * buckets per class, cross-class band-word collisions are 2⁻³²-rare
+    * and would turn this gate red loudly, not silently pass). */
+  def fpCappedRestartParity(spark: SparkSession, dir: String,
+      root: String, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cap = FpCappedHotBucketCap
+    val splitId = fpSplitId(spark, dir)
+    val baseFps = fpBaseFps(spark, dir, splitId).localCheckpoint(true)
+    val arrMedia = fpCappedArrivalMedia(spark, dir, splitId)
+    val waves = arrMedia.grouped(
+      math.max(1, arrMedia.length / nBatches)).toSeq
+
+    val idxArr = FingerprintStream.indexedFps(spark, s"$root/state")
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("sh0"), col("sh1"))
+      .localCheckpoint(true)
+    val livePairs = FingerprintStream.livePairs(spark, s"$root/state")
+      .filter(col("id_b") >= splitId)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val liveLabels = FingerprintStream.labels(spark, s"$root/state")
+      .localCheckpoint(true)
+    val gauges = FingerprintStream.gaugeRows(spark, s"$root/state")
+      .localCheckpoint(true)
+
+    // ── per-wave capped batch twin: the wave decomposition the builder
+    // used, replayed sequentially against an accumulating fps frame ──
+    var stateFps = baseFps
+    var twinPairs: DataFrame = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    var twinHotBuckets = 0L
+    var twinHotWaves = 0L
+    val twinFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    waves.foreach { w =>
+      val wfp = graft.ops.Multimodal.pHashes(spark.createDataset(w))
+        .filter(_.decoded).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ph0").as("sh0"), col("ph1").as("sh1"))
+        .localCheckpoint(true)
+      val banded = graft.ops.Dedup.hammingBanding128(wfp)
+        .localCheckpoint(true)
+      val hot = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
+        .select(col("band"), col("bh"))
+        .localCheckpoint(true)
+      val nHot = hot.count()
+      twinHotBuckets += nHot
+      if (nHot > 0) twinHotWaves += 1
+      val cooled = banded.join(broadcast(hot), Seq("band", "bh"),
+        "left_anti")
+      val wPairs = graft.ops.Dedup
+        .hammingPairs128BetweenBanded(cooled, stateFps, 3)
+        .unionByName(graft.ops.Dedup.hammingPairs128FromBanded(cooled, 3,
+          snapshotted = true))
+        .select(col("id_a"), col("id_b"))
+      twinPairs = twinPairs.unionByName(wPairs).localCheckpoint(true)
+      stateFps = stateFps.unionByName(wfp).localCheckpoint(true)
+      twinFrames ++= Seq(wfp, banded, hot, twinPairs, stateFps)
+    }
+    val basePairs = graft.ops.Dedup.hammingPairs128(baseFps, 3)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val twinLabels = graft.ops.Dedup.nearDupClusters(
+      stateFps.select(col("doc_id")),
+      basePairs.unionByName(twinPairs)).localCheckpoint(true)
+    val twinFps = stateFps.filter(col("doc_id") >= splitId)
+
+    val (fOnlyL, fOnlyB, nIndexed, _) = diffCounts(idxArr, twinFps)
+    val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, twinPairs)
+    val (onlyLive, onlyBatch, _, _) = diffCounts(liveLabels, twinLabels)
+    val fpsAgree = fOnlyL == 0L && fOnlyB == 0L
+    val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    val hotTotal = gauges.agg(coalesce(sum(col("hot_buckets")), lit(0L)))
+      .head().getLong(0)
+    val nHotBatches = gauges.filter(col("hot_buckets") > 0).count()
+    val result = spark.createDataFrame(Seq(
+      (nIndexed, nPairsLive, nClusters, hotTotal, nHotBatches, onlyLive,
+        onlyBatch,
+        fpsAgree && pairsAgree && onlyLive == 0L && onlyBatch == 0L &&
+          hotTotal == twinHotBuckets && nHotBatches == twinHotWaves &&
+          hotTotal > 0L && nPairsLive > 0L)))
+      .toDF("n_indexed", "n_pairs_live", "n_clusters",
+        "hot_buckets_total", "n_hot_batches", "n_only_live",
+        "n_only_batch", "parity_ok")
+    (twinFrames ++ Seq(baseFps, idxArr, livePairs, liveLabels, gauges,
+      basePairs, twinLabels)).foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** The EMBEDDING live-dedup pipeline, gated end to end — the vector
@@ -1146,24 +1351,25 @@ object ParityCheck {
       spark.read.parquet(s"$root/state/cents/epoch=0"), threshold)
     val batchLive = allPairs.filter(col("id_b") >= splitId)
 
-    val onlyLive = liveLabels.exceptAll(batchLabels).count()
-    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
-    val pairsAgree = livePairs.exceptAll(batchLive).count() == 0L &&
-      batchLive.exceptAll(livePairs).count() == 0L
-    val nPairsLive = livePairs.count()
+    val (onlyLive, onlyBatch, nVectors, _) =
+      diffCounts(liveLabels, batchLabels)
+    val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, batchLive)
+    val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
     // every non-empty batch must have left a committed health row with
     // its epoch pinned at 0 (no retrain fired on in-distribution waves)
     val gauges = EmbeddingStream.gaugeRows(spark, s"$root/state")
     val gaugeOk = gauges.count() == waves.length.toLong &&
       gauges.filter(col("retrain") || col("epoch") =!= 0).count() == 0L
-    spark.createDataFrame(Seq(
-      (liveLabels.count(), nPairsLive,
+    val result = spark.createDataFrame(Seq(
+      (nVectors, nPairsLive,
         liveLabels.select(col("cluster_id")).distinct().count(),
         onlyLive, onlyBatch,
         pairsAgree && gaugeOk && onlyLive == 0L && onlyBatch == 0L &&
           nPairsLive > 0L)))
       .toDF("n_vectors", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
+    Seq(liveLabels, livePairs).foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** DEEP-HISTORY live near-dup, gated end to end — the batch

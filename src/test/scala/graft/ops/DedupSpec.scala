@@ -450,4 +450,33 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == uncapped)
   }
+
+  test("hammingPairs128Capped: over-cap band buckets stop pairing; " +
+      "organic families survive; wide cap degrades to the plain operator") {
+    import spark.implicits._
+    // a 10-copy identical-fingerprint flood (every band bucket holds all
+    // 10) over two organic 3-member families with distinct hash words
+    val flood = (100L until 110L).map(i => (i, 0xAAAA5555L, 0x1234ABCDL))
+    val famA = (0L until 3L).map(i => (i, 0x11112222L, 0x33334444L))
+    val famB = (10L until 13L).map(i => (i, 0x55556666L, 0x77778888L))
+    val hashed = (flood ++ famA ++ famB).toDF("doc_id", "sh0", "sh1")
+    val capped = Dedup.hammingPairs128Capped(hashed, maxHamming = 3, cap = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val organic = (for { a <- 0L until 3L; b <- 0L until 3L if a < b }
+      yield (a, b)).toSet ++
+      (for { a <- 10L until 13L; b <- 10L until 13L if a < b }
+        yield (a, b)).toSet
+    assert(capped == organic,
+      s"capped pair set wrong: $capped")
+    val wide = Dedup.hammingPairs128Capped(hashed, maxHamming = 3,
+        cap = 1000)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.hammingPairs128(hashed, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == uncapped)
+    assert(uncapped.count(p => p._1 >= 100L) == 10 * 9 / 2)
+  }
 }

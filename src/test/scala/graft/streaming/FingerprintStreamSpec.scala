@@ -94,6 +94,19 @@ class FingerprintStreamSpec extends AnyFunSuite {
     assert(g.getLong(0) == arrMedia.length.toLong)
     assert(g.getLong(1) == arrMedia.length.toLong - 1L)
     assert(g.getLong(2) == 1L, s"quarantine count wrong: $g")
+    // quarantine-rate ALERT policy: the corrupt wave (1 of 5 = 20% >
+    // the 5% threshold) must mark alert with quar_ppb exact; clean
+    // uncapped waves must not (no hot buckets, no quarantine)
+    val rows = FingerprintStream.gaugeRows(spark, root)
+      .orderBy(col("batch_id")).collect()
+    val corruptWave = rows.filter(_.getAs[Long]("n_quarantined") > 0L)
+    assert(corruptWave.length == 1)
+    assert(corruptWave.head.getAs[Long]("quar_ppb") == 200000000L)
+    assert(corruptWave.head.getAs[Boolean]("alert"))
+    assert(rows.filter(_.getAs[Long]("n_quarantined") == 0L)
+      .forall(r => !r.getAs[Boolean]("alert") &&
+        r.getAs[Long]("hot_buckets") == 0L),
+      "clean uncapped wave alerted")
 
     // ── a consolidation pass changes no served row and bounds dirs ──
     val before = served()
@@ -128,5 +141,94 @@ class FingerprintStreamSpec extends AnyFunSuite {
       FingerprintStream.retire(spark, root, bad)
     }
     assert(err.getMessage.contains("single-column"))
+  }
+
+  test("hotBucketCap quarantines a DECODABLE template flood at arrival: " +
+      "no flood pair persists, organics keep pairing, the ledger " +
+      "accounts (hot_buckets, alert), and the uncapped twin leaks") {
+    import spark.implicits._
+    // 15 base images over 5 texture classes; the flood payload is one
+    // fixed out-of-family texture (seed range no generator uses), so
+    // every flood copy hashes identically and collides with nothing else
+    val baseIds = (0L until 15L).map(i => i * 3 + 1)
+    val baseDocs = baseIds.map(id => (id, s"src${id % 8}"))
+      .toDF("doc_id", "source")
+    val baseMedia = Multimodal.imagePngMedia(spark, baseDocs)
+      .collect().sortBy(_.media_id).toSeq
+    val floodPayload = Multimodal.pngBytes(
+      Multimodal.textureImage(4100000000L, 0))
+    // two waves: 8 flood copies + 2 organic arrivals each (organic ids
+    // continue the ≡1 mod 3 slice so they join existing classes)
+    val organicIds = (15L until 19L).map(i => i * 3 + 1)
+    val organicMedia = Multimodal.imagePngMedia(spark,
+        organicIds.map(id => (id, s"src${id % 8}")).toDF("doc_id", "source"))
+      .collect().sortBy(_.media_id).toSeq
+    var fid = 9000L
+    def floodRows(n: Int) = (0 until n).map { _ =>
+      fid += 1; Multimodal.MediaRow(fid, "image", floodPayload, "flood")
+    }
+    val waves = Seq(
+      organicMedia.take(2) ++ floodRows(8),
+      organicMedia.drop(2) ++ floodRows(8))
+
+    def fpOf(ms: Seq[Multimodal.MediaRow]) =
+      Multimodal.pHashes(spark.createDataset(ms))
+        .filter(_.decoded).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ph0").as("sh0"), col("ph1").as("sh1"))
+    val base = "target/fpstream_cap_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val baseFps = fpOf(baseMedia).localCheckpoint(true)
+    val basePairs = Dedup.hammingPairs128(baseFps, 3).localCheckpoint(true)
+    val baseLabels = Dedup.nearDupClusters(baseFps.select(col("doc_id")),
+      basePairs.select(col("id_a"), col("id_b")))
+
+    for ((mode, cap) <- Seq("uncapped" -> 0, "capped" -> 4)) {
+      val root = s"$base/$mode"
+      FingerprintStream.init(spark, root, baseFps, basePairs, baseLabels)
+      waves.zipWithIndex.foreach { case (w, i) =>
+        FingerprintStream.processBatch(spark.createDataset(w).toDF(),
+          i.toLong, root, maxHamming = 3, hotBucketCap = cap)
+      }
+      val pairs = FingerprintStream.livePairs(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val floodTouching = pairs.filter(p => p._1 >= 9000L || p._2 >= 9000L)
+      // the pair state carries the base pair table from init (batch=-1)
+      // plus every committed arrival pair — all same-class pairs over
+      // base ∪ organic, none touching the flood
+      val allOrganicIds = baseIds ++ organicIds
+      val organicExpected = (for {
+        a <- allOrganicIds; b <- allOrganicIds
+        if a < b && a % 5 == b % 5
+      } yield (a, b)).toSet
+      if (mode == "uncapped") {
+        // the leak the cap exists to stop: wave 2's 8 copies pair with
+        // wave 1's 8 standing flood fingerprints plus within-wave pairs
+        assert(floodTouching.nonEmpty, "uncapped flood produced no pairs")
+        assert(FingerprintStream.gaugeRows(spark, root)
+          .agg(sum(col("hot_buckets"))).head().getLong(0) == 0L)
+      } else {
+        assert(floodTouching.isEmpty,
+          s"capped run persisted flood pairs: $floodTouching")
+        assert(pairs.filterNot(p => p._1 >= 9000L || p._2 >= 9000L) ==
+          organicExpected, "organic pairs damaged by the cap")
+        // ledger: the flood class is 4 hot buckets in each wave; both
+        // waves alert with zero quarantine (the flood DECODES — this is
+        // the traffic quarantine cannot stop)
+        val rows = FingerprintStream.gaugeRows(spark, root)
+          .orderBy(col("batch_id")).collect()
+        assert(rows.length == 2)
+        assert(rows.forall(_.getAs[Long]("hot_buckets") == 4L),
+          s"hot bucket accounting: ${rows.mkString(",")}")
+        assert(rows.forall(_.getAs[Boolean]("alert")))
+        assert(rows.forall(_.getAs[Long]("n_quarantined") == 0L))
+        // the index still carries the flood fingerprints (retention owns
+        // their lifecycle; only pairing is throttled)
+        assert(FingerprintStream.indexedFps(spark, root)
+          .filter(col("doc_id") >= 9000L).count() == 16L)
+      }
+    }
   }
 }
