@@ -694,8 +694,8 @@ object SparkEntry {
       val g = graft.streaming.FingerprintStream.gaugeRows(s, s"$root/state")
       g.join(g.agg(max(col("batch_id")).as("batch_id")), Seq("batch_id"))
         .select(col("n_arrived"), col("n_decoded"),
-          col("n_quarantined"), col("n_pairs"), col("hot_buckets"),
-          col("quar_ppb"), col("alert"))
+          col("n_quarantined"), col("n_pairs"), col("top_share_ppb"),
+          col("hot_buckets"), col("quar_ppb"), col("alert"))
     }),
 
     // the media ledger's QUARANTINE-RATE alert policy over the whole
@@ -4893,7 +4893,13 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM inc a JOIN inc b
         |    ON a.doc_id < b.doc_id AND a.doc_id % 5 = b.doc_id % 5
-        |  WHERE b.doc_id IN (SELECT doc_id FROM wdocs))
+        |  WHERE b.doc_id IN (SELECT doc_id FROM wdocs)),
+        |topx AS (SELECT COALESCE(MAX(c), 0) AS mx FROM
+        |  (SELECT COUNT(*) AS c FROM wdocs
+        |   WHERE doc_id % 13 <> 0 GROUP BY doc_id % 5)),
+        |nd AS (SELECT COUNT(*) AS n FROM wdocs WHERE doc_id % 13 <> 0),
+        |shr AS (SELECT CASE WHEN n = 0 THEN 0
+        |          ELSE mx * 1000000000 // n END AS s FROM topx, nd)
         |SELECT
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdocs) AS n_arrived,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdocs
@@ -4901,11 +4907,13 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdocs
         |     WHERE doc_id % 13 = 0) AS n_quarantined,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairsw) AS n_pairs,
+        |  (SELECT CAST(s AS BIGINT) FROM shr) AS top_share_ppb,
         |  CAST(0 AS BIGINT) AS hot_buckets,
         |  (SELECT CAST((COUNT(*) FILTER (WHERE doc_id % 13 = 0))
         |     * 1000000000 // COUNT(*) AS BIGINT) FROM wdocs) AS quar_ppb,
-        |  (SELECT (COUNT(*) FILTER (WHERE doc_id % 13 = 0))
-        |     * 1000000000 // COUNT(*) > 50000000 FROM wdocs)
+        |  ((SELECT s FROM shr) > 400000000 OR
+        |   (SELECT (COUNT(*) FILTER (WHERE doc_id % 13 = 0))
+        |     * 1000000000 // COUNT(*) > 50000000 FROM wdocs))
         |    AS alert""".stripMargin,
 
     // the quarantine-rate alert policy over the uncapped media run's
@@ -4921,12 +4929,18 @@ object SparkEntry {
         |wv AS (SELECT a.doc_id, a.rn // p.chunk AS wave FROM arrix a, prm p),
         |wq AS (SELECT wave, COUNT(*) AS n,
         |         COUNT(*) FILTER (WHERE doc_id % 13 = 0) AS q
-        |       FROM wv GROUP BY wave)
+        |       FROM wv GROUP BY wave),
+        |wmx AS (SELECT wave, MAX(c) AS mx, SUM(c) AS nd FROM
+        |          (SELECT wave, doc_id % 5 AS cls, COUNT(*) AS c
+        |           FROM wv WHERE doc_id % 13 <> 0 GROUP BY wave, cls)
+        |        GROUP BY wave)
         |SELECT
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wq) AS n_batches,
         |  (SELECT CAST(SUM(q) AS BIGINT) FROM wq) AS quar_total,
-        |  (SELECT CAST(COUNT(*) FILTER
-        |     (WHERE q * 1000000000 // n > 50000000) AS BIGINT) FROM wq)
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wq LEFT JOIN wmx
+        |     ON wq.wave = wmx.wave
+        |   WHERE q * 1000000000 // n > 50000000
+        |      OR COALESCE(mx * 1000000000 // nd, 0) > 400000000)
         |    AS n_alerts""".stripMargin,
 
     // the CAPPED media pipeline: per-wave batch-side occupancy cut over
@@ -5010,15 +5024,20 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM eff a JOIN aw b ON a.cls = b.cls AND a.doc_id < b.doc_id
         |  WHERE NOT EXISTS (SELECT 1 FROM hot h
-        |                    WHERE h.wave = b.wave AND h.cls = b.cls))
+        |                    WHERE h.wave = b.wave AND h.cls = b.cls)),
+        |wstat AS (SELECT wave, MAX(c) AS mx, SUM(c) AS n
+        |          FROM occ GROUP BY wave),
+        |walert AS (SELECT w.wave FROM wstat w
+        |           WHERE mx * 1000000000 // n > 400000000
+        |              OR EXISTS (SELECT 1 FROM hot h
+        |                         WHERE h.wave = w.wave))
         |SELECT
         |  (SELECT CAST(COUNT(DISTINCT wave) AS BIGINT) FROM wv)
         |    AS n_batches,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM arr) AS arrived_total,
         |  (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM hot)
         |    AS hot_buckets_total,
-        |  (SELECT CAST(COUNT(DISTINCT wave) AS BIGINT) FROM hot)
-        |    AS n_alerts,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM walert) AS n_alerts,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS pairs_total,
         |  CAST(0 AS BIGINT) AS quar_total""".stripMargin,
 

@@ -55,9 +55,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - `pairs/`  (id_a, id_b, hamming) — verified pairs (base pair table
   *     lands as `batch=-1`; [[retire]] re-converges from real edges)
   *  - `gauge/`  one ledger row per non-empty batch (batch_id, arrived,
-  *     decoded, quarantined, pairs, hot_buckets, quar_ppb, alert —
-  *     decode health, pair flow, and the flood defense's own
-  *     accounting)
+  *     decoded, quarantined, pairs, top_share_ppb, hot_buckets,
+  *     quar_ppb, alert — decode health, pair flow, the cap-independent
+  *     skew signal, and the flood defense's own accounting)
   *  - `labels/` FULL snapshot per batch, reaped to the previous one
   *
   * Directory growth bounded by [[BatchState.tieredFold]] on the
@@ -75,8 +75,8 @@ object FingerprintStream {
   private val PairsSchema = "id_a BIGINT, id_b BIGINT, hamming BIGINT"
   private val GaugeSchema =
     "batch_id BIGINT, n_arrived BIGINT, n_decoded BIGINT, " +
-    "n_quarantined BIGINT, n_pairs BIGINT, hot_buckets BIGINT, " +
-    "quar_ppb BIGINT, alert BOOLEAN"
+    "n_quarantined BIGINT, n_pairs BIGINT, top_share_ppb BIGINT, " +
+    "hot_buckets BIGINT, quar_ppb BIGINT, alert BOOLEAN"
 
   /** Quarantine-rate alert threshold (integer parts-per-billion of the
     * batch's arrivals): a quarantine share above this marks the batch's
@@ -86,6 +86,15 @@ object FingerprintStream {
     * silently stops growing). 5% — an order of magnitude over the
     * organic decode-failure rate, well under any real upstream break. */
   val AlertQuarPpb = 50000000L
+
+  /** Hottest-band-bucket share alert threshold (ppb of the batch's
+    * DECODED rows) — the cap-INDEPENDENT detection signal, so an
+    * uncapped deployment still sees a template-image flood on its
+    * dashboard (the [[DocumentStream]] ledger's top_share role; the
+    * threshold is the vector tier's collapse calibration — an organic
+    * texture family tops out around a quarter of a batch in every
+    * fixture and soak, a flood is most of it). */
+  val AlertSharePpb = 400000000L
 
   private val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -208,16 +217,24 @@ object FingerprintStream {
       count(when(col("decoded"), 1)).as("n_decoded"),
       count(when(!col("decoded"), 1)).as("n_quarantined"))
     val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    // hottest PRE-prune bucket share: cap-independent, so detection
+    // fires with or without containment engaged (the doc tier's rule)
+    val top = bandedFp.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"))
     val nHot = hotOpt
       .map(_.agg(count(lit(1)).as("hot_buckets")))
       .getOrElse(spark.range(1).select(lit(0L).as("hot_buckets")))
+    val sharePpb = coalesce(
+      expr("mx * 1000000000L div n_decoded"), lit(0L))
     BatchState.write(nArr.crossJoin(broadcast(nPairs))
-        .crossJoin(broadcast(nHot))
+        .crossJoin(broadcast(top)).crossJoin(broadcast(nHot))
         .select(lit(batchId).as("batch_id"), col("n_arrived"),
           col("n_decoded"), col("n_quarantined"), col("n_pairs"),
+          sharePpb.as("top_share_ppb"),
           col("hot_buckets"),
           expr("n_quarantined * 1000000000L div n_arrived").as("quar_ppb"),
-          (col("hot_buckets") > 0L ||
+          (col("hot_buckets") > 0L || sharePpb > AlertSharePpb ||
             expr("n_quarantined * 1000000000L div n_arrived") >
               AlertQuarPpb).as("alert")),
       root, "gauge", batchId)

@@ -207,8 +207,13 @@ class FingerprintStreamSpec extends AnyFunSuite {
         // the leak the cap exists to stop: wave 2's 8 copies pair with
         // wave 1's 8 standing flood fingerprints plus within-wave pairs
         assert(floodTouching.nonEmpty, "uncapped flood produced no pairs")
-        assert(FingerprintStream.gaugeRows(spark, root)
-          .agg(sum(col("hot_buckets"))).head().getLong(0) == 0L)
+        // DETECTION is cap-independent: the top-share signal (8 flood
+        // copies of 10 decoded = 80%) alerts even with containment off
+        val rows = FingerprintStream.gaugeRows(spark, root).collect()
+        assert(rows.forall(_.getAs[Long]("hot_buckets") == 0L))
+        assert(rows.forall(_.getAs[Long]("top_share_ppb") == 800000000L))
+        assert(rows.forall(_.getAs[Boolean]("alert")),
+          "uncapped flood batch did not alert")
       } else {
         assert(floodTouching.isEmpty,
           s"capped run persisted flood pairs: $floodTouching")
