@@ -1305,7 +1305,13 @@ object Soak {
       }
     }.toMap
 
-    // ── phase 2: CO-RESIDENT — per round, all three tiers concurrently ──
+    // ── phase 2: CO-RESIDENT — per round, all three tiers concurrently.
+    // Each tier's thread runs in its own FAIR scheduler pool (when the
+    // session was built with spark.scheduler.mode=FAIR, which Soak's
+    // is): under default FIFO a cheap tier's jobs queue behind an
+    // expensive tier's stages and its wall time stretches to the
+    // round's critical path; FAIR pools give the tiers equal shares —
+    // the scheduler knob a real multi-pipeline deployment turns. ──
     tiers.foreach(n => initTier(n, s"$dir/co_$n"))
     val coSecs = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
@@ -1314,6 +1320,8 @@ object Soak {
       val threads = tiers.map { name =>
         new Thread(() => {
           try {
+            spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", s"tier-$name")
             val t = System.nanoTime()
             runBatch(name, s"$dir/co_$name", i)
             val sec = (System.nanoTime() - t) / 1e9
@@ -2224,6 +2232,10 @@ object Soak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${512 * 1024}")
+      // FAIR so the coresidency soak's per-tier pools share the
+      // executor pool; every other mode is single-threaded (one job at
+      // a time), where FAIR == FIFO
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
