@@ -143,6 +143,18 @@ class FingerprintStreamSpec extends AnyFunSuite {
     assert(err.getMessage.contains("single-column"))
   }
 
+  test("capped gate end to end on the sf0.001 corpus: restarted capped " +
+      "stream equals the per-wave capped batch twin, ledger accounting " +
+      "exact") {
+    val dir = graft.SparkTestBase.sfDir
+    val root = ParityCheck.buildCappedFingerprintPipeline(spark, dir)
+    val row = ParityCheck.fpCappedRestartParity(spark, dir, root).head()
+    assert(row.getAs[Boolean]("parity_ok"),
+      s"capped media gate diverged: $row")
+    assert(row.getAs[Long]("hot_buckets_total") > 0L, "cap never fired")
+    assert(row.getAs[Long]("n_pairs_live") > 0L, "vacuous pair tier")
+  }
+
   test("hotBucketCap quarantines a DECODABLE template flood at arrival: " +
       "no flood pair persists, organics keep pairing, the ledger " +
       "accounts (hot_buckets, alert), and the uncapped twin leaks") {
