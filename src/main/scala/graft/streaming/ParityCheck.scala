@@ -536,18 +536,17 @@ object ParityCheck {
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("id_a") - col("id_b")) * 60000L <= horizonMs)
       .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
-    val candAgree = batchCand.exceptAll(streamCand).count() == 0L &&
-      streamCand.exceptAll(batchCand).count() == 0L
+    val (cOnlyB, cOnlyS, _, _) = diffCounts(batchCand, streamCand)
+    val candAgree = cOnlyB == 0L && cOnlyS == 0L
 
-    val survAgree = keptArr.exceptAll(keptBatch).count() == 0L &&
-      keptBatch.exceptAll(keptArr).count() == 0L
+    val (kOnlyL, kOnlyB, nKeptArr, _) = diffCounts(keptArr, keptBatch)
+    val survAgree = kOnlyL == 0L && kOnlyB == 0L
 
-    val nKept = liveLabels.count()
-    val nDropped = arrDocs.length.toLong - keptArr.count()
+    val (onlyLive, onlyBatch, nKept, _) =
+      diffCounts(liveLabels, batchLabels)
+    val nDropped = arrDocs.length.toLong - nKeptArr
     val nPairsLive = livePairs.count()
     val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
-    val onlyLive = liveLabels.exceptAll(batchLabels).count()
-    val onlyBatch = batchLabels.exceptAll(liveLabels).count()
     spark.createDataFrame(Seq(
       (nKept, nDropped, nPairsLive, nClusters, onlyLive, onlyBatch,
         candAgree && survAgree && onlyLive == 0L && onlyBatch == 0L &&
@@ -1251,13 +1250,11 @@ object ParityCheck {
     val batchLive = allPairs.filter(col("id_b") >= splitId) // id_a < id_b:
       // arrivals hold the HIGH ids, so any pair touching one has id_b ≥ split
 
-    val onlyLive = labels.exceptAll(batchLabels).count()
-    val onlyBatch = batchLabels.exceptAll(labels).count()
-    val pairsAgree = livePairs.exceptAll(batchLive).count() == 0L &&
-      batchLive.exceptAll(livePairs).count() == 0L
-    val nPairsLive = livePairs.count()
+    val (onlyLive, onlyBatch, nVectors, _) = diffCounts(labels, batchLabels)
+    val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, batchLive)
+    val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
     spark.createDataFrame(Seq(
-      (labels.count(), nPairsLive,
+      (nVectors, nPairsLive,
         labels.select(col("cluster_id")).distinct().count(),
         onlyLive, onlyBatch,
         pairsAgree && onlyLive == 0L && onlyBatch == 0L && nPairsLive > 0L)))
@@ -1445,13 +1442,11 @@ object ParityCheck {
     val batchLive = allPairs.filter(col("id_b") >= splitId) // id_a < id_b:
       // arrivals hold the HIGH ids, so a pair touching one has id_b ≥ split
 
-    val onlyLive = labels.exceptAll(batchLabels).count()
-    val onlyBatch = batchLabels.exceptAll(labels).count()
-    val pairsAgree = livePairs.exceptAll(batchLive).count() == 0L &&
-      batchLive.exceptAll(livePairs).count() == 0L
-    val nPairsLive = livePairs.count()
+    val (onlyLive, onlyBatch, nDocs, _) = diffCounts(labels, batchLabels)
+    val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, batchLive)
+    val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
     spark.createDataFrame(Seq(
-      (labels.count(), nPairsLive,
+      (nDocs, nPairsLive,
         labels.select(col("cluster_id")).distinct().count(),
         onlyLive, onlyBatch,
         pairsAgree && onlyLive == 0L && onlyBatch == 0L && nPairsLive > 0L)))
