@@ -408,6 +408,7 @@ object ParityCheck {
     val batchLabels = graft.ops.Dedup.nearDupClusters(
       history.select(col("doc_id")).unionByName(keptBatch),
       histPairs.unionByName(livePairsB)).localCheckpoint(true)
+    allPairs.unpersist(blocking = false) // consumers are checkpointed
     (keptBatch, livePairsB, batchLabels)
   }
 
@@ -502,8 +503,10 @@ object ParityCheck {
           .select(col("doc_id"))
         val survIds = surv.collect().map(_.getLong(0)) // wave-bounded
         keptIds ++= survIds
+        val prevHist = histTexts
         histTexts = histTexts.unionByName(
           waveDf.filter(col("doc_id").isin(survIds: _*))).localCheckpoint(true)
+        prevHist.unpersist(blocking = false) // superseded snapshot
       }
     } finally q.stop()
 
@@ -523,7 +526,7 @@ object ParityCheck {
 
     // ── batch twin, computed all-at-once (the SHARED definition) ──
     val arrivals = documents.filter(col("doc_id") >= splitId)
-    val (keptBatch, _, batchLabels) =
+    val (keptBatch, twinPairs, batchLabels) =
       livePipelineBatchTwin(documents, history, splitId, horizonMs)
 
     // candidate-set parity: streamed candidates vs the horizon-restricted
@@ -547,12 +550,16 @@ object ParityCheck {
     val nDropped = arrDocs.length.toLong - nKeptArr
     val nPairsLive = livePairs.count()
     val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
-    spark.createDataFrame(Seq(
+    val result = spark.createDataFrame(Seq(
       (nKept, nDropped, nPairsLive, nClusters, onlyLive, onlyBatch,
         candAgree && survAgree && onlyLive == 0L && onlyBatch == 0L &&
           nDropped > 0L))) // the exact tier must actually have fired
       .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
+    Seq(histTexts, keptArr, streamCand, livePairs, liveLabels, batchCand,
+      keptBatch, twinPairs, batchLabels, baseLabels)
+      .foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** [[livePipelineParity]]'s scenario driven through the RUNNABLE
@@ -1226,6 +1233,8 @@ object ParityCheck {
     var livePairs = spark.emptyDataFrame
       .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
     val waveSpan = math.max(1L, (maxId + 1L - splitId) / nWaves)
+    val waveFrames =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
     var lo = splitId
     while (lo <= maxId) {
       val hi = if (lo + waveSpan > maxId) maxId + 1L else lo + waveSpan
@@ -1236,14 +1245,21 @@ object ParityCheck {
         .semanticDedupPairsBetween(wa, assignedCur, threshold)
         .unionByName(Similarity.semanticDedupUnordered(wa, threshold))
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val prevLabels = labels
       labels = Dedup.mergeClusterDelta(labels,
         waveEmb.select(col("vec_id").as("doc_id")), wavePairs)
         .localCheckpoint(true)
+      prevLabels.unpersist(blocking = false)
       livePairs = livePairs.unionByName(wavePairs)
+      val prevAssigned = assignedCur
       assignedCur = assignedCur.unionByName(norm(wa)).localCheckpoint(true)
+      prevAssigned.unpersist(blocking = false)
+      wa.unpersist(blocking = false) // both consumers checkpointed
+      waveFrames += wavePairs // alive until livePairs materializes
       lo = hi
     }
     livePairs = livePairs.distinct().localCheckpoint(true)
+    waveFrames.foreach(_.unpersist(blocking = false))
 
     // ── batch twin under the SAME base-trained quantizer ──
     val (allPairs, batchLabels) = embeddingBatchTwin(emb, cents, threshold)
@@ -1253,13 +1269,16 @@ object ParityCheck {
     val (onlyLive, onlyBatch, nVectors, _) = diffCounts(labels, batchLabels)
     val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, batchLive)
     val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
-    spark.createDataFrame(Seq(
+    val result = spark.createDataFrame(Seq(
       (nVectors, nPairsLive,
         labels.select(col("cluster_id")).distinct().count(),
         onlyLive, onlyBatch,
         pairsAgree && onlyLive == 0L && onlyBatch == 0L && nPairsLive > 0L)))
       .toDF("n_vectors", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
+    Seq(labels, assignedCur, livePairs, allPairs, batchLabels)
+      .foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** The SHARED all-at-once truth both embedding gates compare against
@@ -1365,7 +1384,8 @@ object ParityCheck {
           nPairsLive > 0L)))
       .toDF("n_vectors", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
-    Seq(liveLabels, livePairs).foreach(_.unpersist(blocking = false))
+    Seq(liveLabels, livePairs, allPairs, batchLabels)
+      .foreach(_.unpersist(blocking = false))
     result
   }
 
@@ -1419,6 +1439,8 @@ object ParityCheck {
     var livePairs = spark.emptyDataFrame
       .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
     val waveSpan = math.max(1L, (maxId + 1L - splitId) / nWaves)
+    val waveFrames =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
     var lo = splitId
     while (lo <= maxId) {
       val hi = if (lo + waveSpan > maxId) maxId + 1L else lo + waveSpan
@@ -1426,13 +1448,20 @@ object ParityCheck {
       val wb = Dedup.minHashBanded(waveDocs).localCheckpoint(true)
       val wavePairs = Dedup.minHashPairsAgainst(wb, accBanded, docs)
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val prevLabels = labels
       labels = Dedup.mergeClusterDelta(labels,
         waveDocs.select(col("doc_id")), wavePairs).localCheckpoint(true)
+      prevLabels.unpersist(blocking = false)
       livePairs = livePairs.unionByName(wavePairs)
+      val prevBanded = accBanded
       accBanded = accBanded.unionByName(wb).localCheckpoint(true)
+      prevBanded.unpersist(blocking = false)
+      wb.unpersist(blocking = false) // both consumers checkpointed
+      waveFrames += wavePairs // alive until livePairs materializes
       lo = hi
     }
     livePairs = livePairs.distinct().localCheckpoint(true)
+    waveFrames.foreach(_.unpersist(blocking = false))
 
     // ── batch twin: one full self-join over everything ──
     val allPairs = Dedup.minHashPairs(docs)
@@ -1445,13 +1474,16 @@ object ParityCheck {
     val (onlyLive, onlyBatch, nDocs, _) = diffCounts(labels, batchLabels)
     val (pOnlyL, pOnlyB, nPairsLive, _) = diffCounts(livePairs, batchLive)
     val pairsAgree = pOnlyL == 0L && pOnlyB == 0L
-    spark.createDataFrame(Seq(
+    val result = spark.createDataFrame(Seq(
       (nDocs, nPairsLive,
         labels.select(col("cluster_id")).distinct().count(),
         onlyLive, onlyBatch,
         pairsAgree && onlyLive == 0L && onlyBatch == 0L && nPairsLive > 0L)))
       .toDF("n_docs", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
+    Seq(labels, accBanded, livePairs, allPairs, batchLabels)
+      .foreach(_.unpersist(blocking = false))
+    result
   }
 
   private def ttlParityReplay(spark: SparkSession, dir: String,
