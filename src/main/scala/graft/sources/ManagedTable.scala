@@ -130,7 +130,7 @@ object ManagedTable {
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     write(pruned, table, partitionCol)
-    pruned.unpersist(blocking = false)
+    graft.Snap.free(pruned)
     ()
   }
 }
