@@ -667,9 +667,19 @@ object Dedup {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > cap)
       .select(col("band"), col("bh"))
+    // `cool` derives narrowly from the one checkpointed banding, so the
+    // within-leg must NOT take a second snapshot of near-identical rows
+    // (snapshotted = true — the live pipeline's convention); the OUTPUT
+    // materializes instead (cap-bounded: worst key is cap² per bucket),
+    // which lets the corpus×4-row banding free HERE rather than pinning
+    // for the session. Returned checkpointed; ownership to the caller.
     val cool = banded.join(broadcast(hot), Seq("band", "bh"), "left_anti")
-    hammingPairs128FromBanded(cool, maxHamming)
+    val out = hammingPairs128FromBanded(cool, maxHamming, snapshotted = true)
       .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Snap.free(banded)
+    out
   }
 
   /** Banded hamming pairs BETWEEN a small delta frame and a large index
@@ -944,8 +954,10 @@ object Dedup {
     // of rows, and memory-cached blocks from round r compete with round
     // r+1's 32 concurrent hash aggregates for execution memory
     // (UNABLE_TO_ACQUIRE_MEMORY in an 8 GB driver); disk blocks cost a
-    // sequential re-read and nothing else, and unreferenced rounds are
-    // reaped by the context cleaner.
+    // sequential re-read and nothing else, and superseded rounds are
+    // freed explicitly below (graft.Snap — the context cleaner does not
+    // release localCheckpoint blocks). The FINAL round is returned still
+    // checkpointed; ownership passes to the caller.
     var edges = pairs
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("u"),
@@ -986,6 +998,11 @@ object Dedup {
       val fp2 = fingerprint(ss)
       converged = fp2 == fp
       fp = fp2
+      // the superseded round's blocks serve nothing once the new round
+      // is materialized (the eager checkpoint above) — free them now;
+      // "reaped by the context cleaner" is NOT true for localCheckpoint
+      // blocks (Dataset.unpersist never touches them — see graft.Snap)
+      graft.Snap.free(edges)
       edges = ss
       i += 1
     }
@@ -1116,10 +1133,19 @@ object Dedup {
         .join(broadcast(universe), "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("_base"), col("doc_id")).as("cluster_id"))
-    baseLabels
+    // materialize the OUTPUT so the internal snapshots (dEdges, subgraph,
+    // universe, a distributed-path star round) can be freed HERE instead
+    // of pinning three delta-sized block sets per call for the session's
+    // life — the live pipelines call this once per micro-batch. The
+    // returned frame is checkpointed; ownership passes to the caller
+    // (the pipelines Snap.free it once the label snapshot is on disk).
+    val out = baseLabels
       .join(broadcast(universe), Seq("doc_id"), "left_anti")
       .unionByName(relabeled)
       .orderBy(col("doc_id"))
+      .localCheckpoint(true, memDisk)
+    Seq(dEdges, subgraph, universe, stars).foreach(graft.Snap.free(_))
+    out
   }
 
   /** Shared component resolution for the delta-sized subgraphs the
@@ -1217,11 +1243,53 @@ object Dedup {
   def retireClusterDelta(baseLabels: DataFrame, pairs: DataFrame,
       expiredIds: DataFrame, maxIter: Int = 20,
       driverEdgeLimit: Int = DriverMergeEdges,
-      broadcastRowLimit: Long = 8L << 20): DataFrame = {
+      broadcastRowLimit: Long = 8L << 20): DataFrame =
+    reconvergeCore(baseLabels, pairs, expiredIds, dropSeeds = true,
+      maxIter, driverEdgeLimit, broadcastRowLimit)
+
+  /** EDGE-DELETION repair for the persisted label table — the third
+    * member of the incremental-label family ([[mergeClusterDelta]] adds
+    * edges, [[retireClusterDelta]] removes DOCUMENTS, this removes
+    * EDGES): re-converge exactly the components containing `seedIds`
+    * from the given (post-deletion) pair set, at cost proportional to
+    * those components, passing every untouched label through. The
+    * retroactive-decontamination operators
+    * ([[graft.streaming.FingerprintStream.decontaminate]] /
+    * [[graft.streaming.DocumentStream.decontaminate]]) call this with
+    * `seedIds` = the endpoints of the pairs they just deleted from the
+    * persisted pair state.
+    *
+    * Deleting an edge can SPLIT a component (same argument as document
+    * retirement: a bridge pair's endpoints lose their only path), so
+    * pass-through labeling of seed components would be wrong — they
+    * re-converge from their surviving edges, and members left edge-less
+    * become singletons.
+    *
+    * Semantics: equals a FULL [[nearDupClusters]] rebuild over the same
+    * corpus with the post-deletion `pairs` — exact, by the
+    * [[retireClusterDelta]] restriction argument (pairs never cross
+    * components; a component with no seed member kept its exact pair
+    * set). CONTRACT: `baseLabels` must be the labeling of the
+    * PRE-deletion pair set (so every seed component is fully enumerated
+    * by its label), and `pairs` the post-deletion state. Same broadcast
+    * regime and over-limit degradation as the retire. */
+  def reconvergeClusterDelta(baseLabels: DataFrame, pairs: DataFrame,
+      seedIds: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Int = DriverMergeEdges,
+      broadcastRowLimit: Long = 8L << 20): DataFrame =
+    reconvergeCore(baseLabels, pairs, seedIds, dropSeeds = false,
+      maxIter, driverEdgeLimit, broadcastRowLimit)
+
+  /** Shared core of [[retireClusterDelta]] (`dropSeeds` — the seeds
+    * leave the corpus) and [[reconvergeClusterDelta]] (the seeds stay;
+    * only edges changed). */
+  private def reconvergeCore(baseLabels: DataFrame, pairs: DataFrame,
+      seedIds: DataFrame, dropSeeds: Boolean, maxIter: Int,
+      driverEdgeLimit: Int, broadcastRowLimit: Long): DataFrame = {
     val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // snapshotted: three broadcast consumers (touched-cluster lookup,
-    // survivor filter, and nothing else corpus-sized) — expired-sized
-    val expired = expiredIds.select(col("doc_id")).distinct()
+    // survivor filter, and nothing else corpus-sized) — seed-sized
+    val expired = seedIds.select(col("doc_id")).distinct()
       .localCheckpoint(true, memDisk)
     val touchedClusters = baseLabels
       .join(broadcast(expired), "doc_id")
@@ -1248,8 +1316,10 @@ object Dedup {
     // above by one broadcast anti-join, so per-consumer recompute is a
     // delta-sized local pass — cheaper than another driver-synchronous
     // eager-checkpoint round (the retire is latency-bound, like the merge)
-    val survivors = touchedMembers.select(col("doc_id"))
-      .join(broadcast(expired), Seq("doc_id"), "left_anti")
+    val survivors =
+      if (dropSeeds) touchedMembers.select(col("doc_id"))
+        .join(broadcast(expired), Seq("doc_id"), "left_anti")
+      else touchedMembers.select(col("doc_id"))
     // surviving pair edges of the touched components: both endpoints must
     // survive (an edge with an expired endpoint dies with it). The pair
     // table streams through two broadcast semi-joins — one narrow scan,
@@ -1270,11 +1340,21 @@ object Dedup {
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    baseLabels
+    // materialize the OUTPUT and free the internal snapshots — the
+    // mergeClusterDelta discipline (see there); returned checkpointed,
+    // ownership to the caller. A retire caller was previously
+    // re-checkpointing the lazy result anyway (it must materialize
+    // before overwriting its own input snapshot), so this moves that
+    // materialization inside rather than adding one.
+    val out = baseLabels
       .join(maybeBroadcast(touchedMembers.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
       .unionByName(relabeled)
       .orderBy(col("doc_id"))
+      .localCheckpoint(true, memDisk)
+    Seq(expired, touchedMembers, subgraph, stars)
+      .foreach(graft.Snap.free(_))
+    out
   }
 
   /** Generic RETENTION pass for the persisted per-document index

@@ -272,6 +272,41 @@ class DedupSpec extends AnyFunSuite {
     assert(retired == Map(1L -> 1L, 3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("reconvergeClusterDelta: deleting a bridge EDGE splits its " +
+      "component, docs stay; untouched labels pass through; both " +
+      "resolution paths; idempotent") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus pair 10-11: the PRE-deletion labeling; the
+    // repair deletes the bridge edge (2,3) — docs all survive, the
+    // component must split into {1,2} and {3,4}; {10,11} untouched
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L)
+      .map(i => (i, s"d$i", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(docs, pairs)
+    val newPairs = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val seeds = Seq(2L, 3L).toDF("doc_id") // the dropped edge's endpoints
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = asMap(Dedup.reconvergeClusterDelta(labels, newPairs, seeds))
+    val gotDist = asMap(Dedup.reconvergeClusterDelta(labels, newPairs,
+      seeds, driverEdgeLimit = 0))
+    val rebuilt = asMap(Dedup.nearDupClusters(docs, newPairs))
+    assert(got == rebuilt)
+    assert(gotDist == rebuilt)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L))
+    // idempotent: re-running against the repaired labeling is a no-op
+    val again = asMap(Dedup.reconvergeClusterDelta(
+      Dedup.nearDupClusters(docs, newPairs), newPairs, seeds))
+    assert(again == rebuilt)
+    // a member losing its LAST edge becomes a singleton
+    val none = asMap(Dedup.reconvergeClusterDelta(labels,
+      Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"),
+      Seq(3L, 4L).toDF("doc_id")))
+    assert(none == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("retireClusterDelta: add-then-retire equals the rebuild on the " +
       "surviving union (the live pipeline's steady-state cycle)") {
     import spark.implicits._
