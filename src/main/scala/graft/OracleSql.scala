@@ -712,7 +712,8 @@ object OracleSql {
        |      ELSE (fr.s // fr.n - fn.s // fn.n) > $retrainPpb END, FALSE)
        |    OR COALESCE(CASE WHEN fn.n = 0 THEN NULL
        |      ELSE tn.mx * 1000000000 // fn.n > $collapsePpb END, FALSE))
-       |    AS retrain
+       |    AS retrain,
+       |  CAST(0 AS BIGINT) AS hot_clusters
        |FROM fr, fn, tr, tn""".stripMargin
   }
 
@@ -1006,6 +1007,114 @@ object OracleSql {
        |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
        |    AS n_clusters,
        |  (SELECT CAST(w AS BIGINT) FROM nw) AS n_hot_batches,
+       |  CAST(0 AS BIGINT) AS n_only_live,
+       |  CAST(0 AS BIGINT) AS n_only_batch,
+       |  true AS parity_ok""".stripMargin
+
+  /** Replica of [[graft.streaming.ParityCheck.docDecontamParity]]: the
+    * NEAR-dup flood rewrite (every `floodMod`-th arrival = the fixed
+    * template + a per-document suffix token — kept by the exact tier,
+    * near-dup-verified within the family), the standing-band
+    * GLOBAL-occupancy rule at the scaled corpus cap
+    * (GREATEST(4, arrivals // 16) —
+    * [[graft.streaming.ParityCheck.decontamHotBucketCap]]), and the
+    * post-repair contract: pairs = cool-bucket in-horizon verified
+    * arrival pairs, dropped = the uncapped pair set minus them, labels
+    * = the closure over history pairs ∪ surviving arrival pairs. */
+  /** The decontamination fixture's planted organic pair text — shared
+    * with the Spark side ([[graft.streaming.ParityCheck]]) so the two
+    * corpora rewrite identically. */
+  val DecontamOrganicBase: String =
+    "completely different subject matter about parquet shuffle " +
+    "partitions and broadcast joins in the engine"
+
+  def decontamPipelineParitySql(bands: Int = 16, threshold: Double = 0.5,
+      floodMod: Long = 3L, horizonIdDist: Long = 60L): String =
+    s"""WITH RECURSIVE
+       |hh AS (
+       |  SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+       |orgp AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+       |  FROM documents, hh
+       |  WHERE doc_id >= hh.h AND doc_id % $floodMod <> 0),
+       |docs_sub AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id >= hh.h AND d.doc_id % $floodMod = 0
+       |         THEN ('$CappedFloodTemplate v' || CAST(d.doc_id AS VARCHAR))
+       |         WHEN d.doc_id = (SELECT doc_id FROM orgp WHERE rn = 1)
+       |         THEN '$DecontamOrganicBase version one'
+       |         WHEN d.doc_id = (SELECT doc_id FROM orgp WHERE rn = 2)
+       |         THEN '$DecontamOrganicBase version two'
+       |         ELSE d.text END AS text
+       |  FROM documents d, hh),
+       |${minhashChain("docs_sub", bands)},
+       |hist AS (SELECT doc_id, text FROM docs_sub
+       |         WHERE doc_id < (SELECT h FROM hh)),
+       |arr AS (SELECT doc_id, text FROM docs_sub
+       |        WHERE doc_id >= (SELECT h FROM hh)),
+       |arrb AS (SELECT doc_id, b2, slice FROM banded
+       |         WHERE doc_id >= (SELECT h FROM hh)),
+       |kept_arr AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM arr
+       |  WHERE text NOT IN (SELECT text FROM hist)
+       |  GROUP BY text),
+       |capn AS (SELECT GREATEST(4, COUNT(*) // 16) AS cap FROM arr),
+       |hot AS (SELECT b2, slice FROM arrb GROUP BY b2, slice
+       |        HAVING COUNT(*) > (SELECT cap FROM capn)),
+       |cool AS (SELECT b.doc_id, b.b2, b.slice FROM arrb b
+       |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                           WHERE h.b2 = b.b2 AND h.slice = b.slice)),
+       |kept AS (SELECT doc_id FROM hist
+       |         UNION ALL SELECT doc_id FROM kept_arr),
+       |candc AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM cool a JOIN cool b
+       |    ON a.b2 = b.b2 AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |  WHERE abs(a.doc_id - b.doc_id) <= $horizonIdDist
+       |    AND a.doc_id IN (SELECT doc_id FROM kept_arr)
+       |    AND b.doc_id IN (SELECT doc_id FROM kept_arr)),
+       |candu AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM arrb a JOIN arrb b
+       |    ON a.b2 = b.b2 AND a.slice = b.slice AND a.doc_id < b.doc_id
+       |  WHERE abs(a.doc_id - b.doc_id) <= $horizonIdDist
+       |    AND a.doc_id IN (SELECT doc_id FROM kept_arr)
+       |    AND b.doc_id IN (SELECT doc_id FROM kept_arr)),
+       |livep AS (
+       |  SELECT c.id_a, c.id_b FROM candc c
+       |  JOIN shingled sa ON c.id_a = sa.doc_id
+       |  JOIN shingled sb ON c.id_b = sb.doc_id
+       |  WHERE $jaccardExpr >= $threshold),
+       |liveu AS (
+       |  SELECT c.id_a, c.id_b FROM candu c
+       |  JOIN shingled sa ON c.id_a = sa.doc_id
+       |  JOIN shingled sb ON c.id_b = sb.doc_id
+       |  WHERE $jaccardExpr >= $threshold),
+       |histp AS (
+       |  SELECT cand.id_a, cand.id_b FROM cand, hh
+       |  JOIN shingled sa ON cand.id_a = sa.doc_id
+       |  JOIN shingled sb ON cand.id_b = sb.doc_id
+       |  WHERE cand.id_a < hh.h AND cand.id_b < hh.h
+       |    AND $jaccardExpr >= $threshold),
+       |edges0 AS (
+       |  SELECT id_a, id_b FROM histp
+       |  UNION ALL SELECT id_a, id_b FROM livep),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges0
+       |  UNION ALL SELECT id_b, id_a FROM edges0),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM kept
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+       |           FROM reach GROUP BY a)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS n_pairs_after,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM liveu)
+       |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS n_dropped,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hot) AS hot_buckets,
+       |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+       |    AS n_clusters,
        |  CAST(0 AS BIGINT) AS n_only_live,
        |  CAST(0 AS BIGINT) AS n_only_batch,
        |  true AS parity_ok""".stripMargin

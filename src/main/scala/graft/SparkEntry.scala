@@ -118,6 +118,28 @@ object SparkEntry {
       graft.streaming.ParityCheck.buildCappedFingerprintPipeline(s, dir)
     }
 
+  /** The media DECONTAMINATION gate's state, built once per JVM
+    * ([[graft.streaming.ParityCheck.buildDecontamFingerprintPipeline]] —
+    * the template flood run UNCAPPED, then
+    * [[graft.streaming.FingerprintStream.decontaminate]], report
+    * persisted) — serves q_fpstream_decontam_parity. */
+  private def fpStreamDecontamRoot(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/fpstream_decontam/$dir") {
+      graft.streaming.ParityCheck.buildDecontamFingerprintPipeline(s, dir)
+    }
+
+  /** The TEXT decontamination gate's state, built once per JVM
+    * ([[graft.streaming.ParityCheck.buildDecontamPipeline]] — a NEAR-dup
+    * template flood the exact tier cannot stop, run uncapped, then
+    * [[graft.streaming.DocumentStream.decontaminate]]) — serves
+    * q_docstream_decontam_parity. */
+  private def docStreamDecontamRoot(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/docstream_decontam/$dir") {
+      graft.streaming.ParityCheck.buildDecontamPipeline(s, dir)
+    }
+
   /** One-time month-partitioned copy of the events fixture written through
     * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
     * toYYYYMM(ts)` layout, db.go:51) — the storage side of
@@ -251,7 +273,8 @@ object SparkEntry {
     "q_semdedup_live_parity", "q_dedup_deep_live_parity",
     "q_docstream_restart_parity", "q_embstream_restart_parity",
     "q_docstream_capped_parity", "q_fpstream_restart_parity",
-    "q_fpstream_capped_parity")
+    "q_fpstream_capped_parity", "q_fpstream_decontam_parity",
+    "q_docstream_decontam_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -721,6 +744,26 @@ object SparkEntry {
     "q_fpstream_capped_parity" -> ((s, dir) =>
       streaming.ParityCheck.fpCappedRestartParity(s, dir,
         fpStreamCappedRoot(s, dir))),
+
+    // RETROACTIVE DECONTAMINATION, media tier: the same template flood
+    // run UNCAPPED (junk pairs persisted, flood mega-cluster), then
+    // FingerprintStream.decontaminate at the corpus-level cap — the
+    // post-repair pair/label state must hash-equal the GLOBAL capped
+    // batch operator over the standing index, and the report must show
+    // real repair work (cost ∝ flood-touched components, never a full
+    // rebuild). Counts restated closed-form by the texture oracle.
+    "q_fpstream_decontam_parity" -> ((s, dir) =>
+      streaming.ParityCheck.fpDecontamParity(s, dir,
+        fpStreamDecontamRoot(s, dir))),
+
+    // RETROACTIVE DECONTAMINATION, text tier: a NEAR-dup template flood
+    // (kept by the exact tier — the traffic byte-dedup cannot stop) run
+    // uncapped, then DocumentStream.decontaminate — post-repair state
+    // must equal the global-occupancy capped batch twin; the DuckDB
+    // MinHash replica restates every count with the same suffix rewrite
+    "q_docstream_decontam_parity" -> ((s, dir) =>
+      streaming.ParityCheck.docDecontamParity(s, dir,
+        docStreamDecontamRoot(s, dir))),
 
     // the capped media run's WHOLE-LEDGER verdict: batches, arrivals,
     // cap interventions (hot bucket count), alert count, committed
@@ -1350,7 +1393,7 @@ object SparkEntry {
         .filter(col("batch_id") === 1L)
         .select(col("n_ref"), col("n_new"), col("ref_fit_ppb"),
           col("new_fit_ppb"), col("drift_ppb"), col("ref_top_share_ppb"),
-          col("new_top_share_ppb"), col("retrain"))),
+          col("new_top_share_ppb"), col("retrain"), col("hot_clusters"))),
 
     // the kNN leg of the same epoch handoff: top-k serving resumes
     // against the retrained _epoch2 index (probes and candidates are
@@ -5040,6 +5083,56 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM walert) AS n_alerts,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS pairs_total,
         |  CAST(0 AS BIGINT) AS quar_total""".stripMargin,
+
+    // media decontamination: the uncapped run persisted every texture
+    // clique (base init + arrivals); the repair applies the GLOBAL
+    // occupancy rule at cap = corpus // 4, so the flood-inflated class
+    // loses every pair (its members become singletons) while the four
+    // organic classes keep their cliques — and dropped = the hot
+    // class's whole clique set, hot_buckets = 4 per hot class
+    "q_fpstream_decontam_parity" ->
+      """WITH RECURSIVE
+        |hh AS (SELECT (MAX(doc_id) + 1) * 3 // 5 AS h FROM documents),
+        |img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |c0 AS (SELECT MIN(doc_id) % 5 AS c FROM img),
+        |eff AS (SELECT i.doc_id,
+        |          CASE WHEN i.doc_id >= hh.h AND i.doc_id % 2 = 0
+        |               THEN (SELECT c FROM c0) ELSE i.doc_id % 5 END AS cls
+        |        FROM img i, hh),
+        |capn AS (SELECT COUNT(*) // 4 AS cap FROM img),
+        |occ AS (SELECT cls, COUNT(*) AS c FROM eff GROUP BY cls),
+        |hot AS (SELECT o.cls FROM occ o, capn WHERE o.c > capn.cap),
+        |cool AS (SELECT e.doc_id, e.cls FROM eff e
+        |         WHERE e.cls NOT IN (SELECT cls FROM hot)),
+        |coolp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |          FROM cool a JOIN cool b
+        |            ON a.cls = b.cls AND a.doc_id < b.doc_id),
+        |allp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM eff a JOIN eff b
+        |           ON a.cls = b.cls AND a.doc_id < b.doc_id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM coolp
+        |          UNION ALL SELECT id_b, id_a FROM coolp),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM img
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+        |           FROM reach GROUP BY a)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM coolp) AS n_pairs_after,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM allp)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM coolp) AS n_dropped,
+        |  (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM hot) AS hot_buckets,
+        |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+        |    AS n_clusters,
+        |  CAST(0 AS BIGINT) AS n_only_live,
+        |  CAST(0 AS BIGINT) AS n_only_batch,
+        |  true AS parity_ok""".stripMargin,
+
+    // text decontamination: the full MinHash replica with the NEAR-dup
+    // suffix rewrite and the standing-band global occupancy rule
+    "q_docstream_decontam_parity" ->
+      graft.OracleSql.decontamPipelineParitySql(),
 
     // the batch capped pHash operator: classes over a quarter of the
     // image corpus (the flood) emit no pairs; organic classes keep

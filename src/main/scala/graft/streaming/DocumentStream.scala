@@ -265,9 +265,9 @@ object DocumentStream {
     // unpruned edges is equivalent — unpruned keeps the contract plain)
     val pairsState = state(spark, root, "pairs", Long.MaxValue,
       "id_a BIGINT, id_b BIGINT")
+    // retireClusterDelta returns its result already checkpointed
     val retired = graft.ops.Dedup.retireClusterDelta(
       labels(spark, root), pairsState, e)
-      .localCheckpoint(true, memDisk)
     val latest = batchDirs(spark, root, "labels", Long.MaxValue)
       .maxBy(_.split("batch=").last.toLong)
     retired.write.mode("overwrite").parquet(latest)
@@ -288,8 +288,8 @@ object DocumentStream {
     prune("bands", Seq("doc_id"))
     highWaterMs.foreach(hw =>
       compactBands(spark, root, hw, horizonMs, latenessMs))
-    e.unpersist(blocking = false)
-    retired.unpersist(blocking = false)
+    graft.Snap.free(e)
+    graft.Snap.free(retired)
     ()
   }
 
@@ -326,7 +326,8 @@ object DocumentStream {
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       horizonMs: Long, latenessMs: Long = 600000L, n: Int = 3,
       threshold: Double = 0.5, consolidateEvery: Int = 0,
-      hotBucketCap: Int = 0): Unit = {
+      hotBucketCap: Int = 0, alertSharePpb: Long = AlertSharePpb,
+      alertCandPpb: Long = AlertCandPpb): Unit = {
     val spark = batch.sparkSession
     val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     if (consolidateEvery > 0 && batchId > 0 &&
@@ -353,7 +354,7 @@ object DocumentStream {
       .filter(col("ts_ms") >= (if (hw == Long.MinValue) Long.MinValue
         else hw - latenessMs))
       .localCheckpoint(true, memDisk)
-    if (b.isEmpty) { b.unpersist(blocking = false); return }
+    if (b.isEmpty) { graft.Snap.free(b); return }
 
     // ── tier 1: exact dedup against history, then within-batch ──
     val histTexts = state(spark, root, "hist", batchId,
@@ -485,8 +486,8 @@ object DocumentStream {
         expr("mx * 1000000000L div n_admitted").as("top_share_ppb"),
         expr("n_cand * 1000000000L div n_admitted").as("cand_ppb"),
         col("hot_buckets"), col("n_pairs"),
-        (expr("mx * 1000000000L div n_admitted") > AlertSharePpb ||
-          expr("n_cand * 1000000000L div n_admitted") > AlertCandPpb)
+        (expr("mx * 1000000000L div n_admitted") > alertSharePpb ||
+          expr("n_cand * 1000000000L div n_admitted") > alertCandPpb)
           .as("alert"))
     write(gaugeRow, root, "gauge", batchId)
 
@@ -514,9 +515,116 @@ object DocumentStream {
     // the batch's checkpoint blocks serve nothing once its state is on
     // disk — free them now instead of waiting for the ContextCleaner
     // (a long-lived session would otherwise pin one frame set per batch)
-    Seq(b, kept, bandedB, rawCands, keptEnds, verified)
-      .foreach(_.unpersist(blocking = false))
-    hotOpt.foreach(_.unpersist(blocking = false))
+    Seq(b, kept, bandedB, rawCands, keptEnds, verified, merged)
+      .foreach(graft.Snap.free(_))
+    hotOpt.foreach(graft.Snap.free(_))
+  }
+
+  /** RETROACTIVE DECONTAMINATION — [[FingerprintStream.decontaminate]]'s
+    * text twin: repair a root that ran UNCAPPED (or under-capped)
+    * through a near-dup template flood, whose junk pairs and flood
+    * mega-cluster the hot-bucket cap would have refused at arrival.
+    * Applies the occupancy rule retroactively over the STANDING band
+    * state and deletes exactly the pairs that had no path but a hot
+    * bucket, then re-converges only the components those deletions
+    * touched. Run with the stream STOPPED at a committed checkpoint.
+    *
+    * SEMANTICS: a persisted pair survives iff its endpoints still
+    * collide in a COOL bucket (occupancy over all standing `bands/`
+    * rows ≤ `hotBucketCap`) within the horizon — the
+    * [[graft.ops.Dedup.minHashPairsCapped]] GLOBAL-occupancy rule
+    * composed with the live tier's horizon, re-evaluated over the state
+    * the janitor already bounds. No re-verification: persisted pairs
+    * are exact-Jaccard-verified at commit and deleting buckets only
+    * removes CANDIDACY paths. Pairs from the `batch=-1` init (the
+    * standing corpus's pair table) predate the stream and carry no band
+    * rows — they are structurally untouchable here, exactly as they are
+    * invisible to the live cap. `bands/` itself is NOT rewritten: the
+    * band rows are the detector's substrate (occupancy must stay
+    * visible) and the horizon janitor owns their lifecycle — the
+    * index-stays-uncapped stance of the media tier.
+    *
+    * Idempotent, cost ∝ flood-touched state, recall-bounded by policy —
+    * the [[FingerprintStream.decontaminate]] contract throughout; gated
+    * hash-exact by q_docstream_decontam_parity. Returns the one-row
+    * repair report (hot_buckets, n_members, n_suspects, n_dropped). */
+  def decontaminate(spark: SparkSession, root: String, hotBucketCap: Int,
+      horizonMs: Long = 3600000L,
+      broadcastRowLimit: Long = 8L << 20): DataFrame = {
+    import spark.implicits._
+    require(hotBucketCap > 0, s"hotBucketCap must be positive: $hotBucketCap")
+    Seq("hist", "kept", "pairs", "hw", "bands", "gauge")
+      .foreach(recoverFold(spark, root, _))
+    val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bandState = state(spark, root, "bands", Long.MaxValue,
+      "doc_id BIGINT, band INT, bh BIGINT, ts_ms BIGINT")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val hot = bandState.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > hotBucketCap)
+      .select(col("band"), col("bh"))
+      .localCheckpoint(true, memDisk) // tiny by construction
+    val nHot = hot.count()
+    val members = bandState.join(broadcast(hot), Seq("band", "bh"))
+      .select(col("doc_id")).distinct()
+      .localCheckpoint(true, memDisk)
+    val nMembers = members.count()
+    def mb(df: DataFrame): DataFrame =
+      if (nMembers <= broadcastRowLimit) broadcast(df) else df
+    val pairsState = livePairs(spark, root).select(col("id_a"), col("id_b"))
+    val suspects = pairsState
+      .join(mb(members.select(col("doc_id").as("id_a"))), Seq("id_a"),
+        "left_semi")
+      .unionByName(pairsState
+        .join(mb(members.select(col("doc_id").as("id_b"))), Seq("id_b"),
+          "left_semi")
+        .select(col("id_a"), col("id_b")))
+      .distinct()
+      .localCheckpoint(true, memDisk)
+    val nSuspects = suspects.count()
+    // survival: endpoints still collide in a cool bucket within the
+    // horizon — recomputed over the touched docs' band rows only
+    val touched = suspects.select(col("id_a").as("doc_id"))
+      .unionByName(suspects.select(col("id_b").as("doc_id")))
+      .distinct()
+    val cooledT = bandState
+      .join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      .join(mb(touched), Seq("doc_id"), "left_semi")
+    val survivors = cooledT.select(col("band"), col("bh"),
+        col("doc_id").as("id_a"), col("ts_ms").as("ts_a"))
+      .join(cooledT.select(col("band"), col("bh"),
+        col("doc_id").as("id_b"), col("ts_ms").as("ts_b")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("ts_a") - col("ts_b")) <= horizonMs)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val dropped = suspects
+      .join(survivors, Seq("id_a", "id_b"), "left_anti")
+      .localCheckpoint(true, memDisk)
+    val nDropped = dropped.count()
+    if (nDropped > 0) {
+      batchDirs(spark, root, "pairs", Long.MaxValue).foreach { p =>
+        BatchState.rewriteDirPreservingUnit(spark, root, "pairs", p,
+          df => df.join(mb(dropped), Seq("id_a", "id_b"), "left_anti"))
+      }
+      val newPairs = state(spark, root, "pairs", Long.MaxValue,
+        "id_a BIGINT, id_b BIGINT")
+      val seeds = dropped.select(col("id_a").as("doc_id"))
+        .unionByName(dropped.select(col("id_b").as("doc_id")))
+        .distinct()
+      val repaired = graft.ops.Dedup.reconvergeClusterDelta(
+        labels(spark, root), newPairs, seeds)
+      val latest = batchDirs(spark, root, "labels", Long.MaxValue)
+        .maxBy(_.split("batch=").last.toLong)
+      repaired.write.mode("overwrite").parquet(latest)
+      graft.Snap.free(repaired)
+    }
+    Seq(bandState, hot, members, suspects, dropped)
+      .foreach(graft.Snap.free(_))
+    Seq((nHot, nMembers, nSuspects, nDropped))
+      .toDF("hot_buckets", "n_members", "n_suspects", "n_dropped")
   }
 
   /** Unlike the append-only states, `labels/` holds SNAPSHOTS: the state
@@ -531,18 +639,28 @@ object DocumentStream {
 
   /** Start the pipeline on a streaming (doc_id, ts_ms, text) frame.
     * `consolidateEvery` bounds the state directory count (see
-    * [[processBatch]]); 0 disables in-stream consolidation. */
+    * [[processBatch]]); 0 disables in-stream consolidation.
+    * `schedulerPool` names the FAIR pool every batch's jobs submit to
+    * (thread-local `spark.scheduler.pool`, set on the foreachBatch
+    * execution thread — the co-residency deployment shape, SCALE.md);
+    * the alert thresholds are deployment-tunable with the oracle-pinned
+    * calibration as defaults. */
   def start(docs: DataFrame, root: String, checkpoint: String,
       horizonMs: Long, latenessMs: Long = 600000L,
       maxDelayMs: Long = 100L, consolidateEvery: Int = 0,
-      hotBucketCap: Int = 0): StreamingQuery =
+      hotBucketCap: Int = 0, alertSharePpb: Long = AlertSharePpb,
+      alertCandPpb: Long = AlertCandPpb,
+      schedulerPool: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        schedulerPool.foreach(p => batch.sparkSession.sparkContext
+          .setLocalProperty("spark.scheduler.pool", p))
         processBatch(batch, batchId, root, horizonMs, latenessMs,
-          consolidateEvery = consolidateEvery, hotBucketCap = hotBucketCap)
+          consolidateEvery = consolidateEvery, hotBucketCap = hotBucketCap,
+          alertSharePpb = alertSharePpb, alertCandPpb = alertCandPpb)
       }
       .start()
 

@@ -103,7 +103,8 @@ object EmbeddingStream {
   private val GaugeSchema =
     "batch_id BIGINT, n_ref BIGINT, n_new BIGINT, ref_fit_ppb BIGINT, " +
     "new_fit_ppb BIGINT, drift_ppb BIGINT, ref_top_share_ppb BIGINT, " +
-    "new_top_share_ppb BIGINT, epoch INT, retrain BOOLEAN"
+    "new_top_share_ppb BIGINT, epoch INT, retrain BOOLEAN, " +
+    "hot_clusters BIGINT"
   private val EpochSchema = "epoch INT"
 
   private val memDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -201,7 +202,7 @@ object EmbeddingStream {
     initWith(spark, root, baseEmb, cents0, Some(assigned0), basePairs,
       baseLabels, refDelta)
     Seq(cents0, assigned0, basePairs)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
   }
 
   /** Consolidate every committed state surface below `upToBatch` — the
@@ -227,7 +228,8 @@ object EmbeddingStream {
     * below `batchId`, every write overwrites `batch=<batchId>`. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       threshold: Double = 0.4, consolidateEvery: Int = 0,
-      hotClusterCap: Int = 0): Unit = {
+      hotClusterCap: Int = 0, retrainDriftPpb: Long = RetrainDriftPpb,
+      collapseSharePpb: Long = CollapseSharePpb): Unit = {
     val spark = batch.sparkSession
     if (consolidateEvery > 0 && batchId > 0 &&
         batchId % consolidateEvery == 0)
@@ -259,11 +261,25 @@ object EmbeddingStream {
     // ── tier 2: fixed-centroid assignment + inline drift gauge ──
     val assigned = assignedOf(kept, cents).localCheckpoint(true, memDisk)
     BatchState.write(assigned, root, "vecs", batchId)
+    // the hot-cluster occupancy rule (tier 3's containment) computes
+    // HERE so the ledger can persist how often it intervened — the
+    // text/media tiers' hot_buckets audit column; an operator asking
+    // "did containment fire last night" reads this, not the logs
+    val hotOpt =
+      if (hotClusterCap <= 0) None
+      else Some(assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > hotClusterCap)
+        .select(col("cluster"))
+        .localCheckpoint(true, memDisk))
+    val nHot = hotOpt
+      .map(_.agg(count(lit(1)).as("hot_clusters")))
+      .getOrElse(spark.range(1).select(lit(0L).as("hot_clusters")))
     val stats = graft.ops.Similarity.fitAndShareStats(assigned, cents)
     val gref = spark.read.parquet(s"$root/gref/epoch=$epoch")
       .select(col("n").as("n_ref"), col("fit_ppb").as("ref_fit_ppb"),
         col("top_share_ppb").as("ref_top_share_ppb"))
-    val gaugeRow = gref.crossJoin(stats)
+    val gaugeRow = gref.crossJoin(stats).crossJoin(broadcast(nHot))
       .select(lit(batchId).as("batch_id"), col("n_ref"),
         col("n").as("n_new"), col("ref_fit_ppb"),
         col("fit_ppb").as("new_fit_ppb"),
@@ -272,9 +288,10 @@ object EmbeddingStream {
         col("top_share_ppb").as("new_top_share_ppb"),
         lit(epoch).as("epoch"),
         (coalesce((col("ref_fit_ppb") - col("fit_ppb")) >
-            lit(RetrainDriftPpb), lit(false)) ||
-          coalesce(col("top_share_ppb") > lit(CollapseSharePpb),
-            lit(false))).as("retrain"))
+            lit(retrainDriftPpb), lit(false)) ||
+          coalesce(col("top_share_ppb") > lit(collapseSharePpb),
+            lit(false))).as("retrain"),
+        col("hot_clusters"))
     BatchState.write(gaugeRow, root, "gauge", batchId)
 
     // ── tier 3: cluster-local pairs vs standing state + within batch ──
@@ -290,13 +307,7 @@ object EmbeddingStream {
     // entirely (it is the join key) while the vectors still land in
     // `vecs/`/`vhash/` — quarantined from pairing until the retrain the
     // gauge prescribes, exactly the batch operator's stated policy.
-    val hotOpt =
-      if (hotClusterCap <= 0) None
-      else Some(assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("occ"))
-        .filter(col("occ") > hotClusterCap)
-        .select(col("cluster"))
-        .localCheckpoint(true, memDisk))
+    // (Occupancy itself computed in tier 2, where the ledger records it.)
     val assignedCool = hotOpt
       .map(h => assigned.join(broadcast(h), Seq("cluster"), "left_anti"))
       .getOrElse(assigned)
@@ -323,9 +334,9 @@ object EmbeddingStream {
     // the batch's checkpoint blocks serve nothing once its state is on
     // disk — free them now instead of waiting for the ContextCleaner
     // (a long-lived session would otherwise pin one frame set per batch)
-    Seq(hashed, kept, assigned, pairs)
-      .foreach(_.unpersist(blocking = false))
-    hotOpt.foreach(_.unpersist(blocking = false))
+    Seq(hashed, kept, assigned, pairs, merged)
+      .foreach(graft.Snap.free(_))
+    hotOpt.foreach(graft.Snap.free(_))
   }
 
   /** Default gauge thresholds — the [[graft.ops.Similarity.ivfDriftGauge]]
@@ -376,6 +387,90 @@ object EmbeddingStream {
       lastCommitted)
   }
 
+  /** RETROACTIVE DECONTAMINATION — [[FingerprintStream.decontaminate]]'s
+    * vector twin, completing the repair operator across all three
+    * runnable tiers: a root that ran UNCAPPED through an
+    * embedding-template flood (a mode-collapsed encoder, a re-posted
+    * viral embedding) has persisted the collapsed cluster's quadratic
+    * junk pairs and merged the family into a mega-cluster. This applies
+    * the occupancy rule retroactively over the STANDING assignment:
+    * clusters over `hotClusterCap` quarantine — every persisted pair
+    * touching one of their members deletes (pairs are cluster-local by
+    * construction, so under the fixed-quantizer contract "touching" and
+    * "within" coincide), the pair directories physically rewrite, and
+    * only the touched components' labels re-converge
+    * ([[graft.ops.Dedup.reconvergeClusterDelta]]). Run with the stream
+    * STOPPED at a committed checkpoint.
+    *
+    * SEMANTICS: with the quantizer unrotated since the pairs were
+    * committed (the fixed-centroid epoch contract), the post-repair
+    * pair state equals
+    * [[graft.ops.Similarity.semanticDedupPairsCapped]]'s policy over
+    * the standing corpus — spec-pinned against the capped twin root.
+    * Across an epoch rotation the repair is the POLICY form: pairs
+    * touching a currently-over-cap cluster quarantine (the conservative
+    * reading — exactness has no meaning for pairs generated under a
+    * retired quantizer). `vecs/` is NOT rewritten: the vectors are real
+    * arrivals, retention owns their lifecycle, and the standing
+    * occupancy must stay visible to the gauge — the quarantine-not-
+    * deletion stance of the live cap. Idempotent; cost ∝ flood-touched
+    * components; the clean-root pass pays one occupancy count. Returns
+    * the one-row repair report. */
+  def decontaminate(spark: SparkSession, root: String, hotClusterCap: Int,
+      broadcastRowLimit: Long = 8L << 20): DataFrame = {
+    import spark.implicits._
+    require(hotClusterCap > 0,
+      s"hotClusterCap must be positive: $hotClusterCap")
+    Seq("vecs", "vhash", "pairs", "gauge")
+      .foreach(BatchState.recoverFold(spark, root, _))
+    val assigned = assignedState(spark, root)
+      .select(col("vec_id"), col("cluster"))
+    val hot = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > hotClusterCap)
+      .select(col("cluster"))
+      .localCheckpoint(true, memDisk) // tiny by construction
+    val nHot = hot.count()
+    val members = assigned.join(broadcast(hot), Seq("cluster"))
+      .select(col("vec_id")).distinct()
+      .localCheckpoint(true, memDisk)
+    val nMembers = members.count()
+    def mb(df: DataFrame): DataFrame =
+      if (nMembers <= broadcastRowLimit) broadcast(df) else df
+    val pairsState = livePairs(spark, root).select(col("id_a"), col("id_b"))
+    val dropped = pairsState
+      .join(mb(members.select(col("vec_id").as("id_a"))), Seq("id_a"),
+        "left_semi")
+      .unionByName(pairsState
+        .join(mb(members.select(col("vec_id").as("id_b"))), Seq("id_b"),
+          "left_semi")
+        .select(col("id_a"), col("id_b")))
+      .distinct()
+      .localCheckpoint(true, memDisk)
+    val nDropped = dropped.count()
+    if (nDropped > 0) {
+      BatchState.batchDirs(spark, root, "pairs", Long.MaxValue).foreach {
+        p => BatchState.rewriteDirPreservingUnit(spark, root, "pairs", p,
+          df => df.join(mb(dropped), Seq("id_a", "id_b"), "left_anti"))
+      }
+      val newPairs = BatchState.state(spark, root, "pairs", Long.MaxValue,
+        PairsSchema).select(col("id_a"), col("id_b"))
+      val seeds = dropped.select(col("id_a").as("doc_id"))
+        .unionByName(dropped.select(col("id_b").as("doc_id")))
+        .distinct()
+      val repaired = graft.ops.Dedup.reconvergeClusterDelta(
+        labels(spark, root).select(col("doc_id"), col("cluster_id")),
+        newPairs, seeds)
+      val latest = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
+        .maxBy(_.split("batch=").last.toLong)
+      repaired.write.mode("overwrite").parquet(latest)
+      graft.Snap.free(repaired)
+    }
+    Seq(hot, members, dropped).foreach(graft.Snap.free(_))
+    Seq((nHot, nMembers, nDropped))
+      .toDF("hot_clusters", "n_members", "n_dropped")
+  }
+
   /** RETENTION — [[DocumentStream.retire]] on the vector tier, with the
     * same stopped-checkpoint contract: labels re-converge through the
     * surviving pair edges ([[graft.ops.Dedup.retireClusterDelta]] — the
@@ -395,9 +490,9 @@ object EmbeddingStream {
       .localCheckpoint(true, memDisk)
     val pairsState = BatchState.state(spark, root, "pairs", Long.MaxValue,
       PairsSchema).select(col("id_a"), col("id_b"))
+    // retireClusterDelta returns its result already checkpointed
     val retired = graft.ops.Dedup.retireClusterDelta(
       labels(spark, root), pairsState, e)
-      .localCheckpoint(true, memDisk)
     val latest = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
       .maxBy(_.split("batch=").last.toLong)
     retired.write.mode("overwrite").parquet(latest)
@@ -410,23 +505,35 @@ object EmbeddingStream {
     prune("vecs", Seq("vec_id"))
     prune("vhash", Seq("vec_id"))
     prune("pairs", Seq("id_a", "id_b"))
-    e.unpersist(blocking = false)
-    retired.unpersist(blocking = false)
+    graft.Snap.free(e)
+    graft.Snap.free(retired)
     ()
   }
 
-  /** Start the pipeline on a streaming (vec_id, embedding) frame. */
+  /** Start the pipeline on a streaming (vec_id, embedding) frame.
+    * `schedulerPool` names the FAIR pool every batch's jobs submit to
+    * (thread-local `spark.scheduler.pool`, set on the foreachBatch
+    * execution thread — the co-residency deployment shape, SCALE.md);
+    * the gauge thresholds are deployment-tunable with the
+    * oracle-pinned calibration as defaults. */
   def start(vectors: DataFrame, root: String, checkpoint: String,
       threshold: Double = 0.4, maxDelayMs: Long = 100L,
-      consolidateEvery: Int = 0, hotClusterCap: Int = 0): StreamingQuery =
+      consolidateEvery: Int = 0, hotClusterCap: Int = 0,
+      retrainDriftPpb: Long = RetrainDriftPpb,
+      collapseSharePpb: Long = CollapseSharePpb,
+      schedulerPool: Option[String] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        schedulerPool.foreach(p => batch.sparkSession.sparkContext
+          .setLocalProperty("spark.scheduler.pool", p))
         processBatch(batch, batchId, root, threshold,
           consolidateEvery = consolidateEvery,
-          hotClusterCap = hotClusterCap)
+          hotClusterCap = hotClusterCap,
+          retrainDriftPpb = retrainDriftPpb,
+          collapseSharePpb = collapseSharePpb)
       }
       .start()
 

@@ -149,7 +149,8 @@ object FingerprintStream {
     * against its closed-form DuckDB replica. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       maxHamming: Int = 3, consolidateEvery: Int = 0,
-      hotBucketCap: Int = 0): Unit = {
+      hotBucketCap: Int = 0, alertQuarPpb: Long = AlertQuarPpb,
+      alertSharePpb: Long = AlertSharePpb): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (consolidateEvery > 0 && batchId > 0 &&
@@ -234,17 +235,18 @@ object FingerprintStream {
           sharePpb.as("top_share_ppb"),
           col("hot_buckets"),
           expr("n_quarantined * 1000000000L div n_arrived").as("quar_ppb"),
-          (col("hot_buckets") > 0L || sharePpb > AlertSharePpb ||
+          (col("hot_buckets") > 0L || sharePpb > alertSharePpb ||
             expr("n_quarantined * 1000000000L div n_arrived") >
-              AlertQuarPpb).as("alert")),
+              alertQuarPpb).as("alert")),
       root, "gauge", batchId)
     // the batch's checkpoint blocks serve nothing once its state is on
     // disk — free them now instead of waiting for the ContextCleaner
     // (a long-lived session would otherwise pin one frame set per batch)
-    hashed.unpersist(blocking = false)
-    bandedFp.unpersist(blocking = false)
-    hotOpt.foreach(_.unpersist(blocking = false))
-    pairs.unpersist(blocking = false)
+    graft.Snap.free(hashed)
+    graft.Snap.free(bandedFp)
+    hotOpt.foreach(graft.Snap.free(_))
+    graft.Snap.free(pairs)
+    graft.Snap.free(merged)
     ()
   }
 
@@ -265,9 +267,9 @@ object FingerprintStream {
       .localCheckpoint(true, memDisk)
     val pairsState = BatchState.state(spark, root, "pairs", Long.MaxValue,
       PairsSchema).select(col("id_a"), col("id_b"))
+    // retireClusterDelta returns its result already checkpointed
     val retired = graft.ops.Dedup.retireClusterDelta(
       labels(spark, root), pairsState, e)
-      .localCheckpoint(true, memDisk)
     val latest = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
       .maxBy(_.split("batch=").last.toLong)
     retired.write.mode("overwrite").parquet(latest)
@@ -279,23 +281,175 @@ object FingerprintStream {
       }
     prune("fps", Seq("doc_id"))
     prune("pairs", Seq("id_a", "id_b"))
-    e.unpersist(blocking = false)
-    retired.unpersist(blocking = false)
+    graft.Snap.free(e)
+    graft.Snap.free(retired)
     ()
   }
 
-  /** Start the pipeline on a streaming MediaRow frame. */
+  /** RETROACTIVE DECONTAMINATION — the missing half of the flood story:
+    * the hot-bucket cap protects a correctly-configured pipeline at
+    * arrival, but a root that ran UNCAPPED through a template flood (or
+    * with the cap mis-set) has already persisted the damage — millions
+    * of junk pairs in `pairs/` and a flood mega-cluster in `labels/`.
+    * This applies the occupancy rule retroactively over the STANDING
+    * fingerprint index and repairs exactly the damaged state, at cost
+    * proportional to the flood-touched components — never a full
+    * rebuild. Run with the stream STOPPED at a committed checkpoint
+    * (the [[retire]] maintenance-window contract).
+    *
+    * SEMANTICS: after the pass, the persisted pair state equals
+    * [[graft.ops.Dedup.hammingPairs128Capped]] over the standing index
+    * at `hotBucketCap` (the batch operator's GLOBAL-occupancy rule —
+    * symmetric, unlike the live cap's per-arrival batch-side rule: a
+    * standing index has no arrival axis left to cap on), and `labels/`
+    * equals the connected components of the repaired pairs. Both claims
+    * are gated hash-exact (q_fpstream_decontam_parity). The cap here is
+    * a CORPUS-level occupancy bound, not the per-batch arrival cap —
+    * the standing index legitimately accumulates, so callers size it to
+    * the largest organic fingerprint family they mean to keep pairing
+    * (the [[graft.ops.Dedup.hammingPairs128Capped]] calibration).
+    * Explicitly RECALL-BOUNDED, like every cap in the family: a family
+    * over the cap — flood or organically viral — loses its pairs.
+    *
+    * Steps, each bounded by the flood-touched state, never
+    * corpus-quadratic:
+    *  1. occupancy — ONE map-side-combinable count over the index's
+    *     4-rows-per-doc banding (the only corpus-linear pass; narrow
+    *     rows, no join); over-cap buckets are tiny and broadcast;
+    *  2. members = docs with a band row in a hot bucket (flood-sized);
+    *  3. suspects = persisted pairs touching a member — two semi-probe
+    *     passes over the pair state, no shuffle of it in the broadcast
+    *     regime;
+    *  4. survival: a suspect survives iff its endpoints still collide
+    *     in a COOL band (recomputed over the touched docs' banding
+    *     only — worst key cap² per bucket by construction); everything
+    *     else was only ever reachable through a hot bucket → dropped;
+    *  5. physical rewrite of the dropped pairs out of every `pairs/`
+    *     directory (unit sidecars preserved — the [[retire]] template);
+    *  6. label re-convergence restricted to the components the dropped
+    *     edges touched ([[graft.ops.Dedup.reconvergeClusterDelta]] —
+    *     splits handled, untouched labels pass through).
+    *
+    * `fps/` is deliberately NOT rewritten: the fingerprints are real
+    * arrivals, retention owns their lifecycle, and the standing
+    * occupancy must stay visible to detection — exactly the live cap's
+    * index-writes-stay-uncapped stance.
+    *
+    * Idempotent: a second pass finds the same hot set but no suspect
+    * survives the first pass's deletion test twice — it deletes nothing
+    * and leaves the state untouched (spec-pinned). A CLEAN root costs
+    * only step 1 (the occupancy scan) — the cost-∝-damage receipt in
+    * SCALE.md.
+    *
+    * Returns the one-row repair report
+    * (hot_buckets, n_members, n_suspects, n_dropped). */
+  def decontaminate(spark: SparkSession, root: String, hotBucketCap: Int,
+      maxHamming: Int = 3,
+      broadcastRowLimit: Long = 8L << 20): DataFrame = {
+    import spark.implicits._
+    require(hotBucketCap > 0, s"hotBucketCap must be positive: $hotBucketCap")
+    Seq("fps", "pairs", "gauge")
+      .foreach(BatchState.recoverFold(spark, root, _))
+    val banded = graft.ops.Dedup.hammingBanding128(
+        indexedFps(spark, root))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val hot = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > hotBucketCap)
+      .select(col("band"), col("bh"))
+      .localCheckpoint(true, memDisk) // tiny by construction
+    val nHot = hot.count()
+    val members = banded.join(broadcast(hot), Seq("band", "bh"))
+      .select(col("doc_id")).distinct()
+      .localCheckpoint(true, memDisk)
+    val nMembers = members.count()
+    // the smallness regime, enforced like the retire: flood-sized sets
+    // broadcast; a flood approaching the corpus degrades to shuffled
+    // equi-joins (rebuild-class cost) instead of OOMing the executors
+    def mb(df: DataFrame): DataFrame =
+      if (nMembers <= broadcastRowLimit) broadcast(df) else df
+    val pairsState = livePairs(spark, root).select(col("id_a"), col("id_b"))
+    val suspects = pairsState
+      .join(mb(members.select(col("doc_id").as("id_a"))), Seq("id_a"),
+        "left_semi")
+      .unionByName(pairsState
+        .join(mb(members.select(col("doc_id").as("id_b"))), Seq("id_b"),
+          "left_semi")
+        .select(col("id_a"), col("id_b")))
+      .distinct()
+      .localCheckpoint(true, memDisk)
+    val nSuspects = suspects.count()
+    // survival test: regenerate pairs among the touched docs over COOL
+    // buckets only — a suspect absent from the regeneration had no path
+    // but a hot bucket, which is exactly the policy's deletion rule
+    val touched = suspects.select(col("id_a").as("doc_id"))
+      .unionByName(suspects.select(col("id_b").as("doc_id")))
+      .distinct()
+    val cooledT = banded
+      .join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      .join(mb(touched), Seq("doc_id"), "left_semi")
+    val survivors = graft.ops.Dedup.hammingPairs128FromBanded(
+        cooledT, maxHamming, snapshotted = true)
+      .select(col("id_a"), col("id_b"))
+    val dropped = suspects
+      .join(survivors, Seq("id_a", "id_b"), "left_anti")
+      .localCheckpoint(true, memDisk)
+    val nDropped = dropped.count()
+    if (nDropped > 0) {
+      // physical rewrite: the dropped pairs leave every pairs/ directory
+      // (raw batches and consolidated units alike, sidecars preserved)
+      BatchState.batchDirs(spark, root, "pairs", Long.MaxValue).foreach {
+        p => BatchState.rewriteDirPreservingUnit(spark, root, "pairs", p,
+          df => df.join(mb(dropped), Seq("id_a", "id_b"), "left_anti"))
+      }
+      // label repair restricted to the components the deletions touched
+      val newPairs = BatchState.state(spark, root, "pairs", Long.MaxValue,
+        PairsSchema).select(col("id_a"), col("id_b"))
+      val seeds = dropped.select(col("id_a").as("doc_id"))
+        .unionByName(dropped.select(col("id_b").as("doc_id")))
+        .distinct()
+      val repaired = graft.ops.Dedup.reconvergeClusterDelta(
+        labels(spark, root), newPairs, seeds)
+      val latest = BatchState.batchDirs(spark, root, "labels", Long.MaxValue)
+        .maxBy(_.split("batch=").last.toLong)
+      repaired.write.mode("overwrite").parquet(latest)
+      graft.Snap.free(repaired)
+    }
+    Seq(banded, hot, members, suspects, dropped)
+      .foreach(graft.Snap.free(_))
+    Seq((nHot, nMembers, nSuspects, nDropped))
+      .toDF("hot_buckets", "n_members", "n_suspects", "n_dropped")
+  }
+
+  /** Start the pipeline on a streaming MediaRow frame.
+    *
+    * `schedulerPool` names the FAIR scheduler pool every batch's jobs
+    * submit to (`spark.scheduler.pool` is a thread-local property, so it
+    * must be set on the foreachBatch execution thread — which is exactly
+    * what this does, once per batch). The co-residency receipt
+    * (SCALE.md): three tiers sharing one SparkContext each in their own
+    * FAIR pool trim the media tier's queueing stretch vs default FIFO.
+    * The alert thresholds are deployment-tunable here and in
+    * [[processBatch]]; the defaults are the oracle-pinned calibration
+    * ([[AlertQuarPpb]]/[[AlertSharePpb]]). */
   def start(media: DataFrame, root: String, checkpoint: String,
       maxHamming: Int = 3, maxDelayMs: Long = 100L,
-      consolidateEvery: Int = 0, hotBucketCap: Int = 0): StreamingQuery =
+      consolidateEvery: Int = 0, hotBucketCap: Int = 0,
+      alertQuarPpb: Long = AlertQuarPpb,
+      alertSharePpb: Long = AlertSharePpb,
+      schedulerPool: Option[String] = None): StreamingQuery =
     media.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$maxDelayMs milliseconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        schedulerPool.foreach(p => batch.sparkSession.sparkContext
+          .setLocalProperty("spark.scheduler.pool", p))
         processBatch(batch, batchId, root, maxHamming,
           consolidateEvery = consolidateEvery,
-          hotBucketCap = hotBucketCap)
+          hotBucketCap = hotBucketCap, alertQuarPpb = alertQuarPpb,
+          alertSharePpb = alertSharePpb)
       }
       .start()
 

@@ -408,7 +408,7 @@ object ParityCheck {
     val batchLabels = graft.ops.Dedup.nearDupClusters(
       history.select(col("doc_id")).unionByName(keptBatch),
       histPairs.unionByName(livePairsB)).localCheckpoint(true)
-    allPairs.unpersist(blocking = false) // consumers are checkpointed
+    graft.Snap.free(allPairs) // consumers are checkpointed
     (keptBatch, livePairsB, batchLabels)
   }
 
@@ -506,7 +506,7 @@ object ParityCheck {
         val prevHist = histTexts
         histTexts = histTexts.unionByName(
           waveDf.filter(col("doc_id").isin(survIds: _*))).localCheckpoint(true)
-        prevHist.unpersist(blocking = false) // superseded snapshot
+        graft.Snap.free(prevHist) // superseded snapshot
       }
     } finally q.stop()
 
@@ -522,7 +522,7 @@ object ParityCheck {
 
     // tier 3: incremental label merge
     val liveLabels = graft.ops.Dedup.mergeClusterDelta(baseLabels, keptArr,
-      livePairs).localCheckpoint(true)
+      livePairs) // returned checkpointed (mergeClusterDelta contract)
 
     // ── batch twin, computed all-at-once (the SHARED definition) ──
     val arrivals = documents.filter(col("doc_id") >= splitId)
@@ -558,7 +558,7 @@ object ParityCheck {
         "n_only_live", "n_only_batch", "parity_ok")
     Seq(histTexts, keptArr, streamCand, livePairs, liveLabels, batchCand,
       keptBatch, twinPairs, batchLabels, baseLabels)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
     result
   }
 
@@ -656,7 +656,7 @@ object ParityCheck {
       .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
     Seq(keptArr, livePairs, liveLabels, keptBatch, livePairsB, batchLabels,
-      histPairs0).foreach(_.unpersist(blocking = false))
+      histPairs0).foreach(graft.Snap.free(_))
     result
   }
 
@@ -717,7 +717,7 @@ object ParityCheck {
     val batchLabels = graft.ops.Dedup.nearDupClusters(
       history.select(col("doc_id")).unionByName(keptBatch),
       histPairs.unionByName(livePairsC)).localCheckpoint(true)
-    bandedArr.unpersist(blocking = false)
+    graft.Snap.free(bandedArr)
     (keptBatch, livePairsC, batchLabels)
   }
 
@@ -774,7 +774,7 @@ object ParityCheck {
     try waves.drop(2).foreach { w =>
       mem.addData(w.toSeq); q.processAllAvailable()
     } finally q.stop()
-    histPairs0.unpersist(blocking = false)
+    graft.Snap.free(histPairs0)
     root
   }
 
@@ -836,7 +836,162 @@ object ParityCheck {
       .toDF("n_kept", "n_dropped", "n_pairs_live", "n_clusters",
         "n_hot_batches", "n_only_live", "n_only_batch", "parity_ok")
     Seq(keptArr, livePairs, liveLabels, gauges, keptBatch, livePairsB,
-      batchLabels).foreach(_.unpersist(blocking = false))
+      batchLabels).foreach(graft.Snap.free(_))
+    result
+  }
+
+  /** The TEXT decontamination fixture's flood rewrite: every
+    * [[CappedFloodMod]]-th arrival sends the fixed template
+    * ([[graft.OracleSql.CappedFloodTemplate]] — shared verbatim with
+    * the DuckDB replica) plus a per-document suffix token. NEAR-dup
+    * traffic, deliberately not byte-identical: the exact tier KEEPS
+    * every variant (distinct texts), so an uncapped run persists the
+    * flood's verified junk pairs and merges the family into a
+    * mega-cluster — the damage [[DocumentStream.decontaminate]] exists
+    * to repair, where the capped gate's byte-identical flood would die
+    * at the exact tier and leave nothing to decontaminate. Two variants
+    * share 13 of their ~14 word-shingles (one suffix shingle each), so
+    * within-family Jaccard ≈ 13/15 — comfortably verified — while
+    * their band signatures collide on the template's (hot) buckets. */
+  private def decontamFloodText(docId: Long): String =
+    s"${graft.OracleSql.CappedFloodTemplate} v$docId"
+
+  /** The decontamination fixture's PLANTED organic near-dup pair: the
+    * first two non-flood arrivals rewrite to "version one"/"version
+    * two" variants of a fixed out-of-corpus text — a kept, verified,
+    * cool-bucket pair at ANY fixture SF, so the gate's "organic pairs
+    * survive the repair untouched" half can never pass vacuously (at
+    * sf0.001 the natural corpus has no organic arrival near-dups and
+    * every pre-repair pair is flood-borne). Shared verbatim with the
+    * DuckDB replica. */
+  private[streaming] val DecontamOrganicBase =
+    graft.OracleSql.DecontamOrganicBase
+
+  /** The planted pair's doc ids: first two non-flood arrivals. */
+  private def decontamOrganicIds(allIds: Seq[Long],
+      splitId: Long): (Long, Long) = {
+    val org = allIds.filter(id =>
+      id >= splitId && id % CappedFloodMod != 0).sorted
+    require(org.length >= 2, "fixture too small for the organic pair")
+    (org(0), org(1))
+  }
+
+  private def decontamText(docId: Long, orig: String, splitId: Long,
+      o1: Long, o2: Long): String =
+    if (docId % CappedFloodMod == 0 && docId >= splitId)
+      decontamFloodText(docId)
+    else if (docId == o1) s"$DecontamOrganicBase version one"
+    else if (docId == o2) s"$DecontamOrganicBase version two"
+    else orig
+
+  /** The decontamination gate's corpus-level cap: scaled to the arrival
+    * count so the flood family (every 3rd arrival — a third of the
+    * standing band rows per template bucket) is hot at ANY fixture SF
+    * while organic buckets (measured max occupancy 2) never are.
+    * Shared closed-form with the DuckDB oracle. */
+  def decontamHotBucketCap(nArr: Long): Int =
+    math.max(4L, nArr / 16L).toInt
+
+  /** Build the TEXT decontamination gate's state: the near-dup template
+    * flood run UNCAPPED through [[DocumentStream.processBatch]] (junk
+    * pairs persisted, mega-cluster in the labels), then
+    * [[DocumentStream.decontaminate]] at [[decontamHotBucketCap]]; the
+    * repair report persists to `$root/report`. No consolidation: the
+    * band TTL fold would age early band rows out mid-run and make the
+    * standing occupancy a function of fold timing — raw directories
+    * keep the occupancy equal to the all-arrivals banding, which is
+    * what the closed-form oracle restates (the media builder covers
+    * the consolidated-unit rewrite path). */
+  def buildDecontamPipeline(spark: SparkSession, dir: String,
+      horizonMinutes: Int = 60, nBatches: Int = 4): String = {
+    import spark.implicits._
+    val horizonMs = horizonMinutes * 60000L
+    val t0Ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val all = collectParityDocs(spark, dir, "decontamParity")
+    require(all.nonEmpty, s"no documents in $dir")
+    val splitId = (all.iterator.map(_.doc_id).max + 1L) * 3L / 5L
+    val (o1, o2) = decontamOrganicIds(all.map(_.doc_id), splitId)
+    val arrDocs = all.filter(_.doc_id >= splitId).map(d =>
+      DocumentStream.DocTsIn(d.doc_id, t0Ms + d.doc_id * 60000L,
+        decontamText(d.doc_id, d.text, splitId, o1, o2)))
+    require(arrDocs.exists(_.doc_id % CappedFloodMod == 0),
+      "decontam scenario vacuous: no flood arrival")
+    val history = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < splitId)
+
+    val root =
+      s"target/docstream_decontam/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    val histPairs0 = graft.ops.Dedup.minHashPairs(history)
+      .localCheckpoint(true)
+    DocumentStream.init(spark, s"$root/state", history, histPairs0,
+      graft.ops.Dedup.nearDupClusters(history, histPairs0))
+    val waves = arrDocs.grouped(
+      math.max(1, arrDocs.length / nBatches)).toSeq
+    waves.zipWithIndex.foreach { case (w, i) =>
+      DocumentStream.processBatch(w.toSeq.toDF(), i.toLong, s"$root/state",
+        horizonMs, hotBucketCap = 0) // UNCAPPED — the incident
+    }
+    val report = DocumentStream.decontaminate(spark, s"$root/state",
+      decontamHotBucketCap(arrDocs.length.toLong), horizonMs)
+    report.write.mode("overwrite").parquet(s"$root/report")
+    graft.Snap.free(histPairs0)
+    root
+  }
+
+  /** The TEXT decontamination gate: post-repair pair/label state must
+    * equal the GLOBAL-occupancy capped batch twin
+    * ([[cappedPipelineBatchTwin]] at [[decontamHotBucketCap]] over the
+    * near-dup flood corpus) — the same policy the live cap enforces at
+    * arrival, landed retroactively — and the report must show real
+    * repair work (hot buckets, dropped pairs). Counts restated by the
+    * DuckDB MinHash replica with the same suffix rewrite. */
+  def docDecontamParity(spark: SparkSession, dir: String, root: String,
+      horizonMinutes: Int = 60): DataFrame = {
+    val horizonMs = horizonMinutes * 60000L
+    val all = collectParityDocs(spark, dir, "decontamParity")
+    val splitId = (all.iterator.map(_.doc_id).max + 1L) * 3L / 5L
+    val nArr = all.count(_.doc_id >= splitId).toLong
+    val (o1, o2) = decontamOrganicIds(all.map(_.doc_id), splitId)
+    val documents = graft.Tables.documents(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") >= splitId &&
+            col("doc_id") % CappedFloodMod === 0,
+          concat(lit(s"${graft.OracleSql.CappedFloodTemplate} v"),
+            col("doc_id").cast("string")))
+        .when(col("doc_id") === o1,
+          lit(s"$DecontamOrganicBase version one"))
+        .when(col("doc_id") === o2,
+          lit(s"$DecontamOrganicBase version two"))
+        .otherwise(col("text")))
+    val history = documents.filter(col("doc_id") < splitId)
+
+    val livePairs = DocumentStream.livePairs(spark, s"$root/state")
+      .filter(col("id_a") >= splitId)
+      .localCheckpoint(true)
+    val liveLabels = DocumentStream.labels(spark, s"$root/state")
+      .localCheckpoint(true)
+    val (keptBatch, livePairsB, batchLabels) =
+      cappedPipelineBatchTwin(documents, history, splitId, horizonMs,
+        decontamHotBucketCap(nArr))
+
+    val report = spark.read.parquet(s"$root/report").head()
+    val hotBuckets = report.getAs[Long]("hot_buckets")
+    val nDropped = report.getAs[Long]("n_dropped")
+    val (pOnlyL, pOnlyB, nPairsAfter, _) = diffCounts(livePairs, livePairsB)
+    val (lOnlyL, lOnlyB, _, _) = diffCounts(liveLabels, batchLabels)
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    val result = spark.createDataFrame(Seq(
+      (nPairsAfter, nDropped, hotBuckets, nClusters,
+        pOnlyL + lOnlyL, pOnlyB + lOnlyB,
+        pOnlyL == 0L && pOnlyB == 0L && lOnlyL == 0L && lOnlyB == 0L &&
+          nDropped > 0L && hotBuckets > 0L && nPairsAfter > 0L)))
+      .toDF("n_pairs_after", "n_dropped", "hot_buckets", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+    Seq(livePairs, liveLabels, keptBatch, livePairsB, batchLabels)
+      .foreach(graft.Snap.free(_))
     result
   }
 
@@ -928,7 +1083,7 @@ object ParityCheck {
       mem.addData(w); q.processAllAvailable()
     } finally q.stop()
     Seq(baseFps, basePairs, baseLabels)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
     root
   }
 
@@ -981,7 +1136,7 @@ object ParityCheck {
       .toDF("n_indexed", "n_quarantined", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
     Seq(baseFps, idxArr, livePairs, liveLabels, arrFpB, pairsAll,
-      batchLabels).foreach(_.unpersist(blocking = false))
+      batchLabels).foreach(graft.Snap.free(_))
     result
   }
 
@@ -1084,7 +1239,7 @@ object ParityCheck {
       mem.addData(w); q.processAllAvailable()
     } finally q.stop()
     Seq(baseFps, basePairs, baseLabels)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
     root
   }
 
@@ -1180,7 +1335,106 @@ object ParityCheck {
         "hot_buckets_total", "n_hot_batches", "n_only_live",
         "n_only_batch", "parity_ok")
     (twinFrames ++ Seq(baseFps, idxArr, livePairs, liveLabels, gauges,
-      basePairs, twinLabels)).foreach(_.unpersist(blocking = false))
+      basePairs, twinLabels)).foreach(graft.Snap.free(_))
+    result
+  }
+
+  /** Build the DECONTAMINATION gate's media state: the SAME decodable
+    * template flood as [[buildCappedFingerprintPipeline]], run with the
+    * cap OFF (the mis-configured deployment the repair operator exists
+    * for — junk pairs persisted, flood mega-cluster in the labels), then
+    * [[FingerprintStream.decontaminate]] at the corpus-level cap
+    * `indexed_fps / 4` (the q_phash_pairs_capped calibration: organic
+    * texture classes sit near a fifth of the corpus, the flood-inflated
+    * class over a third). The one-row repair report persists to
+    * `$root/report` — the builder runs once per JVM, and the repair
+    * mutates the root, so the gate must read the FIRST pass's counts
+    * (a second pass is a no-op by the idempotence contract). Waves are
+    * driven directly through [[FingerprintStream.processBatch]] with
+    * `consolidateEvery = 2`, so the physical pair rewrite covers
+    * consolidated units (sidecar preservation) as well as raw batches. */
+  def buildDecontamFingerprintPipeline(spark: SparkSession, dir: String,
+      nBatches: Int = 4): String = {
+    import spark.implicits._
+    val splitId = fpSplitId(spark, dir)
+    val baseFps = fpBaseFps(spark, dir, splitId).localCheckpoint(true)
+    val basePairs = graft.ops.Dedup.hammingPairs128(baseFps, 3)
+      .localCheckpoint(true)
+    val baseLabels = graft.ops.Dedup.nearDupClusters(
+      baseFps.select(col("doc_id")),
+      basePairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+    val arrMedia = fpCappedArrivalMedia(spark, dir, splitId)
+
+    val root =
+      s"target/fpstream_decontam/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    FingerprintStream.init(spark, s"$root/state", baseFps, basePairs,
+      baseLabels)
+    val waves = arrMedia.grouped(
+      math.max(1, arrMedia.length / nBatches)).toSeq
+    waves.zipWithIndex.foreach { case (w, i) =>
+      FingerprintStream.processBatch(spark.createDataset(w).toDF(),
+        i.toLong, s"$root/state", maxHamming = 3, consolidateEvery = 2,
+        hotBucketCap = 0) // UNCAPPED — the incident under repair
+    }
+    val nFps = FingerprintStream.indexedFps(spark, s"$root/state").count()
+    val report = FingerprintStream.decontaminate(spark, s"$root/state",
+      hotBucketCap = (nFps / 4).toInt)
+    report.write.mode("overwrite").parquet(s"$root/report")
+    Seq(baseFps, basePairs, baseLabels).foreach(graft.Snap.free(_))
+    root
+  }
+
+  /** The media decontamination gate: after the repair, the root's pair
+    * state must hash-equal the GLOBAL capped batch operator
+    * ([[graft.ops.Dedup.hammingPairs128Capped]]) over the standing
+    * index at the same cap, and the labels must equal the connected
+    * components of those pairs — i.e. an operator flipping the cap on
+    * after an uncapped incident lands on exactly the state the batch
+    * policy defines, for the cost of the flood-touched components. The
+    * repair report must show real work (hot buckets found, pairs
+    * dropped) — a vacuous pass is a red gate, not a trivially green
+    * one. Counts restated closed-form by the texture oracle. */
+  def fpDecontamParity(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    import spark.implicits._
+    val splitId = fpSplitId(spark, dir)
+    val baseFps = fpBaseFps(spark, dir, splitId)
+    val arrMedia = fpCappedArrivalMedia(spark, dir, splitId)
+    val arrFps = graft.ops.Multimodal.pHashes(spark.createDataset(arrMedia))
+      .filter(_.decoded).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("ph0").as("sh0"), col("ph1").as("sh1"))
+    val allFps = baseFps.unionByName(arrFps).localCheckpoint(true)
+    val nFps = allFps.count()
+    // hammingPairs128Capped returns its result checkpointed (ownership
+    // here); the twin labels re-converge from the capped pair set
+    val twinPairs = graft.ops.Dedup.hammingPairs128Capped(allFps, 3,
+      (nFps / 4).toInt)
+    val twinPairsK = twinPairs.select(col("id_a"), col("id_b"))
+    val twinLabels = graft.ops.Dedup.nearDupClusters(
+      allFps.select(col("doc_id")), twinPairsK).localCheckpoint(true)
+    val livePairs = FingerprintStream.livePairs(spark, s"$root/state")
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val liveLabels = FingerprintStream.labels(spark, s"$root/state")
+      .localCheckpoint(true)
+    val report = spark.read.parquet(s"$root/report").head()
+    val hotBuckets = report.getAs[Long]("hot_buckets")
+    val nDropped = report.getAs[Long]("n_dropped")
+    val (pOnlyL, pOnlyB, nPairsAfter, _) = diffCounts(livePairs, twinPairsK)
+    val (lOnlyL, lOnlyB, _, _) = diffCounts(liveLabels, twinLabels)
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    val result = spark.createDataFrame(Seq(
+      (nPairsAfter, nDropped, hotBuckets, nClusters,
+        pOnlyL + lOnlyL, pOnlyB + lOnlyB,
+        pOnlyL == 0L && pOnlyB == 0L && lOnlyL == 0L && lOnlyB == 0L &&
+          nDropped > 0L && hotBuckets > 0L && nPairsAfter > 0L)))
+      .toDF("n_pairs_after", "n_dropped", "hot_buckets", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+    Seq(allFps, twinPairs, twinLabels, livePairs, liveLabels)
+      .foreach(graft.Snap.free(_))
     result
   }
 
@@ -1248,18 +1502,17 @@ object ParityCheck {
       val prevLabels = labels
       labels = Dedup.mergeClusterDelta(labels,
         waveEmb.select(col("vec_id").as("doc_id")), wavePairs)
-        .localCheckpoint(true)
-      prevLabels.unpersist(blocking = false)
+      graft.Snap.free(prevLabels)
       livePairs = livePairs.unionByName(wavePairs)
       val prevAssigned = assignedCur
       assignedCur = assignedCur.unionByName(norm(wa)).localCheckpoint(true)
-      prevAssigned.unpersist(blocking = false)
-      wa.unpersist(blocking = false) // both consumers checkpointed
+      graft.Snap.free(prevAssigned)
+      graft.Snap.free(wa) // both consumers checkpointed
       waveFrames += wavePairs // alive until livePairs materializes
       lo = hi
     }
     livePairs = livePairs.distinct().localCheckpoint(true)
-    waveFrames.foreach(_.unpersist(blocking = false))
+    waveFrames.foreach(graft.Snap.free(_))
 
     // ── batch twin under the SAME base-trained quantizer ──
     val (allPairs, batchLabels) = embeddingBatchTwin(emb, cents, threshold)
@@ -1277,7 +1530,7 @@ object ParityCheck {
       .toDF("n_vectors", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
     Seq(labels, assignedCur, livePairs, allPairs, batchLabels)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
     result
   }
 
@@ -1385,7 +1638,7 @@ object ParityCheck {
       .toDF("n_vectors", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
     Seq(liveLabels, livePairs, allPairs, batchLabels)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
     result
   }
 
@@ -1450,18 +1703,18 @@ object ParityCheck {
         .select(col("id_a"), col("id_b")).localCheckpoint(true)
       val prevLabels = labels
       labels = Dedup.mergeClusterDelta(labels,
-        waveDocs.select(col("doc_id")), wavePairs).localCheckpoint(true)
-      prevLabels.unpersist(blocking = false)
+        waveDocs.select(col("doc_id")), wavePairs)
+      graft.Snap.free(prevLabels)
       livePairs = livePairs.unionByName(wavePairs)
       val prevBanded = accBanded
       accBanded = accBanded.unionByName(wb).localCheckpoint(true)
-      prevBanded.unpersist(blocking = false)
-      wb.unpersist(blocking = false) // both consumers checkpointed
+      graft.Snap.free(prevBanded)
+      graft.Snap.free(wb) // both consumers checkpointed
       waveFrames += wavePairs // alive until livePairs materializes
       lo = hi
     }
     livePairs = livePairs.distinct().localCheckpoint(true)
-    waveFrames.foreach(_.unpersist(blocking = false))
+    waveFrames.foreach(graft.Snap.free(_))
 
     // ── batch twin: one full self-join over everything ──
     val allPairs = Dedup.minHashPairs(docs)
@@ -1482,7 +1735,7 @@ object ParityCheck {
       .toDF("n_docs", "n_pairs_live", "n_clusters",
         "n_only_live", "n_only_batch", "parity_ok")
     Seq(labels, accBanded, livePairs, allPairs, batchLabels)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
     result
   }
 

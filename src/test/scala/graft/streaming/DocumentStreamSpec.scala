@@ -352,6 +352,17 @@ class DocumentStreamSpec extends AnyFunSuite {
       "the no-op consolidation changed retired state")
   }
 
+  test("decontam gate end to end on the sf0.001 corpus: the uncapped " +
+      "near-dup flood root, repaired, equals the capped batch twin") {
+    val dir = graft.SparkTestBase.sfDir
+    val root = ParityCheck.buildDecontamPipeline(spark, dir)
+    val row = ParityCheck.docDecontamParity(spark, dir, root).head()
+    assert(row.getAs[Boolean]("parity_ok"),
+      s"text decontam gate diverged: $row")
+    assert(row.getAs[Long]("n_dropped") > 0L, "repair dropped nothing")
+    assert(row.getAs[Long]("hot_buckets") > 0L, "no hot bucket found")
+  }
+
   test("hot-bucket cap: flood pairs pruned, organic pair kept, capped " +
       "restart parity vs the capped twin, ledger records the intervention") {
     import spark.implicits._
@@ -507,5 +518,27 @@ class DocumentStreamSpec extends AnyFunSuite {
         s"capped candidate rate not below uncapped at batch ${c._1}: " +
           s"${c._3} vs ${u._3}")
     }
+
+    // ── RETROACTIVE DECONTAMINATION: repair the uncapped root to the
+    // capped truth. The policy's discrimination carries over verbatim:
+    // the template-adjacent pair (every shared bucket flooded) must be
+    // deleted; the organic pair (cool buckets, not even a suspect) must
+    // survive untouched — and the repaired state equals the capped
+    // stream's, pair-for-pair and label-for-label ──
+    val report = DocumentStream.decontaminate(spark, rootU, cap,
+      horizonMs).head()
+    assert(report.getAs[Long]("hot_buckets") > 0L, s"report: $report")
+    assert(report.getAs[Long]("n_dropped") == 1L, s"report: $report")
+    assert(pairSet(rootU) == Set(organicPair),
+      "repaired pairs != capped truth")
+    val repairedLabels = DocumentStream.labels(spark, rootU)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(repairedLabels == streamLabels,
+      "repaired labels != capped stream labels")
+    // idempotent: the second pass finds nothing left to drop
+    val again = DocumentStream.decontaminate(spark, rootU, cap,
+      horizonMs).head()
+    assert(again.getAs[Long]("n_dropped") == 0L, s"second pass: $again")
+    assert(pairSet(rootU) == Set(organicPair), "second pass changed state")
   }
 }

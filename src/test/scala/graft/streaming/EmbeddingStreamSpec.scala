@@ -124,6 +124,61 @@ class EmbeddingStreamSpec extends AnyFunSuite {
       s"capped != uncapped-minus-hot-cluster: only-capped=" +
         s"${(capped -- expected).take(3)} only-expected=" +
         s"${(expected -- capped).take(3)}")
+    // the intervention is a LEDGER row, not just behavior: the capped
+    // run's gauge records exactly one pruned cluster; the uncapped run
+    // (and a capped run with no flood) records zero — the post-incident
+    // audit surface the text/media tiers' hot_buckets column provides
+    def hotOf(root: String): Long = EmbeddingStream.gaugeRows(spark, root)
+      .filter(col("batch_id") === 0L)
+      .select(col("hot_clusters")).head().getLong(0)
+    assert(hotOf(rootC) === 1L, "capped flood batch must ledger its prune")
+    assert(hotOf(rootU) === 0L, "uncapped run must ledger zero")
+
+    // ── RETROACTIVE DECONTAMINATION (vector twin). The repair's cap is
+    // a CORPUS-level occupancy bound over the STANDING assignment (the
+    // live cap's basis is the batch — the media tier's arrival-vs-
+    // corpus distinction), so the spec derives it from the fixture: one
+    // over the largest ORGANIC standing cluster, making the flood
+    // cluster the exact hot set. Repairing the uncapped root must then
+    // delete every persisted pair touching the flood cluster — the
+    // base init's pairs inside it included, which the live cap (born
+    // after init) never saw — and re-converge exactly those components.
+    val standingOcc = EmbeddingStream.assignedState(spark, rootU)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("occ"))
+    val organicMax = standingOcc.filter(col("cluster") =!= hotCluster)
+      .agg(max(col("occ"))).head().getLong(0)
+    val floodOcc = standingOcc.filter(col("cluster") === hotCluster)
+      .select(col("occ")).head().getLong(0)
+    assert(floodOcc > organicMax,
+      s"fixture degenerate: flood $floodOcc <= organic max $organicMax")
+    def allPairsOf(root: String): Set[(Long, Long)] =
+      EmbeddingStream.livePairs(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncappedAll = allPairsOf(rootU)
+    val expectedAfter = uncappedAll.filter(p =>
+      !clusterIds(p._1) && !clusterIds(p._2))
+    val report = EmbeddingStream.decontaminate(spark, rootU,
+      hotClusterCap = organicMax.toInt).head()
+    assert(report.getAs[Long]("hot_clusters") === 1L, s"report: $report")
+    assert(report.getAs[Long]("n_members") === floodOcc, s"report: $report")
+    assert(report.getAs[Long]("n_dropped") ===
+      (uncappedAll.size - expectedAfter.size).toLong, s"report: $report")
+    assert(allPairsOf(rootU) == expectedAfter,
+      "repaired pairs != policy truth")
+    // labels re-converged to CC over the surviving pair set exactly
+    val ccAfter = graft.ops.Dedup.nearDupClusters(
+      EmbeddingStream.keptIds(spark, rootU)
+        .select(col("vec_id").as("doc_id")),
+      expectedAfter.toSeq.toDF("id_a", "id_b"))
+    assert(setEqual(EmbeddingStream.labels(spark, rootU), ccAfter),
+      "repaired labels != CC over surviving pairs")
+    // idempotent: the hot cluster is still over cap (vectors stay — the
+    // quarantine stance) but nothing is left to drop
+    val again = EmbeddingStream.decontaminate(spark, rootU,
+      hotClusterCap = organicMax.toInt).head()
+    assert(again.getAs[Long]("hot_clusters") === 1L)
+    assert(again.getAs[Long]("n_dropped") === 0L, s"second pass: $again")
+    assert(allPairsOf(rootU) == expectedAfter, "second pass changed state")
   }
 
   test("a fully-duplicate batch (upstream re-send) is a clean no-op") {

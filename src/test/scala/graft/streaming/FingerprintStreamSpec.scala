@@ -155,6 +155,17 @@ class FingerprintStreamSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_pairs_live") > 0L, "vacuous pair tier")
   }
 
+  test("decontam gate end to end on the sf0.001 corpus: the uncapped " +
+      "flood root, repaired, equals the global capped batch operator") {
+    val dir = graft.SparkTestBase.sfDir
+    val root = ParityCheck.buildDecontamFingerprintPipeline(spark, dir)
+    val row = ParityCheck.fpDecontamParity(spark, dir, root).head()
+    assert(row.getAs[Boolean]("parity_ok"),
+      s"media decontam gate diverged: $row")
+    assert(row.getAs[Long]("n_dropped") > 0L, "repair dropped nothing")
+    assert(row.getAs[Long]("hot_buckets") > 0L, "no hot bucket found")
+  }
+
   test("hotBucketCap quarantines a DECODABLE template flood at arrival: " +
       "no flood pair persists, organics keep pairing, the ledger " +
       "accounts (hot_buckets, alert), and the uncapped twin leaks") {
@@ -247,5 +258,52 @@ class FingerprintStreamSpec extends AnyFunSuite {
           .filter(col("doc_id") >= 9000L).count() == 16L)
       }
     }
+
+    // ── RETROACTIVE DECONTAMINATION: repair the uncapped root ──
+    // the run above persisted the flood's 16-copy clique (C(16,2) = 120
+    // junk pairs) and merged it into one mega-cluster; the repair at the
+    // same cap must land on exactly the capped batch operator's truth —
+    // organic pairs untouched, flood pairs gone, flood docs singletons
+    val uncappedRoot = s"$base/uncapped"
+    val megaBefore = FingerprintStream.labels(spark, uncappedRoot)
+      .filter(col("doc_id") >= 9000L)
+      .select(col("cluster_id")).distinct().count()
+    assert(megaBefore == 1L, "flood did not mega-cluster before repair")
+    val report = FingerprintStream.decontaminate(spark, uncappedRoot,
+      hotBucketCap = 4).head()
+    assert(report.getAs[Long]("hot_buckets") == 4L, s"report: $report")
+    assert(report.getAs[Long]("n_members") == 16L, s"report: $report")
+    assert(report.getAs[Long]("n_dropped") == 120L, s"report: $report")
+    val allOrganicIds = baseIds ++ organicIds
+    val organicExpected = (for {
+      a <- allOrganicIds; b <- allOrganicIds
+      if a < b && a % 5 == b % 5
+    } yield (a, b)).toSet
+    val pairsAfter = FingerprintStream.livePairs(spark, uncappedRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfter == organicExpected,
+      "repaired pairs != capped truth")
+    // the repaired state equals the GLOBAL capped batch operator over
+    // the standing index — the decontaminate contract, verbatim
+    val twin = Dedup.hammingPairs128Capped(
+        FingerprintStream.indexedFps(spark, uncappedRoot), 3, 4)
+    assert(twin.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == pairsAfter)
+    graft.Snap.free(twin)
+    val labelsAfter = FingerprintStream.labels(spark, uncappedRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expectLabels =
+      allOrganicIds.map(id =>
+        id -> allOrganicIds.filter(_ % 5 == id % 5).min).toMap ++
+      (9001L to 9016L).map(id => id -> id).toMap // split to singletons
+    assert(labelsAfter == expectLabels,
+      "repaired labels != capped truth")
+    // idempotent: a second pass finds the same hot set, drops nothing
+    val again = FingerprintStream.decontaminate(spark, uncappedRoot,
+      hotBucketCap = 4).head()
+    assert(again.getAs[Long]("n_dropped") == 0L, s"second pass: $again")
+    assert(FingerprintStream.livePairs(spark, uncappedRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      pairsAfter, "second pass changed state")
   }
 }
