@@ -899,6 +899,10 @@ object Soak {
       val nPairs = EmbeddingStream.livePairs(spark, root).count()
       val alerts = EmbeddingStream.gaugeRows(spark, root)
         .filter(col("retrain")).count()
+      // cap interventions are now LEDGER rows (hot_clusters > 0), not
+      // just behavior — the audit surface the other two tiers already had
+      val interventions = EmbeddingStream.gaugeRows(spark, root)
+        .agg(sum(col("hot_clusters"))).head().getLong(0)
       // standing invariant before timing is trusted
       val labels = EmbeddingStream.labels(spark, root)
       val cc = graft.ops.Dedup.nearDupClusters(
@@ -908,7 +912,7 @@ object Soak {
           .select(col("id_a"), col("id_b")))
       val diff = labels.exceptAll(cc).count() + cc.exceptAll(labels).count()
       require(diff == 0L, s"$mode labels != CC: $diff")
-      println(f"""SOAK {"phase":"embstreamflood","mode":"$mode","cap":$hc,"batches":$nBatches,"organic_per_batch":$organicPerBatch,"flood_per_batch":$floodPerBatch,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"pairs":$nPairs,"gauge_alerts":$alerts}""")
+      println(f"""SOAK {"phase":"embstreamflood","mode":"$mode","cap":$hc,"batches":$nBatches,"organic_per_batch":$organicPerBatch,"flood_per_batch":$floodPerBatch,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"pairs":$nPairs,"gauge_alerts":$alerts,"hot_cluster_interventions":$interventions}""")
     }
   }
 
@@ -1177,7 +1181,60 @@ object Soak {
       println(f"""SOAK {"phase":"fpstreamflood","mode":"$mode","cap":$hc,"batches":$nBatches,"organic_per_batch":$organicPerBatch,"flood_per_batch":$floodPerBatch,"median_batch_sec":${medSec(batchSecs)}%.2f,"p99_batch_sec":${p99Sec(batchSecs)}%.2f,"first_third_median":${medSec(batchSecs.take(third))}%.2f,"last_third_median":${medSec(batchSecs.takeRight(third))}%.2f,"pairs":$nPairs,"alerts":${g.getLong(0)},"interventions":${g.getLong(1)},"quarantined":${g.getLong(2)}}""")
     }
     Seq(baseFps, basePairs, baseLabels)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
+  }
+
+  /** `fpdecontam` mode: the retroactive-decontamination cost receipt —
+    * the missing half of the flood story the caps alone leave open. The
+    * [[fpStreamFloodSoak]] scenario runs BOTH modes first (uncapped:
+    * junk pairs persisted + flood mega-cluster; capped: organic-only),
+    * then [[graft.streaming.FingerprintStream.decontaminate]] repairs
+    * the POLLUTED root at a corpus-level cap and the receipt asserts:
+    *
+    *  1. EXACTNESS — the repaired root's pair AND label state equals
+    *     the capped run's (the deployment that ran uncapped through the
+    *     incident lands, post-repair, exactly where a correctly-capped
+    *     one would be; both flood-bucket-only sets coincide on this
+    *     scenario since organic families never touch the flood bucket);
+    *  2. COST ∝ DAMAGE — the same operator on the CLEAN capped root
+    *     pays only the occupancy scan (drops nothing, rewrites
+    *     nothing): the polluted-vs-clean repair-time ratio tracks the
+    *     junk-pair mass, not the corpus.
+    *
+    * Printed: per-mode repair seconds, pairs before/after, report
+    * counts (hot buckets, members, suspects, dropped). */
+  def fpDecontamSoak(spark: SparkSession, factor: Int, baseDir: String,
+      outDir: String, nBatches: Int = 32, cap: Int = 30,
+      organicPerBatch: Int = 48, floodPerBatch: Int = 64,
+      decontamCap: Int = 64): Unit = {
+    import graft.streaming.FingerprintStream
+    // build the two roots (uncapped polluted, capped clean) with the
+    // flood scenario — the receipts this mode extends
+    fpStreamFloodSoak(spark, factor, baseDir, outDir, nBatches, cap,
+      organicPerBatch, floodPerBatch)
+    val dir = s"$outDir/fpstreamflood"
+    for (mode <- Seq("uncapped", "capped")) {
+      val root = s"$dir/$mode"
+      val before = FingerprintStream.livePairs(spark, root).count()
+      val t0 = System.nanoTime()
+      val rep = FingerprintStream.decontaminate(spark, root, decontamCap)
+        .head()
+      val repairSec = (System.nanoTime() - t0) / 1e9
+      val after = FingerprintStream.livePairs(spark, root).count()
+      println(f"""SOAK {"phase":"fpdecontam","mode":"$mode","decontam_cap":$decontamCap,"repair_sec":$repairSec%.2f,"pairs_before":$before,"pairs_after":$after,"hot_buckets":${rep.getAs[Long]("hot_buckets")},"members":${rep.getAs[Long]("n_members")},"suspects":${rep.getAs[Long]("n_suspects")},"dropped":${rep.getAs[Long]("n_dropped")}}""")
+    }
+    // exactness: the repaired uncapped root == the capped run's state
+    val pu = FingerprintStream.livePairs(spark, s"$dir/uncapped")
+      .select(col("id_a"), col("id_b"))
+    val pc = FingerprintStream.livePairs(spark, s"$dir/capped")
+      .select(col("id_a"), col("id_b"))
+    val pDiff = pu.exceptAll(pc).count() + pc.exceptAll(pu).count()
+    require(pDiff == 0L, s"repaired pairs != capped pairs: $pDiff")
+    val lu = FingerprintStream.labels(spark, s"$dir/uncapped")
+    val lc = FingerprintStream.labels(spark, s"$dir/capped")
+    val lDiff = lu.exceptAll(lc).count() + lc.exceptAll(lu).count()
+    require(lDiff == 0L, s"repaired labels != capped labels: $lDiff")
+    println("""SOAK {"phase":"fpdecontam","parity":"repaired uncapped == capped (pairs+labels)"}""")
   }
 
   /** `coresidency` mode: all THREE runnable pipelines in ONE session
@@ -1305,34 +1362,58 @@ object Soak {
       }
     }.toMap
 
-    // ── phase 2: CO-RESIDENT — per round, all three tiers concurrently.
-    // Each tier's thread runs in its own FAIR scheduler pool (when the
-    // session was built with spark.scheduler.mode=FAIR, which Soak's
-    // is): under default FIFO a cheap tier's jobs queue behind an
-    // expensive tier's stages and its wall time stretches to the
-    // round's critical path; FAIR pools give the tiers equal shares —
-    // the scheduler knob a real multi-pipeline deployment turns. ──
+    // ── phase 2: CO-RESIDENT — per round, all three tiers concurrently,
+    // through the PRODUCTION entry points: each tier is a real
+    // checkpointed StreamingQuery started with `schedulerPool =
+    // Some("tier-<name>")` (the pipelines' own FAIR-pool parameter —
+    // the knob a deployment turns, not a hand-rolled thread property).
+    // Under default FIFO a cheap tier's jobs queue behind an expensive
+    // tier's stages and its wall time stretches to the round's critical
+    // path; FAIR pools (the session runs spark.scheduler.mode=FAIR)
+    // give the tiers equal shares. The 5 ms trigger keeps per-round
+    // drain latency negligible next to ~1 s batches. ──
     tiers.foreach(n => initTier(n, s"$dir/co_$n"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val memD = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocumentStream.DocTsIn]
+    val memE = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val memM = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Multimodal.MediaRow]
+    val queries = Map(
+      "text" -> DocumentStream.start(memD.toDF(), s"$dir/co_text",
+        s"$dir/co_ckpt_text", horizonMs, maxDelayMs = 5L,
+        consolidateEvery = 8, schedulerPool = Some("tier-text")),
+      "vector" -> EmbeddingStream.start(
+        memE.toDF().toDF("vec_id", "embedding"), s"$dir/co_vector",
+        s"$dir/co_ckpt_vector", maxDelayMs = 5L, consolidateEvery = 8,
+        schedulerPool = Some("tier-vector")),
+      "media" -> FingerprintStream.start(memM.toDF(), s"$dir/co_media",
+        s"$dir/co_ckpt_media", maxHamming = 3, maxDelayMs = 5L,
+        consolidateEvery = 8, schedulerPool = Some("tier-media")))
     val coSecs = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    (0 until nBatches).foreach { i =>
-      val threads = tiers.map { name =>
-        new Thread(() => {
-          try {
-            spark.sparkContext.setLocalProperty(
-              "spark.scheduler.pool", s"tier-$name")
-            val t = System.nanoTime()
-            runBatch(name, s"$dir/co_$name", i)
-            val sec = (System.nanoTime() - t) / 1e9
-            coSecs.synchronized { coSecs(name) = coSecs(name) :+ sec }
-          } catch { case e: Throwable => failure.compareAndSet(null, e) }
-        }, s"coresidency-$name")
+    try {
+      (0 until nBatches).foreach { i =>
+        memD.addData(docWaves(i))
+        memE.addData(embWaves(i))
+        memM.addData(mediaWaves(i))
+        val threads = tiers.map { name =>
+          new Thread(() => {
+            try {
+              val t = System.nanoTime()
+              queries(name).processAllAvailable()
+              val sec = (System.nanoTime() - t) / 1e9
+              coSecs.synchronized { coSecs(name) = coSecs(name) :+ sec }
+            } catch { case e: Throwable => failure.compareAndSet(null, e) }
+          }, s"coresidency-$name")
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        Option(failure.get()).foreach(throw _)
       }
-      threads.foreach(_.start())
-      threads.foreach(_.join())
-      Option(failure.get()).foreach(throw _)
-    }
+    } finally queries.values.foreach(_.stop())
 
     // ── invariants + verdicts ──
     for (name <- tiers) {
@@ -1363,7 +1444,7 @@ object Soak {
       println(f"""SOAK {"phase":"coresidency","tier":"$name","batches":$nBatches,"solo_median_sec":${medSec(solo(name))}%.2f,"co_median_sec":${medSec(co)}%.2f,"co_over_solo":$ratio%.2f,"co_first_third_median":${medSec(co.take(third))}%.2f,"co_last_third_median":${medSec(co.takeRight(third))}%.2f,"co_p99_sec":${p99Sec(co)}%.2f}""")
     }
     Seq(histPairsD, histLabelsD, baseFpsM, basePairsM, baseLabelsM)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.Snap.free(_))
   }
 
   /** `embstreamlong` mode: [[docStreamLongSoak]]'s batch-count-flatness
@@ -2325,6 +2406,13 @@ object Soak {
     }
     if (args.lift(3).contains("docstreamflood")) {
       docStreamFloodSoak(spark, factor, baseDir, outDir,
+        floodPerBatch = sys.env.get("SPARK_GRAFT_FLOOD_PER_BATCH")
+          .map(_.toInt).getOrElse(64))
+      spark.stop()
+      return
+    }
+    if (args.lift(3).contains("fpdecontam")) {
+      fpDecontamSoak(spark, factor, baseDir, outDir,
         floodPerBatch = sys.env.get("SPARK_GRAFT_FLOOD_PER_BATCH")
           .map(_.toInt).getOrElse(64))
       spark.stop()
