@@ -55,6 +55,15 @@ object Bench {
     // warm and timed loops — the A/B lever for JVM-state bisects (e.g.
     // "does skipping the pipeline-scenario builds move an unrelated
     // family's minima?"); the emitted nqueries records the smaller set.
+    // CAVEAT (the lever's semantics, not a bug): scenario builds are
+    // memoized per JVM under a SHARED root (ManagedTable.once), so an
+    // exclusion only REMOVES a build if it covers EVERY row sharing that
+    // root — excluding q_fpstream_gauge alone while q_fpstream_alerts
+    // still runs merely RELOCATES the build into the first timed sample
+    // of the surviving row (visible as an inflated max there). For the
+    // A/B to subtract a build, exclude the whole family: the per-root
+    // groups are the fpstream rows (fpStreamRoot), the fpstream_capped
+    // rows, the docstream rows, and the embstream/knn_ivf_epoch rows.
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -145,15 +154,21 @@ object Bench {
     // canary components ship alongside so the division is auditable. ──
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
       "bench_full.json")
-    val (prevMed, prevCanary) = (try {
+    // `parse_ok` + the echoed path make an unreadable/malformed previous
+    // file DISTINGUISHABLE from a real all-zero comparison: without it a
+    // regex drift or a bad SPARK_GRAFT_PREV_BENCH silently degrades
+    // every vs_prev field to 0.0 and reads as data.
+    val (prevMed, prevCanary, prevParseOk) = (try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), "UTF-8")
       val M = """"([A-Za-z0-9_]+)":\{"min":[0-9.]+,"median":([0-9.]+)""".r
       val C = """"canary_geomean_sec":([0-9.]+)""".r
-      (M.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-        .toMap,
-        C.findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(0.0))
-    } catch { case _: Throwable => (Map.empty[String, Double], 0.0) })
+      val meds = M.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      (meds,
+        C.findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(0.0),
+        meds.nonEmpty)
+    } catch { case _: Throwable => (Map.empty[String, Double], 0.0, false) })
     val sharedPrev = ok.filter(n => prevMed.getOrElse(n, 0.0) > 0.0)
     val rawVsPrev =
       if (sharedPrev.isEmpty) 0.0
@@ -165,7 +180,7 @@ object Bench {
     val normVsPrev =
       if (rawVsPrev > 0.0 && canaryRatio > 0.0) rawVsPrev / canaryRatio
       else 0.0
-    val vsPrev = s""""vs_prev":{"shared_n":${sharedPrev.size},"raw_geomean":${r3(rawVsPrev)},"canary_ratio":${r3(canaryRatio)},"normalized_geomean":${r3(normVsPrev)}}"""
+    val vsPrev = s""""vs_prev":{"parse_ok":$prevParseOk,"prev_path":"$prevPath","shared_n":${sharedPrev.size},"raw_geomean":${r3(rawVsPrev)},"canary_ratio":${r3(canaryRatio)},"normalized_geomean":${r3(normVsPrev)}}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"nqueries":${ok.size},"runs2":{"total_a":${r3(totalA)},"total_b":${r3(totalB)}},"canary_geomean_sec":${r3(canary)},"canary_n":$canaryN,$vsPrev,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get("bench_full.json")
     java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
