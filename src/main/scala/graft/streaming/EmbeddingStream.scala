@@ -448,10 +448,14 @@ object EmbeddingStream {
       .distinct()
       .localCheckpoint(true, memDisk)
     val nDropped = dropped.count()
+    // pair-sized set: its broadcast decision probes its own count (the
+    // [[FingerprintStream.decontaminate]] flood-clique argument)
+    def mbPairs(df: DataFrame): DataFrame =
+      if (nDropped <= broadcastRowLimit) broadcast(df) else df
     if (nDropped > 0) {
       BatchState.batchDirs(spark, root, "pairs", Long.MaxValue).foreach {
         p => BatchState.rewriteDirPreservingUnit(spark, root, "pairs", p,
-          df => df.join(mb(dropped), Seq("id_a", "id_b"), "left_anti"))
+          df => df.join(mbPairs(dropped), Seq("id_a", "id_b"), "left_anti"))
       }
       val newPairs = BatchState.state(spark, root, "pairs", Long.MaxValue,
         PairsSchema).select(col("id_a"), col("id_b"))

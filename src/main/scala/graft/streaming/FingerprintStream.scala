@@ -396,12 +396,20 @@ object FingerprintStream {
       .join(survivors, Seq("id_a", "id_b"), "left_anti")
       .localCheckpoint(true, memDisk)
     val nDropped = dropped.count()
+    // the DROPPED set is PAIR-sized (a template flood's clique is
+    // quadratic in the flood — 33.6 M rows in the soak scenario), so
+    // its broadcast decision probes ITS OWN count, never the
+    // member count the doc-level sets key on: past the bound the
+    // per-directory prunes degrade to shuffled anti-joins instead of
+    // shipping a clique-sized hash relation to every executor
+    def mbPairs(df: DataFrame): DataFrame =
+      if (nDropped <= broadcastRowLimit) broadcast(df) else df
     if (nDropped > 0) {
       // physical rewrite: the dropped pairs leave every pairs/ directory
       // (raw batches and consolidated units alike, sidecars preserved)
       BatchState.batchDirs(spark, root, "pairs", Long.MaxValue).foreach {
         p => BatchState.rewriteDirPreservingUnit(spark, root, "pairs", p,
-          df => df.join(mb(dropped), Seq("id_a", "id_b"), "left_anti"))
+          df => df.join(mbPairs(dropped), Seq("id_a", "id_b"), "left_anti"))
       }
       // label repair restricted to the components the deletions touched
       val newPairs = BatchState.state(spark, root, "pairs", Long.MaxValue,
