@@ -500,13 +500,14 @@ object OracleSql {
     * `embExpr` substitutes the raw embedding column (the epoch-serve
     * replica shifts a slice of the corpus bit-exactly before the chain
     * sees it). */
-  private def xxhCtes(embExpr: String = "embedding"): String = {
+  private def xxhCtes(embExpr: String = "embedding",
+      baseRel: String = "embeddings"): String = {
     val xxP1 = ulit(-7046029288634856825L) // 0x9E3779B185EBCA87
     val xxP2 = ulit(-4417276706812531889L) // 0xC2B2AE3D27D4EB4F
     val xxP3 = ulit(1609587929392839161L)  // 0x165667B19E3779F9
     val xxP4 = ulit(-8796714831421723037L) // 0x85EBCA77C2B2AE63
     val xxInit = ulit(42L + 2870177450012600261L + 8L) // seed + PRIME5 + len
-    s"""base AS (SELECT vec_id, ($embExpr)::DOUBLE[] AS e FROM embeddings),
+    s"""base AS (SELECT vec_id, ($embExpr)::DOUBLE[] AS e FROM $baseRel),
        |xu AS (SELECT vec_id, ${s2u("vec_id")} AS lu FROM base),
        |x1 AS (SELECT vec_id, ${mulmod64("lu", xxP2)} AS h FROM xu),
        |x2 AS (SELECT vec_id, ${rotl64("h", 31)} AS h FROM x1),
@@ -520,7 +521,8 @@ object OracleSql {
 
   private def ivfChainCtes(nCentroids: Int, lloydIters: Int,
       trainWhere: String = "TRUE",
-      embExpr: String = "embedding"): (String, String) = {
+      embExpr: String = "embedding",
+      baseRel: String = "embeddings"): (String, String) = {
     val q = "1048576.0" // 2^20 quantization of the cluster means
     /** One Lloyd round: assign `train` to `prev`'s centroids, emit `out`.
       * Seeding and refinement run over the TRAIN set only (`trainWhere` —
@@ -544,7 +546,7 @@ object OracleSql {
       .mkString(",\n")
     val last = s"cents$lloydIters"
     val ctes =
-      s"""${xxhCtes(embExpr)},
+      s"""${xxhCtes(embExpr, baseRel)},
          |train AS (SELECT vec_id, e FROM base WHERE $trainWhere),
          |cents0 AS (
          |  SELECT b.vec_id AS c_id, b.e AS c
@@ -662,6 +664,84 @@ object OracleSql {
        |  AND (a.vec_id % $deltaMod = 0 OR b.vec_id % $deltaMod = 0)
        |  AND ${live("a.vec_id")} AND ${live("b.vec_id")}
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Replica of [[graft.streaming.ParityCheck.embDecontamParity]] — the
+    * VECTOR decontamination gate: every `floodMod`-th ARRIVAL's
+    * embedding is rewritten to the corpus-minimum vector with ONE
+    * coordinate (`vec_id % dim`) sign-flipped — distinct bytes (the
+    * exact tier keeps them; coordinate collisions beyond dim floods
+    * byte-dup and dedup, modeled), near-identical cosine (the family
+    * pairs), all exactly representable so both engines hold identical
+    * float values. The chain trains on the BASE corpus (the pipeline's
+    * epoch-0 init) and assigns the rewritten corpus; kept = base ∪
+    * min-id-per-distinct-embedding arrivals not byte-equal to a base
+    * vector (the vhash tier, restated on list equality); the repair cap
+    * is the max occupancy over clusters with NO flood member (derived,
+    * not assumed — a stray flood assignment shrinks the basis on both
+    * engines identically); clusters over the cap quarantine and the
+    * post-repair pair set is the cool-cluster cosine pairs, labels the
+    * recursive closure over them. */
+  def embDecontamParitySql(nCentroids: Int = 32, lloydIters: Int = 2,
+      threshold: Double = 0.4, floodMod: Long = 3L): String = {
+    val (ctes, _) = ivfChainCtes(nCentroids, lloydIters,
+      trainWhere =
+        "vec_id < (SELECT (MAX(vec_id) + 1) * 3 // 5 FROM embeddings)",
+      baseRel = "docs_e")
+    s"""WITH RECURSIVE
+       |hh AS (SELECT (MAX(vec_id) + 1) * 3 // 5 AS h FROM embeddings),
+       |mn AS (SELECT embedding AS m FROM embeddings
+       |       WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+       |docs_e AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN e.vec_id >= hh.h AND e.vec_id % $floodMod = 0
+       |         THEN list_transform(range(1, len(mn.m) + 1),
+       |                j -> CASE WHEN j - 1 = e.vec_id % len(mn.m)
+       |                          THEN -mn.m[j] ELSE mn.m[j] END)
+       |         ELSE e.embedding END AS embedding
+       |  FROM embeddings e, hh, mn),
+       |$ctes,
+       |karr AS (
+       |  SELECT MIN(a.vec_id) AS vec_id
+       |  FROM a_f a, hh WHERE a.vec_id >= hh.h
+       |    AND NOT EXISTS (SELECT 1 FROM base b, hh h2
+       |                    WHERE b.vec_id < h2.h AND b.e = a.e)
+       |  GROUP BY a.e),
+       |kept AS (SELECT b.vec_id FROM base b, hh WHERE b.vec_id < hh.h
+       |         UNION ALL SELECT vec_id FROM karr),
+       |ka AS (SELECT f.vec_id, f.e, f.cluster
+       |       FROM a_f f JOIN kept k USING (vec_id)),
+       |occ AS (SELECT cluster, COUNT(*) AS c FROM ka GROUP BY cluster),
+       |fcl AS (SELECT DISTINCT cluster FROM ka, hh
+       |        WHERE vec_id >= hh.h AND vec_id % $floodMod = 0),
+       |capn AS (SELECT MAX(c) AS cap FROM occ
+       |         WHERE cluster NOT IN (SELECT cluster FROM fcl)),
+       |hot AS (SELECT occ.cluster FROM occ, capn WHERE occ.c > capn.cap),
+       |liveu AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster
+       |  FROM ka a JOIN ka b ON a.cluster = b.cluster
+       |    AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.e", "b.e")} >= $threshold),
+       |livep AS (SELECT id_a, id_b FROM liveu
+       |          WHERE cluster NOT IN (SELECT cluster FROM hot)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM livep
+       |          UNION ALL SELECT id_b, id_a FROM livep),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM kept
+       |  UNION
+       |  SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src),
+       |labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+       |           FROM reach GROUP BY a)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS n_pairs_after,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM liveu)
+       |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM livep) AS n_dropped,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hot) AS hot_clusters,
+       |  (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM labels)
+       |    AS n_clusters,
+       |  CAST(0 AS BIGINT) AS n_only_live,
+       |  CAST(0 AS BIGINT) AS n_only_batch,
+       |  true AS parity_ok""".stripMargin
   }
 
   /** The runnable vector pipeline's committed gauge-ledger row for the

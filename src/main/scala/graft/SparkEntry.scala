@@ -140,6 +140,17 @@ object SparkEntry {
       graft.streaming.ParityCheck.buildDecontamPipeline(s, dir)
     }
 
+  /** The VECTOR decontamination gate's state, built once per JVM
+    * ([[graft.streaming.ParityCheck.buildDecontamEmbeddingPipeline]] —
+    * a sign-flip mode-collapse flood run uncapped, then
+    * [[graft.streaming.EmbeddingStream.decontaminate]] at the derived
+    * corpus cap) — serves q_embstream_decontam_parity. */
+  private def embStreamDecontamRoot(s: SparkSession, dir: String): String =
+    graft.sources.ManagedTable.once(
+        s"${s.sparkContext.applicationId}/embstream_decontam/$dir") {
+      graft.streaming.ParityCheck.buildDecontamEmbeddingPipeline(s, dir)
+    }
+
   /** One-time month-partitioned copy of the events fixture written through
     * [[graft.logs.LogTable.append]] (the reference's `PARTITION BY
     * toYYYYMM(ts)` layout, db.go:51) — the storage side of
@@ -274,7 +285,7 @@ object SparkEntry {
     "q_docstream_restart_parity", "q_embstream_restart_parity",
     "q_docstream_capped_parity", "q_fpstream_restart_parity",
     "q_fpstream_capped_parity", "q_fpstream_decontam_parity",
-    "q_docstream_decontam_parity")
+    "q_docstream_decontam_parity", "q_embstream_decontam_parity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───────────────────────── reference parity: the logs read path ──
@@ -764,6 +775,17 @@ object SparkEntry {
     "q_docstream_decontam_parity" -> ((s, dir) =>
       streaming.ParityCheck.docDecontamParity(s, dir,
         docStreamDecontamRoot(s, dir))),
+
+    // RETROACTIVE DECONTAMINATION, vector tier: a sign-flip mode-collapse
+    // flood (distinct bytes — the exact tier keeps it; exactly
+    // representable — the DuckDB replica holds identical floats) run
+    // uncapped, then EmbeddingStream.decontaminate at the DERIVED corpus
+    // cap (max occupancy over flood-free clusters) — post-repair state
+    // must equal the cool-cluster policy truth; the bit-exact IVF chain
+    // restates every count under the same rewrite
+    "q_embstream_decontam_parity" -> ((s, dir) =>
+      streaming.ParityCheck.embDecontamParity(s, dir,
+        embStreamDecontamRoot(s, dir))),
 
     // the capped media run's WHOLE-LEDGER verdict: batches, arrivals,
     // cap interventions (hot bucket count), alert count, committed
@@ -5133,6 +5155,11 @@ object SparkEntry {
     // suffix rewrite and the standing-band global occupancy rule
     "q_docstream_decontam_parity" ->
       graft.OracleSql.decontamPipelineParitySql(),
+
+    // vector decontamination: the bit-exact IVF chain under the
+    // sign-flip rewrite, derived cap, cool-cluster pairs + closure
+    "q_embstream_decontam_parity" ->
+      graft.OracleSql.embDecontamParitySql(),
 
     // the batch capped pHash operator: classes over a quarter of the
     // image corpus (the flood) emit no pairs; organic classes keep

@@ -840,6 +840,129 @@ object ParityCheck {
     result
   }
 
+  /** The VECTOR decontamination fixture: every [[EmbDecontamFloodMod]]-th
+    * ARRIVAL's embedding rewrites to the corpus-minimum vector with ONE
+    * coordinate (vec_id % dim) sign-flipped — a mode-collapse flood in
+    * distinct bytes (the exact tier keeps the variants; coordinate
+    * collisions beyond dim byte-dup and dedup — both modeled), with
+    * every synthesized value EXACTLY representable so the DuckDB
+    * replica holds bit-identical floats. */
+  val EmbDecontamFloodMod = 3L
+
+  private def embDecontamArrivals(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long) = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val h = (maxId + 1L) * 3L / 5L
+    val minId = emb.agg(min(col("vec_id"))).head().getLong(0)
+    val mArr = emb.filter(col("vec_id") === minId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val mLit = array(mArr.map(v => lit(v)): _*)
+    val flood = transform(mLit, (x, j) =>
+      when(j.cast("long") === col("vec_id") % mArr.length.toLong, -x)
+        .otherwise(x))
+    val arrivals = emb.filter(col("vec_id") >= h)
+      .withColumn("embedding",
+        when(col("vec_id") % EmbDecontamFloodMod === 0, flood)
+          .otherwise(col("embedding")))
+    (emb.filter(col("vec_id") < h), arrivals, h)
+  }
+
+  /** The repair cap, DERIVED (both here and in the DuckDB replica, not
+    * assumed): max standing occupancy over clusters with NO flood
+    * member — making exactly the flood-inflated clusters hot. The
+    * degenerate case (a flood cluster not above every pure-organic one)
+    * fails loudly. */
+  private def embDecontamCap(spark: SparkSession, stateRoot: String,
+      h: Long): Int = {
+    val assigned = EmbeddingStream.assignedState(spark, stateRoot)
+      .select(col("vec_id"), col("cluster"))
+    val fcl = assigned.filter(col("vec_id") >= h &&
+        col("vec_id") % EmbDecontamFloodMod === 0)
+      .select(col("cluster")).distinct()
+    val occ = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val cap = occ.join(fcl, Seq("cluster"), "left_anti")
+      .agg(max(col("c"))).head().getLong(0)
+    val floodMax = occ.join(fcl, Seq("cluster"), "left_semi")
+      .agg(max(col("c"))).head().getLong(0)
+    graft.Snap.free(occ)
+    require(floodMax > cap,
+      s"vector decontam fixture degenerate: flood max $floodMax <= cap $cap")
+    cap.toInt
+  }
+
+  /** Build the VECTOR decontamination gate's state: the sign-flip flood
+    * run UNCAPPED through one [[EmbeddingStream.processBatch]] over the
+    * corpus-initialized root (junk pairs persisted, flood mega-cluster),
+    * then [[EmbeddingStream.decontaminate]] at the derived corpus cap;
+    * report persisted to `$root/report`. */
+  def buildDecontamEmbeddingPipeline(spark: SparkSession,
+      dir: String): String = {
+    val (base, arrivals, h) = embDecontamArrivals(spark, dir)
+    val root =
+      s"target/embstream_decontam/${graft.sources.ManagedTable.tag(dir)}"
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+    EmbeddingStream.initFromCorpus(spark, s"$root/state", base,
+      refDelta = arrivals)
+    EmbeddingStream.processBatch(
+      arrivals.select(col("vec_id"), col("embedding")), 0L,
+      s"$root/state") // UNCAPPED — the incident
+    val report = EmbeddingStream.decontaminate(spark, s"$root/state",
+      embDecontamCap(spark, s"$root/state", h))
+    report.write.mode("overwrite").parquet(s"$root/report")
+    root
+  }
+
+  /** The VECTOR decontamination gate: post-repair pair/label state must
+    * equal the cool-cluster policy truth over the standing assignment
+    * (the quantizer is unrotated, so this IS the capped batch
+    * operator's semantics), and the report must show real repair work.
+    * Counts restated by the bit-exact IVF DuckDB replica under the
+    * same sign-flip rewrite. */
+  def embDecontamParity(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val h = (maxId + 1L) * 3L / 5L
+    val stateRoot = s"$root/state"
+    val cap = embDecontamCap(spark, stateRoot, h)
+    val assigned = EmbeddingStream.assignedState(spark, stateRoot)
+      .localCheckpoint(true)
+    val hot = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > cap).select(col("cluster"))
+    val cool = assigned.join(broadcast(hot), Seq("cluster"), "left_anti")
+    val twinPairs = graft.ops.Similarity
+      .semanticDedupUnordered(cool, 0.4)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val twinLabels = graft.ops.Dedup.nearDupClusters(
+      assigned.select(col("vec_id").as("doc_id")), twinPairs)
+      .localCheckpoint(true)
+    val livePairs = EmbeddingStream.livePairs(spark, stateRoot)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val liveLabels = EmbeddingStream.labels(spark, stateRoot)
+      .localCheckpoint(true)
+    val report = spark.read.parquet(s"$root/report").head()
+    val hotClusters = report.getAs[Long]("hot_clusters")
+    val nDropped = report.getAs[Long]("n_dropped")
+    val (pOnlyL, pOnlyB, nPairsAfter, _) = diffCounts(livePairs, twinPairs)
+    val (lOnlyL, lOnlyB, _, _) = diffCounts(liveLabels, twinLabels)
+    val nClusters = liveLabels.select(col("cluster_id")).distinct().count()
+    val result = spark.createDataFrame(Seq(
+      (nPairsAfter, nDropped, hotClusters, nClusters,
+        pOnlyL + lOnlyL, pOnlyB + lOnlyB,
+        pOnlyL == 0L && pOnlyB == 0L && lOnlyL == 0L && lOnlyB == 0L &&
+          nDropped > 0L && hotClusters > 0L && nPairsAfter > 0L)))
+      .toDF("n_pairs_after", "n_dropped", "hot_clusters", "n_clusters",
+        "n_only_live", "n_only_batch", "parity_ok")
+    Seq(assigned, twinPairs, twinLabels, livePairs, liveLabels)
+      .foreach(graft.Snap.free(_))
+    result
+  }
+
   /** The TEXT decontamination fixture's flood rewrite: every
     * [[CappedFloodMod]]-th arrival sends the fixed template
     * ([[graft.OracleSql.CappedFloodTemplate]] — shared verbatim with

@@ -71,6 +71,17 @@ class EmbeddingStreamSpec extends AnyFunSuite {
     assert(setEqual(EmbeddingStream.labels(spark, root), twin))
   }
 
+  test("decontam gate end to end on the sf corpus: the uncapped " +
+      "sign-flip flood root, repaired, equals the cool-cluster truth") {
+    val dir = graft.SparkTestBase.sfDir
+    val root = ParityCheck.buildDecontamEmbeddingPipeline(spark, dir)
+    val row = ParityCheck.embDecontamParity(spark, dir, root).head()
+    assert(row.getAs[Boolean]("parity_ok"),
+      s"vector decontam gate diverged: $row")
+    assert(row.getAs[Long]("n_dropped") > 0L, "repair dropped nothing")
+    assert(row.getAs[Long]("hot_clusters") > 0L, "no hot cluster found")
+  }
+
   test("hot-cluster cap: a mode-collapsed batch's flood cluster is " +
       "quarantined from pairing; organic clusters keep theirs") {
     import spark.implicits._
