@@ -67,9 +67,16 @@ object Bench {
     val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed loop to the named
+    // rows — the per-query isolation lever for optimization work (unset →
+    // the full suite, which is what the driver always runs). Warm-loop
+    // layout builders still run for the selected rows' roots.
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Pay every one-time layout/index write BEFORE timing starts (the
     // builders memoize per JVM, so the timed rounds read the layouts).
-    for (name <- SparkEntry.layoutQueries if !excluded.contains(name))
+    for (name <- SparkEntry.layoutQueries
+         if !excluded.contains(name) && onlySet.forall(_.contains(name)))
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.toString.linesIterator.next()}") }
@@ -77,6 +84,7 @@ object Bench {
     // timing loop (their wall time is MemoryStream replay, not a query).
     val names = (SparkEntry.queries.keySet -- SparkEntry.verificationOnly
       -- excluded).toSeq.sorted
+      .filter(n => onlySet.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val failures = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)

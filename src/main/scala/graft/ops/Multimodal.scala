@@ -1070,11 +1070,30 @@ object Multimodal {
     * noise. 128 bits (not the classic 64) so the banded-hamming join
     * downstream gets 4 independent 32-bit band keys — the corpus-scale
     * candidate-volume fix ([[graft.ops.Dedup.hammingPairs128]]). */
+  /** DCT-II cosine tables for [[pHash128]] (n = 32): DctCosY(u)(y) and
+    * DctCosX(v)(x) hold the exact doubles the former inline
+    * `math.cos((2·y+1)·u·π/(2·n))` produced — the expression below is
+    * character-identical, so table lookup cannot change a single bit of
+    * any coefficient. Built once per JVM (~768 cosines) instead of
+    * ~262,144 math.cos calls per frame. */
+  private val DctCosY: Array[Array[Double]] = {
+    val n = 32
+    Array.tabulate(8, n)((u, y) => math.cos((2 * y + 1) * u * math.Pi / (2.0 * n)))
+  }
+  private val DctCosX: Array[Array[Double]] = {
+    val n = 32
+    Array.tabulate(16, n)((v, x) => math.cos((2 * x + 1) * v * math.Pi / (2.0 * n)))
+  }
+
   private[graft] def pHash128(im: java.awt.image.BufferedImage): (Long, Long) = {
     val n = 32
-    // block-average the luma down to n×n (identity for n×n inputs)
+    // block-average the luma down to n×n (identity for n×n inputs).
+    // One bulk getRGB fetches the whole ARGB raster (a single
+    // color-model conversion) instead of a per-pixel virtual call —
+    // identical ints, so identical luma doubles in identical order.
     val g = Array.ofDim[Double](n, n)
     val (w, h) = (im.getWidth, im.getHeight)
+    val argb = im.getRGB(0, 0, w, h, null, 0, w)
     var by = 0
     while (by < n) {
       var bx = 0
@@ -1085,9 +1104,10 @@ object Multimodal {
         var cnt = 0
         var y = y0
         while (y < y1) {
+          val row = y * w
           var x = x0
           while (x < x1) {
-            val rgb = im.getRGB(x, y)
+            val rgb = argb(row + x)
             // integer ITU-R 601 luma: deterministic, no float rounding
             sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
               (rgb & 0xff) * 114) / 1000.0
@@ -1118,20 +1138,29 @@ object Multimodal {
       while (cx < n) { g(cy)(cx) -= mean; cx += 1 }
       cy += 1
     }
-    // 2-D DCT-II of the 8×16 low-frequency corner only (O(n² · 128))
+    // 2-D DCT-II of the 8×16 low-frequency corner only (O(n² · 128)).
+    // The cosine factors come from [[DctCosY]]/[[DctCosX]] — per-JVM
+    // tables of the IDENTICAL math.cos expressions (same argument
+    // arithmetic, so the same doubles bit-for-bit): computing ~262k
+    // cosines per frame inline was ~90% of the hash's CPU (r16 bench:
+    // the video tier spends its time here, not in the codec walk).
+    // Accumulation order and multiply association are unchanged, so
+    // every coefficient — and hence every hash bit — is bit-identical.
     val dct = Array.ofDim[Double](8, 16)
     var u = 0
     while (u < 8) {
+      val cy = DctCosY(u)
       var v = 0
       while (v < 16) {
+        val cx = DctCosX(v)
         var acc = 0.0
         var y = 0
         while (y < n) {
+          val gy = g(y)
+          val cyy = cy(y)
           var x = 0
           while (x < n) {
-            acc += g(y)(x) *
-              math.cos((2 * y + 1) * u * math.Pi / (2.0 * n)) *
-              math.cos((2 * x + 1) * v * math.Pi / (2.0 * n))
+            acc += gy(x) * cyy * cx(x)
             x += 1
           }
           y += 1
